@@ -1,0 +1,195 @@
+"""Deduplication operators for web-scale corpora.
+
+Four tiers, in increasing recall / decreasing precision:
+
+1. **exact** — hash-groupBy on a content fingerprint. One shuffle on the
+   hash; at 100 TB the md5 (16 bytes) shuffles instead of the document body.
+2. **n-gram Jaccard** — exact set similarity on word shingles via an
+   inverted-index self-join. Exact but quadratic in the worst case; at scale
+   you run it only on candidate pairs from tier 3.
+3. **MinHash + LSH banding** — signatures from per-shingle hashes, candidate
+   pairs from band-bucket equality. Linear shuffle volume, tunable recall
+   (P[candidate] = 1-(1-J^rows_per_band)^n_bands).
+4. **SimHash** — 64-bit locality-sensitive fingerprint; near-dups differ in
+   few bits. Cheapest at scale (fingerprints join/fuzzy-match directly).
+
+All hashing uses md5 (byte-identical across engines) where an oracle checks
+results, and xxhash64 (faster, JVM-intrinsic) where it doesn't (simhash).
+No Python UDFs anywhere — everything is Column-expression / higher-order
+function work that stays in WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from pontem_spark.functions.compat import rnd
+from pontem_spark.functions import text as T
+
+
+def _tokens_distinct_shingles(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
+    """(id, shingle) exploded inverted-index rows, shingles deduped per doc."""
+    return (
+        df.select(id_col, T.tokens(text_col).alias("__toks"))
+        .select(id_col, F.array_distinct(T.shingles("__toks", ngram)).alias("__sh"))
+        .select(id_col, F.explode("__sh").alias("shingle"))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+    """Groups of byte-identical (optionally case/whitespace-normalized) docs.
+
+    Returns (content_hash, n_docs, keep_id) — ``keep_id`` is the smallest id,
+    the canonical survivor. Only the 32-char hash shuffles, never the text.
+    """
+    content = F.lower(F.trim(F.col(text_col))) if normalized else F.col(text_col)
+    return (
+        df.select(F.md5(content).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard similarity pairs above ``threshold``.
+
+    Inverted-index plan: explode distinct shingles → self-equi-join on the
+    shingle (this is a plain shuffle-hash join Catalyst handles) → count
+    intersections per pair → Jaccard from the per-doc set sizes.
+
+    Scale note: the join key (shingle) is the skew hazard — a boilerplate
+    shingle shared by millions of docs creates a quadratic bucket. At 100 TB,
+    drop top-frequency shingles first (they carry no discriminative signal)
+    or feed candidates from :func:`minhash_candidate_pairs` instead.
+    """
+    # Carry each doc's set size THROUGH the explode so no extra join (or
+    # recompute of the shingle pipeline) is needed to assemble the union size.
+    sh = (
+        df.select(id_col, T.tokens(text_col).alias("__toks"))
+        .select(id_col, F.array_distinct(T.shingles("__toks", ngram)).alias("__sh"))
+        .select(id_col, F.size("__sh").alias("set_size"), F.explode("__sh").alias("shingle"))
+        .cache()  # referenced twice (both join sides); at corpus scale, persist to disk instead
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+    jac = rnd(
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        round_digits,
+    )
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    md5(shingle || '#' || i). md5-on-purpose: cross-engine deterministic, so
+    the LSH pipeline itself is oracle-checkable (rare for LSH implementations).
+
+    Plan shape: explode shingles, ONE groupBy(id) computing all ``num_hashes``
+    mins in a single aggregation pass (not num_hashes passes).
+    """
+    sh = _tokens_distinct_shingles(df, id_col, text_col, ngram)
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH banding: hash each band of ``rows_per_band`` signature slots to a
+    bucket; docs sharing any (band_idx, bucket) are candidate near-dup pairs.
+
+    The candidate join is an equi-join on (band_idx, bucket) — linear shuffle,
+    no cross product. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, ngram)
+
+    # ONE pass over signatures: explode an array of (band_idx, bucket)
+    # structs instead of unioning n_bands re-computations of the pipeline.
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    all_bands = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("__b"))
+        .select(id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.bucket").alias("bucket"))
+        .cache()  # tiny (n_docs x n_bands); joined against itself below
+    )
+
+    x = all_bands.alias("x")
+    y = all_bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint per document (token-level, unweighted).
+
+    Each token hashes once with xxhash64 (JVM intrinsic); per bit, the doc
+    accumulates +1/-1 by that bit of the token hash; fingerprint bit = sign.
+    Implemented as an explode + one groupBy(id) over 64 conditional sums —
+    heavy-looking but a single aggregation pass, all codegen, no UDF.
+
+    Not oracle-checked (xxhash64 is Spark-specific); tested structurally and
+    by the Hamming-distance property on known near-dups.
+    """
+    toks = (
+        df.select(id_col, T.tokens(text_col).alias("__toks"))
+        .select(id_col, F.explode("__toks").alias("tok"))
+        .select(id_col, F.xxhash64("tok").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias("simhash64"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark 3.3+)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,172 @@
+"""Dedup queries over `documents` — each tier of operators/dedup.py as an
+oracle-checked query. The corpus plants near-duplicate pairs (trigram Jaccard
+≥ 0.9 against a ≤ 0.07 background), so thresholds at 0.8 separate cleanly.
+
+The MinHash/LSH pipeline is md5-based end-to-end, which makes even the LSH
+candidate generation *exactly* reproducible in DuckDB — the whole
+probabilistic pipeline is oracle-checked, not just spot-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.functions.compat import rnd
+from pontem_spark.operators import dedup as D
+from pontem_spark.queries.registry import register
+from pontem_spark.sources.tables import load_table
+
+# DuckDB shingle CTE shared by the oracles (1-based list indexing everywhere)
+_SHINGLES_CTE = """
+    t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ts) >= 3
+                 THEN list_transform(generate_series(1, len(ts) - 2),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                 ELSE [] END)) AS shingle
+        FROM t
+    )
+"""
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (normalized) dedup: hash-groupBy; only 32-byte hashes shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_duplicates(docs, "doc_id", "text", normalized=True)
+
+
+@register(
+    "q_dedup_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT id_a, id_b,
+               ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard near-dup pairs (threshold 0.8) via
+    inverted-index self-join — see operators/dedup.py for the scale story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+
+
+def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 4) -> str:
+    n_bands = num_hashes // rows_per_band
+    mins = ",\n               ".join(
+        f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS bucket FROM sig"
+        )
+    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        {bands_sql}
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """
+
+
+@register(
+    "q_dedup_minhash_candidates",
+    oracle=_minhash_oracle(8, 4),
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 hashes) + LSH banding (2 bands × 4 rows) candidate pairs.
+    Cross-engine deterministic because every hash is md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=4, ngram=3)
+
+
+@register(
+    "q_dedup_simhash_nearpairs",
+    oracle=None,  # xxhash64-based — Spark-specific hash, rows-only check
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, pairs within Hamming
+    distance 8. Fingerprint computation is one aggregation pass; the pair
+    scan here is an O(n^2) broadcast loop acceptable for candidate-sized
+    inputs (at corpus scale you'd band the fingerprint bytes like LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "doc_id", "text").cache()
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(generate_series(1, len(a.embedding)),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+               , 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4). The pairwise comparison
+    here is the exact baseline; the scale path is LSH bucketing
+    (operators/similarity.py) which cuts candidates from n² to n·bucket."""
+    from pontem_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    sim = rnd(V.cosine_fixed("e_a", "e_b", 64), 4)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+    )

@@ -1,0 +1,119 @@
+"""Similarity-search queries over `embeddings` — exact brute-force top-k and
+the LSH-bucketed approximate variant, both oracle-checked (the LSH
+hyperplanes are md5-derived, so even the approximate path is deterministic
+across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.functions.compat import rnd
+from pontem_spark.operators import similarity as S
+from pontem_spark.queries.registry import register
+from pontem_spark.sources.tables import load_table
+
+_N_QUERIES = 10  # vec_id < 10 are the query set
+_K = 5
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "q_ann_brute_force_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos_sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def q_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors: broadcast queries, one corpus
+    scan, per-query window rank. Linear in corpus size at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.brute_force_topk(emb, queries, k=_K, dim=64)
+
+
+def _lsh_oracle(n_planes: int = 4, dim: int = 64) -> str:
+    # plane p's component for (1-based) dim i: ascii(first hex char of
+    # md5('plane{p}d{i-1}')) even → +1 else -1 — mirrored in operators/similarity.py
+    def sig(vec: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            dotp = (
+                f"list_sum(list_transform(generate_series(1, {dim}), "
+                f"i -> CAST({vec}[i] AS DOUBLE) * "
+                f"(CASE WHEN ascii(substr(md5('plane{p}d' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 = 0 "
+                f"THEN 1.0 ELSE -1.0 END)))"
+            )
+            bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
+        return " || ".join(bits)
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {sig('embedding')} AS bucket FROM embeddings
+    ), cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos_sim
+        FROM b q JOIN b c ON q.bucket = c.bucket
+        WHERE q.vec_id < {_N_QUERIES} AND c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+    """
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=_lsh_oracle(4, 64),
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets: a query scores
+    only its own bucket (~corpus/16 here) — the equi-join-on-bucket shape
+    that scales sub-linearly. Deterministic hyperplanes → oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.lsh_bucket_topk(emb, queries, k=_K, n_planes=4, dim=64)
+
+
+@register(
+    "q_embedding_label_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("similarity", "agg", "vector"),
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector counts and mean L2 norm — array math fully JVM-side."""
+    from pontem_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        rnd(F.avg(V.norm("embedding")), 4).alias("avg_norm"),
+    )

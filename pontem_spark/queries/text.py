@@ -1,0 +1,161 @@
+"""Text-analysis queries over the `documents` corpus (training-data pipeline ops).
+
+All column math is JVM-side (functions/text.py); the per-document work is
+embarrassingly parallel — no shuffle at all except where an aggregate needs
+one. At 100 TB the corpus scan dominates, which is exactly the shape you want.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.functions.compat import rnd
+from pontem_spark.functions import text as T
+from pontem_spark.queries.registry import register
+from pontem_spark.sources.tables import load_table
+
+_EN_IN = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '\\s', '', 'g')) AS alpha_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           len(toks) AS n_tokens,
+           CAST(alpha_chars AS BIGINT) AS n_alpha_chars,
+           ROUND(alpha_chars * 1.0 / len(toks), 4) AS avg_token_len,
+           CAST(len(list_filter(toks, x -> x in ({_EN_IN}))) AS BIGINT) AS n_stopwords
+    FROM t
+    """,
+    tags=("text", "tokenize"),
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, average token length, stopword
+    hits. Pure projection — zero shuffles, scales with executor count."""
+    docs = load_table(spark, sf_dir, "documents")
+    alpha = T.n_alpha_chars("text")
+    return docs.withColumn("toks", T.tokens("text")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        alpha.cast("bigint").alias("n_alpha_chars"),
+        rnd(alpha * F.lit(1.0) / F.size("toks"), 4).alias("avg_token_len"),
+        T.stopword_count("toks", T.EN_STOPWORDS).cast("bigint").alias("n_stopwords"),
+    )
+
+
+@register(
+    "q_text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '\\s+') AS toks,
+               length(regexp_replace(text, '\\s', '', 'g')) AS alpha_chars
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               ROUND(
+                 LEAST(len(toks) / 100.0, 1.0) * 0.5
+                 + LEAST(len(list_filter(toks, x -> x in ({_EN_IN}))) * 10.0 / len(toks), 1.0) * 0.3
+                 + LEAST(alpha_chars * 1.0 / (len(toks) * 8.0), 1.0) * 0.2
+               , 4) AS quality
+        FROM t
+    )
+    SELECT doc_id, quality FROM scored WHERE quality >= 0.5
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score (length + stopword density + token
+    shape), filtering to keep-worthy docs — the classic pretraining-corpus
+    quality gate, computed without leaving the JVM."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", T.tokens("text"))
+    n_tok = F.size("toks").cast("double")
+    alpha = T.n_alpha_chars("text").cast("double")
+    stop = T.stopword_count("toks", T.EN_STOPWORDS).cast("double")
+    quality = rnd(
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
+        + F.least(stop * 10.0 / n_tok, F.lit(1.0)) * 0.3
+        + F.least(alpha / (n_tok * 8.0), F.lit(1.0)) * 0.2,
+        4,
+    )
+    return docs.select("doc_id", quality.alias("quality")).filter(F.col("quality") >= 0.5)
+
+
+@register(
+    "q_text_lang_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {T.lang_id_oracle_sql('toks')} AS predicted_lang
+    FROM t
+    """,
+    tags=("text", "langid"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID per document, alongside the dataset's own
+    label. (The synthetic corpus is English-ish regardless of label — the
+    point is the deterministic classification machinery.)"""
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", T.tokens("text"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.lang_id("toks").alias("predicted_lang"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(text), 1, 16) AS fp64,
+           md5(lower(trim(text))) AS fp_normalized
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw 64-bit (hex) prefix + case/space-normalized
+    full hash. md5 because it is byte-identical across engines — these
+    fingerprints are the join keys for cross-system dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint("text", bits=64).alias("fp64"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_normalized"),
+    )
+
+
+@register(
+    "q_text_source_profile",
+    oracle="""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+    tags=("text", "agg"),
+)
+def q_text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by (source, lang) — the dataset-card aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        rnd(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

@@ -1,0 +1,47 @@
+"""File readers (parquet / csv / json).
+
+Absent in the reference (SURVEY.md §2.G "file sources/sinks: ∅"); the rebuild
+exposes them as thin, explicitly-schema'd wrappers. Explicit schemas matter
+twice at scale: they skip the inference pass (a full extra scan for csv/json)
+and they keep the scan prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)  # column pruning reaches the scan
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(header=str(header).lower(), **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Inference costs a full pass — acceptable for small/ad-hoc files only.
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -1,0 +1,26 @@
+"""File sinks. Absent in the reference (SURVEY.md §2.A A3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write parquet, optionally hive-partitioned.
+
+    ``partition_by`` on a low-cardinality column (date, region) gives free
+    partition pruning on later reads; ``maxRecordsPerFile`` bounds file size
+    so downstream scans parallelize evenly.
+    """
+    writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
