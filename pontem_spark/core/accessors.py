@@ -1,0 +1,97 @@
+"""``.str`` and ``.dt`` accessors — pandas' scalar-function namespaces mapped
+1:1 to built-in Spark functions (SURVEY §2.G 'string/date/math scalar fns').
+Everything stays in WholeStageCodegen; no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+class StringAccessor:
+    def __init__(self, s):
+        self._s = s
+
+    def _wrap(self, col: Column):
+        from pontem_spark.core.series import Series
+
+        return Series._from_internal(self._s._internal, col, self._s._name)
+
+    def upper(self): return self._wrap(F.upper(self._s._col))
+    def lower(self): return self._wrap(F.lower(self._s._col))
+    def len(self): return self._wrap(F.length(self._s._col))
+    def strip(self): return self._wrap(F.trim(self._s._col))
+    def lstrip(self): return self._wrap(F.ltrim(self._s._col))
+    def rstrip(self): return self._wrap(F.rtrim(self._s._col))
+    def title(self): return self._wrap(F.initcap(self._s._col))
+
+    def contains(self, pat: str, regex: bool = True):
+        col = self._s._col.rlike(pat) if regex else self._s._col.contains(pat)
+        return self._wrap(col)
+
+    def startswith(self, pat: str): return self._wrap(self._s._col.startswith(pat))
+    def endswith(self, pat: str): return self._wrap(self._s._col.endswith(pat))
+
+    def replace(self, pat: str, repl: str, regex: bool = True):
+        if regex:
+            return self._wrap(F.regexp_replace(self._s._col, pat, repl))
+        return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
+
+    def slice(self, start: int = 0, stop: int | None = None):
+        length = (stop - start) if stop is not None else 2**31 - 1
+        return self._wrap(F.substring(self._s._col, start + 1, length))
+
+    def split(self, pat: str = r"\s+"):
+        return self._wrap(F.split(self._s._col, pat))
+
+    def cat(self, others=None, sep: str = ""):
+        if others is None:
+            raise NotImplementedError("str.cat without others")
+        return self._wrap(F.concat_ws(sep, self._s._col, others._col))
+
+    def zfill(self, width: int): return self._wrap(F.lpad(self._s._col, width, "0"))
+    def pad(self, width: int, fillchar: str = " "):
+        return self._wrap(F.lpad(self._s._col, width, fillchar))
+
+
+class DatetimeAccessor:
+    def __init__(self, s):
+        self._s = s
+
+    def _wrap(self, col: Column):
+        from pontem_spark.core.series import Series
+
+        return Series._from_internal(self._s._internal, col, self._s._name)
+
+    @property
+    def year(self): return self._wrap(F.year(self._s._col))
+    @property
+    def month(self): return self._wrap(F.month(self._s._col))
+    @property
+    def day(self): return self._wrap(F.dayofmonth(self._s._col))
+    @property
+    def hour(self): return self._wrap(F.hour(self._s._col))
+    @property
+    def minute(self): return self._wrap(F.minute(self._s._col))
+    @property
+    def second(self): return self._wrap(F.second(self._s._col))
+    @property
+    def dayofweek(self):  # pandas: Monday=0
+        return self._wrap((F.dayofweek(self._s._col) + 5) % 7)
+    @property
+    def dayofyear(self): return self._wrap(F.dayofyear(self._s._col))
+    @property
+    def quarter(self): return self._wrap(F.quarter(self._s._col))
+    @property
+    def date(self): return self._wrap(F.to_date(self._s._col))
+
+    def floor(self, freq: str):
+        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute"}.get(freq, freq)
+        return self._wrap(F.date_trunc(unit, self._s._col))
+
+    def strftime(self, fmt: str):
+        # translate the common strftime directives to Spark's pattern letters
+        spark_fmt = (
+            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+        )
+        return self._wrap(F.date_format(self._s._col, spark_fmt))

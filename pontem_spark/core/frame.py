@@ -1,0 +1,236 @@
+"""DataFrame: the multi-column frame the reference promised but never built
+(``pontem/dataframe/__init__.py`` is an empty module — SURVEY §0, §2.G).
+
+Same anchor-sharing design as Series: a DataFrame is (anchor Spark frame,
+ordered {name: Column expression}). Column assignment ``df['c'] = df['a'] * 2``
+(the reference README's pitch, ``README.md:16-19``) is pure expression
+bookkeeping — zero jobs until an action.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
+
+from pontem_spark.core.internal import INDEX_COL, InternalFrame, default_session
+from pontem_spark.core.series import Series
+
+_ROWID = "__rowid__"
+
+
+class DataFrame:
+    # -- construction -------------------------------------------------------
+
+    def __init__(
+        self,
+        data: Mapping[str, Iterable] | Any = None,
+        index: Iterable | None = None,
+        spark: SparkSession | None = None,
+    ):
+        import pandas as pd
+
+        if data is None:
+            raise ValueError("DataFrame requires data")
+        pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
+        if index is not None:
+            pdf = pdf.set_axis(list(index), axis=0)
+        spark = spark or default_session()
+        cols = [str(c) for c in pdf.columns]
+        upload = pdf.reset_index().rename(columns={"index": INDEX_COL})
+        upload.columns = [INDEX_COL] + cols
+        sdf = spark.createDataFrame(upload)
+        self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name)
+        self._columns: dict[str, Column] = {c: sdf[c] for c in cols}
+
+    @classmethod
+    def _from_internal(cls, internal: InternalFrame, columns: dict[str, Column]) -> "DataFrame":
+        df = cls.__new__(cls)
+        df._internal = internal
+        df._columns = dict(columns)
+        return df
+
+    # -- metadata -----------------------------------------------------------
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._columns)
+
+    @property
+    def index(self):
+        from pontem_spark.core.indexes import Index
+
+        return Index(self)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self), len(self._columns))
+
+    def __len__(self) -> int:
+        return self._internal.sdf.count()
+
+    @property
+    def dtypes(self):
+        import pandas as pd
+
+        schema = self._materialized().schema
+        mapping = {f.name: f.dataType.simpleString() for f in schema.fields}
+        return pd.Series({c: mapping[c] for c in self._columns})
+
+    # -- materialization ------------------------------------------------------
+
+    def _materialized(self) -> SparkDataFrame:
+        return self._internal.sdf.select(
+            self._internal.index_col.alias(INDEX_COL),
+            *[expr.alias(name) for name, expr in self._columns.items()],
+        )
+
+    def to_spark(self) -> SparkDataFrame:
+        return self._materialized()
+
+    def _ordered(self, sdf):
+        return sdf.orderBy(*self._internal.order_columns(INDEX_COL))
+
+    def to_pandas(self):
+        pdf = self._ordered(self._materialized()).toPandas()
+        out = pdf.set_index(INDEX_COL)
+        out.index.name = self._internal.index_name
+        return out
+
+    def __repr__(self) -> str:
+        preview = self._ordered(self._materialized()).limit(6).toPandas()
+        body = preview.iloc[:5].set_index(INDEX_COL).to_string()
+        more = "\n..." if len(preview) > 5 else ""
+        return f"{body}{more}\n[pontem_spark.DataFrame: {len(self._columns)} columns, lazy]"
+
+    # -- selection ------------------------------------------------------------
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            if key not in self._columns:
+                raise KeyError(key)
+            return Series._from_internal(self._internal, self._columns[key], key)
+        if isinstance(key, list):
+            missing = [k for k in key if k not in self._columns]
+            if missing:
+                raise KeyError(missing)
+            return DataFrame._from_internal(self._internal, {k: self._columns[k] for k in key})
+        if isinstance(key, Series):  # boolean mask
+            if key._internal.sdf is self._internal.sdf:
+                sdf = self._internal.sdf.filter(key._col)
+                internal = InternalFrame(sdf, self._internal.index_spark_col, self._internal.index_name)
+                return DataFrame._from_internal(internal, self._columns)
+            mask = key._materialized("__m__")
+            sdf = self._materialized().join(mask, INDEX_COL, "inner").filter(F.col("__m__")).drop("__m__")
+            internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+            return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+        raise TypeError(f"unsupported key: {type(key)}")
+
+    def __setitem__(self, key: str, value) -> None:
+        if isinstance(value, Series):
+            if value._internal.sdf is self._internal.sdf:
+                self._columns[key] = value._col
+                return
+            # align on index (left join to THIS frame's index, pandas-style)
+            right = value._materialized("__new__")
+            sdf = self._materialized().join(right, INDEX_COL, "left")
+            internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+            cols = {c: sdf[c] for c in self._columns}
+            cols[key] = sdf["__new__"]
+            self._internal, self._columns = internal, cols
+            return
+        if isinstance(value, Column):
+            self._columns[key] = value
+            return
+        self._columns[key] = F.lit(value)
+
+    def assign(self, **kwargs) -> "DataFrame":
+        out = DataFrame._from_internal(self._internal, self._columns)
+        for k, v in kwargs.items():
+            out[k] = v(out) if callable(v) else v
+        return out
+
+    def drop(self, columns: list[str] | str) -> "DataFrame":
+        drop = {columns} if isinstance(columns, str) else set(columns)
+        return DataFrame._from_internal(
+            self._internal, {k: v for k, v in self._columns.items() if k not in drop}
+        )
+
+    def rename(self, columns: Mapping[str, str]) -> "DataFrame":
+        return DataFrame._from_internal(
+            self._internal, {columns.get(k, k): v for k, v in self._columns.items()}
+        )
+
+    # -- relational ops ---------------------------------------------------------
+
+    def merge(
+        self,
+        right: "DataFrame",
+        on: str | list[str] | None = None,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "DataFrame":
+        """pandas merge == Spark join on key columns; the result gets a fresh
+        (non-contiguous) rowid index, mirroring pandas' index reset. Broadcast
+        and join-strategy choice stay with Catalyst/AQE."""
+        if on is None:
+            on = [c for c in self.columns if c in right.columns]
+        keys = [on] if isinstance(on, str) else list(on)
+
+        l = self._materialized().drop(INDEX_COL)
+        r = right._materialized().drop(INDEX_COL)
+        overlap = (set(l.columns) & set(r.columns)) - set(keys)
+        for c in overlap:
+            l = l.withColumnRenamed(c, f"{c}{suffixes[0]}")
+            r = r.withColumnRenamed(c, f"{c}{suffixes[1]}")
+        joined = l.join(r, keys, how)
+        sdf = joined.withColumn(_ROWID, F.monotonically_increasing_id())
+        internal = InternalFrame(sdf, _ROWID, None)
+        cols = {c: sdf[c] for c in joined.columns}
+        return DataFrame._from_internal(internal, cols)
+
+    def groupby(self, by: str | list[str], as_index: bool = True):
+        from pontem_spark.core.groupby import GroupBy
+
+        return GroupBy(self, [by] if isinstance(by, str) else list(by), as_index)
+
+    # -- ordering / cleaning ------------------------------------------------------
+
+    def sort_values(self, by: str | list[str], ascending: bool = True) -> "DataFrame":
+        by = [by] if isinstance(by, str) else by
+        sdf = self._materialized()
+        spec = tuple((c, ascending) for c in by) + ((INDEX_COL, True),)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def head(self, n: int = 5) -> "DataFrame":
+        sdf = self._ordered(self._materialized()).limit(n)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def drop_duplicates(self, subset: list[str] | None = None) -> "DataFrame":
+        sdf = self._materialized().dropDuplicates(subset or list(self._columns))
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def dropna(self, subset: list[str] | None = None) -> "DataFrame":
+        sdf = self._materialized().dropna(subset=subset)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def fillna(self, value) -> "DataFrame":
+        return DataFrame._from_internal(
+            self._internal,
+            {k: F.coalesce(v, F.lit(value)) for k, v in self._columns.items()},
+        )
+
+
+def concat(frames: list[DataFrame]) -> DataFrame:
+    """pandas.concat(axis=0) == unionByName over materialized frames."""
+    if not frames:
+        raise ValueError("concat of empty list")
+    sdf = frames[0]._materialized()
+    for f in frames[1:]:
+        sdf = sdf.unionByName(f._materialized())
+    internal = InternalFrame(sdf, INDEX_COL, frames[0]._internal.index_name)
+    return DataFrame._from_internal(internal, {c: sdf[c] for c in frames[0]._columns})

@@ -1,0 +1,105 @@
+"""groupby().agg() — absent in the reference (SURVEY §2.G: 'group-by
+aggregation: ∅'); one Spark groupBy/agg pass per call, partial aggregation
+and AQE coalescing come free from Catalyst."""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import functions as F
+
+from pontem_spark.core.internal import INDEX_COL, InternalFrame
+
+_AGGS: dict[str, Callable] = {
+    "sum": F.sum,
+    "mean": F.mean,
+    "avg": F.mean,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "first": F.first,
+    "last": F.last,
+    "nunique": F.count_distinct,
+    "median": lambda c: F.percentile(c, F.lit(0.5)),
+}
+
+
+class GroupBy:
+    def __init__(self, df, keys: list[str], as_index: bool = True):
+        self._df = df
+        self._keys = keys
+        self._as_index = as_index
+
+    def agg(self, spec: Mapping[str, str | list[str]]) -> "DataFrame":
+        """{'col': 'sum'} or {'col': ['sum', 'mean']} → one aggregation pass."""
+        from pontem_spark.core.frame import DataFrame
+
+        exprs = []
+        out_names = []
+        for col, how in spec.items():
+            hows = [how] if isinstance(how, str) else list(how)
+            for h in hows:
+                fn = _AGGS.get(h)
+                if fn is None:
+                    raise ValueError(f"unsupported aggregation: {h!r}")
+                out = col if isinstance(how, str) else f"{col}_{h}"
+                exprs.append(fn(self._df._columns[col]).alias(out))
+                out_names.append(out)
+
+        base = self._df._internal.sdf.groupBy(
+            *[self._df._columns[k].alias(k) for k in self._keys]
+        ).agg(*exprs)
+
+        if self._as_index and len(self._keys) == 1:
+            internal = InternalFrame(base, self._keys[0], self._keys[0])
+            return DataFrame._from_internal(internal, {c: base[c] for c in out_names})
+        sdf = base.withColumn(INDEX_COL, F.monotonically_increasing_id())
+        internal = InternalFrame(sdf, INDEX_COL, None)
+        return DataFrame._from_internal(
+            internal, {c: sdf[c] for c in self._keys + out_names}
+        )
+
+    def _all_numeric(self, how: str) -> "DataFrame":
+        import numpy as np
+
+        schema = {f.name: f.dataType.simpleString() for f in self._df._materialized().schema.fields}
+        numeric = {
+            c
+            for c in self._df.columns
+            if schema[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        }
+        cols = [c for c in self._df.columns if c not in self._keys and (how == "count" or c in numeric)]
+        return self.agg({c: how for c in cols})
+
+    def sum(self): return self._all_numeric("sum")
+    def mean(self): return self._all_numeric("mean")
+    def min(self): return self._all_numeric("min")
+    def max(self): return self._all_numeric("max")
+    def count(self): return self._all_numeric("count")
+    def std(self): return self._all_numeric("std")
+
+    def size(self):
+        """Group sizes as a Series (counts rows incl. nulls, like pandas)."""
+        from pontem_spark.core.series import Series
+
+        base = self._df._internal.sdf.groupBy(
+            *[self._df._columns[k].alias(k) for k in self._keys]
+        ).agg(F.count(F.lit(1)).alias("__value__"))
+        internal = InternalFrame(base, self._keys[0], self._keys[0])
+        return Series._from_internal(internal, base["__value__"], None)
+
+    def apply_in_pandas(self, func, schema):
+        """Escape hatch for genuinely custom grouped logic: Arrow-batched
+        applyInPandas (grouped-map pandas UDF). Use only when built-in
+        aggregates can't express the semantics."""
+        from pontem_spark.core.frame import DataFrame
+
+        grouped = self._df._materialized().groupBy(*self._keys)
+        sdf = grouped.applyInPandas(func, schema)
+        out = sdf.withColumn(INDEX_COL, F.monotonically_increasing_id())
+        internal = InternalFrame(out, INDEX_COL, None)
+        return DataFrame._from_internal(
+            internal, {c: out[c] for c in sdf.columns}
+        )

@@ -1,0 +1,145 @@
+"""InternalFrame: the single representation shared by Series and DataFrame.
+
+An InternalFrame is an immutable wrapper around one Spark DataFrame (the
+*anchor*) plus metadata naming the index column. Series/DataFrame objects
+hold (internal, Column-expression(s)) pairs; deriving a new Series from the
+same anchor is pure expression composition — zero Spark jobs, one growing
+Catalyst plan (vs the reference's per-op RDD re-ingestion + zipWithIndex,
+``pontem/series/series.py:96-100,226``).
+
+Index policy (SURVEY §1.4): the index is an ordinary column, materialized at
+construction for driver-local data (it IS data there). For big wrapped Spark
+DataFrames, ``from_spark(..., index=None)`` attaches a distributed sequence
+id only when explicitly requested — never silently materialize 0..n-1 over
+100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
+
+INDEX_COL = "__index__"
+
+# pandas dtype name → Spark SQL type name (astype table; the reference only
+# implemented 'int', `pontem/series/series.py:183-188`)
+DTYPE_TO_SPARK: dict[str, str] = {
+    "int": "bigint",
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "double",
+    "float32": "float",
+    "float64": "double",
+    "str": "string",
+    "string": "string",
+    "object": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "datetime64[ns]": "timestamp",
+    "datetime64[us]": "timestamp",
+    "date": "date",
+}
+
+
+def to_spark_type(dtype: Any) -> str:
+    """Accept python types, numpy dtypes, pandas dtype strings."""
+    if dtype is int:
+        return "bigint"
+    if dtype is float:
+        return "double"
+    if dtype is str:
+        return "string"
+    if dtype is bool:
+        return "boolean"
+    name = getattr(dtype, "name", None) or str(dtype)
+    try:
+        return DTYPE_TO_SPARK[name.lower()]
+    except KeyError:
+        raise TypeError(f"unsupported dtype for astype: {dtype!r}") from None
+
+
+def default_session() -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    from pontem_spark.session import get_spark
+
+    return get_spark()
+
+
+class InternalFrame:
+    """Anchor Spark DataFrame + index metadata. Immutable.
+
+    ``order_spec`` records the frame's pandas-visible row order as
+    (materialized-column-name, ascending) pairs; None means index order.
+    pandas is order-preserving and Spark is not, so materialization points
+    (head/to_pandas/repr) sort by this spec — and ONLY there (SURVEY §4:
+    'ordering guarantees ... sort at materialization points only')."""
+
+    __slots__ = ("sdf", "index_spark_col", "index_name", "order_spec")
+
+    def __init__(
+        self,
+        sdf: SparkDataFrame,
+        index_spark_col: str,
+        index_name: Any = None,
+        order_spec: tuple[tuple[str, bool], ...] | None = None,
+    ):
+        self.sdf = sdf
+        self.index_spark_col = index_spark_col
+        self.index_name = index_name
+        self.order_spec = order_spec
+
+    @property
+    def index_col(self) -> Column:
+        return self.sdf[self.index_spark_col]
+
+    def order_columns(self, default_col: str) -> list[Column]:
+        spec = self.order_spec or ((default_col, True),)
+        return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in spec]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_local(
+        data: Iterable,
+        index: Iterable | None,
+        spark: SparkSession | None,
+        data_name: str = "__value__",
+    ) -> tuple["InternalFrame", str]:
+        """Build an anchor from driver-local data with an explicit schema via
+        pandas/Arrow — one createDataFrame call, no RDD round trip, no
+        inference jobs (the reference ran take(1)/zipWithIndex jobs during
+        construction, ``data_prep.py:50-95``)."""
+        import numpy as np
+        import pandas as pd
+
+        spark = spark or default_session()
+
+        if isinstance(data, pd.Series):
+            if index is None:
+                index = data.index.to_numpy()
+            data = data.to_numpy()
+        if isinstance(data, np.ndarray):
+            data = data.tolist()
+        elif isinstance(data, range):
+            data = list(data)
+        elif not isinstance(data, (list, tuple)):
+            data = list(data)
+
+        if index is None:
+            index_values = np.arange(len(data))
+        else:
+            if isinstance(index, pd.Index):
+                index = index.to_numpy()
+            index_values = np.asarray(list(index) if not isinstance(index, np.ndarray) else index)
+            if len(index_values) != len(data):
+                raise ValueError(
+                    f"index length {len(index_values)} != data length {len(data)}"
+                )
+
+        pdf = pd.DataFrame({INDEX_COL: index_values, data_name: data})
+        sdf = spark.createDataFrame(pdf)
+        return InternalFrame(sdf, INDEX_COL), data_name

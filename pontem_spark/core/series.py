@@ -1,0 +1,563 @@
+"""Series: 1-D labeled data over Spark — the reference's core abstraction
+(``pontem/series/series.py:18-262``) rebuilt Catalyst-first.
+
+Differences from the reference, by design (SURVEY §2, §4):
+
+- ops return a Series sharing the SAME anchor DataFrame with a new Column
+  expression — chains like ``(s * 2 + s).sum()`` compile to ONE Spark plan
+  (the reference re-ingested through RDD + zipWithIndex per op, `series.py:226`);
+- Series⊕Series across different anchors performs pandas index ALIGNMENT
+  (full outer join on index; the reference paired positionally and dropped
+  the index, `series.py:200-215`);
+- scalar arithmetic is a native Column op with SQL type coercion (the
+  reference forced a FloatType Python UDF, `series.py:219-222`);
+- min/max run through Catalyst (`F.min/F.max`), not ``rdd.min()``
+  (`series.py:169,173`);
+- ``astype`` covers the full dtype table (the reference: int only, with an
+  unbound-variable crash for the rest, `series.py:183-188`);
+- ``head``/``describe`` return objects, deterministically ordered by index
+  (the reference printed and returned None, `series.py:153,177`);
+- ``__getitem__`` supports labels, boolean masks, and slices (stubbed at
+  `series.py:257-262`).
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
+
+from pontem_spark.core.internal import INDEX_COL, InternalFrame, to_spark_type
+
+_VALUE = "__value__"
+
+
+class Series:
+    """1-D labeled array over a Spark anchor DataFrame."""
+
+    # -- construction -------------------------------------------------------
+
+    def __init__(
+        self,
+        data: Iterable | None = None,
+        index: Iterable | None = None,
+        name: Any = None,
+        spark: SparkSession | None = None,
+    ):
+        if data is None:
+            raise ValueError("Series requires data")
+        internal, _ = InternalFrame.from_local(data, index, spark, _VALUE)
+        self._internal = internal
+        self._col = internal.sdf[_VALUE]
+        self._name = name
+        self._cached_len: int | None = None
+
+    @classmethod
+    def _from_internal(cls, internal: InternalFrame, col: Column, name: Any) -> "Series":
+        s = cls.__new__(cls)
+        s._internal = internal
+        s._col = col
+        s._name = name
+        s._cached_len = None
+        return s
+
+    # -- metadata -----------------------------------------------------------
+
+    @property
+    def name(self) -> Any:
+        return self._name
+
+    @name.setter
+    def name(self, value: Any) -> None:
+        self._name = value
+
+    def rename(self, name: Any) -> "Series":
+        return Series._from_internal(self._internal, self._col, name)
+
+    @property
+    def index(self):
+        from pontem_spark.core.indexes import Index
+
+        return Index(self)
+
+    @property
+    def dtype(self):
+        import numpy as np
+
+        t = self._internal.sdf.select(self._col).schema[0].dataType.simpleString()
+        return {
+            "tinyint": np.dtype("int8"), "smallint": np.dtype("int16"),
+            "int": np.dtype("int32"), "bigint": np.dtype("int64"),
+            "float": np.dtype("float32"), "double": np.dtype("float64"),
+            "boolean": np.dtype("bool"), "string": np.dtype("object"),
+            "timestamp": np.dtype("datetime64[us]"), "date": np.dtype("O"),
+        }.get(t, np.dtype("O"))
+
+    @property
+    def shape(self) -> tuple[int]:
+        return (len(self),)
+
+    def __len__(self) -> int:
+        if self._cached_len is None:
+            self._cached_len = self._internal.sdf.count()
+        return self._cached_len
+
+    @property
+    def spark_column(self) -> Column:
+        return self._col
+
+    def to_spark(self, value_name: str | None = None) -> SparkDataFrame:
+        """Escape hatch: the underlying (index, value) Spark DataFrame."""
+        vname = value_name or (str(self._name) if self._name is not None else "None")
+        iname = str(self._internal.index_name) if self._internal.index_name is not None else INDEX_COL
+        return self._internal.sdf.select(
+            self._internal.index_col.alias(iname), self._col.alias(vname)
+        )
+
+    def _materialized(self, value_alias: str = _VALUE) -> SparkDataFrame:
+        return self._internal.sdf.select(
+            self._internal.index_col.alias(INDEX_COL), self._col.alias(value_alias)
+        )
+
+    def _ordered(self, sdf):
+        return sdf.orderBy(*self._internal.order_columns(INDEX_COL))
+
+    def to_pandas(self):
+        import pandas as pd
+
+        pdf = self._ordered(self._materialized()).toPandas()
+        out = pd.Series(pdf[_VALUE].values, index=pdf[INDEX_COL].values, name=self._name)
+        out.index.name = self._internal.index_name
+        return out
+
+    def __repr__(self) -> str:  # never a full count/scan (SURVEY §4: repr hazard)
+        preview = self._ordered(self._materialized()).limit(6).toPandas()
+        shown = preview.iloc[:5]
+        lines = [f"{i}\t{v}" for i, v in zip(shown[INDEX_COL], shown[_VALUE])]
+        if len(preview) > 5:
+            lines.append("...")
+        lines.append(f"Name: {self._name}, dtype: {self.dtype} (pontem_spark.Series, lazy)")
+        return "\n".join(lines)
+
+    # -- arithmetic / comparison dunders -------------------------------------
+
+    def _binop(self, other: Any, op: Callable[[Column, Column], Column], reflected: bool = False) -> "Series":
+        if isinstance(other, Series):
+            if other._internal.sdf is self._internal.sdf:
+                l, r = (other._col, self._col) if reflected else (self._col, other._col)
+                name = self._name if self._name == other._name else None
+                return Series._from_internal(self._internal, op(l, r), name)
+            return self._aligned_binop(other, op, reflected)
+        lit = F.lit(other)
+        l, r = (lit, self._col) if reflected else (self._col, lit)
+        return Series._from_internal(self._internal, op(l, r), self._name)
+
+    def _aligned_binop(self, other: "Series", op, reflected: bool) -> "Series":
+        """pandas index alignment: full outer equi-join on index, null-fill
+        non-matches. One shuffle; same-anchor operands never reach here."""
+        a = self._materialized("__a__")
+        b = other._materialized("__b__")
+        joined = a.alias("l").join(
+            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
+        )
+        sdf = joined.select(
+            F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
+            F.col("l.__a__").alias("__a__"),
+            F.col("r.__b__").alias("__b__"),
+        )
+        index_name = (
+            self._internal.index_name
+            if self._internal.index_name == other._internal.index_name
+            else None
+        )
+        internal = InternalFrame(sdf, INDEX_COL, index_name)
+        l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
+        name = self._name if self._name == other._name else None
+        return Series._from_internal(internal, op(l, r), name)
+
+    @staticmethod
+    def _floordiv_cols(a: Column, b: Column) -> Column:
+        # pandas floordiv is FLOOR division (the reference truncated via
+        # cast('integer'), wrong for negatives — series.py:203-209)
+        return F.floor(a / b)
+
+    @staticmethod
+    def _mod_cols(a: Column, b: Column) -> Column:
+        # pandas/Python mod takes the divisor's sign; Spark % the dividend's
+        return a - F.floor(a / b) * b
+
+    def __add__(self, o): return self._binop(o, operator.add)
+    def __radd__(self, o): return self._binop(o, operator.add, reflected=True)
+    def __sub__(self, o): return self._binop(o, operator.sub)
+    def __rsub__(self, o): return self._binop(o, operator.sub, reflected=True)
+    def __mul__(self, o): return self._binop(o, operator.mul)
+    def __rmul__(self, o): return self._binop(o, operator.mul, reflected=True)
+    def __truediv__(self, o): return self._binop(o, operator.truediv)
+    def __rtruediv__(self, o): return self._binop(o, operator.truediv, reflected=True)
+    def __floordiv__(self, o): return self._binop(o, self._floordiv_cols)
+    def __rfloordiv__(self, o): return self._binop(o, self._floordiv_cols, reflected=True)
+    def __mod__(self, o): return self._binop(o, self._mod_cols)
+    def __rmod__(self, o): return self._binop(o, self._mod_cols, reflected=True)
+    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b))
+    def __rpow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), reflected=True)
+
+    def __eq__(self, o): return self._binop(o, operator.eq)  # type: ignore[override]
+    def __ne__(self, o): return self._binop(o, operator.ne)  # type: ignore[override]
+    def __lt__(self, o): return self._binop(o, operator.lt)
+    def __le__(self, o): return self._binop(o, operator.le)
+    def __gt__(self, o): return self._binop(o, operator.gt)
+    def __ge__(self, o): return self._binop(o, operator.ge)
+
+    def __and__(self, o): return self._binop(o, operator.and_)
+    def __or__(self, o): return self._binop(o, operator.or_)
+    def __invert__(self): return Series._from_internal(self._internal, ~self._col, self._name)
+    def __neg__(self): return Series._from_internal(self._internal, -self._col, self._name)
+
+    def __hash__(self):  # __eq__ returns Series; keep hashable by identity
+        return id(self)
+
+    def abs(self) -> "Series":
+        return Series._from_internal(self._internal, F.abs(self._col), self._name)
+
+    def round(self, decimals: int = 0) -> "Series":
+        return Series._from_internal(self._internal, F.round(self._col, decimals), self._name)
+
+    # -- reductions (all Catalyst aggregates, batched where multi-stat) ------
+
+    def _agg(self, col: Column) -> Any:
+        return self._internal.sdf.select(col).first()[0]
+
+    def sum(self): return self._agg(F.sum(self._col))
+    def mean(self): return self._agg(F.mean(self._col))
+    def min(self): return self._agg(F.min(self._col))
+    def max(self): return self._agg(F.max(self._col))
+    def count(self): return self._agg(F.count(self._col))  # non-null, like pandas
+
+    def std(self, ddof: int = 1):
+        if ddof == 1:
+            return self._agg(F.stddev_samp(self._col))
+        if ddof == 0:
+            return self._agg(F.stddev_pop(self._col))
+        row = self._internal.sdf.select(
+            F.var_samp(self._col).alias("v"), F.count(self._col).alias("n")
+        ).first()
+        if row["v"] is None or row["n"] - ddof <= 0:
+            return float("nan")
+        return (row["v"] * (row["n"] - 1) / (row["n"] - ddof)) ** 0.5
+
+    def var(self, ddof: int = 1):
+        if ddof == 1:
+            return self._agg(F.var_samp(self._col))
+        return self._agg(F.var_pop(self._col)) if ddof == 0 else self.std(ddof) ** 2
+
+    def median(self):
+        return self._agg(F.percentile(self._col, F.lit(0.5)))
+
+    def quantile(self, q: float = 0.5):
+        return self._agg(F.percentile(self._col, F.lit(q)))
+
+    def nunique(self): return self._agg(F.count_distinct(self._col))
+    def any(self): return bool(self._agg(F.max(self._col.cast("boolean"))))
+    def all(self): return bool(self._agg(F.min(self._col.cast("boolean"))))
+
+    def describe(self):
+        """count/mean/std/min/quartiles/max in ONE aggregation pass,
+        returned as a pandas Series (the reference printed and returned
+        None, `series.py:152-153`)."""
+        import pandas as pd
+
+        row = self._internal.sdf.select(
+            F.count(self._col).alias("count"),
+            F.mean(self._col).alias("mean"),
+            F.stddev_samp(self._col).alias("std"),
+            F.min(self._col).alias("min"),
+            F.percentile(self._col, F.lit(0.25)).alias("25%"),
+            F.percentile(self._col, F.lit(0.5)).alias("50%"),
+            F.percentile(self._col, F.lit(0.75)).alias("75%"),
+            F.max(self._col).alias("max"),
+        ).first()
+        return pd.Series(row.asDict(), name=self._name)
+
+    # -- ordering / selection -------------------------------------------------
+
+    def head(self, n: int = 5) -> "Series":
+        sdf = self._ordered(self._materialized()).limit(n)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec),
+            sdf[_VALUE],
+            self._name,
+        )
+
+    def sort_values(self, ascending: bool = True) -> "Series":
+        # lazy: only the order SPEC changes; the sort runs at materialization
+        sdf = self._materialized()
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, ((_VALUE, ascending), (INDEX_COL, True))
+        )
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def sort_index(self, ascending: bool = True) -> "Series":
+        sdf = self._materialized()
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((INDEX_COL, ascending),))
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def nlargest(self, n: int = 5) -> "Series":
+        # TakeOrderedAndProject: k rows per partition move, no global sort
+        sdf = self._materialized().orderBy(F.col(_VALUE).desc(), F.col(INDEX_COL)).limit(n)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((_VALUE, False), (INDEX_COL, True)))
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        sdf = self._materialized().orderBy(F.col(_VALUE).asc(), F.col(INDEX_COL)).limit(n)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((_VALUE, True), (INDEX_COL, True)))
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def _filter(self, cond: Column) -> "Series":
+        sdf = self._materialized().filter(cond)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+        )
+
+    def __getitem__(self, key):
+        if isinstance(key, Series):  # boolean mask — the s[s > 0] idiom
+            if key._internal.sdf is self._internal.sdf:
+                sdf = self._internal.sdf.filter(key._col)
+                return Series._from_internal(
+                    InternalFrame(sdf, self._internal.index_spark_col, self._internal.index_name),
+                    # re-anchor the value expression onto the filtered frame
+                    self._col,
+                    self._name,
+                )
+            # mask from another anchor: align on index first
+            mask = key._materialized("__m__")
+            sdf = self._materialized().join(mask, INDEX_COL, "inner").filter(F.col("__m__")).drop("__m__")
+            return Series._from_internal(
+                InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            )
+        if isinstance(key, slice):
+            return self._positional_slice(key)
+        # scalar label lookup → scalar (or Series if duplicated labels)
+        rows = self._materialized().filter(F.col(INDEX_COL) == F.lit(key)).collect()
+        if len(rows) == 1:
+            return rows[0][_VALUE]
+        if len(rows) == 0:
+            raise KeyError(key)
+        import pandas as pd
+
+        return pd.Series([r[_VALUE] for r in rows], index=[r[INDEX_COL] for r in rows], name=self._name)
+
+    def _positional_slice(self, key: slice) -> "Series":
+        """Positional slice via row_number over index order. The global
+        (unpartitioned) window is deliberate and on-demand only — never part
+        of a hot path; pandas-positional semantics fundamentally need a total
+        order (SURVEY §7 'hard parts')."""
+        from pyspark.sql import Window
+
+        if key.step not in (None, 1):
+            raise NotImplementedError("slice step")
+        w = Window.orderBy(INDEX_COL)
+        sdf = self._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
+        lo = key.start or 0
+        cond = F.col("__rn__") >= lo
+        if key.stop is not None:
+            cond = cond & (F.col("__rn__") < key.stop)
+        sdf = sdf.filter(cond).drop("__rn__")
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+        )
+
+    @property
+    def loc(self):
+        return _LocIndexer(self)
+
+    @property
+    def iloc(self):
+        return _ILocIndexer(self)
+
+    # -- elementwise transforms ----------------------------------------------
+
+    def astype(self, dtype) -> "Series":
+        return Series._from_internal(
+            self._internal, self._col.cast(to_spark_type(dtype)), self._name
+        )
+
+    def isnull(self) -> "Series":
+        return Series._from_internal(self._internal, self._col.isNull(), self._name)
+
+    isna = isnull
+
+    def notnull(self) -> "Series":
+        return Series._from_internal(self._internal, self._col.isNotNull(), self._name)
+
+    notna = notnull
+
+    def fillna(self, value) -> "Series":
+        return Series._from_internal(
+            self._internal, F.coalesce(self._col, F.lit(value)), self._name
+        )
+
+    def dropna(self) -> "Series":
+        return self._filter(F.col(_VALUE).isNotNull())
+
+    def isin(self, values: Iterable) -> "Series":
+        return Series._from_internal(self._internal, self._col.isin(list(values)), self._name)
+
+    def between(self, left, right) -> "Series":
+        return Series._from_internal(
+            self._internal, self._col.between(left, right), self._name
+        )
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        col = self._col
+        if lower is not None:
+            col = F.greatest(col, F.lit(lower))
+        if upper is not None:
+            col = F.least(col, F.lit(upper))
+        return Series._from_internal(self._internal, col, self._name)
+
+    def apply(self, func: Callable, args: tuple = (), **kwargs) -> "Series":
+        """Arrow-vectorized pandas_udf (the reference: row-at-a-time Python
+        over RDD, `series.py:93-100`). The return type is inferred from one
+        sampled value — pass a Spark type name via ``return_type=`` to skip
+        the sampling job."""
+        return self._apply_udf(lambda v: func(v, *args, **kwargs), kwargs.pop("return_type", None))
+
+    def map(self, arg, na_action: str | None = None) -> "Series":
+        """callable / dict / Series mapping (the reference ignored na_action
+        and raised for dict/Series, `series.py:103-130`)."""
+        if callable(arg):
+            out = self._apply_udf(arg, None)
+            if na_action == "ignore":
+                return Series._from_internal(
+                    out._internal,
+                    F.when(self._col.isNull(), F.lit(None)).otherwise(out._col),
+                    self._name,
+                )
+            return out
+        if isinstance(arg, dict):
+            if not arg:
+                return Series._from_internal(self._internal, F.lit(None), self._name)
+            mapping = F.create_map(*[F.lit(x) for kv in arg.items() for x in kv])
+            return Series._from_internal(self._internal, mapping[self._col], self._name)
+        if isinstance(arg, Series):
+            # look up self's VALUES in arg's index
+            lookup = arg._materialized("__mapped__").withColumnRenamed(INDEX_COL, "__lk__")
+            sdf = (
+                self._materialized()
+                .join(F.broadcast(lookup), F.col(_VALUE) == F.col("__lk__"), "left")
+                .select(INDEX_COL, F.col("__mapped__").alias(_VALUE))
+            )
+            return Series._from_internal(
+                InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            )
+        raise TypeError(f"unsupported map argument: {type(arg)}")
+
+    def _apply_udf(self, func: Callable, return_type: str | None) -> "Series":
+        from pontem_spark.core._udf import make_scalar_udf
+
+        if return_type is None:
+            sample = self._internal.sdf.select(self._col.alias("v")).first()
+            out = func(sample["v"]) if sample is not None else None
+            return_type = {
+                bool: "boolean", int: "bigint", float: "double", str: "string",
+            }.get(type(out), "string")
+
+        u = make_scalar_udf(func, return_type)
+        return Series._from_internal(self._internal, u(self._col), self._name)
+
+    # -- dedup / counting ------------------------------------------------------
+
+    def unique(self) -> list:
+        """Distinct values (an action, like pandas returning ndarray)."""
+        return [r[0] for r in self._internal.sdf.select(self._col.alias("v")).distinct().collect()]
+
+    def drop_duplicates(self) -> "Series":
+        sdf = self._materialized().groupBy(_VALUE).agg(F.min(INDEX_COL).alias(INDEX_COL))
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+        )
+
+    def value_counts(self, ascending: bool = False) -> "Series":
+        sdf = (
+            self._materialized()
+            .groupBy(F.col(_VALUE).alias(INDEX_COL))
+            .agg(F.count(F.lit(1)).alias(_VALUE))
+            .orderBy(F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc())
+        )
+        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._name), sdf[_VALUE], "count")
+
+    # window-style transforms --------------------------------------------------
+
+    def cumsum(self) -> "Series":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sdf = self._materialized()
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            F.sum(sdf[_VALUE]).over(w),
+            self._name,
+        )
+
+    def shift(self, periods: int = 1) -> "Series":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(INDEX_COL)
+        sdf = self._materialized()
+        col = F.lag(sdf[_VALUE], periods).over(w) if periods >= 0 else F.lead(
+            sdf[_VALUE], -periods
+        ).over(w)
+        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
+
+    def rolling(self, window: int):
+        from pontem_spark.core.window import Rolling
+
+        return Rolling(self, window)
+
+    # accessors ---------------------------------------------------------------
+
+    @property
+    def str(self):
+        from pontem_spark.core.accessors import StringAccessor
+
+        return StringAccessor(self)
+
+    @property
+    def dt(self):
+        from pontem_spark.core.accessors import DatetimeAccessor
+
+        return DatetimeAccessor(self)
+
+
+class _LocIndexer:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def __getitem__(self, key):
+        if isinstance(key, Series):
+            return self._s[key]
+        if isinstance(key, slice):  # label slice: inclusive both ends (pandas loc)
+            cond = F.lit(True)
+            if key.start is not None:
+                cond = cond & (F.col(INDEX_COL) >= F.lit(key.start))
+            if key.stop is not None:
+                cond = cond & (F.col(INDEX_COL) <= F.lit(key.stop))
+            return self._s._filter(cond)
+        return self._s[key]
+
+
+class _ILocIndexer:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return self._s._positional_slice(key)
+        if isinstance(key, int):
+            sliced = self._s._positional_slice(slice(key, key + 1))
+            rows = sliced._materialized().collect()
+            if not rows:
+                raise IndexError(key)
+            return rows[0][_VALUE]
+        raise TypeError(f"iloc key: {type(key)}")

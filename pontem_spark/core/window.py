@@ -1,0 +1,45 @@
+"""Rolling windows over a Series (pandas ``s.rolling(n).sum()`` etc.) via
+Spark Window rowsBetween frames ordered by the index."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from pontem_spark.core.internal import INDEX_COL, InternalFrame
+
+
+class Rolling:
+    def __init__(self, s, window: int):
+        self._s = s
+        self._n = window
+
+    def _apply(self, aggfn):
+        from pontem_spark.core.series import Series
+
+        s = self._s
+        sdf = s._materialized()
+        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        cnt = F.count(sdf["__value__"]).over(w)
+        val = aggfn(sdf["__value__"]).over(w)
+        # pandas yields NaN until the window has `window` observations
+        col = F.when(cnt >= self._n, val)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+        )
+
+    def sum(self): return self._apply(F.sum)
+    def mean(self): return self._apply(F.mean)
+    def min(self): return self._apply(F.min)
+    def max(self): return self._apply(F.max)
+    def std(self): return self._apply(F.stddev_samp)
+    def count(self):
+        from pontem_spark.core.series import Series
+
+        s = self._s
+        sdf = s._materialized()
+        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, s._internal.index_name),
+            F.count(sdf["__value__"]).over(w),
+            s._name,
+        )

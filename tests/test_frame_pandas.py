@@ -1,0 +1,162 @@
+"""Differential tests: pontem_spark.core.DataFrame vs pandas.DataFrame —
+the multi-column frame the reference left as an empty stub
+(``pontem/dataframe/__init__.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pontem_spark.core import DataFrame
+from pontem_spark.core.frame import concat
+
+RAW = {
+    "a": [1, 2, 3, 4, 5],
+    "b": [10.0, 20.0, 30.0, 40.0, 50.0],
+    "seg": ["x", "y", "x", "y", "x"],
+}
+
+
+@pytest.fixture()
+def pf(spark):
+    return DataFrame(RAW, spark=spark)
+
+
+@pytest.fixture()
+def wf():
+    return pd.DataFrame(RAW)
+
+
+def test_shape_columns(pf, wf):
+    assert pf.shape == wf.shape
+    assert pf.columns == list(wf.columns)
+
+
+def test_column_get_is_series(pf, wf):
+    assert pf["a"].sum() == wf["a"].sum()
+    assert pf["a"].name == "a"
+
+
+def test_column_assignment_expression(pf, wf):
+    # the README pitch: df['new_col'] = df['other_col'] * 2 (README.md:16-19)
+    pf["c"] = pf["a"] * 2 + pf["b"]
+    wf["c"] = wf["a"] * 2 + wf["b"]
+    np.testing.assert_allclose(pf.to_pandas()["c"].values, wf["c"].values)
+    # still a single anchor: no join introduced
+    plan = pf._materialized()._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_column_assignment_scalar(pf, wf):
+    pf["k"] = 7
+    wf["k"] = 7
+    np.testing.assert_array_equal(pf.to_pandas()["k"].values, wf["k"].values)
+
+
+def test_assign(pf, wf):
+    got = pf.assign(d=lambda d: d["a"] + 1).to_pandas()["d"]
+    want = wf.assign(d=lambda d: d["a"] + 1)["d"]
+    np.testing.assert_array_equal(got.values, want.values)
+
+
+def test_mask_filter(pf, wf):
+    got = pf[pf["a"] > 2].to_pandas()
+    want = wf[wf["a"] > 2]
+    np.testing.assert_array_equal(got["a"].values, want["a"].values)
+    np.testing.assert_array_equal(got.index.values, want.index.values)
+
+
+def test_subset_columns(pf, wf):
+    assert pf[["a", "b"]].columns == ["a", "b"]
+
+
+def test_drop_rename(pf, wf):
+    assert pf.drop("b").columns == ["a", "seg"]
+    assert pf.rename({"a": "alpha"}).columns == ["alpha", "b", "seg"]
+
+
+def test_sort_values(pf, wf):
+    got = pf.sort_values("b", ascending=False).to_pandas()
+    want = wf.sort_values("b", ascending=False)
+    np.testing.assert_array_equal(got["a"].values, want["a"].values)
+
+
+def test_merge_inner(spark):
+    left = DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}, spark=spark)
+    right = DataFrame({"k": [2, 3, 4], "w": [200, 300, 400]}, spark=spark)
+    got = left.merge(right, on="k").to_pandas().sort_values("k")
+    want = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]}).merge(
+        pd.DataFrame({"k": [2, 3, 4], "w": [200, 300, 400]}), on="k"
+    ).sort_values("k")
+    np.testing.assert_array_equal(got["k"].values, want["k"].values)
+    np.testing.assert_array_equal(got["v"].values, want["v"].values)
+    np.testing.assert_array_equal(got["w"].values, want["w"].values)
+
+
+def test_merge_left_and_suffixes(spark):
+    left = DataFrame({"k": [1, 2], "v": [10, 20]}, spark=spark)
+    right = DataFrame({"k": [2], "v": [99]}, spark=spark)
+    got = left.merge(right, on="k", how="left").to_pandas().sort_values("k")
+    want = pd.DataFrame({"k": [1, 2], "v": [10, 20]}).merge(
+        pd.DataFrame({"k": [2], "v": [99]}), on="k", how="left"
+    ).sort_values("k")
+    assert sorted(got.columns) == sorted(want.columns)
+    np.testing.assert_allclose(
+        got["v_y"].fillna(-1).values, want["v_y"].fillna(-1).values
+    )
+
+
+def test_groupby_agg(pf, wf):
+    got = pf.groupby("seg").agg({"a": "sum", "b": "mean"}).to_pandas().sort_index()
+    want = wf.groupby("seg").agg({"a": "sum", "b": "mean"}).sort_index()
+    np.testing.assert_array_equal(got.index.values, want.index.values)
+    np.testing.assert_allclose(got["a"].values, want["a"].values)
+    np.testing.assert_allclose(got["b"].values, want["b"].values)
+
+
+def test_groupby_multi_stat(pf, wf):
+    got = pf.groupby("seg").agg({"a": ["sum", "max"]}).to_pandas().sort_index()
+    want = wf.groupby("seg")["a"].agg(["sum", "max"]).sort_index()
+    np.testing.assert_array_equal(got["a_sum"].values, want["sum"].values)
+    np.testing.assert_array_equal(got["a_max"].values, want["max"].values)
+
+
+def test_groupby_convenience(pf, wf):
+    got = pf.groupby("seg").sum().to_pandas().sort_index()
+    want = wf.groupby("seg")[["a", "b"]].sum().sort_index()
+    np.testing.assert_allclose(got["a"].values, want["a"].values)
+
+
+def test_groupby_size(pf, wf):
+    got = pf.groupby("seg").size().to_pandas().sort_index()
+    want = wf.groupby("seg").size().sort_index()
+    np.testing.assert_array_equal(got.values, want.values)
+
+
+def test_concat(spark):
+    a = DataFrame({"x": [1, 2]}, spark=spark)
+    b = DataFrame({"x": [3, 4]}, spark=spark)
+    got = concat([a, b]).to_spark().toPandas()["x"].sort_values()
+    np.testing.assert_array_equal(got.values, [1, 2, 3, 4])
+
+
+def test_drop_duplicates(spark):
+    df = DataFrame({"x": [1, 1, 2], "y": ["a", "a", "b"]}, spark=spark)
+    assert len(df.drop_duplicates(subset=["x", "y"])) == 2
+
+
+def test_dropna_fillna(spark):
+    df = DataFrame({"x": [1.0, None, 3.0]}, spark=spark)
+    assert len(df.dropna()) == 2
+    assert df.fillna(0).to_pandas()["x"].sum() == 4.0
+
+
+def test_from_spark_and_read_parquet(spark, sf_dir):
+    from pontem_spark.core import read_parquet
+
+    df = read_parquet(f"{sf_dir}/nation.parquet", index_col="n_nationkey")
+    assert df.columns == ["n_name", "n_regionkey"]
+    assert len(df) == 25
+    got = df.groupby("n_regionkey").agg({"n_name": "count"}).to_pandas()
+    assert int(got["n_name"].sum()) == 25

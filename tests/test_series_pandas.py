@@ -1,0 +1,343 @@
+"""Differential tests: pontem_spark.core.Series vs pandas.Series (the
+reference's own oracle strategy, ``pontem/tests/test_series.py:8-11``,
+generalized to the full SURVEY §2 inventory)."""
+
+from __future__ import annotations
+
+import math
+import operator
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pontem_spark.core import Series
+
+DATA = list(range(10, 200))  # positive, no zeros (floordiv) — mirrors reference data
+
+
+@pytest.fixture(scope="module")
+def ps(spark):
+    return Series(DATA, name="v", spark=spark)
+
+
+@pytest.fixture(scope="module")
+def pds():
+    return pd.Series(DATA, name="v")
+
+
+def assert_series_equal(got: Series, want: pd.Series):
+    g = got.to_pandas()
+    w = want
+    assert len(g) == len(w)
+    np.testing.assert_allclose(
+        np.asarray(g.values, dtype="float64"),
+        np.asarray(w.values, dtype="float64"),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+    np.testing.assert_array_equal(np.asarray(g.index), np.asarray(w.index))
+
+
+# --- construction matrix (reference: test_series.py:117-139) -----------------
+
+@pytest.mark.parametrize(
+    "data",
+    [list(range(5)), np.array([1, 2, 3, 4, 5]), range(5)],
+    ids=["list", "ndarray", "range"],
+)
+@pytest.mark.parametrize(
+    "index",
+    [None, [10, 20, 30, 40, 50], np.array([5, 6, 7, 8, 9]), range(5)],
+    ids=["default", "list", "ndarray", "range"],
+)
+def test_construction_matrix(spark, data, index):
+    got = Series(data, index=index, spark=spark)
+    want = pd.Series(
+        data if not isinstance(data, range) else list(data),
+        index=list(index) if index is not None else None,
+    )
+    assert got.shape == want.shape
+    assert_series_equal(got, want)
+
+
+def test_shape_and_len(ps, pds):
+    assert ps.shape == pds.shape
+    assert len(ps) == len(pds)
+
+
+# --- arithmetic matrix (reference: test_series.py:75-114, extended) ----------
+
+OPS = [operator.add, operator.sub, operator.mul, operator.truediv, operator.floordiv,
+       operator.mod, operator.pow]
+
+
+@pytest.mark.parametrize("op", OPS, ids=lambda o: o.__name__)
+@pytest.mark.parametrize("operand", ["self", "scalar"], ids=["vs_self", "vs_scalar"])
+def test_arithmetic_matrix(ps, pds, op, operand):
+    if operand == "self":
+        if op is operator.pow:
+            pytest.skip("v**v overflows int64 in pandas (wraps) — not a meaningful oracle")
+        got, want = op(ps, ps), op(pds, pds)
+    else:
+        got, want = op(ps, 2), op(pds, 2)
+    for agg in ("sum", "min", "max", "mean"):
+        g, w = getattr(got, agg)(), getattr(want, agg)()
+        assert math.isclose(g, w, rel_tol=1e-9), f"{op.__name__}/{operand}/{agg}: {g} != {w}"
+
+
+@pytest.mark.parametrize("op", [operator.add, operator.sub, operator.truediv],
+                         ids=lambda o: o.__name__)
+def test_reflected_ops(ps, pds, op):
+    assert math.isclose(op(100, ps).sum(), op(100, pds).sum(), rel_tol=1e-9)
+
+
+def test_floordiv_negative_floor_semantics(spark):
+    # pandas floordiv floors; the reference truncated (series.py:203-209)
+    got = Series([-7, 7, -9], spark=spark) // 2
+    want = pd.Series([-7, 7, -9]) // 2
+    assert_series_equal(got, want)
+
+
+def test_mod_divisor_sign(spark):
+    got = Series([-7, 7], spark=spark) % 3
+    want = pd.Series([-7, 7]) % 3
+    assert_series_equal(got, want)
+
+
+def test_scalar_op_keeps_int_dtype(spark):
+    # the reference forced FloatType on int+int (series.py:222)
+    s = Series([1, 2, 3], spark=spark) + 2
+    assert s.dtype.kind == "i"
+
+
+# --- index alignment (reference bug C1: positional pairing, index drop) ------
+
+def test_alignment_outer_join(spark):
+    a = Series([1, 2, 3], index=[0, 1, 2], spark=spark)
+    b = Series([10, 20, 30], index=[1, 2, 3], spark=spark)
+    got = (a + b).to_pandas().sort_index()
+    want = (pd.Series([1, 2, 3], index=[0, 1, 2]) + pd.Series([10, 20, 30], index=[1, 2, 3])).sort_index()
+    assert list(got.index) == list(want.index)
+    np.testing.assert_allclose(got.values, want.values, equal_nan=True)
+
+
+def test_same_anchor_no_join(spark):
+    s = Series(DATA, spark=spark)
+    out = s * 2 + s - s / 2
+    # one anchor → the whole chain is a single Project over the original plan
+    assert "Join" not in out._internal.sdf.select(out._col)._jdf.queryExecution().optimizedPlan().toString()
+    assert math.isclose(out.sum(), (pd.Series(DATA) * 2 + pd.Series(DATA) - pd.Series(DATA) / 2).sum())
+
+
+# --- reductions ----------------------------------------------------------------
+
+def test_reductions(ps, pds):
+    assert ps.sum() == pds.sum()
+    assert ps.min() == pds.min()
+    assert ps.max() == pds.max()
+    assert math.isclose(ps.mean(), pds.mean())
+    assert math.isclose(ps.std(), pds.std())            # ddof=1 default
+    assert math.isclose(ps.std(ddof=0), pds.std(ddof=0))
+    assert math.isclose(ps.var(), pds.var())
+    assert ps.count() == pds.count()
+    assert math.isclose(ps.median(), pds.median())
+    assert ps.nunique() == pds.nunique()
+
+
+def test_describe(ps, pds):
+    got = ps.describe()
+    want = pds.describe()
+    for stat in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
+        assert math.isclose(got[stat], want[stat], rel_tol=1e-9), stat
+
+
+# --- rename persistence (reference: test_series.py:34-72) -----------------------
+
+def test_name_change_persists_in_schema(spark):
+    s = Series([1.0, 2.0], name="some_name", spark=spark)
+    s.name = "new_name"
+    assert s.name == "new_name"
+    assert "new_name" in s.to_spark().columns
+
+
+def test_index_name_change(spark):
+    s = Series([1, 2, 3], spark=spark)
+    s.index.name = "idx"
+    assert s.index.name == "idx"
+    assert "idx" in s.to_spark().columns
+
+
+# --- selection / ordering --------------------------------------------------------
+
+def test_head_returns_series(ps, pds):
+    assert_series_equal(ps.head(7), pds.head(7))
+
+
+def test_boolean_mask(ps, pds):
+    assert_series_equal(ps[ps > 100], pds[pds > 100])
+
+
+def test_compound_mask(ps, pds):
+    assert_series_equal(ps[(ps > 50) & (ps < 100)], pds[(pds > 50) & (pds < 100)])
+
+
+def test_label_lookup(ps, pds):
+    assert ps[5] == pds[5]
+
+
+def test_positional_slice(ps, pds):
+    assert_series_equal(ps[3:8], pds[3:8])
+
+
+def test_loc_label_slice(spark):
+    s = Series([1, 2, 3, 4], index=[10, 20, 30, 40], spark=spark)
+    w = pd.Series([1, 2, 3, 4], index=[10, 20, 30, 40])
+    assert_series_equal(s.loc[20:30], w.loc[20:30])
+
+
+def test_iloc(ps, pds):
+    assert ps.iloc[4] == pds.iloc[4]
+
+
+def test_sort_values(ps, pds):
+    got = (ps * -1).sort_values().head(5)
+    want = (pds * -1).sort_values().head(5)
+    np.testing.assert_array_equal(got.to_pandas().values, want.values)
+
+
+def test_nlargest(ps, pds):
+    np.testing.assert_array_equal(
+        ps.nlargest(5).to_pandas().values, pds.nlargest(5).values
+    )
+
+
+# --- transforms --------------------------------------------------------------------
+
+def test_astype(ps, pds):
+    assert math.isclose(ps.astype(float).sum(), pds.astype(float).sum())
+    assert ps.astype("float32").dtype.kind == "f"
+    assert (ps.astype(str)).to_pandas().iloc[0] == str(pds.iloc[0])
+
+
+def test_astype_unsupported_raises(ps):
+    with pytest.raises(TypeError):
+        ps.astype("complex128")
+
+
+def test_apply(ps, pds):
+    assert_series_equal(ps.apply(lambda v: v * 3 + 1), pds.apply(lambda v: v * 3 + 1))
+
+
+def test_map_callable(ps, pds):
+    assert_series_equal(ps.map(lambda v: v % 7), pds.map(lambda v: v % 7))
+
+
+def test_map_dict(spark):
+    s = Series([1, 2, 3], spark=spark)
+    got = s.map({1: 10, 2: 20}).to_pandas()
+    want = pd.Series([1, 2, 3]).map({1: 10, 2: 20})
+    np.testing.assert_allclose(
+        np.asarray(got.values, dtype="float64"),
+        np.asarray(want.values, dtype="float64"),
+        equal_nan=True,
+    )
+
+
+def test_map_series(spark):
+    s = Series([1, 2, 3], spark=spark)
+    table = Series([100, 200], index=[1, 2], spark=spark)
+    got = s.map(table).to_pandas()
+    want = pd.Series([1, 2, 3]).map(pd.Series([100, 200], index=[1, 2]))
+    np.testing.assert_allclose(
+        np.asarray(got.values, dtype="float64"),
+        np.asarray(want.values, dtype="float64"),
+        equal_nan=True,
+    )
+
+
+def test_map_na_action(spark):
+    s = Series([1.0, None, 3.0], spark=spark)
+    got = s.map(lambda v: v * 2, na_action="ignore").to_pandas()
+    want = pd.Series([1.0, None, 3.0]).map(lambda v: v * 2, na_action="ignore")
+    np.testing.assert_allclose(got.values, want.values, equal_nan=True)
+
+
+def test_fillna_dropna(spark):
+    s = Series([1.0, None, 3.0], spark=spark)
+    w = pd.Series([1.0, None, 3.0])
+    assert s.fillna(0).sum() == w.fillna(0).sum()
+    assert s.dropna().count() == w.dropna().count()
+    assert s.isnull().to_pandas().tolist() == w.isnull().tolist()
+
+
+def test_isin_between_clip(ps, pds):
+    assert ps.isin([10, 11, 12]).to_pandas().sum() == pds.isin([10, 11, 12]).sum()
+    assert ps.between(50, 60).to_pandas().sum() == pds.between(50, 60).sum()
+    assert ps.clip(20, 150).sum() == pds.clip(20, 150).sum()
+
+
+def test_value_counts_unique(spark):
+    s = Series([1, 2, 2, 3, 3, 3], spark=spark)
+    w = pd.Series([1, 2, 2, 3, 3, 3])
+    assert sorted(s.unique()) == sorted(w.unique())
+    got = s.value_counts().to_pandas().sort_index()
+    want = w.value_counts().sort_index()
+    np.testing.assert_array_equal(got.values, want.values)
+
+
+def test_drop_duplicates(spark):
+    s = Series([5, 5, 6, 7, 7], spark=spark)
+    assert sorted(s.drop_duplicates().to_pandas().values) == [5, 6, 7]
+
+
+# --- window-ish -----------------------------------------------------------------
+
+def test_cumsum(ps, pds):
+    assert_series_equal(ps.cumsum(), pds.cumsum())
+
+
+def test_shift(ps, pds):
+    got = ps.shift(1).to_pandas()
+    want = pds.shift(1)
+    np.testing.assert_allclose(
+        np.asarray(got.values, dtype="float64"), want.values, equal_nan=True
+    )
+
+
+def test_rolling(ps, pds):
+    got = ps.rolling(3).mean().to_pandas()
+    want = pds.rolling(3).mean()
+    np.testing.assert_allclose(
+        np.asarray(got.values, dtype="float64"), want.values, equal_nan=True
+    )
+
+
+# --- accessors --------------------------------------------------------------------
+
+def test_str_accessor(spark):
+    data = ["Hello World", "foo BAR", "  pad  "]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    assert s.str.upper().to_pandas().tolist() == w.str.upper().tolist()
+    assert s.str.lower().to_pandas().tolist() == w.str.lower().tolist()
+    assert s.str.len().to_pandas().tolist() == w.str.len().tolist()
+    assert s.str.strip().to_pandas().tolist() == w.str.strip().tolist()
+    assert s.str.contains("o").to_pandas().tolist() == w.str.contains("o").tolist()
+    assert s.str.startswith("He").to_pandas().tolist() == w.str.startswith("He").tolist()
+    assert (
+        s.str.replace("o", "0").to_pandas().tolist()
+        == w.str.replace("o", "0", regex=True).tolist()
+    )
+    assert s.str.slice(0, 3).to_pandas().tolist() == w.str.slice(0, 3).tolist()
+
+
+def test_dt_accessor(spark):
+    data = pd.to_datetime(["2024-01-15 10:30:00", "2024-06-30 23:59:59"]).to_list()
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    assert s.dt.year.to_pandas().tolist() == w.dt.year.tolist()
+    assert s.dt.month.to_pandas().tolist() == w.dt.month.tolist()
+    assert s.dt.day.to_pandas().tolist() == w.dt.day.tolist()
+    assert s.dt.hour.to_pandas().tolist() == w.dt.hour.tolist()
+    assert s.dt.dayofweek.to_pandas().tolist() == w.dt.dayofweek.tolist()
