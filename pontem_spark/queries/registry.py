@@ -55,7 +55,17 @@ def register(
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry."""
     # Imports are deferred so `import pontem_spark` stays cheap.
-    from pontem_spark.queries import tpch, windows, events, text, dedup, similarity, series_api  # noqa: F401
+    from pontem_spark.queries import (  # noqa: F401
+        asof,
+        dedup,
+        events,
+        multimodal,
+        series_api,
+        similarity,
+        text,
+        tpch,
+        windows,
+    )
 
     return dict(_REGISTRY)
 

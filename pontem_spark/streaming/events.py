@@ -1,0 +1,87 @@
+"""Streaming event pipeline: file source → watermarked windowed aggs → sink.
+
+Scale notes baked into the shapes below:
+- watermark bounds state: without it, windowed agg state grows forever;
+- ``session_window`` is Spark's native gap-based session operator — the
+  streaming-safe equivalent of the batch LAG/SUM sessionization in
+  queries/events.py (state merges windows within the gap);
+- sinks here are memory (tests) — production would writeStream to parquet/
+  kafka with checkpointing; the transformations are sink-agnostic.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# events.parquet stores ts as TIMESTAMP(NANOS); streaming reads it as long
+# (nanosAsLong) and converts exactly like the batch loader.
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a DIRECTORY; select just the events table via
+    # a glob filter (in production this is the events/ landing directory)
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with late-data watermark — the streaming twin
+    of queries/events.py::q_events_hourly."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("event_hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native gap-based session windows per user (stateful, watermark-bounded)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(result: DataFrame, mode: str = "complete", timeout_s: int = 120) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory table and return
+    the final result as a (batch) DataFrame. Test/dev helper."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)

@@ -1,0 +1,114 @@
+"""Operator-level tests: as-of join vs pandas merge_asof, multimodal
+plumbing, simhash properties."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pontem_spark.operators.asof import asof_join
+from pontem_spark.operators import multimodal as M
+from pontem_spark.sources.tables import load_table
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    left_pd = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "t": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 12:00",
+                                 "2024-01-01 10:30", "2024-01-01 09:00"]),
+            "lv": [1, 2, 3, 4, 5],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "t": pd.to_datetime(["2024-01-01 09:30", "2024-01-01 11:00", "2024-01-01 10:00"]),
+            "rv": [100, 200, 300],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on="t",
+            by="k",
+        )
+        .toPandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("t"), on="t", by="k", direction="backward"
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["r_rv"].astype("float64"), want["rv"].astype("float64"), check_names=False
+    )
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01 12:00"]), "lv": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "t": pd.to_datetime(["2024-01-01 10:00"]), "rv": [9]})
+    )
+    wide = asof_join(left, right, on="t", by="k").toPandas()
+    assert wide["r_rv"].iloc[0] == 9
+    tight = asof_join(left, right, on="t", by="k", tolerance_seconds=3600).toPandas()
+    assert pd.isna(tight["r_rv"].iloc[0])
+
+
+def test_multimodal_decode_schema_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    packed = M.attach_binary(docs, "doc_id", "text", mime="image/fake")
+    decoded = M.decode_media(packed)
+    assert decoded.schema.simpleString() == (
+        "struct<id:bigint,n_bytes:bigint,content_sha256:string,mime:string,"
+        "width:int,height:int,channels:int>"
+    )
+    a = decoded.orderBy("id").toPandas()
+    b = M.decode_media(M.attach_binary(docs, "doc_id", "text", mime="image/fake")).orderBy("id").toPandas()
+    pd.testing.assert_frame_equal(a, b)  # deterministic stub
+    assert (a["width"].between(64, 255)).all()
+    assert (a["channels"].between(1, 3)).all()
+
+
+def test_multimodal_resize_geometry(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    decoded = M.decode_media(M.attach_binary(docs, "doc_id", "text"))
+    resized = M.resize_media(decoded, max_side=100).toPandas()
+    assert (resized[["target_width", "target_height"]].max(axis=1) <= 100).all()
+    # aspect ratio preserved within rounding
+    ratio_in = resized["width"] / resized["height"]
+    ratio_out = resized["target_width"] / resized["target_height"]
+    assert ((ratio_in - ratio_out).abs() < 0.1).all()
+
+
+def test_multimodal_features_and_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    packed = M.attach_binary(docs, "doc_id", "text")
+    feats = M.extract_features(packed, dim=16).toPandas()
+    assert feats["features"].map(len).eq(16).all()
+    frames = M.sample_frames(
+        M.decode_media(packed).withColumnRenamed("n_bytes", "n_bytes"), every_n=10
+    ).toPandas()
+    assert (frames["sampled_frame_indices"].map(len) >= 3).all()
+
+
+def test_simhash_hamming_close_for_near_dups(spark, sf_dir):
+    """Known near-dup pairs (trigram jaccard >= 0.9) must have small simhash
+    Hamming distance; random pairs must not."""
+    from pontem_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "doc_id", "text")
+    jac = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.9)
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("hb"))
+    joined = jac.join(a, "id_a").join(b, "id_b").select(
+        D.hamming_distance(F.col("ha"), F.col("hb")).alias("d")
+    ).toPandas()
+    if len(joined):
+        assert joined["d"].median() <= 12

@@ -1,0 +1,66 @@
+"""Streaming twins checked differentially against their batch equivalents on
+the same files — the streaming analogue of the DuckDB-oracle strategy."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pontem_spark.sources.tables import load_table
+from pontem_spark.streaming import (
+    hourly_rollup,
+    read_event_stream,
+    run_to_memory,
+    session_windows,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark, sf_dir):
+    return read_event_stream(spark, sf_dir)
+
+
+def test_stream_is_streaming(stream):
+    assert stream.isStreaming
+
+
+def test_hourly_rollup_matches_batch(spark, sf_dir, stream):
+    got = (
+        run_to_memory(hourly_rollup(stream), mode="complete")
+        .toPandas()
+        .sort_values(["event_hour", "event_type"])
+        .reset_index(drop=True)
+    )
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("event_hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .sort_values(["event_hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-6)
+
+
+def test_session_windows_match_batch_sessionization(spark, sf_dir, stream):
+    """session_window(gap=30min) must produce the same (user, n_events)
+    multiset as the batch LAG/cumsum sessionization (q_events_sessionize)."""
+    got = (
+        run_to_memory(session_windows(stream), mode="complete")
+        .toPandas()
+        .sort_values(["user_id", "session_start_us"])
+        .reset_index(drop=True)
+    )
+
+    from pontem_spark.queries.registry import all_queries
+
+    batch = all_queries()["q_events_sessionize"].fn(spark, sf_dir).toPandas()
+    got_counts = got.groupby("user_id")["n_events"].apply(lambda s: sorted(s.tolist()))
+    want_counts = batch.groupby("user_id")["n_events"].apply(lambda s: sorted(s.tolist()))
+    pd.testing.assert_series_equal(got_counts, want_counts, check_names=False)
