@@ -78,6 +78,15 @@ def cosine_fixed(a: str, b: str, dim: int) -> Column:
     return F.when(denom > 0, dot_fixed(a, b, dim) / denom)
 
 
+def cosine_with_norms(a: str, b: str, a_norm: Column, b_norm: Column, dim: int) -> Column:
+    """Cosine when per-row norms are precomputed as columns: the pair-level
+    expression is ONE expanded dot product instead of five (cosine_fixed
+    re-derives each norm twice) — the difference between a codegen-able
+    expression and an interpreted monster in pairwise joins."""
+    denom = a_norm * b_norm
+    return F.when(denom > 0, dot_fixed(a, b, dim) / denom)
+
+
 # --- DuckDB SQL twins (same fold order, same double math) -------------------
 
 def dot_oracle_sql(a: str, b: str) -> str:

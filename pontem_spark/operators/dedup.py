@@ -25,14 +25,28 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from pontem_spark.functions.compat import rnd
 from pontem_spark.functions import text as T
+from pontem_spark.operators.util import ensure_parallelism
 
 
 def _tokens_distinct_shingles(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
-    """(id, shingle) exploded inverted-index rows, shingles deduped per doc."""
+    """(id, shingle) exploded inverted-index rows, shingles deduped per doc.
+
+    Two deliberate plan choices:
+    - ``explode_outer`` + post-filter instead of ``explode``: plain explode
+      makes Catalyst synthesize a not-null/non-empty pre-filter that clones
+      the whole (interpreted, HOF-based) shingle expression and pushes it to
+      the scan — tripling the most expensive expression in the pipeline.
+    - per-doc dedup via ``dropDuplicates`` AFTER the explode (codegen hash
+      aggregate) instead of ``array_distinct`` inside the array (interpreted,
+      quadratic, measured 40x slower).
+    Input is rebalanced first: shingling is CPU-dense and explodes ~50x, so
+    it must run wide even when the source is a single small file."""
+    df = ensure_parallelism(df)
     return (
         df.select(id_col, T.tokens(text_col).alias("__toks"))
-        .select(id_col, F.array_distinct(T.shingles("__toks", ngram)).alias("__sh"))
-        .select(id_col, F.explode("__sh").alias("shingle"))
+        .select(id_col, F.explode_outer(T.shingles("__toks", ngram)).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .dropDuplicates([id_col, "shingle"])
     )
 
 
@@ -69,12 +83,13 @@ def jaccard_similar_pairs(
     drop top-frequency shingles first (they carry no discriminative signal)
     or feed candidates from :func:`minhash_candidate_pairs` instead.
     """
-    # Carry each doc's set size THROUGH the explode so no extra join (or
-    # recompute of the shingle pipeline) is needed to assemble the union size.
+    # Attach each doc's set size via an unordered window count — no extra
+    # join and no recompute of the shingle pipeline for the union size.
+    from pyspark.sql import Window
+
     sh = (
-        df.select(id_col, T.tokens(text_col).alias("__toks"))
-        .select(id_col, F.array_distinct(T.shingles("__toks", ngram)).alias("__sh"))
-        .select(id_col, F.size("__sh").alias("set_size"), F.explode("__sh").alias("shingle"))
+        _tokens_distinct_shingles(df, id_col, text_col, ngram)
+        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
         .cache()  # referenced twice (both join sides); at corpus scale, persist to disk instead
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
@@ -173,7 +188,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     by the Hamming-distance property on known near-dups.
     """
     toks = (
-        df.select(id_col, T.tokens(text_col).alias("__toks"))
+        ensure_parallelism(df).select(id_col, T.tokens(text_col).alias("__toks"))
         .select(id_col, F.explode("__toks").alias("tok"))
         .select(id_col, F.xxhash64("tok").alias("h"))
     )

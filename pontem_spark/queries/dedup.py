@@ -157,16 +157,10 @@ def q_dedup_simhash_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ 0.4). The pairwise comparison
-    here is the exact baseline; the scale path is LSH bucketing
-    (operators/similarity.py) which cuts candidates from n² to n·bucket."""
-    from pontem_spark.functions import vector as V
+    here is BLAS-blocked (broadcast matrix + Arrow-batch matmul — see
+    cosine_pairs_blocked); the 100 TB path swaps the broadcast for LSH-
+    bucketed or tiled candidates with the same batch kernel."""
+    from pontem_spark.operators.similarity import cosine_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
-    sim = rnd(V.cosine_fixed("e_a", "e_b", 64), 4)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, round_digits=4)
