@@ -1,0 +1,115 @@
+"""Plan-shape assertions: the engine's scale properties as CI checks.
+
+Every claim the operator docstrings make about pushdown, pruning,
+broadcasting, shuffle-sharing, and top-k execution is asserted here against
+the actual physical plan — a plan regression fails this file long before it
+becomes a cluster incident.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pontem_spark.plans import (
+    count_exchanges,
+    has_node,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+from pontem_spark.queries.registry import all_queries
+
+_Q = all_queries()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def build(name):
+        return _Q[name].fn(spark, sf_dir)
+
+    return build
+
+
+def test_q6_filters_push_into_scan(q):
+    pushed = " ".join(pushed_filters(q("q6_forecast_revenue")))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed into parquet scan: {pushed}"
+
+
+def test_q6_scan_prunes_columns(q):
+    schemas = read_schema_columns(q("q6_forecast_revenue"))
+    assert schemas, "no scan found"
+    # lineitem has 11 columns; the query needs only 4
+    assert all(len(cols) <= 4 for cols in schemas), schemas
+
+
+def test_q1_scan_prunes_columns(q):
+    schemas = read_schema_columns(q("q1_pricing_summary"))
+    assert all(len(cols) <= 7 for cols in schemas), schemas
+
+
+def test_q1_single_shuffle(q):
+    # one grouping shuffle; AQE may add nothing else
+    assert count_exchanges(q("q1_pricing_summary")) == 1
+
+
+def test_q5_broadcasts_fixed_dims(q):
+    plan = physical_plan(q("q5_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q10_broadcasts_nation(q):
+    assert has_node(q("q10_returned_items"), "BroadcastExchange")
+
+
+def test_q3_topk_is_take_ordered(q):
+    assert has_node(q("q3_shipping_priority"), "TakeOrderedAndProject")
+
+
+def test_semi_anti_join_nodes(q):
+    assert "LeftSemi" in physical_plan(q("q_semi_join_big_spenders"))
+    assert "LeftAnti" in physical_plan(q("q_anti_join_quiet_customers"))
+
+
+def test_sessionize_shares_one_window_shuffle(q):
+    # LAG and running-SUM use the same (partitionBy, orderBy) → one shuffle
+    # for both window passes, plus one for the final groupBy
+    n = count_exchanges(q("q_events_sessionize"))
+    assert n <= 2, f"expected <=2 shuffles (shared window sort + agg), got {n}"
+
+
+def test_segment_stats_single_agg_pass(q):
+    # five statistics batched into ONE aggregation (no extra shuffles)
+    plan = physical_plan(q("q_segment_order_stats"))
+    assert plan.count("HashAggregate") <= 4  # partial+final (+AQE variants)
+
+
+def test_text_stats_no_shuffle(q):
+    # pure projection query: zero exchanges beyond possible AQE reads
+    assert count_exchanges(q("q_text_token_stats")) == 0
+
+
+def test_no_python_udfs_in_relational_queries(q):
+    """Core relational/text queries must stay wholly JVM-side: no
+    BatchEvalPython / ArrowEvalPython nodes (SURVEY §4 anti-pattern list)."""
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q_text_token_stats",
+        "q_text_lang_id",
+        "q_dedup_exact",
+        "q_window_order_rank",
+    ):
+        plan = physical_plan(q(name))
+        assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:500]}"
+
+
+def test_api_wrapper_emits_plain_plan(q):
+    """The pandas-like layer must compile to the same plan shapes as raw
+    DataFrame code: filters pushed, no UDFs, no extra shuffles."""
+    df = q("q_api_column_expression")
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed
+    assert count_exchanges(df) == 0
