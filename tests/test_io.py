@@ -1,0 +1,39 @@
+"""Source/sink round-trips: parquet (partitioned), csv, json."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pontem_spark.sources import read_csv, read_json, read_parquet, write_parquet
+from pontem_spark.sources.tables import load_table
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+
+    back = read_parquet(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: reading one status must scan only that partition
+    one = read_parquet(spark, out).filter("o_orderstatus = 'F'")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan or "o_orderstatus" in plan
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path):
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    src = str(tmp_path / "data.csv")
+    pdf.to_csv(src, index=False)
+    df = read_csv(spark, src, schema="a bigint, b string")
+    assert df.schema.simpleString() == "struct<a:bigint,b:string>"
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_json_roundtrip_with_schema(spark, tmp_path):
+    src = str(tmp_path / "data.json")
+    with open(src, "w") as f:
+        f.write('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    df = read_json(spark, src, schema="k bigint, v string")
+    assert df.count() == 2
+    assert sorted(r["k"] for r in df.collect()) == [1, 2]

@@ -64,3 +64,35 @@ def test_session_windows_match_batch_sessionization(spark, sf_dir, stream):
     got_counts = got.groupby("user_id")["n_events"].apply(lambda s: sorted(s.tolist()))
     want_counts = batch.groupby("user_id")["n_events"].apply(lambda s: sorted(s.tolist()))
     pd.testing.assert_series_equal(got_counts, want_counts, check_names=False)
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    """applyInPandasWithState custom operator: final per-user state must
+    equal the batch groupBy on the same data."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.streaming.stateful import running_user_stats
+
+    stream = read_event_stream(spark, sf_dir, max_files_per_trigger=1)
+    got = (
+        run_to_memory(running_user_stats(stream), mode="update")
+        .toPandas()
+        .sort_values("user_id")
+        # update mode may emit a row per batch per key; last emission wins
+        .groupby("user_id")
+        .last()
+        .reset_index()
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
