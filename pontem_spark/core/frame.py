@@ -224,6 +224,51 @@ class DataFrame:
             {k: F.coalesce(v, F.lit(value)) for k, v in self._columns.items()},
         )
 
+    def agg(self, spec: Mapping[str, str | list[str]]):
+        """{'col': 'sum'} / {'col': ['sum','mean']} → pandas DataFrame of
+        scalars, ONE aggregation pass for all requested statistics."""
+        import pandas as pd
+
+        from pontem_spark.core.groupby import _AGGS
+
+        exprs, labels = [], []
+        for col, how in spec.items():
+            for h in [how] if isinstance(how, str) else how:
+                exprs.append(_AGGS[h](self._columns[col]).alias(f"{col}__{h}"))
+                labels.append((col, h))
+        row = self._internal.sdf.select(*exprs).first()
+        out: dict[str, dict[str, Any]] = {}
+        for (col, h), val in zip(labels, row):
+            out.setdefault(col, {})[h] = val
+        return pd.DataFrame(out)
+
+    def describe(self):
+        """count/mean/std/min/quartiles/max for every numeric column —
+        ONE aggregation pass total (pandas layout)."""
+        import pandas as pd
+
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        numeric = [
+            c
+            for c in self._columns
+            if schema[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ]
+        stats = [
+            ("count", F.count), ("mean", F.mean), ("std", F.stddev_samp), ("min", F.min),
+            ("25%", lambda col: F.percentile(col, F.lit(0.25))),
+            ("50%", lambda col: F.percentile(col, F.lit(0.5))),
+            ("75%", lambda col: F.percentile(col, F.lit(0.75))),
+            ("max", F.max),
+        ]
+        exprs = [
+            fn(self._columns[c]).alias(f"{c}__{label}") for c in numeric for label, fn in stats
+        ]
+        row = self._internal.sdf.select(*exprs).first()
+        data = {
+            c: [row[f"{c}__{label}"] for label, _ in stats] for c in numeric
+        }
+        return pd.DataFrame(data, index=[label for label, _ in stats])
+
 
 def concat(frames: list[DataFrame]) -> DataFrame:
     """pandas.concat(axis=0) == unionByName over materialized frames."""

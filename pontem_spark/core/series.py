@@ -510,6 +510,90 @@ class Series:
         ).over(w)
         return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
 
+    def diff(self, periods: int = 1) -> "Series":
+        return self - self.shift(periods)
+
+    def pct_change(self, periods: int = 1) -> "Series":
+        prev = self.shift(periods)
+        return (self - prev) / prev
+
+    def _cum(self, aggfn) -> "Series":
+        from pyspark.sql import Window
+
+        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sdf = self._materialized()
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            aggfn(sdf[_VALUE]).over(w),
+            self._name,
+        )
+
+    def cummax(self) -> "Series":
+        return self._cum(F.max)
+
+    def cummin(self) -> "Series":
+        return self._cum(F.min)
+
+    def rank(self, method: str = "min", ascending: bool = True) -> "Series":
+        """pandas rank: 'min' or 'dense'. Computed as a window over the value
+        order (global window — on-demand positional semantics, see
+        _positional_slice for the scale caveat)."""
+        from pyspark.sql import Window
+
+        order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()
+        w = Window.orderBy(order)
+        fn = {"min": F.rank, "dense": F.dense_rank}.get(method)
+        if fn is None:
+            raise ValueError(f"rank method {method!r} (use 'min' or 'dense')")
+        sdf = self._materialized()
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            fn().over(w).cast("double"),
+            self._name,
+        )
+
+    def idxmax(self):
+        row = (
+            self._materialized()
+            .orderBy(F.col(_VALUE).desc(), F.col(INDEX_COL))
+            .select(INDEX_COL)
+            .first()
+        )
+        return row[0] if row else None
+
+    def idxmin(self):
+        row = (
+            self._materialized()
+            .orderBy(F.col(_VALUE).asc(), F.col(INDEX_COL))
+            .select(INDEX_COL)
+            .first()
+        )
+        return row[0] if row else None
+
+    def sample(self, frac: float, seed: int | None = None) -> "Series":
+        sdf = self._materialized().sample(fraction=frac, seed=seed)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+        )
+
+    def agg(self, funcs):
+        """'sum' | ['sum', 'mean', ...] → scalar or pandas Series, computed
+        in ONE aggregation pass."""
+        import pandas as pd
+
+        single = isinstance(funcs, str)
+        names = [funcs] if single else list(funcs)
+        mapping = {
+            "sum": F.sum, "mean": F.mean, "min": F.min, "max": F.max,
+            "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
+            "median": lambda c: F.percentile(c, F.lit(0.5)),
+            "nunique": F.count_distinct,
+        }
+        row = self._internal.sdf.select(
+            *[mapping[n](self._col).alias(n) for n in names]
+        ).first()
+        return row[0] if single else pd.Series({n: row[n] for n in names}, name=self._name)
+
     def rolling(self, window: int):
         from pontem_spark.core.window import Rolling
 

@@ -117,3 +117,66 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         rnd(F.avg(V.norm("embedding")), 4).alias("avg_norm"),
     )
+
+
+def _ivf_oracle(dim: int = 64, n_probe: int = 3, cdigits: int = 6) -> str:
+    cos = (
+        "(list_sum(list_transform(generate_series(1, {d}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(generate_series(1, {d}), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(generate_series(1, {d}), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))))"
+    )
+    qc = cos.format(a="e.embedding", b="c.centroid", d=dim)
+    nc = cos.format(a="q.embedding", b="c.embedding", d=dim)
+    return f"""
+    WITH cent_parts AS (
+        SELECT label, i, ROUND(avg(CAST(embedding[i] AS DOUBLE)), {cdigits}) AS m
+        FROM embeddings, generate_series(1, {dim}) AS t(i)
+        GROUP BY label, i
+    ), centroids AS (
+        SELECT label AS centroid_id, list(m ORDER BY i) AS centroid
+        FROM cent_parts GROUP BY label
+    ), corpus_cells AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ROUND({qc}, {cdigits}) DESC, c.centroid_id) AS r
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE r <= 1
+    ), query_cells AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ROUND({qc}, {cdigits}) DESC, c.centroid_id) AS r
+            FROM embeddings e CROSS JOIN centroids c
+            WHERE e.vec_id < {_N_QUERIES}
+        ) WHERE r <= {n_probe}
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({nc}, 6) AS cos_sim
+        FROM query_cells q JOIN corpus_cells c ON q.centroid_id = c.centroid_id
+        WHERE c.vec_id != q.vec_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {_K}
+    """
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=_ivf_oracle(64, 3),
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: per-label mean centroids (broadcast), map-side cell
+    assignment, probe = equi-join on cell id — |corpus|*n_probe/K scored
+    per query instead of |corpus|. Deterministic (rounded centroids) →
+    the entire two-stage index is oracle-checked."""
+    from pontem_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=_K, dim=64, n_probe=3)

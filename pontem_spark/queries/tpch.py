@@ -448,3 +448,67 @@ def q_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 5)
     )
+
+
+@register(
+    "q_salted_skew_join",
+    oracle="""
+    SELECT s_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+    tags=("join", "skew", "salted"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: lineitem's supplier key is heavily skewed (few suppliers,
+    thousands of rows each). Salting spreads each hot key over 8 shuffle
+    partitions; the oracle is the PLAIN join — salting must never change
+    results, which is exactly what the check proves."""
+    from pontem_spark.functions.compat import rnd as _rnd
+    from pontem_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, supp, key="l_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        _rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q_two_phase_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS l_quantity_sum,
+           COUNT(*) AS l_quantity_count,
+           ROUND(MAX(l_extendedprice), 2) AS l_extendedprice_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation under a 3-value hot group key: the
+    partial phase spreads each hot reducer over 16 salt slots. Oracle is the
+    plain aggregate — decomposition must be lossless."""
+    from pontem_spark.functions.compat import rnd as _rnd
+    from pontem_spark.operators.skew import two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = two_phase_agg(
+        li,
+        "l_returnflag",
+        [("l_quantity", "sum"), ("l_quantity", "count"), ("l_extendedprice", "max")],
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        _rnd(F.col("l_quantity_sum"), 2).alias("l_quantity_sum"),
+        F.col("l_quantity_count"),
+        _rnd(F.col("l_extendedprice_max"), 2).alias("l_extendedprice_max"),
+    )

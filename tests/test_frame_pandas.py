@@ -160,3 +160,18 @@ def test_from_spark_and_read_parquet(spark, sf_dir):
     assert len(df) == 25
     got = df.groupby("n_regionkey").agg({"n_name": "count"}).to_pandas()
     assert int(got["n_name"].sum()) == 25
+
+
+def test_frame_agg(pf, wf):
+    got = pf.agg({"a": ["sum", "max"], "b": "mean"})
+    assert got["a"]["sum"] == wf["a"].sum()
+    assert got["a"]["max"] == wf["a"].max()
+    assert got["b"]["mean"] == wf["b"].mean()
+
+
+def test_frame_describe(pf, wf):
+    got = pf.describe()
+    want = wf.describe()
+    for c in ("a", "b"):
+        for stat in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
+            np.testing.assert_allclose(got[c][stat], want[c][stat], rtol=1e-9)

@@ -341,3 +341,47 @@ def test_dt_accessor(spark):
     assert s.dt.day.to_pandas().tolist() == w.dt.day.tolist()
     assert s.dt.hour.to_pandas().tolist() == w.dt.hour.tolist()
     assert s.dt.dayofweek.to_pandas().tolist() == w.dt.dayofweek.tolist()
+
+
+def test_diff_pct_change(ps, pds):
+    got = ps.diff().to_pandas()
+    want = pds.diff()
+    np.testing.assert_allclose(np.asarray(got.values, dtype="float64"), want.values, equal_nan=True)
+    got2 = ps.pct_change().to_pandas()
+    want2 = pds.pct_change()
+    np.testing.assert_allclose(np.asarray(got2.values, dtype="float64"), want2.values,
+                               rtol=1e-12, equal_nan=True)
+
+
+def test_cummax_cummin(ps, pds):
+    s = (ps * -1) + (ps % 7) * 50
+    w = (pds * -1) + (pds % 7) * 50
+    assert_series_equal(s.cummax(), w.cummax())
+    assert_series_equal(s.cummin(), w.cummin())
+
+
+def test_rank(spark):
+    s = Series([10, 30, 20, 30, 5], spark=spark)
+    w = pd.Series([10, 30, 20, 30, 5])
+    assert_series_equal(s.rank(method="min"), w.rank(method="min"))
+    assert_series_equal(s.rank(method="dense"), w.rank(method="dense"))
+
+
+def test_idxmax_idxmin(ps, pds):
+    assert ps.idxmax() == pds.idxmax()
+    assert ps.idxmin() == pds.idxmin()
+
+
+def test_series_agg(ps, pds):
+    assert ps.agg("sum") == pds.agg("sum")
+    got = ps.agg(["sum", "mean", "max"])
+    want = pds.agg(["sum", "mean", "max"])
+    for k in ("sum", "mean", "max"):
+        assert math.isclose(got[k], want[k])
+
+
+def test_sample_deterministic(ps):
+    a = ps.sample(0.2, seed=1).to_pandas()
+    b = ps.sample(0.2, seed=1).to_pandas()
+    assert a.tolist() == b.tolist()
+    assert 0 < len(a) < len(DATA)
