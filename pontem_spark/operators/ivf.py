@@ -93,7 +93,9 @@ def ivf_topk(
     """IVF ANN: corpus vectors live in their 1 nearest cell; queries probe
     their ``n_probe`` nearest cells; ranking happens only among cell-mates.
     Returns (query_id, neighbor_id, cos_sim, rank)."""
-    cents = label_centroids(corpus, id_col, vec_col, label_col, dim, round_digits)
+    # K x dim rows — cache so the centroid aggregation runs once, not once
+    # per consumer (corpus assignment, query assignment)
+    cents = label_centroids(corpus, id_col, vec_col, label_col, dim, round_digits).cache()
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, dim, n_probe=1, round_digits=round_digits)
     query_cells = assign_cells(queries, cents, id_col, vec_col, dim, n_probe=n_probe, round_digits=round_digits)
 

@@ -159,3 +159,67 @@ def q_text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+@register(
+    "q_corpus_assembly",
+    oracle=f"""
+    WITH stats AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               md5(lower(trim(text))) AS content_hash
+        FROM documents
+    ), emb AS (
+        SELECT vec_id,
+               ROUND(sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+                     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4) AS emb_norm,
+               label
+        FROM embeddings
+    ), dedup AS (
+        SELECT content_hash, MIN(doc_id) AS keep_id FROM stats GROUP BY content_hash
+    )
+    SELECT s.doc_id, s.n_tokens, e.emb_norm, e.label,
+           CASE WHEN s.doc_id = d.keep_id THEN 1 ELSE 0 END AS is_canonical
+    FROM stats s
+    JOIN emb e ON s.doc_id = e.vec_id
+    JOIN dedup d ON s.content_hash = d.content_hash
+    WHERE s.n_tokens >= 10
+    """,
+    tags=("text", "pipeline", "join"),
+)
+def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus assembly: per-doc token stats + exact-dedup
+    canonical flag + joined embedding norms + quality gate, in ONE pipeline.
+    The shape a real 100 TB data-curation job takes: narrow per-doc
+    projections, one dedup shuffle on the 16-byte hash, an equi-join to the
+    embedding table, filters pushed to the scans."""
+    from pontem_spark.functions import text as TX
+    from pontem_spark.functions import vector as V
+    from pontem_spark.operators.dedup import exact_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.size(TX.tokens("text")).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"),
+        rnd(V.norm_fixed("embedding", 64), 4).alias("emb_norm"),
+        "label",
+    )
+    dedup = exact_duplicates(docs, "doc_id", "text", normalized=True).select(
+        "content_hash", F.col("keep_id")
+    )
+    return (
+        stats.filter(F.col("n_tokens") >= 10)
+        .join(emb, stats.doc_id == emb.vec_id)
+        .join(dedup, "content_hash")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "emb_norm",
+            "label",
+            F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0).alias("is_canonical"),
+        )
+    )

@@ -512,3 +512,38 @@ def q_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity_count"),
         _rnd(F.col("l_extendedprice_max"), 2).alias("l_extendedprice_max"),
     )
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop", "multiset"),
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics: each row's multiplicity subtracts) —
+    distinct from EXCEPT; Spark's exceptAll maps 1:1."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return o.exceptAll(f)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop", "multiset"),
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — min-of-multiplicities multiset intersection."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    f = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return o.intersectAll(f)
