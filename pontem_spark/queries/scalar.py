@@ -284,3 +284,27 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "q_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS w_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udaf", "pandas_udf", "agg"),
+)
+def q_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (UDAF): quantity-weighted mean price per
+    return flag. Arrow moves each group's columns to Python ONCE as numpy
+    arrays — the legitimate UDAF shape when the aggregate has no built-in
+    (this one does; the point is proving the surface against an exact
+    oracle)."""
+    from pontem_spark.functions.udaf import weighted_avg_price
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias("w_avg_price")
+    )
