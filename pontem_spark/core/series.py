@@ -510,6 +510,22 @@ class Series:
         ).over(w)
         return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
 
+    def where(self, cond: "Series", other=None) -> "Series":
+        """Keep values where cond holds, else ``other`` (pandas.where)."""
+        repl = F.lit(other) if not isinstance(other, Series) else other._col
+        return Series._from_internal(
+            self._internal, F.when(cond._col, self._col).otherwise(repl), self._name
+        )
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        return self.where(~cond, other)
+
+    def to_frame(self, name: Any = None):
+        from pontem_spark.core.frame import DataFrame as PFrame
+
+        col_name = name if name is not None else (self._name if self._name is not None else 0)
+        return PFrame._from_internal(self._internal, {str(col_name): self._col})
+
     def diff(self, periods: int = 1) -> "Series":
         return self - self.shift(periods)
 

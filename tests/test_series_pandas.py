@@ -385,3 +385,18 @@ def test_sample_deterministic(ps):
     b = ps.sample(0.2, seed=1).to_pandas()
     assert a.tolist() == b.tolist()
     assert 0 < len(a) < len(DATA)
+
+
+def test_where_mask(ps, pds):
+    got = ps.where(ps > 100, -1).to_pandas()
+    want = pds.where(pds > 100, -1)
+    np.testing.assert_array_equal(got.values, want.values)
+    got2 = ps.mask(ps > 100, 0).to_pandas()
+    want2 = pds.mask(pds > 100, 0)
+    np.testing.assert_array_equal(got2.values, want2.values)
+
+
+def test_to_frame(ps, pds):
+    got = ps.to_frame()
+    assert got.columns == ["v"]
+    assert got["v"].sum() == pds.to_frame()["v"].sum()
