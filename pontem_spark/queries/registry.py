@@ -63,6 +63,7 @@ def all_queries() -> dict[str, Query]:
         scalar,
         series_api,
         similarity,
+        streaming_q,
         text,
         tpch,
         windows,
