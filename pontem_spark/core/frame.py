@@ -194,6 +194,37 @@ class DataFrame:
 
         return GroupBy(self, [by] if isinstance(by, str) else list(by), as_index)
 
+    def pivot_table(
+        self,
+        index: str,
+        columns: str,
+        values: str,
+        aggfunc: str = "mean",
+        column_values: list | None = None,
+        fill_value=None,
+    ) -> "DataFrame":
+        """pandas pivot_table == groupBy(index).pivot(columns).agg.
+
+        Pass ``column_values`` explicitly at scale — without it Spark runs a
+        hidden distinct-scan job to discover the pivot columns.
+        """
+        from pontem_spark.core.groupby import _AGGS
+
+        base = self._materialized()
+        grouped = base.groupBy(index)
+        pivoted = (
+            grouped.pivot(columns, column_values)
+            if column_values is not None
+            else grouped.pivot(columns)
+        )
+        sdf = pivoted.agg(_AGGS[aggfunc](base[values]))
+        if fill_value is not None:
+            sdf = sdf.fillna(fill_value)
+        internal = InternalFrame(sdf, index, index)
+        return DataFrame._from_internal(
+            internal, {c: sdf[c] for c in sdf.columns if c != index}
+        )
+
     # -- ordering / cleaning ------------------------------------------------------
 
     def sort_values(self, by: str | list[str], ascending: bool = True) -> "DataFrame":

@@ -175,3 +175,25 @@ def test_frame_describe(pf, wf):
     for c in ("a", "b"):
         for stat in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
             np.testing.assert_allclose(got[c][stat], want[c][stat], rtol=1e-9)
+
+
+def test_pivot_table(spark):
+    raw = {
+        "day": ["mon", "mon", "tue", "tue", "mon"],
+        "kind": ["a", "b", "a", "b", "a"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    }
+    got = (
+        DataFrame(raw, spark=spark)
+        .pivot_table(index="day", columns="kind", values="v", aggfunc="sum", fill_value=0)
+        .to_pandas()
+        .sort_index()
+    )
+    want = (
+        pd.DataFrame(raw)
+        .pivot_table(index="day", columns="kind", values="v", aggfunc="sum", fill_value=0)
+        .sort_index()
+    )
+    np.testing.assert_array_equal(got.index.values, want.index.values)
+    np.testing.assert_allclose(got["a"].values, want["a"].values)
+    np.testing.assert_allclose(got["b"].values, want["b"].values)
