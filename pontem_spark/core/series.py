@@ -44,9 +44,15 @@ class Series:
         index: Iterable | None = None,
         name: Any = None,
         spark: SparkSession | None = None,
+        sc: Any = None,
     ):
         if data is None:
             raise ValueError("Series requires data")
+        if spark is None and sc is not None:
+            # reference-API compatibility: pt.Series(sc=sc, data=...) took a
+            # SparkContext (`pontem/series/series.py:22-49`); accept either a
+            # SparkContext or a SparkSession here and use the active session.
+            spark = sc if isinstance(sc, SparkSession) else SparkSession.getActiveSession()
         internal, _ = InternalFrame.from_local(data, index, spark, _VALUE)
         self._internal = internal
         self._col = internal.sdf[_VALUE]

@@ -400,3 +400,27 @@ def test_to_frame(ps, pds):
     got = ps.to_frame()
     assert got.columns == ["v"]
     assert got["v"].sum() == pds.to_frame()["v"].sum()
+
+
+def test_reference_sc_constructor_compat(spark):
+    # the reference's calling convention: pt.Series(sc=sc, data=[...])
+    s = Series(data=list(range(10, 100)), sc=spark.sparkContext)
+    assert s.shape == (90,)
+    assert s.sum() == sum(range(10, 100))
+
+
+def test_array_valued_series(spark):
+    # reference notebook cell 9: list-valued elements with explicit index
+    s = Series([[1, 1], [2, 2], [3, 3], [4, 4]], index=[2, 4, 6, 8], spark=spark)
+    got = s.to_pandas()
+    assert [list(v) for v in got.values] == [[1, 1], [2, 2], [3, 3], [4, 4]]
+    assert list(got.index) == [2, 4, 6, 8]
+
+
+def test_sql_over_frames(spark):
+    from pontem_spark.core import DataFrame as PFrame, sql
+
+    t = PFrame({"seg": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]}, spark=spark)
+    out = sql("SELECT seg, sum(v) AS s FROM t GROUP BY seg", spark=spark, t=t)
+    got = {r["seg"]: r["s"] for r in out.to_spark().collect()}
+    assert got == {"x": 4.0, "y": 2.0}
