@@ -66,6 +66,7 @@ def all_queries() -> dict[str, Query]:
         streaming_q,
         text,
         tpch,
+        tpch2,
         windows,
     )
 
