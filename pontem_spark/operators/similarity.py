@@ -92,7 +92,10 @@ def cosine_pairs_blocked(
     from pontem_spark.operators.util import ensure_parallelism
 
     spark = corpus.sparkSession
+    out_schema = "id_a bigint, id_b bigint, cos_sim double"
     build_pdf = corpus.select(id_col, vec_col).toPandas()
+    if len(build_pdf) == 0:
+        return spark.createDataFrame([], out_schema)
     ids = build_pdf[id_col].to_numpy()
     mat = np.asarray([np.asarray(v, dtype=np.float64) for v in build_pdf[vec_col]])
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -104,6 +107,8 @@ def cosine_pairs_blocked(
 
         b_ids, b_mat, b_norms = bc.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             a_ids = pdf[id_col].to_numpy()
             a_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -115,7 +120,7 @@ def cosine_pairs_blocked(
             )
 
     probe = ensure_parallelism(corpus.select(id_col, vec_col))
-    return probe.mapInPandas(batches, "id_a bigint, id_b bigint, cos_sim double")
+    return probe.mapInPandas(batches, out_schema)
 
 
 def _plane_coeffs(p: int, dim: int) -> list[float]:

@@ -223,3 +223,71 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0).alias("is_canonical"),
         )
     )
+
+
+@register(
+    "q_text_chunking",
+    oracle="""
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_idx,
+           substr(text, (CAST(i AS BIGINT) - 1) * 200 + 1, 200) AS chunk
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(ceil(length(text) / 200.0) AS BIGINT))) AS i
+        FROM documents
+    )
+    """,
+    tags=("text", "chunking"),
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (fixed 200-char windows) as pure Column algebra:
+    explode a chunk-index sequence, slice with substring. The
+    context-window-preprocessing shape, no UDF, no UDTF (the UDTF variant
+    lives in tests/test_udtf.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / 200.0).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), n_chunks)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") - 1).cast("bigint").alias("chunk_idx"),
+            F.expr("substr(text, (i - 1) * 200 + 1, 200)").alias("chunk"),
+        )
+    )
+
+
+@register(
+    "q_text_train_test_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id,
+               CASE WHEN ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 10 < 9
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM tagged GROUP BY split
+    """,
+    tags=("text", "split", "pipeline"),
+)
+def q_text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/10 train/test split by content-independent hash of
+    the id — reproducible across engines, runs, and cluster sizes (the ONLY
+    safe way to split at 100 TB; random() splits are neither stable nor
+    resumable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)) % 10
+    split = F.when(bucket < 9, "train").otherwise("test")
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
