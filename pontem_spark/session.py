@@ -20,7 +20,46 @@ import os
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "default_parallelism"]
+__all__ = ["get_spark", "default_parallelism", "cluster_conf"]
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gib: int = 16,
+) -> dict[str, str]:
+    """Recommended conf for a real cluster run of this engine (documentation
+    as code; local get_spark() uses the same principles at local scale).
+
+    Sizing logic for the defaults (1000 executors x 4 cores):
+    - shuffle partitions ~ 2x total cores: enough granularity for AQE to
+      coalesce DOWN (cheap) without ever needing to split UP (impossible);
+    - 256 MiB advisory partition size: post-shuffle target AQE coalesces to;
+    - 128 MiB input splits: bounded per-task memory against ~16 GiB
+      executors with 4 concurrent tasks;
+    - broadcast threshold 64 MiB: with 4 GiB/core there is room to broadcast
+      aggressively — every broadcast join is a shuffle avoided;
+    - skew thresholds: split any shuffle partition 2x the median and
+      > 256 MiB (AQE skew-join defaults are conservative at this scale).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(256 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.executor.memory": f"{executor_mem_gib}g",
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }
 
 
 def default_parallelism() -> int:

@@ -14,7 +14,7 @@ from pontem_spark.sources.tables import (
     register_views,
 )
 from pontem_spark.sources.readers import read_parquet, read_csv, read_json
-from pontem_spark.sources.writers import write_parquet
+from pontem_spark.sources.writers import write_parquet, write_csv, write_json
 
 __all__ = [
     "TABLES",
@@ -25,4 +25,6 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_parquet",
+    "write_csv",
+    "write_json",
 ]

@@ -24,3 +24,14 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True, **options) -> None:
+    """CSV sink — interchange format only; parquet is the analytical store
+    (columnar, compressed, pushdown-capable)."""
+    df.write.mode(mode).options(header=str(header).lower(), **options).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
+    """JSON-lines sink."""
+    df.write.mode(mode).options(**options).json(path)

@@ -37,3 +37,25 @@ def test_json_roundtrip_with_schema(spark, tmp_path):
     df = read_json(spark, src, schema="k bigint, v string")
     assert df.count() == 2
     assert sorted(r["k"] for r in df.collect()) == [1, 2]
+
+
+def test_csv_json_writers_roundtrip(spark, sf_dir, tmp_path):
+    from pontem_spark.sources import write_csv, write_json
+
+    nation = load_table(spark, sf_dir, "nation")
+    write_csv(nation, str(tmp_path / "n_csv"))
+    back_csv = read_csv(spark, str(tmp_path / "n_csv"), schema="n_nationkey int, n_name string, n_regionkey int")
+    assert back_csv.count() == 25
+
+    write_json(nation, str(tmp_path / "n_json"))
+    back_json = read_json(spark, str(tmp_path / "n_json"), schema="n_nationkey int, n_name string, n_regionkey int")
+    assert back_json.count() == 25
+
+
+def test_cluster_conf_sizing():
+    from pontem_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4)
+    assert conf["spark.sql.shuffle.partitions"] == str(2 * 4000)
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 64 * 1024 * 1024
