@@ -164,3 +164,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, round_digits=4)
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 4) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the trigram-Jaccard
+    (>= 0.8) pair graph — iterative min-label propagation on the Spark side,
+    a recursive CTE on the oracle side. Two completely different algorithms
+    (distributed fixpoint vs recursive SQL) must produce identical
+    components; singletons keep their own id as cluster_id."""
+    from pontem_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    nodes = docs.select("doc_id")
+    comps = connected_components(
+        nodes, pairs.select("id_a", "id_b"), node_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comps.select("doc_id", F.col("component").alias("cluster_id"))
