@@ -10,8 +10,16 @@ from pontem_spark.operators.dedup import (
     minhash_candidate_pairs,
     simhash,
 )
-from pontem_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from pontem_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs_blocked,
+    lsh_bucket_topk,
+)
+from pontem_spark.operators.ivf import ivf_topk, label_centroids
 from pontem_spark.operators.asof import asof_join
+from pontem_spark.operators.graph import connected_components
+from pontem_spark.operators.skew import salted_join, two_phase_agg
+from pontem_spark.operators.bucketing import bucketed_join, write_bucketed
 
 __all__ = [
     "exact_duplicates",
@@ -20,6 +28,14 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash",
     "brute_force_topk",
+    "cosine_pairs_blocked",
     "lsh_bucket_topk",
+    "ivf_topk",
+    "label_centroids",
     "asof_join",
+    "connected_components",
+    "salted_join",
+    "two_phase_agg",
+    "bucketed_join",
+    "write_bucketed",
 ]

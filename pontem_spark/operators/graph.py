@@ -38,27 +38,25 @@ def connected_components(
 
     labels = nodes.select(F.col(node_col).alias("u"), F.col(node_col).alias("label"))
 
+    prev_sum: int | None = None
     for _ in range(max_iterations):
         # each node pulls the smallest label among itself and its neighbors
         neighbor_labels = (
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
         )
-        new_labels = (
+        labels = (
             labels.union(neighbor_labels)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)  # truncate lineage every iteration
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # labels are monotonically non-increasing, so the fixpoint is reached
+        # exactly when the label sum stops decreasing — one scalar aggregate
+        # per iteration instead of a change-detection join
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
 
     return labels.select(F.col("u").alias(node_col), F.col("label").alias("component"))

@@ -208,3 +208,70 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes, pairs.select("id_a", "id_b"), node_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return comps.select("doc_id", F.col("component").alias("cluster_id"))
+
+
+@register(
+    "q_minhash_quality",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), exact_pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 4) >= 0.8
+    ), sig AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7) AS bucket FROM sig
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_true_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM exact_pairs e JOIN cand c
+              ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_hits,
+           ROUND((SELECT COUNT(*) FROM exact_pairs e JOIN cand c
+              ON e.id_a = c.id_a AND e.id_b = c.id_b) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM exact_pairs), 1), 4) AS recall,
+           ROUND((SELECT COUNT(*) FROM exact_pairs e JOIN cand c
+              ON e.id_a = c.id_a AND e.id_b = c.id_b) * 1.0
+             / GREATEST((SELECT COUNT(*) FROM cand), 1), 4) AS precision
+    """,
+    tags=("dedup", "minhash", "quality", "measurement"),
+)
+def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measurement: recall and precision of MinHash(8,2x4)
+    candidates against exact trigram-Jaccard >= 0.8 ground truth — the
+    evaluation loop a production dedup pipeline runs on samples before
+    committing to LSH parameters. Fully oracle-checked because both the
+    approximate and exact sides are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3).select(
+        "id_a", "id_b"
+    ).cache()
+    cand = D.minhash_candidate_pairs(docs, "doc_id", "text", num_hashes=8, rows_per_band=4).cache()
+    hits = exact.join(cand, ["id_a", "id_b"]).count()
+    n_true = exact.count()
+    n_cand = cand.count()
+    row = {
+        "n_true_pairs": n_true,
+        "n_candidates": n_cand,
+        "n_hits": hits,
+        "recall": float(__import__("math").floor(hits / max(n_true, 1) * 1e4 + 0.5) / 1e4),
+        "precision": float(__import__("math").floor(hits / max(n_cand, 1) * 1e4 + 0.5) / 1e4),
+    }
+    return spark.createDataFrame(
+        [tuple(row.values())],
+        "n_true_pairs bigint, n_candidates bigint, n_hits bigint, recall double, precision double",
+    )
