@@ -67,6 +67,7 @@ def all_queries() -> dict[str, Query]:
         text,
         tpch,
         tpch2,
+        tpch3,
         windows,
     )
 

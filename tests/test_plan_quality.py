@@ -104,6 +104,37 @@ def test_no_python_udfs_in_relational_queries(q):
         assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:500]}"
 
 
+def test_q7_date_range_pushes_to_scan(q):
+    pushed = " ".join(pushed_filters(q("q7_volume_shipping")))
+    assert "l_shipdate" in pushed, pushed
+
+
+def test_q8_dimensions_broadcast(q):
+    plan = physical_plan(q("q8_market_share"))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan  # European-customer filter is a semi join
+
+
+def test_q2_broadcasts_suppliers_and_part(q):
+    assert has_node(q("q2_min_cost_supplier"), "BroadcastExchange")
+
+
+def test_q20_nested_in_becomes_semi_joins(q):
+    plan = physical_plan(q("q20_part_promotion_suppliers"))
+    assert plan.count("LeftSemi") >= 2, plan[:800]
+
+
+def test_q21_exists_shapes(q):
+    plan = physical_plan(q("q21_waiting_supplier"))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_q17_stays_jvm_side(q):
+    plan = physical_plan(q("q17_small_quantity_revenue"))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # brand part keys broadcast into lineitem
+
+
 def test_api_wrapper_emits_plain_plan(q):
     """The pandas-like layer must compile to the same plan shapes as raw
     DataFrame code: filters pushed, no UDFs, no extra shuffles."""
