@@ -60,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         events,
         multimodal,
+        rangeops,
         scalar,
         series_api,
         similarity,
