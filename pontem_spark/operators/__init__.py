@@ -13,6 +13,8 @@ from pontem_spark.operators.dedup import (
 from pontem_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs_blocked,
+    cosine_pairs_bucketed,
+    cosine_pairs_tiled,
     lsh_bucket_topk,
 )
 from pontem_spark.operators.ivf import ivf_topk, label_centroids
@@ -29,6 +31,8 @@ __all__ = [
     "simhash",
     "brute_force_topk",
     "cosine_pairs_blocked",
+    "cosine_pairs_bucketed",
+    "cosine_pairs_tiled",
     "lsh_bucket_topk",
     "ivf_topk",
     "label_centroids",

@@ -83,9 +83,13 @@ def cosine_pairs_blocked(
     the documented exception where mapInPandas beats built-in expressions.
 
     Returns (id_a, id_b, cos_sim) with id_a < id_b. Rounding uses the same
-    floor(x*10^d+0.5)/10^d form as functions/compat.rnd. At 100 TB, replace
-    the single broadcast with LSH-bucketed or block-tiled candidates; the
-    batch kernel is unchanged.
+    floor(x*10^d+0.5)/10^d form as functions/compat.rnd.
+
+    The build side is collected to the driver (a broadcast-join build side),
+    so this kernel is for CANDIDATE-scale inputs — a loud guard refuses
+    corpora above ``max_build_rows`` instead of silently OOMing the driver.
+    For full-corpus work use :func:`cosine_pairs_tiled` (exact, distributed)
+    or :func:`cosine_pairs_bucketed` (approximate, linear shuffle).
     """
     import numpy as np
 
@@ -93,6 +97,14 @@ def cosine_pairs_blocked(
 
     spark = corpus.sparkSession
     out_schema = "id_a bigint, id_b bigint, cos_sim double"
+    max_build_rows = 2_000_000
+    n = corpus.count()
+    if n > max_build_rows:
+        raise ValueError(
+            f"cosine_pairs_blocked: corpus has {n} rows > max_build_rows="
+            f"{max_build_rows}; the build side is driver-collected. Use "
+            "cosine_pairs_tiled (exact) or cosine_pairs_bucketed (approx)."
+        )
     build_pdf = corpus.select(id_col, vec_col).toPandas()
     if len(build_pdf) == 0:
         return spark.createDataFrame([], out_schema)
@@ -121,6 +133,131 @@ def cosine_pairs_blocked(
 
     probe = ensure_parallelism(corpus.select(id_col, vec_col))
     return probe.mapInPandas(batches, out_schema)
+
+
+def _pair_kernel(threshold: float, scale: float, id_col: str, vec_col: str):
+    """Shared BLAS batch kernel: given a pandas group, emit (id_a, id_b,
+    cos_sim) for pairs with rounded cosine >= threshold and id_a < id_b.
+    ``block_col``-aware variant lives in cosine_pairs_tiled."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf[id_col].to_numpy()
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        sims = np.floor(sims * scale + 0.5) / scale
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cos_sim": sims[ai, bi]})
+
+    return kernel
+
+
+def cosine_pairs_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs above ``threshold``, restricted to LSH-bucket
+    candidates: hyperplane-sign signature buckets the corpus (a narrow
+    map-side projection), then the BLAS pair kernel runs per bucket via
+    ``applyInPandas`` — ONE hash shuffle on the bucket key, no driver
+    collect, no cross product.
+
+    This is the 100 TB shape for embedding near-dup dedup: shuffle volume is
+    linear in the corpus, per-task memory is a bucket (~corpus / 2^n_planes
+    — raise ``n_planes`` until buckets fit), and the expensive O(|bucket|^2)
+    math runs vectorized in Arrow batches. Recall < 1 by design (only
+    same-bucket pairs are compared) — the deterministic md5 hyperplanes make
+    even the approximation oracle-checkable.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    sig = bucket_signature(vec_col, n_planes, dim)
+    bucketed = ensure_parallelism(corpus).select(
+        F.col(id_col), F.col(vec_col), sig.alias("__bucket")
+    )
+    kernel = _pair_kernel(threshold, float(10**round_digits), id_col, vec_col)
+    return bucketed.groupBy("__bucket").applyInPandas(
+        lambda pdf: kernel(pdf), "id_a bigint, id_b bigint, cos_sim double"
+    )
+
+
+def cosine_pairs_tiled(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    round_digits: int = 4,
+) -> DataFrame:
+    """EXACT all-pairs cosine above ``threshold``, fully distributed — the
+    no-driver-ceiling replacement for broadcasting the corpus.
+
+    Block-tiled self-join: each vector hashes to one of ``n_blocks`` blocks;
+    a pair (x, y) meets in exactly one tile (min(bx,by), max(bx,by)), so
+    every vector is replicated to its ``n_blocks`` tiles and the BLAS kernel
+    runs per tile via ``applyInPandas``. Shuffle volume is n_blocks * corpus
+    — the inherent cost of exact all-pairs; per-task memory is two blocks.
+    Size ``n_blocks`` ~ corpus_bytes / target_tile_bytes at scale.
+
+    Blocking is by xxhash64 of the id — it affects WHERE a pair is computed,
+    never WHETHER, so results are bit-identical to the broadcast kernel and
+    the all-pairs oracle is unchanged.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10**round_digits)
+    rows = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b"),
+    )
+    tiles = F.expr(
+        f"array_distinct(transform(sequence(0, {n_blocks - 1}), "
+        "o -> struct(least(__b, CAST(o AS BIGINT)) AS t1, "
+        "greatest(__b, CAST(o AS BIGINT)) AS t2)))"
+    )
+    exploded = rows.select(id_col, vec_col, "__b", F.explode(tiles).alias("__t")).select(
+        id_col, vec_col, "__b", F.col("__t.t1").alias("__t1"), F.col("__t.t2").alias("__t2")
+    )
+
+    def per_tile(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        t1, t2 = pdf["__t1"].iloc[0], pdf["__t2"].iloc[0]
+        if t1 == t2:  # diagonal tile: pairs within one block
+            return _pair_kernel(threshold, scale, id_col, vec_col)(pdf)
+        a = pdf[pdf["__b"] == t1]
+        b = pdf[pdf["__b"] == t2]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        a_ids, b_ids = a[id_col].to_numpy(), b[id_col].to_numpy()
+        a_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in a[vec_col]])
+        b_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = (a_mat @ b_mat.T) / np.outer(a_n, b_n)
+        sims = np.floor(sims * scale + 0.5) / scale
+        ai, bi = np.nonzero(sims >= threshold)
+        id_a = np.minimum(a_ids[ai], b_ids[bi])
+        id_b = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": sims[ai, bi]})
+
+    return exploded.groupBy("__t1", "__t2").applyInPandas(
+        per_tile, "id_a bigint, id_b bigint, cos_sim double"
+    )
 
 
 def _plane_coeffs(p: int, dim: int) -> list[float]:

@@ -156,14 +156,16 @@ def q_dedup_simhash_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "embedding", "cosine"),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.4). The pairwise comparison
-    here is BLAS-blocked (broadcast matrix + Arrow-batch matmul — see
-    cosine_pairs_blocked); the 100 TB path swaps the broadcast for LSH-
-    bucketed or tiled candidates with the same batch kernel."""
-    from pontem_spark.operators.similarity import cosine_pairs_blocked
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4), EXACT all-pairs with no
+    driver ceiling: block-tiled self-join — every pair meets in exactly one
+    tile, the BLAS kernel runs per tile via applyInPandas (see
+    cosine_pairs_tiled). Shuffle is n_blocks x corpus; per-task memory is
+    two blocks. The approximate linear-shuffle variant is
+    q_dedup_cosine_bucketed."""
+    from pontem_spark.operators.similarity import cosine_pairs_tiled
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(emb, "vec_id", "embedding", threshold=0.4, round_digits=4)
+    return cosine_pairs_tiled(emb, "vec_id", "embedding", threshold=0.4, round_digits=4)
 
 
 @register(

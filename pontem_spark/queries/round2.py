@@ -11,4 +11,47 @@ Queries are added here by the operators they exercise:
 
 from __future__ import annotations
 
-from pontem_spark.queries.registry import register  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession
+
+from pontem_spark.queries.registry import register
+from pontem_spark.sources.tables import load_table
+
+_COS4_SQL = (
+    "ROUND(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))))), 4)"
+)
+
+
+def _bucketed_cosine_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
+    from pontem_spark.queries.similarity import lsh_sig_sql
+
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {lsh_sig_sql('embedding', n_planes, dim)} AS bucket
+        FROM embeddings
+    ), pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+               {_COS4_SQL.format(a='x.embedding', b='y.embedding')} AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@register(
+    "q_dedup_cosine_bucketed",
+    oracle=_bucketed_cosine_oracle(),
+    tags=("dedup", "embedding", "cosine", "lsh"),
+)
+def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets + per-bucket BLAS kernel:
+    one hash shuffle on the bucket key, no driver collect — the
+    linear-shuffle 100 TB counterpart of the exact tiled all-pairs."""
+    from pontem_spark.operators.similarity import cosine_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.4, n_planes=4, dim=64, round_digits=4)
