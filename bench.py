@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print a JSON
+line {"metric": ..., "unit": "sec", "sf": ..., "queries": {name: sec},
+"value": total_sec} followed by a SHORT summary line with the totals — so a
+tail-truncating log capture still sees a parseable object with the total.
 
-Each query is timed end-to-end (plan + execute + collect-count via a noop
-write) after a JVM/session warmup, so JIT and session startup don't pollute
-per-query numbers.
+Each query is timed end-to-end (plan + execute + a noop-format write, which
+materializes EVERY projected column — count() would let Catalyst prune
+unreferenced projections and under-measure expression-heavy queries) after
+a JVM/session warmup, so JIT and session startup don't pollute per-query
+numbers.
 """
 
 from __future__ import annotations
@@ -25,7 +28,12 @@ from pontem_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="pontem-bench")
+    # progress bars write \r-frames to the console and can interleave with
+    # the JSON result line under tail-capture
+    spark = get_spark(
+        app_name="pontem-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
@@ -42,27 +50,44 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         q = queries[name]
-        best, n = None, 0
+        best = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            # count() forces full execution of every operator in the plan
-            n = q.fn(spark, sf_dir).count()
+            # noop write executes the full plan INCLUDING every projected
+            # column; count() would prune projections nothing references
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         # best-of-N: excludes one-time JIT/codegen compile, which a long-run
         # cluster amortizes; set PONTEM_BENCH_RUNS=1 for cold numbers
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full object with per-query timings; totals at the END of the object so
+    # a tail-truncated capture loses query names, not the headline number
+    print(
+        json.dumps(
+            {
+                "metric": "pontem_spark_suite_seconds",
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "value": total,
+            }
+        )
+    )
+    # short tail-safe summary — the LAST stdout line always parses
     print(
         json.dumps(
             {
                 "metric": "pontem_spark_suite_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
             }
         )
     )

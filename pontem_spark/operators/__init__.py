@@ -9,6 +9,7 @@ from pontem_spark.operators.dedup import (
     minhash_signatures,
     minhash_candidate_pairs,
     simhash,
+    simhash_band_candidates,
 )
 from pontem_spark.operators.similarity import (
     brute_force_topk,
@@ -29,6 +30,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",
+    "simhash_band_candidates",
     "brute_force_topk",
     "cosine_pairs_blocked",
     "cosine_pairs_bucketed",

@@ -208,3 +208,54 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of XOR via bit_count (Spark 3.3+)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band_candidates(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash64",
+    bits: int = 64,
+    n_bands: int = 9,
+) -> DataFrame:
+    """Candidate near-dup pairs by banding the SimHash fingerprint.
+
+    Pigeonhole guarantee: a pair differing in at most ``n_bands - 1`` bits
+    must agree EXACTLY on at least one band — so for a Hamming-``k`` query,
+    ``n_bands = k + 1`` bands turn the O(n^2) pair scan into an equi-join on
+    (band_idx, band_value) with NO loss of recall: candidates ⊇ all true
+    pairs, and the exact Hamming filter afterwards removes false positives.
+
+    Shuffle volume is n_bands x fingerprints (tiny rows: id + two longs).
+    Worst case is a hot band value (m docs sharing one band → m^2 candidate
+    pairs); with ~7-bit bands this is the inherent banding trade-off — widen
+    bands (lower k / more-bit bands) when candidate volume dominates.
+
+    Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    base, extra = divmod(bits, n_bands)
+    structs, lo = [], 0
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        mask = (1 << w) - 1
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col(hash_col), lo).bitwiseAND(F.lit(mask)).alias("band_val"),
+            )
+        )
+        lo += w
+    bands = (
+        fingerprints.select(F.col(id_col), F.explode(F.array(*structs)).alias("__b"))
+        .select(id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val"))
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )

@@ -121,15 +121,19 @@ def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, pairs within Hamming
-    distance 8. Fingerprint computation is one aggregation pass; the pair
-    scan here is an O(n^2) broadcast loop acceptable for candidate-sized
-    inputs (at corpus scale you'd band the fingerprint bytes like LSH)."""
+    distance 8. Fingerprints are one aggregation pass; candidates come from
+    banding the fingerprint into 9 bands (pigeonhole: a Hamming-8 pair
+    shares ≥1 exact band) — an equi-join on (band_idx, band_value), no
+    O(n^2) scan — then the exact Hamming filter verifies each candidate.
+    Same result set as a full pair scan, linear-shuffle shape."""
     docs = load_table(spark, sf_dir, "documents")
     fp = D.simhash(docs, "doc_id", "text").cache()
+    cand = D.simhash_band_candidates(fp, "doc_id", "simhash64", bits=64, n_bands=9)
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
         .filter(F.col("hamming") <= 8)
         .select("id_a", "id_b", "hamming")

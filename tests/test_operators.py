@@ -112,3 +112,36 @@ def test_simhash_hamming_close_for_near_dups(spark, sf_dir):
     ).toPandas()
     if len(joined):
         assert joined["d"].median() <= 12
+
+
+def test_simhash_banding_loses_no_pairs(spark, sf_dir):
+    """Pigeonhole property as a differential test: the 9-band candidate
+    equi-join followed by the exact Hamming-8 filter must return EXACTLY the
+    pairs the O(n^2) scan finds — banding changes the join shape, never the
+    result."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators import dedup as D
+    from pontem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.simhash(docs, "doc_id", "text").cache()
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
+    full = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+    cand = D.simhash_band_candidates(fp, "doc_id", "simhash64", bits=64, n_bands=9)
+    banded = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+    f = full.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    g = banded.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert f.equals(g)
