@@ -357,18 +357,57 @@ class Series:
         """Positional slice via row_number over index order. The global
         (unpartitioned) window is deliberate and on-demand only — never part
         of a hot path; pandas-positional semantics fundamentally need a total
-        order (SURVEY §7 'hard parts')."""
+        order (SURVEY §7 'hard parts').
+
+        Negative start/stop resolve against the length (one cached count).
+        Positive steps are supported (``s[::2]``); a negative step would
+        require a reversed Series, which an index-ordered representation
+        cannot express — it raises instead of returning wrong data.
+        """
         from pyspark.sql import Window
 
-        if key.step not in (None, 1):
-            raise NotImplementedError("slice step")
+        step = 1 if key.step is None else key.step
+        if step <= 0:
+            raise NotImplementedError(
+                "non-positive slice step: a reversed Series has no index-ordered representation"
+            )
+        if (key.start or 0) < 0 or (key.stop is not None and key.stop < 0):
+            start, stop, step = key.indices(len(self))
+        else:
+            start, stop = key.start or 0, key.stop
         w = Window.orderBy(INDEX_COL)
         sdf = self._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
-        lo = key.start or 0
-        cond = F.col("__rn__") >= lo
-        if key.stop is not None:
-            cond = cond & (F.col("__rn__") < key.stop)
+        cond = F.col("__rn__") >= start
+        if stop is not None:
+            cond = cond & (F.col("__rn__") < stop)
+        if step != 1:
+            cond = cond & ((F.col("__rn__") - F.lit(start)) % F.lit(step) == 0)
         sdf = sdf.filter(cond).drop("__rn__")
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+        )
+
+    def _positional_take(self, positions: list) -> "Series":
+        """iloc with an integer list: keep the rows at those positions.
+        Negative positions resolve against the length. NOTE: rows come back
+        in INDEX order, not key order — an index-ordered engine cannot
+        express pandas' take-order without materializing; duplicates in the
+        key list are likewise collapsed."""
+        from pyspark.sql import Window
+
+        keys = [int(k) for k in positions]
+        if any(k < 0 for k in keys):
+            n = len(self)
+            keys = [k + n if k < 0 else k for k in keys]
+            if any(k < 0 for k in keys):
+                raise IndexError(f"position out of bounds for length {n}")
+        w = Window.orderBy(INDEX_COL)
+        sdf = (
+            self._materialized()
+            .withColumn("__rn__", F.row_number().over(w) - 1)
+            .filter(F.col("__rn__").isin(keys))
+            .drop("__rn__")
+        )
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
         )
@@ -517,14 +556,43 @@ class Series:
         return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
 
     def where(self, cond: "Series", other=None) -> "Series":
-        """Keep values where cond holds, else ``other`` (pandas.where)."""
-        repl = F.lit(other) if not isinstance(other, Series) else other._col
-        return Series._from_internal(
-            self._internal, F.when(cond._col, self._col).otherwise(repl), self._name
-        )
+        """Keep values where cond holds, else ``other`` (pandas.where).
+        cond/other from a different anchor are aligned on index (left join
+        from self — the result keeps self's index, like pandas)."""
+        return self._where_impl(cond, other, invert=False)
 
     def mask(self, cond: "Series", other=None) -> "Series":
-        return self.where(~cond, other)
+        """Replace values where cond holds (pandas.mask). A missing/null
+        cond counts as False — i.e. KEEP — matching pandas, which is why
+        this is not simply ``where(~cond)`` (~null stays null)."""
+        return self._where_impl(cond, other, invert=True)
+
+    def _where_impl(self, cond: "Series", other, invert: bool) -> "Series":
+        same_cond = cond._internal.sdf is self._internal.sdf
+        other_is_series = isinstance(other, Series)
+        same_other = (not other_is_series) or other._internal.sdf is self._internal.sdf
+        if same_cond and same_other:
+            keep = F.coalesce(cond._col, F.lit(False))
+            keep = ~keep if invert else keep
+            repl = other._col if other_is_series else F.lit(other)
+            return Series._from_internal(
+                self._internal, F.when(keep, self._col).otherwise(repl), self._name
+            )
+        # foreign anchor(s): align on index; self's index drives the result
+        sdf = self._materialized("__v__")
+        sdf = sdf.join(cond._materialized("__c__"), INDEX_COL, "left")
+        if other_is_series:
+            sdf = sdf.join(other._materialized("__o__"), INDEX_COL, "left")
+            repl = sdf["__o__"]
+        else:
+            repl = F.lit(other)
+        keep = F.coalesce(sdf["__c__"], F.lit(False))
+        keep = ~keep if invert else keep
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            F.when(keep, sdf["__v__"]).otherwise(repl),
+            self._name,
+        )
 
     def to_frame(self, name: Any = None):
         from pontem_spark.core.frame import DataFrame as PFrame
@@ -556,21 +624,37 @@ class Series:
     def cummin(self) -> "Series":
         return self._cum(F.min)
 
-    def rank(self, method: str = "min", ascending: bool = True) -> "Series":
-        """pandas rank: 'min' or 'dense'. Computed as a window over the value
-        order (global window — on-demand positional semantics, see
-        _positional_slice for the scale caveat)."""
+    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+        """pandas rank: 'average' (the pandas default), 'min', 'max',
+        'dense', or 'first'. Computed as a window over the value order
+        (global window — on-demand positional semantics, see
+        _positional_slice for the scale caveat). 'average' and 'max' derive
+        from min-rank plus the tie-group size (one extra value-partitioned
+        count window, no second sort)."""
         from pyspark.sql import Window
 
         order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()
         w = Window.orderBy(order)
-        fn = {"min": F.rank, "dense": F.dense_rank}.get(method)
-        if fn is None:
-            raise ValueError(f"rank method {method!r} (use 'min' or 'dense')")
         sdf = self._materialized()
+        if method == "min":
+            col = F.rank().over(w)
+        elif method == "dense":
+            col = F.dense_rank().over(w)
+        elif method == "first":
+            col = F.row_number().over(Window.orderBy(order, F.col(INDEX_COL).asc()))
+        elif method in ("average", "max"):
+            ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(_VALUE)))
+            if method == "average":
+                col = F.rank().over(w) + (ties - F.lit(1)) / F.lit(2.0)
+            else:
+                col = F.rank().over(w) + ties - F.lit(1)
+        else:
+            raise ValueError(
+                f"rank method {method!r} (use 'average', 'min', 'max', 'dense', or 'first')"
+            )
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name),
-            fn().over(w).cast("double"),
+            col.cast("double"),
             self._name,
         )
 
@@ -660,10 +744,20 @@ class _ILocIndexer:
     def __getitem__(self, key):
         if isinstance(key, slice):
             return self._s._positional_slice(key)
+        if isinstance(key, bool):
+            raise TypeError("iloc key: bool")
         if isinstance(key, int):
+            if key < 0:
+                key += len(self._s)
+                if key < 0:
+                    raise IndexError(key)
             sliced = self._s._positional_slice(slice(key, key + 1))
             rows = sliced._materialized().collect()
             if not rows:
                 raise IndexError(key)
             return rows[0][_VALUE]
+        if isinstance(key, (list, tuple)) or (
+            hasattr(key, "__array__") and getattr(key, "ndim", 1) == 1
+        ):
+            return self._s._positional_take(list(key))
         raise TypeError(f"iloc key: {type(key)}")

@@ -424,3 +424,67 @@ def test_sql_over_frames(spark):
     out = sql("SELECT seg, sum(v) AS s FROM t GROUP BY seg", spark=spark, t=t)
     got = {r["seg"]: r["s"] for r in out.to_spark().collect()}
     assert got == {"x": 4.0, "y": 2.0}
+
+
+def test_rank_all_methods(spark):
+    s = Series([10, 30, 20, 30, 5, 20, 20], spark=spark)
+    w = pd.Series([10, 30, 20, 30, 5, 20, 20])
+    assert_series_equal(s.rank(), w.rank())  # pandas default = 'average'
+    for m in ("average", "min", "max", "dense", "first"):
+        assert_series_equal(s.rank(method=m), w.rank(method=m))
+        assert_series_equal(
+            s.rank(method=m, ascending=False), w.rank(method=m, ascending=False)
+        )
+
+
+def test_positional_slice_step_and_negative(spark):
+    data = list(range(100, 120))
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    for sl in (
+        slice(None, None, 2),
+        slice(1, None, 3),
+        slice(2, 15, 4),
+        slice(None, -1),
+        slice(-5, None),
+        slice(-15, -3, 2),
+        slice(-100, None),
+    ):
+        assert_series_equal(s[sl], w[sl])
+    with pytest.raises(NotImplementedError):
+        s[::-1]
+
+
+def test_iloc_negative_and_list(spark):
+    data = [5, 1, 4, 2, 3, 9, 7]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    assert s.iloc[-1] == w.iloc[-1]
+    assert s.iloc[-7] == w.iloc[-7]
+    with pytest.raises(IndexError):
+        s.iloc[-8]
+    # list indexing: ascending keys (index-order engine; see _positional_take)
+    assert_series_equal(s.iloc[[0, 2, 4]], w.iloc[[0, 2, 4]])
+    assert_series_equal(s.iloc[np.array([1, 3, -1])], w.iloc[[1, 3, -1]].sort_index())
+
+
+def test_where_mask_foreign_anchor(spark):
+    s = Series([1, 2, 3, 4], index=[0, 1, 2, 3], spark=spark)
+    cond = Series([True, False, True], index=[0, 1, 2], spark=spark)  # missing idx 3
+    repl = Series([10, 20, 30, 40], index=[0, 1, 2, 3], spark=spark)
+
+    ws = pd.Series([1, 2, 3, 4])
+    wc = pd.Series([True, False, True, False], index=[0, 1, 2, 3])  # pandas: missing -> False
+
+    got = s.where(cond, -9).to_pandas().sort_index()
+    want = ws.where(wc, -9)
+    np.testing.assert_array_equal(got.values, want.values)
+
+    got2 = s.mask(cond, -9).to_pandas().sort_index()
+    want2 = ws.mask(wc, -9)
+    np.testing.assert_array_equal(got2.values, want2.values)
+
+    # Series replacement from a foreign anchor
+    got3 = s.where(cond, repl).to_pandas().sort_index()
+    want3 = ws.where(wc, pd.Series([10, 20, 30, 40]))
+    np.testing.assert_array_equal(got3.values, want3.values)
