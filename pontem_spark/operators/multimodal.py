@@ -46,11 +46,93 @@ def attach_binary(df: DataFrame, id_col: str, payload_col: str, mime: str = "app
     )
 
 
+def _hex4(col):  # 8-hex-char big-endian u32
+    return F.lpad(F.lower(F.hex(col)), 8, "0")
+
+
+def attach_synthetic_png(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Pack each row into a VALID minimal PNG binary, built entirely JVM-side
+    (hex assembly + crc32 — no UDF): signature, an IHDR chunk whose
+    width/height derive deterministically from md5(text) (64..255, RGB
+    8-bit), an IDAT chunk carrying the raw text bytes (never inflated — the
+    decoder reads headers only), and IEND. Because the dimensions are
+    md5-derived, a SQL oracle can predict what a real header parse must
+    return — the codec round-trip itself becomes oracle-checkable."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    md5hex = F.md5(payload)
+    w = (F.lit(64) + F.conv(F.substring(md5hex, 1, 2), 16, 10).cast("int") % 192).cast("bigint")
+    h = (F.lit(64) + F.conv(F.substring(md5hex, 3, 2), 16, 10).cast("int") % 192).cast("bigint")
+    hexbin = lambda c: F.to_binary(c, F.lit("hex"))  # noqa: E731
+    ihdr_td = F.concat(  # chunk type + 13-byte body
+        hexbin(F.lit("49484452")),  # 'IHDR'
+        hexbin(F.concat(_hex4(w), _hex4(h), F.lit("0802000000"))),  # depth 8, RGB
+    )
+    idat_td = F.concat(hexbin(F.lit("49444154")), payload)  # 'IDAT' + raw bytes
+    png = F.concat(
+        hexbin(F.lit("89504e470d0a1a0a")),  # PNG signature
+        hexbin(F.lit("0000000d")), ihdr_td, hexbin(_hex4(F.crc32(ihdr_td))),
+        hexbin(_hex4(F.length(payload).cast("bigint"))), idat_td, hexbin(_hex4(F.crc32(idat_td))),
+        hexbin(F.lit("0000000049454e44ae426082")),  # IEND
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        png.alias("media"),
+        F.struct(
+            F.length(png).cast("bigint").alias("n_bytes"),
+            F.sha2(png, 256).alias("content_sha256"),
+            F.lit("image/png").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """REAL header-parse codec (pure Python, no image libraries): reads
+    dimensions/channels from PNG IHDR, JPEG SOF0/1/2, or GIF logical screen
+    descriptor. Returns None for unrecognized bytes (caller falls back)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        color_type = payload[25]
+        return {
+            "mime": "image/png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+            "channels": {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(int(color_type), 0),
+        }
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments to a SOF marker
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                return {
+                    "mime": "image/jpeg",
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                    "channels": int(payload[i + 9]),
+                }
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "mime": "image/gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+            "channels": 3,
+        }
+    return None
+
+
 def _fake_decode(payload: bytes) -> dict:
-    """STUB decoder (deterministic fake): pseudo image dimensions derived
-    from the content hash. Replace with a real codec in production."""
+    """Fallback for unrecognized payloads (deterministic pseudo-dimensions
+    from the content hash) — kept for opaque media the header parser can't
+    read; clearly a stub, never used for real PNG/JPEG/GIF bytes."""
     h = hashlib.md5(payload).digest()
     return {
+        "mime": None,
         "width": 64 + h[0] % 192,        # 64..255
         "height": 64 + h[1] % 192,
         "channels": 1 + h[2] % 3,        # 1..3
@@ -64,11 +146,16 @@ def decode_media(
 ) -> DataFrame:
     """Decode binaries to typed metadata via mapInPandas (Arrow batches).
 
-    ``df`` must have columns (id, media, meta) from :func:`attach_binary`.
-    The per-batch loop is the real production shape: batch in, vectorized
-    work, batch out — only ``decode_fn`` is a stub here.
+    ``df`` must have columns (id, media, meta) from :func:`attach_binary` or
+    :func:`attach_synthetic_png`. The default decoder is the REAL
+    header-parse codec (:func:`parse_image_header` — PNG/JPEG/GIF); payloads
+    it cannot read fall back to the labeled deterministic stub.
     """
-    decode = decode_fn or _fake_decode
+    if decode_fn is None:
+        def decode(b: bytes) -> dict:
+            return parse_image_header(b) or _fake_decode(b)
+    else:
+        decode = decode_fn
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -80,7 +167,7 @@ def decode_media(
                     "id": pdf["id"].values,
                     "n_bytes": [len(bytes(b)) for b in pdf["media"]],
                     "content_sha256": [m["content_sha256"] for m in pdf["meta"]],
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": [d["mime"] or m["mime"] for d, m in zip(metas, pdf["meta"])],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],
                     "channels": [m["channels"] for m in metas],
@@ -106,8 +193,9 @@ def resize_media(df: DataFrame, max_side: int = 128) -> DataFrame:
         "id",
         "width",
         "height",
-        F.round(F.col("width") * scale).cast("int").alias("target_width"),
-        F.round(F.col("height") * scale).cast("int").alias("target_height"),
+        # floor(x+0.5) instead of round(): portable half-up (compat.rnd form)
+        F.floor(F.col("width") * scale + F.lit(0.5)).cast("int").alias("target_width"),
+        F.floor(F.col("height") * scale + F.lit(0.5)).cast("int").alias("target_height"),
     )
 
 

@@ -33,16 +33,41 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hex pair -> 0..255, portable SQL (no hex-cast dialect dependence)
+_HEXBYTE = (
+    "((strpos('0123456789abcdef', substr(md5(text), {i}, 1)) - 1) * 16 + "
+    "strpos('0123456789abcdef', substr(md5(text), {j}, 1)) - 1)"
+)
+
+
 @register(
     "q_multimodal_decode_pipeline",
-    oracle=None,  # stubbed codec → rows-only check; plumbing is real mapInPandas
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id AS id,
+               CAST(64 + {_HEXBYTE.format(i=1, j=2)} % 192 AS INT) AS width,
+               CAST(64 + {_HEXBYTE.format(i=3, j=4)} % 192 AS INT) AS height
+        FROM documents
+    ), scaled AS (
+        SELECT id, width, height,
+               CASE WHEN greatest(width, height) <= 128 THEN CAST(1.0 AS DOUBLE)
+                    ELSE 128.0 / greatest(width, height) END AS s
+        FROM dims
+    )
+    SELECT id, width, height,
+           CAST(floor(width * s + 0.5) AS INT) AS target_width,
+           CAST(floor(height * s + 0.5) AS INT) AS target_height
+    FROM scaled
+    """,
     tags=("multimodal", "decode", "mapInPandas"),
 )
 def q_multimodal_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode → resize-plan pipeline over Arrow batches: pack binaries,
-    mapInPandas 'decode' (stub codec, production batch contract), then the
-    aspect-preserving resize geometry JVM-side."""
+    """Full decode → resize-plan pipeline over Arrow batches: build VALID
+    PNG binaries JVM-side (md5-derived dimensions), mapInPandas decode with
+    a REAL header parser (PNG IHDR), then aspect-preserving resize geometry
+    JVM-side. The oracle predicts the dimensions a correct IHDR parse must
+    recover — the codec round-trip is hash-checked, not just row-counted."""
     docs = load_table(spark, sf_dir, "documents")
-    packed = M.attach_binary(docs, "doc_id", "text", mime="image/fake")
+    packed = M.attach_synthetic_png(docs, "doc_id", "text")
     decoded = M.decode_media(packed)
     return M.resize_media(decoded, max_side=128)

@@ -145,3 +145,61 @@ def test_simhash_banding_loses_no_pairs(spark, sf_dir):
     f = full.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     g = banded.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert f.equals(g)
+
+
+def test_parse_image_header_known_bytes():
+    """The header parser against handcrafted binaries with KNOWN geometry —
+    exact values pinned, no hash-derived fakes."""
+    import struct
+    import zlib
+
+    from pontem_spark.operators.multimodal import parse_image_header
+
+    # minimal PNG: 320x200 RGB 8-bit
+    ihdr = b"IHDR" + struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + ihdr + struct.pack(">I", zlib.crc32(ihdr))
+        + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    )
+    assert parse_image_header(png) == {
+        "mime": "image/png", "width": 320, "height": 200, "channels": 3,
+    }
+
+    # minimal JPEG: APP0 then SOF0 with 640x480, 3 components
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, 480, 640, 3) + b"\x01\x11\x00" * 3
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
+    assert parse_image_header(jpg) == {
+        "mime": "image/jpeg", "width": 640, "height": 480, "channels": 3,
+    }
+
+    # GIF89a 13x7 (little-endian)
+    gif = b"GIF89a" + struct.pack("<HH", 13, 7) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == {
+        "mime": "image/gif", "width": 13, "height": 7, "channels": 3,
+    }
+
+    assert parse_image_header(b"not an image at all") is None
+
+
+def test_synthetic_png_roundtrip(spark):
+    """attach_synthetic_png emits REAL PNG bytes: the header parser (and the
+    md5 formula) must both recover the same dimensions, and the IHDR crc
+    must be the true crc32."""
+    import hashlib
+    import struct
+    import zlib
+
+    from pontem_spark.operators.multimodal import attach_synthetic_png, parse_image_header
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "pontem")], "doc_id long, text string")
+    rows = {r["id"]: bytes(r["media"]) for r in attach_synthetic_png(df, "doc_id", "text").collect()}
+    for doc_id, text in ((1, "hello world"), (2, "pontem")):
+        h = hashlib.md5(text.encode()).digest()
+        want_w, want_h = 64 + h[0] % 192, 64 + h[1] % 192
+        payload = rows[doc_id]
+        parsed = parse_image_header(payload)
+        assert parsed == {"mime": "image/png", "width": want_w, "height": want_h, "channels": 3}
+        # IHDR chunk crc is genuine
+        ihdr_td = payload[12:29]
+        assert struct.unpack(">I", payload[29:33])[0] == zlib.crc32(ihdr_td)
