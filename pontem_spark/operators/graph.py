@@ -53,8 +53,10 @@ def connected_components(
         )
         # labels are monotonically non-increasing, so the fixpoint is reached
         # exactly when the label sum stops decreasing — one scalar aggregate
-        # per iteration instead of a change-detection join
-        cur_sum = labels.agg(F.sum("label")).first()[0]
+        # per iteration instead of a change-detection join. Summed as
+        # decimal(38,0): a long sum can overflow on billions of 2^62-range
+        # ids, silently stalling or extending the loop.
+        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -203,3 +203,21 @@ def test_synthetic_png_roundtrip(spark):
         # IHDR chunk crc is genuine
         ihdr_td = payload[12:29]
         assert struct.unpack(">I", payload[29:33])[0] == zlib.crc32(ihdr_td)
+
+
+def test_connected_components_huge_ids(spark):
+    """Convergence detection must survive ids near 2^62: the per-iteration
+    label sum is exact decimal, not a long that quietly wraps."""
+    from pontem_spark.operators.graph import connected_components
+
+    base = 1 << 62
+    ids = [base + i for i in range(6)]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[3], ids[4])], "src long, dst long"
+    )
+    out = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert out == {
+        ids[0]: ids[0], ids[1]: ids[0], ids[2]: ids[0],
+        ids[3]: ids[3], ids[4]: ids[3], ids[5]: ids[5],
+    }

@@ -57,3 +57,26 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
             pd.testing.assert_series_equal(
                 g[c], w[c], check_dtype=False, check_names=False, obj=f"{name}.{c}"
             )
+
+
+def test_approx_aggregates_within_bounds(spark, duck, sf_dir):
+    """Sketches can't hash-match an oracle, but they CAN be bounds-checked
+    against the exact answers: HLL++ within its published ~2% standard error
+    (asserted at 10% for test stability), approx median within 5% of the
+    exact interpolated median."""
+    got = _QUERIES["q_approx_aggregates"].fn(spark, sf_dir).toPandas().set_index("l_returnflag")
+    exact = duck.execute(
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS parts,
+               COUNT(DISTINCT l_suppkey) AS supps,
+               quantile_cont(l_extendedprice, 0.5) AS median_price
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchdf().set_index("l_returnflag")
+    assert sorted(got.index) == sorted(exact.index)
+    for flag in exact.index:
+        g, e = got.loc[flag], exact.loc[flag]
+        assert abs(g["approx_parts"] - e["parts"]) <= 0.10 * e["parts"], flag
+        assert abs(g["approx_supps"] - e["supps"]) <= 0.10 * e["supps"], flag
+        assert abs(g["approx_median_price"] - e["median_price"]) <= 0.05 * e["median_price"], flag
