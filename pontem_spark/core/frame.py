@@ -189,6 +189,44 @@ class DataFrame:
         cols = {c: sdf[c] for c in joined.columns}
         return DataFrame._from_internal(internal, cols)
 
+    def merge_asof(
+        self,
+        right: "DataFrame",
+        on: str,
+        by: str,
+        tolerance_seconds: int | None = None,
+    ) -> "DataFrame":
+        """pandas.merge_asof(direction='backward'): latest right row
+        at-or-before each left timestamp per key — union+window, ONE shuffle
+        on the key (see operators/asof.py). Fresh rowid index like merge."""
+        from pontem_spark.operators.asof import asof_join
+
+        joined = asof_join(
+            self._materialized().drop(INDEX_COL),
+            right._materialized().drop(INDEX_COL),
+            on=on,
+            by=by,
+            tolerance_seconds=tolerance_seconds,
+        )
+        sdf = joined.withColumn(_ROWID, F.monotonically_increasing_id())
+        internal = InternalFrame(sdf, _ROWID, None)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in joined.columns if c != _ROWID})
+
+    @property
+    def dedup(self):
+        """LLM-pipeline dedup operators as a pandas-style accessor
+        (``df.dedup.minhash_candidates('doc_id', 'text')``)."""
+        from pontem_spark.core.ml_accessors import DedupAccessor
+
+        return DedupAccessor(self)
+
+    @property
+    def sim(self):
+        """Similarity-search operators (``df.sim.topk(queries)``)."""
+        from pontem_spark.core.ml_accessors import SimilarityAccessor
+
+        return SimilarityAccessor(self)
+
     def groupby(self, by: str | list[str], as_index: bool = True):
         from pontem_spark.core.groupby import GroupBy
 

@@ -16,19 +16,9 @@ from pontem_spark.operators import dedup as D
 from pontem_spark.queries.registry import register
 from pontem_spark.sources.tables import load_table
 
-# DuckDB shingle CTE shared by the oracles (1-based list indexing everywhere)
-_SHINGLES_CTE = """
-    t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
-    ), sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(ts) >= 3
-                 THEN list_transform(generate_series(1, len(ts) - 2),
-                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-                 ELSE [] END)) AS shingle
-        FROM t
-    )
-"""
+# shared with the public-API query family (no registrations there)
+from pontem_spark.queries.oracle_fragments import SHINGLES_CTE as _SHINGLES_CTE
+from pontem_spark.queries.oracle_fragments import minhash_oracle as _minhash_oracle_shared
 
 
 @register(
@@ -75,31 +65,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
 
 
-def _minhash_oracle(num_hashes: int = 8, rows_per_band: int = 4) -> str:
-    n_bands = num_hashes // rows_per_band
-    mins = ",\n               ".join(
-        f"MIN(md5(shingle || '#{i}')) AS mh{i}" for i in range(num_hashes)
-    )
-    band_selects = []
-    for b in range(n_bands):
-        cols = " || '|' || ".join(f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band))
-        band_selects.append(
-            f"SELECT doc_id, {b} AS band_idx, md5({cols}) AS bucket FROM sig"
-        )
-    bands_sql = "\n        UNION ALL\n        ".join(band_selects)
-    return f"""
-    WITH {_SHINGLES_CTE},
-    sig AS (
-        SELECT doc_id,
-               {mins}
-        FROM sh GROUP BY doc_id
-    ), bands AS (
-        {bands_sql}
-    )
-    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-    FROM bands x JOIN bands y
-      ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id
-    """
+_minhash_oracle = _minhash_oracle_shared
 
 
 @register(

@@ -68,10 +68,10 @@ def all_queries() -> dict[str, Query]:
         windows,
         tpch,
         round2,
+        multimodal,
         asof,
         dedup,
         events,
-        multimodal,
         rangeops,
         scalar,
         series_api,

@@ -27,7 +27,7 @@ _COS4_SQL = (
 
 
 def _bucketed_cosine_oracle(n_planes: int = 4, dim: int = 64, threshold: float = 0.4) -> str:
-    from pontem_spark.queries.similarity import lsh_sig_sql
+    from pontem_spark.queries.oracle_fragments import lsh_sig_sql
 
     return f"""
     WITH b AS (
@@ -40,6 +40,26 @@ def _bucketed_cosine_oracle(n_planes: int = 4, dim: int = 64, threshold: float =
     )
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
     """
+
+
+from pontem_spark.queries.oracle_fragments import minhash_oracle  # no registrations
+
+
+@register(
+    "q_api_dedup_minhash",
+    oracle=minhash_oracle(8, 4),
+    tags=("api", "dedup", "minhash", "lsh"),
+)
+def q_api_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH dedup pipeline driven ENTIRELY through the public
+    pandas-like API: read_parquet → df.dedup.minhash_candidates(...) —
+    proving the north-star surface runs the same scale-shaped plan as the
+    operator layer (same oracle as q_dedup_minhash_candidates)."""
+    from pontem_spark.core.io import read_parquet
+
+    pdf = read_parquet(f"{sf_dir}/documents.parquet", spark=spark)
+    cands = pdf.dedup.minhash_candidates("doc_id", "text", num_hashes=8, rows_per_band=4, ngram=3)
+    return cands.to_spark().select("id_a", "id_b")
 
 
 @register(

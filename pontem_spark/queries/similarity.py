@@ -49,20 +49,7 @@ def q_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=_K, dim=64)
 
 
-def lsh_sig_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
-    """DuckDB SQL for the hyperplane sign signature — plane p's component
-    for (1-based) dim i: ascii(first hex char of md5('plane{p}d{i-1}'))
-    even → +1 else -1 — mirrored in operators/similarity.py."""
-    bits = []
-    for p in range(n_planes):
-        dotp = (
-            f"list_sum(list_transform(generate_series(1, {dim}), "
-            f"i -> CAST({vec}[i] AS DOUBLE) * "
-            f"(CASE WHEN ascii(substr(md5('plane{p}d' || CAST(i - 1 AS VARCHAR)), 1, 1)) % 2 = 0 "
-            f"THEN 1.0 ELSE -1.0 END)))"
-        )
-        bits.append(f"(CASE WHEN {dotp} >= 0 THEN '1' ELSE '0' END)")
-    return " || ".join(bits)
+from pontem_spark.queries.oracle_fragments import lsh_sig_sql  # shared, no registrations
 
 
 def _lsh_oracle(n_planes: int = 4, dim: int = 64) -> str:

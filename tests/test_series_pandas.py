@@ -488,3 +488,50 @@ def test_where_mask_foreign_anchor(spark):
     got3 = s.where(cond, repl).to_pandas().sort_index()
     want3 = ws.where(wc, pd.Series([10, 20, 30, 40]))
     np.testing.assert_array_equal(got3.values, want3.values)
+
+
+def test_ml_accessors_match_operator_layer(spark, sf_dir):
+    """df.dedup.* / df.sim.* / df.merge_asof must run the SAME scale-shaped
+    operators as the operator layer — asserted by result equality."""
+    from pontem_spark.core.io import read_parquet
+    from pontem_spark.operators.dedup import exact_duplicates
+    from pontem_spark.operators.similarity import cosine_pairs_tiled
+    from pontem_spark.sources.tables import load_table
+
+    docs_pdf = read_parquet(f"{sf_dir}/documents.parquet", spark=spark)
+    docs_sdf = load_table(spark, sf_dir, "documents")
+
+    got = docs_pdf.dedup.exact("doc_id", "text").to_pandas().sort_values("content_hash").reset_index(drop=True)
+    want = exact_duplicates(docs_sdf, "doc_id", "text").toPandas().sort_values("content_hash").reset_index(drop=True)
+    assert got[["content_hash", "n_docs", "keep_id"]].equals(want)
+
+    emb_pdf = read_parquet(f"{sf_dir}/embeddings.parquet", spark=spark)
+    emb_sdf = load_table(spark, sf_dir, "embeddings")
+    got2 = emb_pdf.sim.pairs(threshold=0.4, method="tiled").to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    want2 = cosine_pairs_tiled(emb_sdf, "vec_id", "embedding", 0.4).toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got2[["id_a", "id_b", "cos_sim"]].equals(want2)
+
+    got3 = docs_pdf.dedup.simhash_near_pairs("doc_id", "text", max_hamming=8)
+    assert {"id_a", "id_b", "hamming"} <= set(got3.columns)
+    assert len(got3) > 0
+
+
+def test_merge_asof_matches_pandas(spark):
+    import pandas as pd
+
+    from pontem_spark.core.frame import DataFrame as PFrame
+
+    trades = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:01", "2024-01-01 10:00:05", "2024-01-01 10:00:09"]),
+         "sym": ["A", "A", "A"], "qty": [1, 2, 3]}
+    )
+    quotes = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 10:00:04", "2024-01-01 10:00:08"]),
+         "sym": ["A", "A", "A"], "px": [100.0, 101.0, 102.0]}
+    )
+    lf = PFrame(trades, spark=spark)
+    rf = PFrame(quotes, spark=spark)
+    got = lf.merge_asof(rf, on="ts", by="sym").to_pandas().sort_values("ts").reset_index(drop=True)
+    want = pd.merge_asof(trades, quotes, on="ts", by="sym")
+    assert list(got["qty"]) == list(want["qty"])
+    assert list(got["r_px"] if "r_px" in got.columns else got["px"]) == list(want["px"])
