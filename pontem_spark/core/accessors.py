@@ -44,8 +44,23 @@ class StringAccessor:
         return self._wrap(F.split(self._s._col, pat))
 
     def cat(self, others=None, sep: str = ""):
+        """With ``others``: elementwise concat (Series result). Without:
+        pandas collapses the whole Series to ONE string in index order —
+        returned as a Python str (an index-ordered aggregate via sorted
+        collect_list; inherently a driver-sized result)."""
         if others is None:
-            raise NotImplementedError("str.cat without others")
+            from pontem_spark.core.internal import INDEX_COL
+
+            row = (
+                self._s._materialized()
+                .select(F.struct(F.col(INDEX_COL), F.col("__value__")).alias("p"))
+                .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+                .select(
+                    F.array_join(F.expr("transform(ps, s -> s.__value__)"), sep).alias("out")
+                )
+                .first()
+            )
+            return row["out"]
         return self._wrap(F.concat_ws(sep, self._s._col, others._col))
 
     def zfill(self, width: int): return self._wrap(F.lpad(self._s._col, width, "0"))

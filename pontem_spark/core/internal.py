@@ -55,10 +55,14 @@ def to_spark_type(dtype: Any) -> str:
     if dtype is bool:
         return "boolean"
     name = getattr(dtype, "name", None) or str(dtype)
-    try:
-        return DTYPE_TO_SPARK[name.lower()]
-    except KeyError:
-        raise TypeError(f"unsupported dtype for astype: {dtype!r}") from None
+    lowered = name.lower()
+    if lowered in DTYPE_TO_SPARK:
+        return DTYPE_TO_SPARK[lowered]
+    # Spark SQL type strings pass through verbatim: decimal(p,s), nested
+    # array<>/map<>/struct<> — validated by Spark's own parser at cast time
+    if lowered.startswith(("decimal", "array<", "map<", "struct<")):
+        return lowered
+    raise TypeError(f"unsupported dtype for astype: {dtype!r}")
 
 
 def default_session() -> SparkSession:

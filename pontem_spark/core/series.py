@@ -523,14 +523,22 @@ class Series:
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
         )
 
-    def value_counts(self, ascending: bool = False) -> "Series":
+    def value_counts(self, normalize: bool = False, ascending: bool = False) -> "Series":
+        from pyspark.sql import Window
+
         sdf = (
             self._materialized()
             .groupBy(F.col(_VALUE).alias(INDEX_COL))
             .agg(F.count(F.lit(1)).alias(_VALUE))
-            .orderBy(F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc())
         )
-        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._name), sdf[_VALUE], "count")
+        if normalize:
+            # one unpartitioned window over the (already tiny) aggregate —
+            # K distinct values, never the raw data
+            total = F.sum(_VALUE).over(Window.partitionBy())
+            sdf = sdf.select(INDEX_COL, (F.col(_VALUE) / total).alias(_VALUE))
+        sdf = sdf.orderBy(F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc())
+        name = "proportion" if normalize else "count"
+        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._name), sdf[_VALUE], name)
 
     # window-style transforms --------------------------------------------------
 

@@ -535,3 +535,30 @@ def test_merge_asof_matches_pandas(spark):
     want = pd.merge_asof(trades, quotes, on="ts", by="sym")
     assert list(got["qty"]) == list(want["qty"])
     assert list(got["r_px"] if "r_px" in got.columns else got["px"]) == list(want["px"])
+
+
+def test_value_counts_normalize(spark):
+    data = ["a", "b", "a", "c", "a", "b"]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    got = s.value_counts(normalize=True).to_pandas()
+    want = w.value_counts(normalize=True)
+    assert got.name == want.name == "proportion"
+    for k in want.index:
+        assert math.isclose(got[k], want[k])
+
+
+def test_str_cat_scalar(spark):
+    data = ["alpha", "beta", "gamma"]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    assert s.str.cat(sep="-") == w.str.cat(sep="-")
+    assert s.str.cat() == w.str.cat()
+
+
+def test_astype_decimal_and_nested(spark):
+    s = Series([1.5, 2.25, 3.0], spark=spark)
+    d = s.astype("decimal(10,2)")
+    assert d.to_pandas().tolist() == [pytest.approx(1.5), pytest.approx(2.25), pytest.approx(3.0)]
+    arr = Series([[1, 2], [3]], spark=spark).astype("array<double>")
+    assert [list(v) for v in arr.to_pandas()] == [[1.0, 2.0], [3.0]]
