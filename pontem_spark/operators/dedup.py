@@ -216,6 +216,7 @@ def simhash_band_candidates(
     hash_col: str = "simhash64",
     bits: int = 64,
     n_bands: int = 9,
+    carry_hash: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs by banding the SimHash fingerprint.
 
@@ -230,7 +231,11 @@ def simhash_band_candidates(
     pairs); with ~7-bit bands this is the inherent banding trade-off — widen
     bands (lower k / more-bit bands) when candidate volume dominates.
 
-    Returns distinct (id_a, id_b), id_a < id_b.
+    Returns distinct (id_a, id_b), id_a < id_b. With ``carry_hash=True`` the
+    band rows carry the fingerprint through the join and the result is
+    NON-distinct (id_a, id_b, h_a, h_b) — one candidate row per shared band
+    — so the caller can apply its cheap verify filter (e.g. Hamming ≤ k)
+    BEFORE the dedup shuffle instead of joining fingerprints back in twice.
     """
     base, extra = divmod(bits, n_bands)
     structs, lo = [], 0
@@ -244,18 +249,28 @@ def simhash_band_candidates(
             )
         )
         lo += w
+    carry = [F.col(hash_col)] if carry_hash else []
     bands = (
-        fingerprints.select(F.col(id_col), F.explode(F.array(*structs)).alias("__b"))
-        .select(id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val"))
+        fingerprints.select(F.col(id_col), *carry, F.explode(F.array(*structs)).alias("__b"))
+        .select(id_col, *carry, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val"))
+        .cache()  # tiny (n_docs x n_bands); both self-join sides read it —
+        # without it the upstream fingerprint aggregation runs twice
     )
     x, y = bands.alias("x"), bands.alias("y")
-    return (
-        x.join(
-            y,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    joined = x.join(
+        y,
+        (F.col("x.band_idx") == F.col("y.band_idx"))
+        & (F.col("x.band_val") == F.col("y.band_val"))
+        & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+    )
+    if carry_hash:
+        return joined.select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.col(f"x.{hash_col}").alias("h_a"),
+            F.col(f"y.{hash_col}").alias("h_b"),
         )
-        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+    return (
+        joined.select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
     )

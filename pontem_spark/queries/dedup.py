@@ -93,16 +93,13 @@ def q_dedup_simhash_nearpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) scan — then the exact Hamming filter verifies each candidate.
     Same result set as a full pair scan, linear-shuffle shape."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = D.simhash(docs, "doc_id", "text").cache()
-    cand = D.simhash_band_candidates(fp, "doc_id", "simhash64", bits=64, n_bands=9)
-    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash64").alias("h_a"))
-    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash64").alias("h_b"))
+    fp = D.simhash(docs, "doc_id", "text")
+    cand = D.simhash_band_candidates(fp, "doc_id", "simhash64", bits=64, n_bands=9, carry_hash=True)
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
-        .filter(F.col("hamming") <= 8)
+        cand.withColumn("hamming", D.hamming_distance(F.col("h_a"), F.col("h_b")).cast("int"))
+        .filter(F.col("hamming") <= 8)  # verify BEFORE the dedup shuffle
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
