@@ -75,3 +75,44 @@ def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs_bucketed(emb, "vec_id", "embedding", threshold=0.4, n_planes=4, dim=64, round_digits=4)
+
+
+@register(
+    "q_stream_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, sum, max) maintained in grouped state across
+    micro-batches, drained with availableNow — the FINAL state per key must
+    hash-match the plain batch aggregation. Update mode can emit a key once
+    per batch; the final emission is selected via max-by-count (n_events is
+    strictly increasing per emission), so the check is multi-batch-safe."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.streaming import read_event_stream, run_to_memory
+    from pontem_spark.streaming.stateful import running_user_stats
+
+    emitted = run_to_memory(
+        running_user_stats(read_event_stream(spark, sf_dir)), mode="update"
+    )
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "max_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            rnd(F.col("s.total_value"), 2).alias("total_value"),
+            F.col("s.max_value").alias("max_value"),
+        )
+    )
+    return final
