@@ -45,7 +45,7 @@ def brute_force_topk(
             F.col(vec_col).alias("__qvec"),
             V.norm_fixed(vec_col, dim).alias("__qnorm"),
         )
-        c = ensure_parallelism(corpus).select(
+        c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cvec"),
             V.norm_fixed(vec_col, dim).alias("__cnorm"),
@@ -53,7 +53,7 @@ def brute_force_topk(
         cos = V.cosine_with_norms("__qvec", "__cvec", F.col("__qnorm"), F.col("__cnorm"), dim)
     else:
         q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-        c = ensure_parallelism(corpus).select(
+        c = corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         )
         cos = V.cosine(F.col("__qvec"), F.col("__cvec"))
@@ -302,7 +302,7 @@ def lsh_bucket_topk(
     multi-probe (flip one bit) at the cost of bigger buckets.
     """
     sig = bucket_signature(vec_col, n_planes, dim)
-    c = ensure_parallelism(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         V.norm_fixed(vec_col, dim).alias("__cnorm"),
