@@ -126,10 +126,21 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_approx_aggregates as a rows-only check — sketch outputs are
     engine-specific by nature."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        rnd(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
-        rnd(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    # ONE percentile buffer computing all three quantiles (array form) —
+    # three separate aggregates would each collect and sort the group's
+    # values independently (3x memory, 3x sort)
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("__ps"))
+        .select(
+            "l_returnflag",
+            rnd(F.col("__ps")[0], 4).alias("p25"),
+            rnd(F.col("__ps")[1], 4).alias("p50"),
+            rnd(F.col("__ps")[2], 4).alias("p90"),
+        )
     )
 
 
