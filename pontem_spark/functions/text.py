@@ -69,11 +69,57 @@ def fingerprint(text_col: str = "text", bits: int = 64) -> Column:
     return F.substring(F.md5(F.col(text_col)), 1, bits // 4)
 
 
-def lang_id(tokens_col: str) -> Column:
-    """Heuristic language ID: argmax of per-language marker-stopword hits,
+def lang_counts(tokens_col: str) -> Column:
+    """All per-language marker counts in ONE traversal of the token array.
+
+    Lambda higher-order functions run interpreted (outside codegen), so the
+    naive form — a CASE whose branches each re-filter the array — costs
+    O(languages²) interpreted passes per row (~16 for 4 languages; measured
+    8.4 s for the sf0.1 corpus vs ~0.6 s for this form). The marker sets are
+    disjoint by construction, so a single ``aggregate`` pass with a per-token
+    CASE accumulates every language's count at once. Returns array<int> in
+    LANG_MARKERS order."""
+    langs = list(LANG_MARKERS)
+    zero = "array(" + ", ".join("0" for _ in langs) + ")"
+    branches = []
+    for idx, lang in enumerate(langs):
+        in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        bumped = ", ".join(
+            f"acc[{j}] + 1" if j == idx else f"acc[{j}]" for j in range(len(langs))
+        )
+        branches.append(f"WHEN x IN ({in_list}) THEN array({bumped})")
+    return F.expr(
+        f"aggregate({tokens_col}, {zero}, (acc, x) -> CASE {' '.join(branches)} ELSE acc END)"
+    )
+
+
+def lang_from_counts(counts_col: str) -> Column:
+    """Argmax over a precomputed :func:`lang_counts` array → language code,
     'und' (undetermined) when nothing matches. Ties resolve in LANG_MARKERS
     insertion order (a sequential CASE: each language only needs >= against
-    the languages after it) — the oracle SQL encodes the identical CASE."""
+    the languages after it) — the oracle SQL encodes the identical CASE.
+
+    Takes the *column name* of a materialized counts array so the expensive
+    single-pass count runs once in its own Project; only cheap int
+    comparisons repeat inside the CASE."""
+    langs = list(LANG_MARKERS)
+    counts = {lang: F.element_at(F.col(counts_col), i + 1) for i, lang in enumerate(langs)}
+    expr: Column = F.lit("und")
+    for idx in range(len(langs) - 1, -1, -1):
+        lang = langs[idx]
+        cond = counts[lang] > 0
+        for later in langs[idx + 1 :]:
+            cond = cond & (counts[lang] >= counts[later])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def lang_id(tokens_col: str) -> Column:
+    """Heuristic language ID as a single Column (argmax of marker hits).
+
+    Convenience form for one-off use; the hot path (q_text_lang_id)
+    materializes :func:`lang_counts` in a separate Project first so the
+    array traversal happens once, then applies :func:`lang_from_counts`."""
     langs = list(LANG_MARKERS)
     counts = {lang: stopword_count(tokens_col, words) for lang, words in LANG_MARKERS.items()}
     expr: Column = F.lit("und")

@@ -106,10 +106,11 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     label. (The synthetic corpus is English-ish regardless of label — the
     point is the deterministic classification machinery.)"""
     docs = load_table(spark, sf_dir, "documents").withColumn("toks", T.tokens("text"))
-    return docs.select(
+    counted = docs.select("doc_id", "lang", T.lang_counts("toks").alias("__lc"))
+    return counted.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        T.lang_id("toks").alias("predicted_lang"),
+        T.lang_from_counts("__lc").alias("predicted_lang"),
     )
 
 
