@@ -274,3 +274,28 @@ def simhash_band_candidates(
         joined.select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: "list[str]",
+    payload_cols: "list[str]",
+) -> DataFrame:
+    """Temporal dedup / upsert compaction: keep each key's latest record,
+    latest = lexicographic max over ``order_cols`` (include a unique id last
+    for a total order).
+
+    Implemented as ``max(struct(order..., payload...))`` — an ordinary
+    aggregate, NOT ``row_number() over (partition by key)``: the aggregate
+    combines map-side, so each executor first reduces its own partitions to
+    one candidate per key and only those survivors shuffle. The window form
+    shuffles EVERY version of every key and at 100 TB of CDC history that is
+    the whole table; the agg shuffles ~|keys| rows.
+    """
+    fields = [F.col(c) for c in order_cols] + [F.col(c) for c in payload_cols]
+    return (
+        df.groupBy(key_col)
+        .agg(F.max(F.struct(*fields)).alias("__latest"))
+        .select(key_col, *[F.col(f"__latest.{c}").alias(c) for c in order_cols + payload_cols])
+    )

@@ -1,0 +1,92 @@
+"""Corpus-statistics operators: TF-IDF term ranking and n-gram counts.
+
+The language-model-data shapes: an inverted index (term → doc postings)
+built by explode + groupBy, document frequencies by a second integer-only
+aggregation, and corpus n-gram tables. Everything is Column-expression work
+(no UDFs); the explodes fan out map-side and every aggregation is
+partial-agg combinable, so the operators scale with executors — term
+statistics at 100 TB are exactly these two hash shuffles (term-frequency
+keys, then term keys), never a document-body shuffle.
+
+Determinism discipline: ranking ties are broken on integers only
+(tf DESC, doc-frequency ASC, term ASC) — never on a floating tfidf value —
+so Spark and the DuckDB oracle produce the identical top-k even when their
+``ln()`` differs in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pontem_spark.functions import text as T
+from pontem_spark.functions.compat import rnd
+from pontem_spark.operators.util import ensure_parallelism
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — the exploded inverted index with per-doc counts."""
+    return (
+        ensure_parallelism(df)
+        .select(id_col, F.explode(T.tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf = ln(N / df) with N the corpus size and df the number of documents
+    containing the term. N and the df table come from integer aggregations
+    over the (id, term, tf) index; N reaches every row via a broadcast of a
+    1-row aggregate (never a driver-side count → literal, which would force
+    an extra eager job). The per-doc top-k window partitions on the doc id —
+    each partition is one document's distinct terms, inherently tiny, so the
+    window never concentrates data no matter the corpus size.
+    """
+    tf = term_frequencies(df, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("dfreq").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "dfreq",
+            rnd(F.col("tf") * F.log(F.col("__n") / F.col("dfreq")), round_digits).alias("tfidf"),
+            "term_rank",
+        )
+    )
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str, n: int = 2, min_count: int = 5
+) -> DataFrame:
+    """Corpus-wide word n-gram occurrence counts (the LM count table).
+
+    One explode + one hash aggregation on the n-gram string; ``min_count``
+    prunes the long tail BEFORE anything leaves the aggregation, which is
+    what keeps the result bounded when the corpus is 100 TB.
+    """
+    return (
+        ensure_parallelism(df)
+        .select(T.tokens(text_col).alias("__toks"))
+        .select(F.explode_outer(T.shingles("__toks", n)).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )

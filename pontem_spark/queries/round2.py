@@ -7,6 +7,10 @@ Queries are added here by the operators they exercise:
 - bucketed cosine near-dup pairs (LSH buckets -> per-bucket BLAS kernel)
 - SimHash banded near-pair candidates (equi-join, no O(n^2) scan)
 - public pandas-like API surface for the dedup/similarity operators
+- TF-IDF top terms / n-gram count tables (operators/textstats.py)
+- deterministic stratified sampling (operators/sampling.py)
+- latest-record-per-key compaction (operators/dedup.py::latest_by_key)
+- column profiling + z-score outliers (operators/profile.py)
 """
 
 from __future__ import annotations
@@ -116,3 +120,169 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return final
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    ranked AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.dfreq,
+               ROUND(tf.tf * ln(n.n_docs * 1.0 / dfreq.dfreq), 4) AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.dfreq ASC, tf.term ASC
+               ) AS INTEGER) AS term_rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, dfreq, tfidf, term_rank FROM ranked WHERE term_rank <= 3
+    """,
+    tags=("text", "tfidf", "inverted-index"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF. Ties break on
+    integers only (tf, dfreq, term) so both engines rank identically even
+    when their ln() differs in the last ulp."""
+    from pontem_spark.operators.textstats import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3, round_digits=4)
+
+
+@register(
+    "q_bigram_counts",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), g AS (
+        SELECT unnest(CASE WHEN len(ts) >= 2
+                           THEN list_transform(generate_series(1, len(ts) - 1),
+                                               i -> ts[i] || ' ' || ts[i+1])
+                           ELSE [] END) AS ngram
+        FROM t
+    )
+    SELECT ngram, COUNT(*) AS n_occurrences
+    FROM g GROUP BY ngram HAVING COUNT(*) >= 5
+    """,
+    tags=("text", "ngram", "langmodel"),
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram count table (the LM count shape): explode word 2-grams,
+    one hash aggregation, min-count prune inside the agg."""
+    from pontem_spark.operators.textstats import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, min_count=5)
+
+
+def _stratified_oracle() -> str:
+    from pontem_spark.operators.sampling import hash_bucket_sql
+
+    return f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {hash_bucket_sql('doc_id', 100)} <
+          CASE lang WHEN 'en' THEN 60 WHEN 'zh' THEN 90 ELSE 40 END
+    """
+
+
+@register(
+    "q_stratified_sample",
+    oracle=_stratified_oracle(),
+    tags=("sampling", "pipeline"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalance: keep 60% of English,
+    90% of Chinese, 40% of everything else — selected by md5 hash bucket of
+    the doc id, so the exact same rows survive on any engine or cluster
+    size. Pure scan + filter; zero shuffles."""
+    from pontem_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, "lang", "doc_id", {"en": 60, "zh": 90}, default_percent=40)
+    return sampled.select("doc_id", "lang", "source")
+
+
+@register(
+    "q_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "compaction", "upsert"),
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert/CDC compaction: each customer's latest order via
+    max(struct(...)) — a map-side-combinable aggregate that shuffles ~|keys|
+    rows, where the equivalent row_number window would shuffle every
+    version of every key (the whole table at 100 TB)."""
+    from pontem_spark.operators.dedup import latest_by_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    return latest_by_key(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "q_profile_null_stats",
+    oracle="""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_event_type,
+               COUNT(DISTINCT event_type) AS nd_event_type,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user_id,
+               COUNT(DISTINCT user_id) AS nd_user_id,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+               COUNT(DISTINCT value) AS nd_value,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_props,
+               COUNT(DISTINCT props) AS nd_props
+        FROM events
+    )
+    SELECT 'event_type' AS column_name, n AS n_rows, nn_event_type AS n_nulls, nd_event_type AS n_distinct FROM s
+    UNION ALL SELECT 'user_id', n, nn_user_id, nd_user_id FROM s
+    UNION ALL SELECT 'value', n, nn_value, nd_value FROM s
+    UNION ALL SELECT 'props', n, nn_props, nd_props FROM s
+    """,
+    tags=("profiling", "quality"),
+)
+def q_profile_null_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card profile of the events table: per-column null count and
+    exact cardinality, ALL columns in ONE aggregation pass, fanned out to
+    per-column rows by a constant-size unpivot."""
+    from pontem_spark.operators.profile import profile_columns
+
+    events = load_table(spark, sf_dir, "events")
+    return profile_columns(events, ["event_type", "user_id", "value", "props"])
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+    WITH s AS (
+        SELECT AVG(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sigma FROM orders
+    )
+    SELECT o_orderkey, ROUND((o_totalprice - mu) / sigma, 2) AS zscore
+    FROM orders, s
+    WHERE abs(ROUND((o_totalprice - mu) / sigma, 2)) > 1.5
+    """,
+    tags=("profiling", "outliers"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly gate: orders whose total price is >1.5 population
+    std-devs from the mean. One scalar aggregate broadcast back over the
+    scan — no global window funneling everything through one partition."""
+    from pontem_spark.operators.profile import zscore_outliers
+
+    orders = load_table(spark, sf_dir, "orders")
+    return zscore_outliers(orders, "o_totalprice", ["o_orderkey"], threshold=1.5, round_digits=2)
