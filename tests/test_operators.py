@@ -221,3 +221,69 @@ def test_connected_components_huge_ids(spark):
         ids[0]: ids[0], ids[1]: ids[0], ids[2]: ids[0],
         ids[3]: ids[3], ids[4]: ids[3], ids[5]: ids[5],
     }
+
+
+def test_latest_by_key_ties_and_payload(spark):
+    from pontem_spark.operators.dedup import latest_by_key
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ver": [3, 3, 1, 7],     # key 1 has a tie on ver
+            "uid": [10, 20, 5, 1],   # broken by uid
+            "payload": ["a", "b", "c", "d"],
+        }
+    )
+    got = (
+        latest_by_key(spark.createDataFrame(pdf), "k", ["ver", "uid"], ["payload"])
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["payload"].tolist() == ["b", "d"]  # (ver=3, uid=20) wins for k=1
+    assert got["ver"].tolist() == [3, 7]
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark, sf_dir):
+    from pontem_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = stratified_sample(docs, "lang", "doc_id", {"en": 60}, default_percent=0)
+    b = stratified_sample(docs, "lang", "doc_id", {"en": 60}, default_percent=0)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and ids_a, "same rows on every run"
+    assert a.filter(F.col("lang") != "en").count() == 0, "default 0 drops other strata"
+
+
+def test_profile_counts_nulls(spark):
+    from pontem_spark.operators.profile import profile_columns
+
+    pdf = pd.DataFrame({"a": [1, None, 3, None], "b": ["x", "x", None, "y"]})
+    got = (
+        profile_columns(spark.createDataFrame(pdf), ["a", "b"])
+        .toPandas()
+        .set_index("column_name")
+    )
+    assert got.loc["a", "n_nulls"] == 2 and got.loc["a", "n_distinct"] == 2
+    assert got.loc["b", "n_nulls"] == 1 and got.loc["b", "n_distinct"] == 2
+    assert (got["n_rows"] == 4).all()
+
+
+def test_tfidf_hand_example(spark):
+    from pontem_spark.operators.textstats import tfidf_top_terms
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["apple apple banana", "banana cherry"],
+        }
+    )
+    got = tfidf_top_terms(spark.createDataFrame(pdf), "doc_id", "text", k=1).toPandas()
+    top = got.set_index("doc_id")["term"]
+    # 'apple' is doc 1's top (tf=2, rare); banana/cherry tie on tf in doc 2,
+    # cherry wins on lower document frequency
+    assert top[1] == "apple" and top[2] == "cherry"
+    import math
+    row = got[got.doc_id == 1].iloc[0]
+    assert abs(row["tfidf"] - round(2 * math.log(2 / 1), 4)) < 1e-9

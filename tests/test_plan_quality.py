@@ -157,3 +157,33 @@ def test_ivf_assign_cells_is_map_side(spark, sf_dir):
     cents = label_centroids(emb, "vec_id", "embedding", "label", 64).collect()
     cells = assign_cells(emb, cents, "vec_id", "embedding", 64, n_probe=3)
     assert count_exchanges(cells) == 0, physical_plan(cells)
+
+
+def test_stratified_sample_filter_reaches_scan(q):
+    # the md5-bucket filter is plain scan-level work: no Exchange at all
+    assert count_exchanges(q("q_stratified_sample")) == 0
+
+
+def test_profile_is_single_agg_pass(q):
+    # ONE scan pass: Catalyst plans multi-count-distinct as Expand →
+    # partial-dedup agg → key shuffle → final single-partition gather.
+    # Two exchanges total (both over pre-aggregated data), never a second
+    # scan of the input, and no join of per-column subqueries.
+    plan = physical_plan(q("q_profile_null_stats"))
+    assert plan.count("Scan ") <= 1, "profile must not rescan the input per column"
+    assert "Join" not in plan, "profile must not join per-column subqueries"
+    n = count_exchanges(q("q_profile_null_stats"))
+    assert n <= 2, f"profile should be expand+gather, got {n} exchanges"
+
+
+def test_latest_by_key_is_aggregate_not_window(q):
+    plan = physical_plan(q("q_latest_order_per_customer"))
+    assert "Window" not in plan, "compaction must be max(struct) agg, not a window"
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_zscore_broadcasts_scalar_stats(q):
+    # the 1-row stats frame reaches the data side via broadcast, and the
+    # value column never shuffles
+    plan = physical_plan(q("q_zscore_outliers"))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
