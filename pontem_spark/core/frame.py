@@ -311,6 +311,56 @@ class DataFrame:
             out.setdefault(col, {})[h] = val
         return pd.DataFrame(out)
 
+    def melt(
+        self,
+        id_vars: list[str] | str,
+        value_vars: list[str] | None = None,
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "DataFrame":
+        """pandas melt (wide → long) == a ``stack`` Generate: each input row
+        fans out to one row per value column, entirely map-side — no shuffle,
+        no UDF. The anchor index duplicates across a row's melted values,
+        matching pandas' repeated-index behavior."""
+        id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
+        value_vars = value_vars or [c for c in self._columns if c not in id_vars]
+        # stack() requires one common type; mirror pandas' coercion — numeric
+        # mix melts to double, anything else melts to string
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        common = "double" if all(schema[c] in numeric for c in value_vars) else "string"
+        args = ", ".join(f"'{c}', CAST(`{c}` AS {common})" for c in value_vars)
+        sdf = self._materialized().select(
+            INDEX_COL,
+            *id_vars,
+            F.expr(f"stack({len(value_vars)}, {args}) AS (`{var_name}`, `{value_name}`)"),
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        keep = id_vars + [var_name, value_name]
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in keep})
+
+    def explode(self, column: str) -> "DataFrame":
+        """pandas explode: one row per array element, other columns (and the
+        index) repeated — ``explode_outer`` so empty/NULL arrays keep their
+        row with a NULL element, exactly pandas' semantics."""
+        others = [c for c in self._columns if c != column]
+        sdf = self._materialized().select(
+            INDEX_COL,
+            *others,
+            F.explode_outer(F.col(column)).alias(column),
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def nunique(self):
+        """Distinct count per column in ONE aggregation pass → pandas Series
+        (Catalyst plans multi-count-distinct as a single Expand+agg scan)."""
+        import pandas as pd
+
+        exprs = [F.count_distinct(v).alias(k) for k, v in self._columns.items()]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series({c: row[c] for c in self._columns})
+
     def describe(self):
         """count/mean/std/min/quartiles/max for every numeric column —
         ONE aggregation pass total (pandas layout)."""

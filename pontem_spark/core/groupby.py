@@ -90,6 +90,30 @@ class GroupBy:
         internal = InternalFrame(base, self._keys[0], self._keys[0])
         return Series._from_internal(internal, base["__value__"], None)
 
+    def __getitem__(self, col: str) -> "SeriesGroupBy":
+        if col not in self._df._columns:
+            raise KeyError(col)
+        return SeriesGroupBy(self._df, self._keys, col)
+
+    def transform(self, spec: Mapping[str, str]) -> "DataFrame":
+        """pandas groupby().transform: per-group statistics broadcast back to
+        EVERY row, index preserved. One unordered window per distinct key
+        set — a single shuffle on the group key, no join-back; the result
+        shares this frame's anchor, so assigning it to a column stays one
+        growing Catalyst plan (zero extra jobs)."""
+        from pyspark.sql import Window
+
+        from pontem_spark.core.frame import DataFrame
+
+        w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
+        cols = dict(self._df._columns)
+        for col, how in spec.items():
+            fn = _AGGS.get(how)
+            if fn is None:
+                raise ValueError(f"unsupported aggregation: {how!r}")
+            cols[col] = fn(self._df._columns[col]).over(w)
+        return DataFrame._from_internal(self._df._internal, cols)
+
     def apply_in_pandas(self, func, schema):
         """Escape hatch for genuinely custom grouped logic: Arrow-batched
         applyInPandas (grouped-map pandas UDF). Use only when built-in
@@ -103,3 +127,38 @@ class GroupBy:
         return DataFrame._from_internal(
             internal, {c: out[c] for c in sdf.columns}
         )
+
+
+class SeriesGroupBy:
+    """``df.groupby(k)['col']`` — single-column grouped view.
+
+    ``transform`` keeps the parent anchor (window expression, no join);
+    ``agg``/named reductions delegate to the frame-level GroupBy."""
+
+    def __init__(self, df, keys: list[str], col: str):
+        self._df = df
+        self._keys = keys
+        self._col = col
+
+    def transform(self, how: str):
+        from pyspark.sql import Window
+
+        from pontem_spark.core.series import Series
+
+        fn = _AGGS.get(how)
+        if fn is None:
+            raise ValueError(f"unsupported aggregation: {how!r}")
+        w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
+        return Series._from_internal(
+            self._df._internal, fn(self._df._columns[self._col]).over(w), self._col
+        )
+
+    def agg(self, how: str):
+        return GroupBy(self._df, self._keys).agg({self._col: how})
+
+    def sum(self): return self.agg("sum")
+    def mean(self): return self.agg("mean")
+    def min(self): return self.agg("min")
+    def max(self): return self.agg("max")
+    def count(self): return self.agg("count")
+    def nunique(self): return self.agg("nunique")

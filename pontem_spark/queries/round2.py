@@ -286,3 +286,34 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return zscore_outliers(orders, "o_totalprice", ["o_orderkey"], threshold=1.5, round_digits=2)
+
+
+@register(
+    "q_stream_dedup_daily_users",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def q_stream_dedup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup (dropDuplicatesWithinWatermark on user/type/day —
+    bounded state) drained with availableNow; the surviving first-arrivals
+    aggregate to exactly the batch COUNT(DISTINCT) — only key-determined
+    outputs are asserted, since WHICH duplicate survives is arrival order."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.streaming import read_event_stream, run_to_memory
+    from pontem_spark.streaming.events import dedup_stream
+
+    stream = read_event_stream(spark, sf_dir).withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    deduped = dedup_stream(stream, ["user_id", "event_type", "event_date"])
+    emitted = run_to_memory(deduped, mode="append")
+    return emitted.groupBy("event_type", "event_date").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -85,3 +85,21 @@ def run_to_memory(result: DataFrame, mode: str = "complete", timeout_s: int = 12
     finally:
         q.stop()
     return result.sparkSession.table(name)
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: emit the FIRST arrival per key, drop the rest.
+
+    The at-least-once → exactly-once repair every streaming ingest needs.
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state is BOUNDED: a
+    key's entry is purged once the watermark passes its event time. Plain
+    ``dropDuplicates`` on non-time keys keeps state forever — a slow memory
+    leak on an unbounded stream; this form trades that for "duplicates
+    farther apart than the watermark re-emit", the correct contract when
+    duplicates come from delivery retries (always close together).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

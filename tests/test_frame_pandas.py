@@ -197,3 +197,59 @@ def test_pivot_table(spark):
     np.testing.assert_array_equal(got.index.values, want.index.values)
     np.testing.assert_allclose(got["a"].values, want["a"].values)
     np.testing.assert_allclose(got["b"].values, want["b"].values)
+
+
+def test_groupby_transform_series(pf, wf):
+    got = pf.groupby("seg")["b"].transform("mean").to_pandas()
+    want = wf.groupby("seg")["b"].transform("mean")
+    assert got.tolist() == want.tolist()
+
+
+def test_groupby_transform_shares_anchor(pf, wf):
+    # ratio-to-group-total stays ONE plan: no join, no extra jobs
+    pf["b_rel"] = pf["b"] / pf.groupby("seg")["b"].transform("sum")
+    want = wf["b"] / wf.groupby("seg")["b"].transform("sum")
+    assert pf.to_pandas()["b_rel"].tolist() == want.tolist()
+    plan = pf.to_spark()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_groupby_transform_frame(pf, wf):
+    got = pf.groupby("seg").transform({"a": "max", "b": "sum"}).to_pandas()
+    want = wf.copy()
+    want["a"] = wf.groupby("seg")["a"].transform("max")
+    want["b"] = wf.groupby("seg")["b"].transform("sum")
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+
+
+def test_melt_matches_pandas(pf, wf):
+    got = (
+        pf.melt(id_vars="seg", value_vars=["a", "b"])
+        .to_pandas()
+        .sort_values(["seg", "variable", "value"])
+        .reset_index(drop=True)
+    )
+    want = (
+        wf.melt(id_vars="seg", value_vars=["a", "b"])
+        .sort_values(["seg", "variable", "value"])
+        .reset_index(drop=True)
+    )
+    assert got[["seg", "variable"]].values.tolist() == want[["seg", "variable"]].values.tolist()
+    assert [float(v) for v in got["value"]] == [float(v) for v in want["value"]]
+
+
+def test_explode_matches_pandas(spark):
+    pdf = pd.DataFrame({"k": [1, 2, 3], "arr": [[1, 2], [3], []]})
+    got = DataFrame(pdf, spark=spark).explode("arr").to_pandas()
+    want = pdf.explode("arr")
+    assert got.index.tolist() == want.index.tolist()  # repeated pandas index
+    ga = [None if v != v else float(v) for v in got["arr"]]
+    wa = [None if v != v else float(v) for v in want["arr"]]
+    assert ga == wa
+
+
+def test_nunique(pf, wf):
+    got = pf.nunique()
+    want = wf.nunique()
+    assert {c: int(got[c]) for c in want.index} == want.to_dict()

@@ -96,3 +96,30 @@ def test_stateful_running_user_stats(spark, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pontem_spark.sources.tables import load_table
+    from pontem_spark.streaming import read_event_stream, run_to_memory
+    from pontem_spark.streaming.events import dedup_stream
+
+    out = run_to_memory(
+        dedup_stream(read_event_stream(spark, sf_dir), ["user_id", "event_type"]),
+        mode="append",
+    )
+    got = {
+        (r.event_type, r.n): None
+        for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        (r.event_type, r.n): None
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
