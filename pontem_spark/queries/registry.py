@@ -52,14 +52,35 @@ def register(
     return deco
 
 
+# Queries with a green (hash-matched) row in the driver's CORRECTNESS_r01.json.
+# The driver records only the FIRST 50 queries it sees, so ``all_queries``
+# orders not-yet-verified queries first; this set rotates each round as new
+# CORRECTNESS_r{N} artifacts land.
+R01_GREEN = frozenset({
+    "q10_returned_items", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "q_ann_brute_force_topk",
+    "q_ann_ivf_topk", "q_ann_lsh_topk", "q_api_column_expression", "q_api_groupby_agg",
+    "q_api_merge_filter", "q_api_str_accessor", "q_asof_purchase_click", "q_conditional_agg",
+    "q_corpus_assembly", "q_date_functions", "q_dedup_clusters", "q_dedup_embedding_cosine",
+    "q_dedup_exact", "q_dedup_jaccard_pairs", "q_dedup_minhash_candidates",
+    "q_embedding_label_stats", "q_events_hourly", "q_events_json_extract",
+    "q_events_sessionize", "q_events_user_funnel", "q_grouping_sets", "q_math_functions",
+    "q_minhash_quality", "q_multimodal_binary_meta", "q_percentiles", "q_pivot_event_types",
+    "q_range_join_price_band", "q_stats_corr", "q_stream_hourly_rollup",
+    "q_stream_session_windows", "q_string_functions", "q_text_bpe_tokens", "q_text_chunking",
+    "q_text_fingerprint", "q_text_lang_id", "q_text_quality_score", "q_text_source_profile",
+    "q_text_token_stats", "q_text_train_test_split", "q_udaf_weighted_avg",
+    "q_window_time_range_avg",
+})
+
+
 def all_queries() -> dict[str, Query]:
     """Import all query modules and return the full registry.
 
-    Import order matters: the driver's correctness gate records the FIRST 50
-    registrations, so families without a green driver row yet are imported
-    first (round-robin rotation across rounds). Round 2 order: tpch2, tpch3,
-    windows, tpch (set-ops/cube/rollup/semi/anti/skew tail), then this
-    round's new queries, then the families already driver-verified in r01.
+    Order matters: the driver's correctness gate records the FIRST 50
+    registrations, so queries WITHOUT a green driver row yet are ordered
+    first (relative registration order preserved within each group), then
+    the already-verified ``R01_GREEN`` set.
     """
     # Imports are deferred so `import pontem_spark` stays cheap.
     from pontem_spark.queries import (  # noqa: F401
@@ -80,7 +101,9 @@ def all_queries() -> dict[str, Query]:
         text,
     )
 
-    return dict(_REGISTRY)
+    order = {n: i for i, n in enumerate(_REGISTRY)}
+    names = sorted(_REGISTRY, key=lambda n: (n in R01_GREEN, order[n]))
+    return {n: _REGISTRY[n] for n in names}
 
 
 def query_fns() -> dict[str, QueryFn]:
