@@ -1,0 +1,203 @@
+"""Corpus-curation operators: repetition filtering, decontamination,
+embedding normalization/quantization.
+
+The three pre-training data stages between raw dedup and tokenization:
+
+- :func:`repetition_metrics` — Gopher-style repetition quality signals
+  (distinct-token ratio, top token/bigram share). One tagged explode over
+  unigrams+bigrams, then two partial-agg-combinable hash aggregations —
+  (doc, gram) then doc — so the shuffle carries gram COUNTS, never document
+  bodies. At 100 TB this is the same two-shuffle shape as TF-IDF.
+- :func:`ngram_contamination` — train/eval overlap detection (the "is my
+  benchmark in the training set?" check). The eval side of the join is a
+  distinct shingle set from a (small) held-out source, explicitly
+  ``broadcast()`` — the train corpus is never shuffled, just scanned once
+  against the broadcast hash table, then aggregated per doc.
+- :func:`normalize_quantize` — L2-normalize an embedding column and emit
+  int8-quantization statistics. Entirely per-row ``aggregate``/``transform``
+  higher-order functions: zero shuffles, linear scan, embarrassingly
+  parallel. The quantized checksum is an INTEGER so the cross-engine oracle
+  comparison is exact (no float-hash risk).
+
+No Python UDFs anywhere; every expression has a DuckDB twin (same fold
+order, same floor-form rounding) so all three operators are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from pontem_spark.functions import text as T
+from pontem_spark.functions.compat import rnd
+from pontem_spark.operators.util import ensure_parallelism
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_distinct_ratio: float = 0.4,
+    max_bigram_share: float = 0.1,
+) -> DataFrame:
+    """Per-document repetition signals + keep flag (Gopher-style filters).
+
+    Columns: n_tok, distinct_ratio (unique tokens / tokens), top_token_share,
+    top_bigram_share (most frequent n-gram's share of all n-grams), keep
+    (1 when the doc clears both repetition thresholds).
+
+    One explode of a TAGGED gram array (struct<n:int, g:string> for n=1,2)
+    feeds a single (id, n, gram) count aggregation, then a conditional
+    per-doc rollup — unigram and bigram statistics share one shuffle chain
+    instead of two pipelines joined on doc id.
+    """
+    tagged = (
+        "concat("
+        " transform(__toks, x -> struct(1 as n, x as g)),"
+        " transform(__bg,   x -> struct(2 as n, x as g)))"
+    )
+    grams = (
+        # ~2x-per-token explode fan-out: rebalance a few-partition input
+        # first so the gram generation uses every core (no-op on cluster
+        # inputs that already arrive well-split)
+        ensure_parallelism(df)
+        .select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .select(F.col(id_col), F.col("__toks"), T.shingles("__toks", 2).alias("__bg"))
+        .select(F.col(id_col), F.explode(F.expr(tagged)).alias("ng"))
+        .select(id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    is1 = F.col("n") == 1
+    is2 = F.col("n") == 2
+    agg = grams.groupBy(id_col).agg(
+        F.sum(F.when(is1, F.col("cnt"))).alias("n_tok"),
+        F.count(F.when(is1, 1)).alias("n_distinct"),
+        F.max(F.when(is1, F.col("cnt"))).alias("top_tok"),
+        F.sum(F.when(is2, F.col("cnt"))).alias("n_bg"),
+        F.max(F.when(is2, F.col("cnt"))).alias("top_bg"),
+    )
+    distinct_ratio = rnd(F.col("n_distinct") / F.col("n_tok"), 4)
+    top_token_share = rnd(F.col("top_tok") / F.col("n_tok"), 4)
+    bigram_share = rnd(
+        F.coalesce(F.col("top_bg") / F.col("n_bg"), F.lit(0.0)), 4
+    )
+    return agg.select(
+        id_col,
+        F.col("n_tok"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_share.alias("top_token_share"),
+        bigram_share.alias("top_bigram_share"),
+        (
+            (distinct_ratio >= min_distinct_ratio)
+            & (bigram_share <= max_bigram_share)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    eval_value: str,
+    n: int = 5,
+) -> DataFrame:
+    """Training-set contamination: for every NON-eval document, the fraction
+    of its distinct word n-grams that also occur anywhere in the eval split
+    (``split_col == eval_value``). Returns only contaminated docs
+    (overlap > 0): id, n_shingles, n_overlap, overlap_ratio.
+
+    Scale shape: the eval split's distinct-shingle set is small (benchmarks
+    are MBs, corpora are TBs), so it is ``broadcast()`` — the train side is
+    one scan + map-side semi-probe + per-doc count; no corpus shuffle on the
+    shingle key, no skew exposure from boilerplate shingles.
+    """
+    sh = (
+        df.select(F.col(id_col), F.col(split_col), T.tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.col(split_col),
+            F.explode(F.array_distinct(T.shingles("__toks", n))).alias("sh"),
+        )
+    )
+    ev = (
+        sh.filter(F.col(split_col) == eval_value)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = sh.filter(F.col(split_col) != eval_value)
+    # ONE train-side pass: broadcast LEFT join marks hits, a single per-doc
+    # aggregation yields both the set size and the overlap count
+    return (
+        tr.join(F.broadcast(ev), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count(F.col("__hit")).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            rnd(F.col("n_overlap") / F.col("n_shingles"), 4).alias("overlap_ratio"),
+        )
+    )
+
+
+def normalize_quantize(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    levels: int = 127,
+) -> DataFrame:
+    """L2-normalization + symmetric int8 quantization statistics per vector.
+
+    Columns: l2_norm, max_abs (largest |component|), q_checksum (sum of the
+    quantized int codes — integer, so the oracle match is exact), recon_err
+    (mean |normalized − dequantized|, the quantization loss a retrieval
+    pipeline would pay).
+
+    All per-row fold expressions (``aggregate``/``transform`` HOFs): a
+    single narrow scan, no shuffle, no UDF. Folds run left-to-right in both
+    Spark and DuckDB over identical doubles, so even the float outputs are
+    bit-deterministic before rounding.
+    """
+    d = f"CAST(size({vec_col}) AS DOUBLE)"
+    sumsq = f"aggregate({vec_col}, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    with_norm = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(f"sqrt({sumsq})").alias("__norm"),
+    )
+    qcode = f"floor(CAST(x AS DOUBLE) / __norm * {levels} + 0.5)"
+    return with_norm.select(
+        id_col,
+        rnd(F.col("__norm"), 4).alias("l2_norm"),
+        rnd(
+            F.expr(f"aggregate({vec_col}, 0.0D, (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"),
+            4,
+        ).alias("max_abs"),
+        F.expr(f"CAST(aggregate({vec_col}, 0.0D, (a, x) -> a + {qcode}) AS BIGINT)").alias(
+            "q_checksum"
+        ),
+        # each |normalized − dequantized| term is floored onto a 1e-9 grid so
+        # the SUM is integer-exact in any order — engines may sum floats
+        # pairwise vs left-fold (1-ulp drift that flips the rounded digit)
+        rnd(
+            F.expr(
+                f"aggregate({vec_col}, 0.0D,"
+                # floor() yields BIGINT in Spark and BIGINT / 127.0 is DECIMAL
+                # division (scale-truncated ~1e-7) — force a double divide
+                f" (a, x) -> a + floor(abs(CAST(x AS DOUBLE) / __norm"
+                f" - CAST({qcode} AS DOUBLE) / CAST({levels} AS DOUBLE))"
+                f" * 1000000000.0))"
+            )
+            / F.lit(1.0e9)
+            / F.expr(d),
+            5,
+        ).alias("recon_err"),
+    )

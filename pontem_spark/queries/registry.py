@@ -71,6 +71,10 @@ R01_GREEN = frozenset({
     "q_text_fingerprint", "q_text_lang_id", "q_text_quality_score", "q_text_source_profile",
     "q_text_token_stats", "q_text_train_test_split", "q_udaf_weighted_avg",
     "q_window_time_range_avg",
+    # permanently no-oracle by design (approx sketches / xxhash64 SimHash);
+    # their rows-only driver rows landed in r01 — that IS their best evidence,
+    # so they don't compete for window slots
+    "q_dedup_simhash_nearpairs", "q_approx_aggregates",
 })
 
 

@@ -317,3 +317,128 @@ def q_stream_dedup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emitted.groupBy("event_type", "event_date").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "q_quality_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), g AS (
+        SELECT doc_id, 1 AS n, unnest(ts) AS g FROM t
+        UNION ALL
+        SELECT doc_id, 2 AS n,
+               unnest(CASE WHEN len(ts) >= 2
+                           THEN list_transform(generate_series(1, len(ts) - 1),
+                                               i -> ts[i] || ' ' || ts[i+1])
+                           ELSE [] END) AS g
+        FROM t
+    ), c AS (
+        SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY doc_id, n, g
+    ), m AS (
+        SELECT doc_id,
+               sum(CASE WHEN n = 1 THEN cnt END) AS n_tok,
+               count(CASE WHEN n = 1 THEN 1 END) AS n_distinct,
+               max(CASE WHEN n = 1 THEN cnt END) AS top_tok,
+               sum(CASE WHEN n = 2 THEN cnt END) AS n_bg,
+               max(CASE WHEN n = 2 THEN cnt END) AS top_bg
+        FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           ROUND(n_distinct * 1.0 / n_tok, 4) AS distinct_ratio,
+           ROUND(top_tok * 1.0 / n_tok, 4) AS top_token_share,
+           ROUND(COALESCE(top_bg * 1.0 / n_bg, 0.0), 4) AS top_bigram_share,
+           CAST(ROUND(n_distinct * 1.0 / n_tok, 4) >= 0.4
+                AND ROUND(COALESCE(top_bg * 1.0 / n_bg, 0.0), 4) <= 0.1 AS INT) AS keep
+    FROM m
+    """,
+    tags=("text", "quality", "curation"),
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: distinct-token ratio and top
+    token/bigram shares per document, with a keep flag. One tagged explode →
+    two partial-agg hash aggregations; the shuffle carries gram counts,
+    never document bodies."""
+    from pontem_spark.operators.curation import repetition_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
+@register(
+    "q_contamination_overlap",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(
+                   CASE WHEN len(ts) >= 5
+                        THEN list_transform(generate_series(1, len(ts) - 4),
+                             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+                                  || ' ' || ts[i+3] || ' ' || ts[i+4])
+                        ELSE [] END)) AS sh
+        FROM t
+    ), ev AS (
+        SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+    ), tr AS (
+        SELECT doc_id, sh.sh AS sh FROM sh WHERE source <> 'src0'
+    )
+    SELECT tr.doc_id,
+           count(*) AS n_shingles,
+           count(ev.sh) AS n_overlap,
+           ROUND(count(ev.sh) * 1.0 / count(*), 4) AS overlap_ratio
+    FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id
+    HAVING count(ev.sh) > 0
+    """,
+    tags=("text", "contamination", "curation", "broadcast"),
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: fraction of each train doc's distinct
+    5-grams that appear anywhere in the held-out split (source='src0').
+    The eval shingle set is broadcast — the train corpus is scanned once,
+    never shuffled on the shingle key."""
+    from pontem_spark.operators.curation import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(docs, "doc_id", "text", "source", "src0", n=5)
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    -- norm via list_reduce: a strict LEFT fold, the same summation order as
+    -- Spark's aggregate() HOF, so the double is bit-identical (list_sum may
+    -- sum pairwise and drift 1 ulp). recon terms are floored onto a 1e-9
+    -- integer grid so THAT sum is order-exact on both engines.
+    WITH n AS (
+        SELECT vec_id, embedding,
+               sqrt(list_reduce(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    (a, x) -> a + x)) AS nrm
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(nrm, 4) AS l2_norm,
+           ROUND(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 4) AS max_abs,
+           CAST(list_sum(list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) / nrm * 127 + 0.5))) AS BIGINT) AS q_checksum,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> floor(abs(CAST(x AS DOUBLE) / nrm
+                                - floor(CAST(x AS DOUBLE) / nrm * 127 + 0.5) / 127.0)
+                            * 1000000000.0)))
+                 / 1000000000.0 / len(embedding), 5) AS recon_err
+    FROM n
+    """,
+    tags=("embeddings", "quantization", "curation"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + int8-quantize every embedding, reporting norm, max
+    component, integer quantization checksum (exact cross-engine match) and
+    mean reconstruction error. Pure per-row array folds — zero shuffles."""
+    from pontem_spark.operators.curation import normalize_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return normalize_quantize(emb, "vec_id", "embedding", levels=127)

@@ -1,0 +1,93 @@
+"""Curation operators: repetition filter, decontamination, quantization.
+
+Value-level oracle checks live in tests/test_oracle.py (all three queries
+are registered with DuckDB twins); this file asserts the SEMANTIC properties
+and the PLAN shapes the operator docstrings promise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pontem_spark.operators.curation import (
+    ngram_contamination,
+    normalize_quantize,
+    repetition_metrics,
+)
+from pontem_spark.plans import count_exchanges, has_node, physical_plan
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # id, text, split
+        (1, "spam spam spam spam spam spam", "train"),
+        (2, "the quick brown fox jumps over the lazy dog today", "train"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu", "train"),
+        (4, "the quick brown fox jumps over the lazy dog today", "eval"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, split string")
+
+
+def test_repetition_flags_degenerate_doc(docs):
+    out = {r["doc_id"]: r.asDict() for r in repetition_metrics(docs, "doc_id", "text").collect()}
+    # doc 1 is one token repeated: distinct ratio 1/6, bigram share 1.0 -> drop
+    assert out[1]["keep"] == 0
+    assert out[1]["distinct_ratio"] == pytest.approx(1 / 6, abs=1e-4)
+    assert out[1]["top_bigram_share"] == 1.0
+    # doc 3 is all-distinct: ratio 1.0, every bigram unique (share 1/11) -> keep
+    assert out[3]["keep"] == 1
+    assert out[3]["distinct_ratio"] == 1.0
+    assert out[3]["n_tok"] == 12
+
+
+def test_repetition_single_token_doc(spark):
+    one = spark.createDataFrame([(9, "word")], "doc_id int, text string")
+    row = repetition_metrics(one, "doc_id", "text").collect()[0]
+    # no bigrams: share coalesces to 0.0, doc is all-distinct -> keep
+    assert (row["n_tok"], row["top_bigram_share"], row["keep"]) == (1, 0.0, 1)
+
+
+def test_contamination_finds_copied_doc(docs):
+    out = ngram_contamination(docs, "doc_id", "text", "split", "eval", n=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 2
+    # doc 2 is an exact copy of the eval doc: every distinct 5-gram overlaps
+    assert out[0]["n_overlap"] == out[0]["n_shingles"]
+    assert out[0]["overlap_ratio"] == 1.0
+
+
+def test_contamination_is_broadcast_no_shingle_shuffle(spark, sf_dir):
+    from pontem_spark.sources.tables import load_table
+
+    df = ngram_contamination(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", "source", "src0"
+    )
+    assert has_node(df, "BroadcastHashJoin"), physical_plan(df)
+    assert not has_node(df, "SortMergeJoin"), physical_plan(df)
+    # shuffles: the eval-side distinct + the final per-doc aggregation; the
+    # train corpus is never hash-partitioned on the shingle key
+    assert count_exchanges(df) <= 2, physical_plan(df)
+
+
+def test_quantize_zero_shuffle_and_integer_checksum(spark, sf_dir):
+    from pontem_spark.sources.tables import load_table
+
+    df = normalize_quantize(load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    assert count_exchanges(df) == 0, physical_plan(df)
+    rows = df.limit(50).collect()
+    for r in rows:
+        assert isinstance(r["q_checksum"], int)
+        assert r["l2_norm"] == pytest.approx(1.0, abs=1e-3)  # corpus is ~unit-norm
+        assert 0.0 <= r["recon_err"] < 0.01  # int8 loss on 64 dims
+
+
+def test_quantize_unit_vector_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0])], "vec_id int, embedding array<float>"
+    )
+    r = normalize_quantize(df, "vec_id", "embedding").collect()[0]
+    assert r["l2_norm"] == 5.0
+    assert r["max_abs"] == 4.0
+    # normalized (0.6, 0.8) -> codes floor(76.2+.5)=76, floor(101.6+.5)=102
+    assert r["q_checksum"] == 76 + 102
