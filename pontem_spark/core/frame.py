@@ -361,6 +361,138 @@ class DataFrame:
         row = self._internal.sdf.select(*exprs).first()
         return pd.Series({c: row[c] for c in self._columns})
 
+    def set_index(self, column: str, drop: bool = True) -> "DataFrame":
+        """Re-point the frame's index at an existing column — pure metadata
+        (the anchor already holds the values), zero jobs."""
+        if column not in self._columns:
+            raise KeyError(column)
+        sdf = self._materialized()
+        internal = InternalFrame(sdf, column, column)
+        keep = {c: sdf[c] for c in self._columns if drop is False or c != column}
+        return DataFrame._from_internal(internal, keep)
+
+    def reset_index(self, drop: bool = False) -> "DataFrame":
+        """Demote the index to a column and renumber rows 0..n-1.
+
+        The renumbering is a ``row_number`` over the frame's order — a
+        GLOBAL total order, which Spark executes through a single partition.
+        Fine at driver-result scale (where pandas semantics matter); on a
+        full-size distributed frame prefer ``set_index`` on a natural key —
+        never silently enumerate 100 TB (SURVEY §1.4)."""
+        from pyspark.sql import Window
+
+        name = self._internal.index_name or "index"
+        sdf = self._materialized().withColumn(
+            "__new_idx__",
+            F.row_number().over(Window.orderBy(*self._internal.order_columns(INDEX_COL))) - 1,
+        )
+        internal = InternalFrame(sdf, "__new_idx__", None)
+        cols: dict[str, Column] = {}
+        if not drop:
+            cols[str(name)] = sdf[INDEX_COL]
+        cols.update({c: sdf[c] for c in self._columns})
+        return DataFrame._from_internal(internal, cols)
+
+    def query(self, expr: str) -> "DataFrame":
+        """Filter rows with a SQL boolean expression over the frame's
+        columns (``df.query("a > 3 and seg == 'x'")``). The predicate goes
+        straight into the plan, so Catalyst pushes it into the scan."""
+        sdf = self._materialized().filter(F.expr(expr))
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def sample(self, frac: float, seed: int | None = None) -> "DataFrame":
+        """Bernoulli row sample — per-partition, no shuffle. For the
+        engine-reproducible variant use ``operators/sampling.py`` (md5-hash
+        buckets); ``sample`` matches pandas' RNG contract instead."""
+        sdf = self._materialized().sample(fraction=frac, seed=seed)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def nlargest(self, n: int, columns: str | list[str]) -> "DataFrame":
+        """Top-n by column(s): a lazy descending order spec + limit, so the
+        plan is TakeOrderedAndProject (per-partition heaps + driver merge),
+        never a global sort."""
+        by = [columns] if isinstance(columns, str) else list(columns)
+        sdf = self._materialized()
+        spec = tuple((c, False) for c in by) + ((INDEX_COL, True),)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
+        out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+        return out.head(n)
+
+    def nsmallest(self, n: int, columns: str | list[str]) -> "DataFrame":
+        by = [columns] if isinstance(columns, str) else list(columns)
+        sdf = self._materialized()
+        spec = tuple((c, True) for c in by) + ((INDEX_COL, True),)
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
+        out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+        return out.head(n)
+
+    def duplicated(self, subset: list[str] | None = None) -> Series:
+        """Boolean Series marking every occurrence after the first (pandas
+        keep='first', 'first' = lowest index). One window shuffle on the key
+        columns; the anchor is preserved so ``df[~df.duplicated()]`` is the
+        plain dedup idiom."""
+        from pyspark.sql import Window
+
+        keys = subset or list(self._columns)
+        w = Window.partitionBy(*[self._columns[k] for k in keys]).orderBy(
+            self._internal.index_col
+        )
+        return Series._from_internal(
+            self._internal, F.row_number().over(w) > 1, None
+        )
+
+    def corr(self):
+        """Pairwise Pearson correlation matrix of the numeric columns —
+        ONE aggregation pass computes all k·(k-1)/2 cells (Catalyst runs the
+        corr aggregates side by side in a single scan)."""
+        import pandas as pd
+
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        cols = [c for c in self._columns if schema[c] in numeric]
+        exprs = [
+            F.corr(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i < j
+        ]
+        row = self._internal.sdf.select(*exprs).first() if exprs else []
+        out = pd.DataFrame(1.0, index=cols, columns=cols)
+        k = 0
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                if i < j:
+                    out.loc[a, b] = out.loc[b, a] = row[k]
+                    k += 1
+        return out
+
+    def _reduce_all(self, how: str):
+        """Per-column reduction → pandas Series, one aggregation pass."""
+        import pandas as pd
+
+        from pontem_spark.core.groupby import _AGGS
+
+        exprs = [_AGGS[how](v).alias(k) for k, v in self._columns.items()]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series({c: row[c] for c in self._columns})
+
+    def sum(self):
+        return self._reduce_all("sum")
+
+    def mean(self):
+        return self._reduce_all("mean")
+
+    def min(self):
+        return self._reduce_all("min")
+
+    def max(self):
+        return self._reduce_all("max")
+
+    def count(self):
+        return self._reduce_all("count")
+
     def describe(self):
         """count/mean/std/min/quartiles/max for every numeric column —
         ONE aggregation pass total (pandas layout)."""

@@ -445,6 +445,32 @@ class Series:
     def dropna(self) -> "Series":
         return self._filter(F.col(_VALUE).isNotNull())
 
+    def replace(self, to_replace, value=None) -> "Series":
+        """pandas replace: dict form maps listed values, everything else
+        passes through unchanged (unlike ``map``, which nulls non-matches).
+        A chained CASE expression — stays in codegen, no UDF, no join."""
+        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        if not mapping:
+            return Series._from_internal(self._internal, self._col, self._name)
+        col = None
+        for old, new in mapping.items():
+            cond = self._col.isNull() if old is None else (self._col == F.lit(old))
+            branch = F.when(cond, F.lit(new))
+            col = branch if col is None else col.when(cond, F.lit(new))
+        return Series._from_internal(
+            self._internal, col.otherwise(self._col), self._name
+        )
+
+    def duplicated(self) -> "Series":
+        """Boolean mask of every occurrence after the first (first = lowest
+        index): one window shuffle on the value."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(self._col).orderBy(self._internal.index_col)
+        return Series._from_internal(
+            self._internal, F.row_number().over(w) > 1, self._name
+        )
+
     def isin(self, values: Iterable) -> "Series":
         return Series._from_internal(self._internal, self._col.isin(list(values)), self._name)
 

@@ -253,3 +253,80 @@ def test_nunique(pf, wf):
     got = pf.nunique()
     want = wf.nunique()
     assert {c: int(got[c]) for c in want.index} == want.to_dict()
+
+
+def test_set_index(pf, wf):
+    got = pf.set_index("seg").to_pandas().sort_index()
+    want = wf.set_index("seg").sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got["a"].tolist() == want["a"].tolist()
+
+
+def test_set_index_keep_column(pf, wf):
+    got = pf.set_index("seg", drop=False)
+    assert got.columns == list(wf.columns)
+
+
+def test_reset_index_after_set(pf, wf):
+    got = pf.set_index("seg").reset_index().to_pandas()
+    want = wf.set_index("seg").reset_index()
+    assert got.columns.tolist() == want.columns.tolist()
+    assert got.index.tolist() == want.index.tolist()  # renumbered 0..n-1
+    got_sorted = got.sort_values(["seg", "a"]).reset_index(drop=True)
+    want_sorted = want.sort_values(["seg", "a"]).reset_index(drop=True)
+    assert got_sorted["a"].tolist() == want_sorted["a"].tolist()
+
+
+def test_query(pf, wf):
+    got = pf.query("a > 2 and seg == 'x'").to_pandas()
+    want = wf.query("a > 2 and seg == 'x'")
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got.index.tolist() == want.index.tolist()
+
+
+def test_nlargest_nsmallest(pf, wf):
+    assert pf.nlargest(2, "b").to_pandas()["b"].tolist() == wf.nlargest(2, "b")["b"].tolist()
+    assert pf.nsmallest(2, "a").to_pandas()["a"].tolist() == wf.nsmallest(2, "a")["a"].tolist()
+
+
+def test_duplicated_frame(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "a", "b"], "v": [1, 2, 3, 4, 5]})
+    got = DataFrame(pdf, spark=spark).duplicated(subset=["k"]).to_pandas()
+    want = pdf.duplicated(subset=["k"])
+    assert got.sort_index().tolist() == want.tolist()
+
+
+def test_series_duplicated(spark):
+    s = pd.Series(["a", "b", "a", "a"])
+    got = DataFrame({"k": s}, spark=spark)["k"].duplicated().to_pandas()
+    assert got.sort_index().tolist() == s.duplicated().tolist()
+
+
+def test_series_replace(pf, wf):
+    got = pf["seg"].replace({"x": "X!"}).to_pandas().sort_index()
+    want = wf["seg"].replace({"x": "X!"})
+    assert got.tolist() == want.tolist()
+    got2 = pf["a"].replace(3, 99).to_pandas().sort_index()
+    assert got2.tolist() == wf["a"].replace(3, 99).tolist()
+
+
+def test_corr_matrix(pf, wf):
+    got = pf.corr()
+    want = wf[["a", "b"]].corr()
+    np.testing.assert_allclose(got.values, want.values, atol=1e-12)
+    assert got.columns.tolist() == want.columns.tolist()
+
+
+def test_per_column_reductions(pf, wf):
+    num = wf[["a", "b"]]
+    assert pf[["a", "b"]].sum().to_dict() == num.sum().to_dict()
+    assert pf[["a", "b"]].mean().to_dict() == num.mean().to_dict()
+    assert pf[["a", "b"]].min().to_dict() == num.min().to_dict()
+    assert pf[["a", "b"]].max().to_dict() == num.max().to_dict()
+    assert pf.count().to_dict() == wf.count().to_dict()
+
+
+def test_sample_fraction(pf):
+    n = len(pf.sample(0.5, seed=7).to_pandas())
+    assert 0 <= n <= 5
