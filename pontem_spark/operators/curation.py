@@ -201,3 +201,50 @@ def normalize_quantize(
             5,
         ).alias("recon_err"),
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Contiguous-fill packing: docs are ordered by id within a shard and
+    assigned to bin ``floor(tokens_before_me / budget)`` — each bin holds
+    consecutive docs until the running token count crosses the budget.
+    Deterministic (same bins on any engine/cluster/retry) and oracle-exact:
+    the running sum is ``SUM() OVER (PARTITION BY shard ORDER BY id)`` in
+    any SQL engine.
+
+    Scale shape: ONE window shuffle, partitioned by ``id % shards`` — the
+    shard count bounds every window partition to corpus/shards regardless of
+    skew, and packing within a shard is exactly what a sharded tokenizer
+    job wants (each output shard is independently consumable). A global
+    (unsharded) running sum would funnel 100 TB through one partition.
+
+    Docs longer than the budget get a bin of their own (the fill rule
+    naturally isolates them); downstream chunking (queries/text.py) splits
+    them further.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(T.tokens(text_col))
+    shard = F.col(id_col) % shards
+    with_tok = df.select(
+        F.col(id_col), shard.alias("shard"), n_tok.alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return with_tok.select(
+        id_col,
+        "shard",
+        "n_tok",
+        F.floor((cum - F.col("n_tok")) / budget).cast("bigint").alias("bin_id"),
+    )
