@@ -46,24 +46,47 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
 
-    runs = max(1, int(os.environ.get("PONTEM_BENCH_RUNS", "2")))
+    runs = max(1, int(os.environ.get("PONTEM_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
-    for name in sorted(queries):
-        q = queries[name]
-        best = None
+    spreads: dict[str, list[float]] = {}
+
+    def run_one(name: str, q) -> None:
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             # noop write executes the full plan INCLUDING every projected
-            # column; count() would prune projections nothing references
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        # best-of-N: excludes one-time JIT/codegen compile, which a long-run
-        # cluster amortizes; set PONTEM_BENCH_RUNS=1 for cold numbers
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            # column; count() would prune projections nothing references.
+            # A query that THROWS records -1 rather than killing the whole
+            # bench (r03 died with rc=1 on one AnalysisException and emitted
+            # no JSON at all).
+            try:
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name}: ERROR {type(e).__name__}: {e}"[:300], file=sys.stderr)
+                samples.append(float("inf"))
+                break
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        # median-of-N: robust to a one-off scheduling stall on a shared box
+        # (best-of-N hid regressions; r02-vs-rerun swings were 3-10x on
+        # sub-second queries). Warm runs, so JIT/codegen is amortized like a
+        # long-lived cluster session. PONTEM_BENCH_RUNS=1 for cold numbers.
+        med = samples[len(samples) // 2]
+        timings[name] = round(med, 3) if med != float("inf") else -1.0
+        lo, hi = samples[0], samples[-1]
+        spreads[name] = [round(lo, 3), round(hi, 3) if hi != float("inf") else -1.0]
+        print(f"# {name}: {timings[name]:.3f}s (min {lo:.3f} max {hi:.3f})", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # streaming queries hold executor threads for whole micro-batch cycles —
+    # bench them in their own sequential tail pass so their scheduling
+    # doesn't perturb the batch queries' numbers
+    batch_names = sorted(n for n in queries if "streaming" not in queries[n].tags)
+    stream_names = sorted(n for n in queries if "streaming" in queries[n].tags)
+    for name in batch_names + stream_names:
+        run_one(name, queries[name])
+
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full object with per-query timings; totals at the END of the object so
     # a tail-truncated capture loses query names, not the headline number
@@ -73,6 +96,9 @@ def main() -> None:
                 "metric": "pontem_spark_suite_seconds",
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "runs": runs,
+                "failed": failed,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "value": total,
@@ -88,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "n_failed": len(failed),
             }
         )
     )

@@ -92,9 +92,19 @@ class DataFrame:
         return sdf.orderBy(*self._internal.order_columns(INDEX_COL))
 
     def to_pandas(self):
+        import pandas as pd
+
         pdf = self._ordered(self._materialized()).toPandas()
+        name = self._internal.index_name
+        if isinstance(name, tuple):  # struct-backed MultiIndex
+            # Arrow materializes structs as dicts; classic rows as Row tuples
+            idx = pd.MultiIndex.from_tuples(
+                [tuple(r.values()) if isinstance(r, dict) else tuple(r) for r in pdf[INDEX_COL]],
+                names=list(name),
+            )
+            return pdf.drop(columns=[INDEX_COL]).set_index(idx)
         out = pdf.set_index(INDEX_COL)
-        out.index.name = self._internal.index_name
+        out.index.name = name
         return out
 
     def __repr__(self) -> str:
@@ -361,9 +371,26 @@ class DataFrame:
         row = self._internal.sdf.select(*exprs).first()
         return pd.Series({c: row[c] for c in self._columns})
 
-    def set_index(self, column: str, drop: bool = True) -> "DataFrame":
-        """Re-point the frame's index at an existing column — pure metadata
-        (the anchor already holds the values), zero jobs."""
+    def set_index(self, column: str | list[str], drop: bool = True) -> "DataFrame":
+        """Re-point the frame's index at existing column(s) — pure metadata
+        for a single key (the anchor already holds the values, zero jobs);
+        a LIST of keys builds a MultiIndex, represented as one struct column
+        (struct ordering is lexicographic by field, exactly MultiIndex sort
+        order, so every order-sensitive path works unchanged). The tuple
+        ``index_name`` marks the frame multi-indexed; to_pandas/reset_index
+        translate it back to pandas MultiIndex / key columns."""
+        if isinstance(column, list):
+            missing = [c for c in column if c not in self._columns]
+            if missing:
+                raise KeyError(missing)
+            if len(column) == 1:
+                return self.set_index(column[0], drop=drop)
+            sdf = self._materialized().withColumn(
+                "__midx__", F.struct(*[F.col(c) for c in column])
+            )
+            internal = InternalFrame(sdf, "__midx__", tuple(column))
+            keep = {c: sdf[c] for c in self._columns if drop is False or c not in column}
+            return DataFrame._from_internal(internal, keep)
         if column not in self._columns:
             raise KeyError(column)
         sdf = self._materialized()
@@ -372,7 +399,8 @@ class DataFrame:
         return DataFrame._from_internal(internal, keep)
 
     def reset_index(self, drop: bool = False) -> "DataFrame":
-        """Demote the index to a column and renumber rows 0..n-1.
+        """Demote the index (single or multi) to column(s) and renumber rows
+        0..n-1.
 
         The renumbering is a ``row_number`` over the frame's order — a
         GLOBAL total order, which Spark executes through a single partition.
@@ -389,8 +417,12 @@ class DataFrame:
         internal = InternalFrame(sdf, "__new_idx__", None)
         cols: dict[str, Column] = {}
         if not drop:
-            cols[str(name)] = sdf[INDEX_COL]
-        cols.update({c: sdf[c] for c in self._columns})
+            if isinstance(name, tuple):  # MultiIndex → one column per level
+                for level in name:
+                    cols[str(level)] = sdf[INDEX_COL][level]
+            else:
+                cols[str(name)] = sdf[INDEX_COL]
+        cols.update({c: cols.get(c, sdf[c]) for c in self._columns if c not in cols})
         return DataFrame._from_internal(internal, cols)
 
     def query(self, expr: str) -> "DataFrame":

@@ -360,22 +360,40 @@ class Series:
         order (SURVEY §7 'hard parts').
 
         Negative start/stop resolve against the length (one cached count).
-        Positive steps are supported (``s[::2]``); a negative step would
-        require a reversed Series, which an index-ordered representation
-        cannot express — it raises instead of returning wrong data.
+        Negative steps (``s[::-1]``, ``s[10:2:-2]``) select the same
+        positions as pandas and record a DESCENDING ``order_spec`` on the
+        result frame, so materialization (to_pandas/head/repr) shows the
+        reversed order without the engine ever storing a reversed table —
+        order is metadata here, exactly the property order_spec exists for.
         """
         from pyspark.sql import Window
 
         step = 1 if key.step is None else key.step
-        if step <= 0:
-            raise NotImplementedError(
-                "non-positive slice step: a reversed Series has no index-ordered representation"
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
+        w = Window.orderBy(INDEX_COL)
+        if step < 0:
+            start, stop, step = key.indices(len(self))
+            sdf = self._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
+            # positions start, start+step, ... (exclusive of stop)
+            cond = (
+                (F.col("__rn__") <= start)
+                & (F.col("__rn__") > stop)
+                & ((F.lit(start) - F.col("__rn__")) % F.lit(-step) == 0)
+            )
+            sdf = sdf.filter(cond).drop("__rn__")
+            return Series._from_internal(
+                InternalFrame(
+                    sdf, INDEX_COL, self._internal.index_name,
+                    order_spec=((INDEX_COL, False),),
+                ),
+                sdf[_VALUE],
+                self._name,
             )
         if (key.start or 0) < 0 or (key.stop is not None and key.stop < 0):
             start, stop, step = key.indices(len(self))
         else:
             start, stop = key.start or 0, key.stop
-        w = Window.orderBy(INDEX_COL)
         sdf = self._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
         cond = F.col("__rn__") >= start
         if stop is not None:

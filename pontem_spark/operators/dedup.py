@@ -21,11 +21,26 @@ function work that stays in WholeStageCodegen.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from pontem_spark.functions.compat import rnd
 from pontem_spark.functions import text as T
 from pontem_spark.operators.util import ensure_parallelism
+
+
+def _persist(df: DataFrame, storage_level: str | None) -> DataFrame:
+    """Persist an intermediate that multiple downstream branches re-read.
+
+    ``None`` → MEMORY_AND_DISK (right locally and for sampled runs). At
+    corpus scale pass ``"DISK_ONLY"``: a 100 TB shingle index must not
+    compete with shuffle/execution memory — spilling it up front is cheaper
+    than evicting it mid-join.
+    """
+    if storage_level is None:
+        return df.cache()
+    level = getattr(StorageLevel, storage_level) if isinstance(storage_level, str) else storage_level
+    return df.persist(level)
 
 
 def _tokens_distinct_shingles(df: DataFrame, id_col: str, text_col: str, ngram: int) -> DataFrame:
@@ -71,6 +86,7 @@ def jaccard_similar_pairs(
     threshold: float = 0.8,
     ngram: int = 3,
     round_digits: int = 4,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity pairs above ``threshold``.
 
@@ -87,10 +103,10 @@ def jaccard_similar_pairs(
     # join and no recompute of the shingle pipeline for the union size.
     from pyspark.sql import Window
 
-    sh = (
+    sh = _persist(
         _tokens_distinct_shingles(df, id_col, text_col, ngram)
-        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
-        .cache()  # referenced twice (both join sides); at corpus scale, persist to disk instead
+        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))),
+        storage_level,  # referenced twice (both join sides)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
@@ -137,6 +153,7 @@ def minhash_candidate_pairs(
     num_hashes: int = 8,
     rows_per_band: int = 4,
     ngram: int = 3,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """LSH banding: hash each band of ``rows_per_band`` signature slots to a
     bucket; docs sharing any (band_idx, bucket) are candidate near-dup pairs.
@@ -156,10 +173,10 @@ def minhash_candidate_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
         )
-    all_bands = (
+    all_bands = _persist(
         sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("__b"))
-        .select(id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.bucket").alias("bucket"))
-        .cache()  # tiny (n_docs x n_bands); joined against itself below
+        .select(id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.bucket").alias("bucket")),
+        storage_level,  # tiny (n_docs x n_bands); joined against itself below
     )
 
     x = all_bands.alias("x")
@@ -174,6 +191,126 @@ def minhash_candidate_pairs(
         .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    rows_per_band: int = 4,
+    ngram: int = 3,
+    round_digits: int = 4,
+    storage_level: str | None = None,
+) -> DataFrame:
+    """The at-scale composed dedup pipeline: MinHash-LSH candidates →
+    exact Jaccard verification ON THE CANDIDATES ONLY.
+
+    This retires the hot-shingle quadratic tier of
+    :func:`jaccard_similar_pairs`: the plan contains NO self-join on the
+    shingle key. Candidates come from the (band_idx, bucket) equi-join —
+    linear shuffle — and the verify step intersects shingle sets by joining
+    candidates to the inverted index on the DOC ID:
+
+        cand(id_a, id_b) ⋈ sh(id_a) on id_a  → one row per (pair, a-shingle)
+                          ⋈ sh(id_b) on (id_b, shingle) → common shingles
+
+    Work is |candidates| x avg_set_size — linear in candidate volume, which
+    LSH keeps proportional to true near-dups. Recall bound is the banding
+    probability 1-(1-J^rows_per_band)^n_bands (≈ 1 for J ≥ threshold with
+    the defaults); precision is exact because every emitted pair passed true
+    Jaccard. The shingle index is computed ONCE and persisted — signatures,
+    sizes, and both verify sides all read it.
+    """
+    from pyspark.sql import Window
+
+    sh = _persist(
+        _tokens_distinct_shingles(df, id_col, text_col, ngram)
+        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))),
+        storage_level,
+    )
+
+    # signatures from the SAME persisted index (one aggregation pass)
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols)).alias("bucket"))
+        )
+    bands = sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")).select(
+        id_col, F.col("__b.band_idx").alias("band_idx"), F.col("__b.bucket").alias("bucket")
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    jac = rnd(
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        round_digits,
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> DataFrame:
+    """Engine-portable SimHash: the token hash is the first 15 hex chars of
+    md5 read as a 60-bit integer, so ANY engine reproduces the fingerprint
+    bit-for-bit (DuckDB: ``('0x' || substr(md5(tok),1,15))::BIGINT``) —
+    the oracle-checkable twin of the xxhash64 :func:`simhash` production
+    path. 60 bits keeps the fingerprint strictly positive in a signed
+    BIGINT on every engine (no overflow-wrap divergence).
+
+    Same plan shape as :func:`simhash`: explode tokens, ONE groupBy(id)
+    aggregation computing all per-bit votes, fingerprint assembled from the
+    vote signs. All codegen, no UDF.
+    """
+    assert bits <= 62, "fingerprint must stay positive in a signed 64-bit int"
+    toks = (
+        ensure_parallelism(df)
+        .select(id_col, T.tokens(text_col).alias("__toks"))
+        .select(id_col, F.explode("__toks").alias("tok"))
+        .select(id_col, F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return agg.select(F.col(id_col), fp.alias(f"simhash{bits}"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -217,6 +354,7 @@ def simhash_band_candidates(
     bits: int = 64,
     n_bands: int = 9,
     carry_hash: bool = False,
+    storage_level: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by banding the SimHash fingerprint.
 
@@ -250,11 +388,11 @@ def simhash_band_candidates(
         )
         lo += w
     carry = [F.col(hash_col)] if carry_hash else []
-    bands = (
+    bands = _persist(
         fingerprints.select(F.col(id_col), *carry, F.explode(F.array(*structs)).alias("__b"))
-        .select(id_col, *carry, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val"))
-        .cache()  # tiny (n_docs x n_bands); both self-join sides read it —
-        # without it the upstream fingerprint aggregation runs twice
+        .select(id_col, *carry, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val")),
+        storage_level,  # tiny (n_docs x n_bands); both self-join sides read
+        # it — without it the upstream fingerprint aggregation runs twice
     )
     x, y = bands.alias("x"), bands.alias("y")
     joined = x.join(

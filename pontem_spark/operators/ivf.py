@@ -120,6 +120,141 @@ def assign_cells(
     )
 
 
+def _portable_round_py(x: float, round_digits: int) -> float:
+    """Python mirror of functions/compat.rnd's floor(x*s + 0.5)/s form."""
+    s = 10.0**round_digits
+    return math.floor(x * s + 0.5) / s
+
+
+def build_centroid_groups(
+    rows: "list[Row]", round_digits: int = 6
+) -> "list[tuple[int, list[float], float, list[Row]]]":
+    """Driver-side coarse-quantizer build: chunk K centroids into
+    ceil(sqrt(K)) contiguous groups ordered by (first component, id) —
+    deterministic and mirrorable in ANSI SQL (ROW_NUMBER over the same
+    order) — and give each group the componentwise mean of its members as
+    the group centroid (floor-rounded like every other centroid component).
+
+    Returns [(group_id, group_centroid, group_norm, member_rows)].
+    K x dim doubles of driver math — trivial even at K = 100k.
+    """
+    if not rows:
+        return []
+    ordered = sorted(rows, key=lambda r: (float(r["centroid"][0]), int(r["centroid_id"])))
+    k = len(ordered)
+    n_groups = math.ceil(math.sqrt(k))
+    gs = math.ceil(k / n_groups)
+    out = []
+    dim = len(ordered[0]["centroid"])
+    for g in range(n_groups):
+        members = ordered[g * gs : (g + 1) * gs]
+        if not members:
+            break
+        means = []
+        for i in range(dim):
+            acc = 0.0
+            for r in members:
+                acc = acc + float(r["centroid"][i])
+            means.append(_portable_round_py(acc / len(members), round_digits))
+        acc = 0.0
+        for x in means:
+            acc = acc + x * x
+        out.append((g, means, math.sqrt(acc), members))
+    return out
+
+
+def _vec_sql_literal(vec: "list[float]") -> str:
+    return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
+
+
+def hierarchical_assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame | "list[Row]",
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_probe: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage map-side cell assignment for LARGE K — the production IVF
+    shape :func:`assign_cells` documents: a coarse ceil(sqrt(K))-way
+    quantizer picks a centroid GROUP, then the argmin runs only within that
+    group. Per-row compute drops from O(K·dim) to O(sqrt(K)·dim); still
+    scan → project → generate with ZERO Exchange before the probe equi-join.
+
+    Unlike the flat form (which expands one SQL term per centroid component
+    and caps out near K≈512), both stages here fold with higher-order
+    functions over the centroid set embedded as an array LITERAL — the
+    expression tree is O(dim), the centroids are data, so K is bounded by
+    broadcast size (K x dim doubles), not plan size. Same arithmetic
+    contract as assign_cells: 0.0-seeded left-chained dot fold, floor-form
+    rounding, (-sim, id) tie-break, zero-norm rows excluded via +Infinity.
+    """
+    rows = centroids.collect() if isinstance(centroids, DataFrame) else list(centroids)
+    if not rows:
+        return (
+            corpus
+            .select(F.col(id_col), F.col(vec_col), F.lit(None).cast("int").alias("centroid_id"))
+            .filter(F.lit(False))
+        )
+    groups = build_centroid_groups(rows, round_digits)
+    scale = float(10**round_digits)
+
+    # group-stage literal: array<struct<gid, gvec, gnorm>>
+    g_items = ", ".join(
+        f"struct({gid} AS gid, {_vec_sql_literal(gvec)} AS gvec, CAST({gnorm!r} AS DOUBLE) AS gnorm)"
+        for gid, gvec, gnorm, _ in groups
+    )
+    # member-stage literal: array over group_id of array<struct<cid, cvec, cnorm>>
+    def member_items(members: "list[Row]") -> str:
+        parts = []
+        for r in members:
+            cvec = [float(x) for x in r["centroid"]]
+            acc = 0.0
+            for x in cvec:
+                acc = acc + x * x
+            parts.append(
+                f"struct({int(r['centroid_id'])} AS cid, {_vec_sql_literal(cvec)} AS cvec, "
+                f"CAST({math.sqrt(acc)!r} AS DOUBLE) AS cnorm)"
+            )
+        return "array(" + ", ".join(parts) + ")"
+
+    members_lit = "array(" + ", ".join(member_items(m) for _, _, _, m in groups) + ")"
+
+    # 0.0-seeded left-chained dot fold — same result as the expanded
+    # t1 + t2 + ... chain (IEEE: 0.0 + t1 == t1)
+    dot = (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {{c}}, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    def neg_sim(cvec_ref: str, norm_ref: str) -> str:
+        denom = f"(__vnorm * {norm_ref})"
+        sim = f"floor((({dot.format(c=cvec_ref)}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
+        return f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
+
+    gid_expr = (
+        "element_at(transform(slice(array_sort(transform("
+        f"array({g_items}), g -> struct({neg_sim('g.gvec', 'g.gnorm')} AS ns, g.gid AS gid)"
+        ")), 1, 1), s -> s.gid), 1)"
+    )
+    cells_expr = (
+        "transform(slice(array_sort(transform("
+        f"element_at({members_lit}, __gid + 1), "
+        f"c -> struct({neg_sim('c.cvec', 'c.cnorm')} AS ns, c.cid AS cid)"
+        f")), 1, {n_probe}), s -> s.cid)"
+    )
+    return (
+        corpus
+        .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
+        .withColumn("__gid", F.expr(gid_expr))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(F.expr(cells_expr)).alias("centroid_id"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -168,6 +303,63 @@ def ivf_topk(
     # No dedup needed: corpus vectors live in exactly ONE cell (n_probe=1
     # on the corpus side), so a (query, neighbor) pair joins on at most one
     # shared centroid even when the query probes several cells.
+    return (
+        c.join(F.broadcast(q) if broadcast_queries else q, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_hier(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_key_col: str = "cell_key",
+    k: int = 5,
+    dim: int = 64,
+    n_probe: int = 3,
+    round_digits: int = 6,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF top-k with the LARGE-K build: ``cell_key_col`` (any integer
+    column — e.g. a fine-grained composite label, or a k-means cell id from
+    a previous iteration) defines the K cells, the coarse sqrt(K) quantizer
+    from :func:`build_centroid_groups` routes each vector to its group
+    map-side, and the within-group argmin picks the cell. Queries probe
+    their ``n_probe`` nearest cells OF THEIR NEAREST GROUP (the recall
+    trade of hierarchical IVF: a query near a group boundary may miss a
+    neighbor routed to the adjacent group — production raises n_probe
+    groups before n_probe cells; the oracle mirrors this exact rule).
+    Probe is the same broadcast equi-join as :func:`ivf_topk`.
+    """
+    cents = label_centroids(corpus, id_col, vec_col, cell_key_col, dim, round_digits).collect()
+    corpus_cells = hierarchical_assign_cells(
+        corpus, cents, id_col, vec_col, dim, n_probe=1, round_digits=round_digits
+    )
+    query_cells = hierarchical_assign_cells(
+        queries, cents, id_col, vec_col, dim, n_probe=n_probe, round_digits=round_digits
+    )
+
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        V.norm_fixed(vec_col, dim).alias("__cnorm"),
+        "centroid_id",
+    )
+    q = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        V.norm_fixed(vec_col, dim).alias("__qnorm"),
+        "centroid_id",
+    )
+    sim = rnd(
+        V.cosine_with_norms("__qvec", "__cvec", F.col("__qnorm"), F.col("__cnorm"), dim),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         c.join(F.broadcast(q) if broadcast_queries else q, "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))

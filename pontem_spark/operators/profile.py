@@ -17,20 +17,30 @@ from pyspark.sql import DataFrame, functions as F
 from pontem_spark.functions.compat import rnd
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
     """Per-column (n_rows, n_nulls, n_distinct) in ONE aggregation pass.
 
     All metrics for all columns are computed in a single agg (partial
     aggregation absorbs everything map-side); the per-column rows are then
     produced by an unpivot (``stack``) over the 1-row result — a constant-
-    size operation regardless of input scale. Exact distinct counts shuffle
-    per-column hashes; swap ``approx_count_distinct`` in when ±2% is fine
-    and the cardinality is huge.
+    size operation regardless of input scale.
+
+    ``approx=True`` is the at-scale toggle: ``approx_count_distinct``
+    (HyperLogLog++, default relative error ``rsd`` = 2%) replaces the exact
+    distinct. The exact form shuffles one hash per (column, distinct value)
+    — fine up to ~10^9 distincts; at 100 TB cardinalities the HLL sketch is
+    a few KB per column and the whole profile becomes one map-side pass
+    plus a constant-size merge.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
     one = df.agg(*aggs)
     stack_args = ", ".join(f"'{c}', __nn_{c}, __nd_{c}" for c in cols)
     return one.select(

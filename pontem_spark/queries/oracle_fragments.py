@@ -35,8 +35,9 @@ def lsh_sig_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
     return " || ".join(bits)
 
 
-def minhash_oracle(num_hashes: int = 8, rows_per_band: int = 4) -> str:
-    """MinHash signatures + LSH banding candidate pairs, md5 end-to-end —
+def minhash_cand_ctes(num_hashes: int = 8, rows_per_band: int = 4) -> str:
+    """CTE chain ``sig``, ``bands``, ``cand`` (distinct candidate id pairs)
+    building on the ``sh`` CTE from :data:`SHINGLES_CTE` — md5 end-to-end,
     byte-identical to operators/dedup.py::minhash_candidate_pairs."""
     n_bands = num_hashes // rows_per_band
     mins = ",\n               ".join(
@@ -50,15 +51,24 @@ def minhash_oracle(num_hashes: int = 8, rows_per_band: int = 4) -> str:
         )
     bands_sql = "\n        UNION ALL\n        ".join(band_selects)
     return f"""
-    WITH {SHINGLES_CTE},
     sig AS (
         SELECT doc_id,
                {mins}
         FROM sh GROUP BY doc_id
     ), bands AS (
         {bands_sql}
-    )
-    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-    FROM bands x JOIN bands y
-      ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x JOIN bands y
+          ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )"""
+
+
+def minhash_oracle(num_hashes: int = 8, rows_per_band: int = 4) -> str:
+    """MinHash signatures + LSH banding candidate pairs, md5 end-to-end —
+    byte-identical to operators/dedup.py::minhash_candidate_pairs."""
+    return f"""
+    WITH {SHINGLES_CTE},
+    {minhash_cand_ctes(num_hashes, rows_per_band)}
+    SELECT id_a, id_b FROM cand
     """

@@ -28,24 +28,42 @@ TABLES = [
 ALWAYS_BROADCAST = {"region", "nation"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Lazy — no job runs until an action.
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize every timestamp-ish column to plain TIMESTAMP (LTZ).
 
-    events.ts is stored as TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as raw nanos, which we
-    truncate to microsecond timestamps (integer ``div`` — a double division
-    would lose precision on ~1.7e18 nano values). DuckDB oracles mirror this
-    with ``date_trunc('microseconds', ts)``.
+    The test parquet has shipped two encodings of ``events.ts`` across
+    driver generations:
+
+    - TIMESTAMP(NANOS): under ``spark.sql.legacy.parquet.nanosAsLong`` it
+      arrives as raw nanos (long), which we truncate to microsecond
+      timestamps (integer ``div`` — a double division would lose precision
+      on ~1.7e18 nano values);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads it as
+      TIMESTAMP_NTZ, which half the chrono builtins (unix_micros,
+      unix_timestamp, window watermarks declared on LTZ) reject. The
+      session timezone is pinned to UTC (session.py), so casting NTZ →
+      TIMESTAMP is value-preserving and matches DuckDB's naive reading.
+
+    Normalizing at the scan keeps every downstream operator agnostic to
+    which writer produced the files — the property a 100 TB lake needs,
+    where files from different pipeline eras coexist in one table.
     """
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.typeName() == "long":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif fld.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Lazy — no job runs until an action (the schema
+    normalization reads only the parquet footer at plan time)."""
     if name == "events":
         # Runtime-settable; required even when the caller (e.g. the driver)
         # built its own session without pontem_spark.session.get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.typeName() == "long":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

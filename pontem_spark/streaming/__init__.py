@@ -7,7 +7,6 @@ is checked differentially against the batch result on the same files.
 """
 
 from pontem_spark.streaming.events import (
-    EVENTS_SCHEMA,
     read_event_stream,
     hourly_rollup,
     session_windows,
@@ -15,7 +14,6 @@ from pontem_spark.streaming.events import (
 )
 
 __all__ = [
-    "EVENTS_SCHEMA",
     "read_event_stream",
     "hourly_rollup",
     "session_windows",

@@ -15,25 +15,29 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# events.parquet stores ts as TIMESTAMP(NANOS); streaming reads it as long
-# (nanosAsLong) and converts exactly like the batch loader.
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_event_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    """File-source stream over the events table.
+
+    Streaming sources need an EXPLICIT schema; rather than hard-coding one
+    (the test parquet's ts encoding has changed across driver generations —
+    nanos-as-long vs TIMESTAMP_NTZ micros), take it from the batch reader's
+    footer inference, then apply the same timestamp normalization as the
+    batch loader so batch and streaming agree column-for-column. The footer
+    read is plan-time only (no job).
+    """
+    from pontem_spark.sources.tables import normalize_timestamps
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(path).schema
     # file-stream sources take a DIRECTORY; select just the events table via
     # a glob filter (in production this is the events/ landing directory)
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(batch_schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(sf_dir)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_timestamps(reader.parquet(sf_dir))
 
 
 def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

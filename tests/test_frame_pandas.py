@@ -330,3 +330,40 @@ def test_per_column_reductions(pf, wf):
 def test_sample_fraction(pf):
     n = len(pf.sample(0.5, seed=7).to_pandas())
     assert 0 <= n <= 5
+
+
+def test_set_index_multi_roundtrip(spark):
+    """Two-key set_index → MultiIndex in to_pandas; reset_index restores the
+    key columns — differential against pandas."""
+    import pandas as pd
+
+    from pontem_spark.core.frame import DataFrame as PFrame
+
+    pdf = pd.DataFrame(
+        {
+            "seg": ["a", "a", "b", "b", "c"],
+            "reg": [1, 2, 1, 2, 1],
+            "val": [10.0, 20.0, 30.0, 40.0, 50.0],
+        }
+    )
+    pf = PFrame(pdf, spark=spark)
+
+    got = pf.set_index(["seg", "reg"]).to_pandas().sort_index()
+    want = pdf.set_index(["seg", "reg"]).sort_index()
+    pd.testing.assert_frame_equal(got, want)
+
+    # drop=False keeps the key columns in the body too
+    got2 = pf.set_index(["seg", "reg"], drop=False).to_pandas().sort_index()
+    want2 = pdf.set_index(["seg", "reg"], drop=False).sort_index()
+    pd.testing.assert_frame_equal(got2[want2.columns], want2)
+
+    # roundtrip: reset_index demotes both levels back to columns
+    rt = pf.set_index(["seg", "reg"]).reset_index().to_pandas()
+    want_rt = pdf.set_index(["seg", "reg"]).sort_index().reset_index()
+    pd.testing.assert_frame_equal(
+        rt[["seg", "reg", "val"]].reset_index(drop=True), want_rt
+    )
+
+    # single-element list behaves like the scalar form
+    got3 = pf.set_index(["seg"]).to_pandas().sort_index()
+    pd.testing.assert_frame_equal(got3, pdf.set_index("seg").sort_index())

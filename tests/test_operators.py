@@ -287,3 +287,151 @@ def test_tfidf_hand_example(spark):
     import math
     row = got[got.doc_id == 1].iloc[0]
     assert abs(row["tfidf"] - round(2 * math.log(2 / 1), 4)) < 1e-9
+
+
+def test_minhash_jaccard_composed_no_shingle_selfjoin(spark, sf_dir):
+    """The composed pipeline must (a) agree with raw Jaccard on every pair it
+    emits, (b) join only on doc ids / (id, shingle) — never shingle alone —
+    so hot shingles cannot create a quadratic bucket."""
+    from pontem_spark.operators import dedup as D
+    from pontem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    composed = D.minhash_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
+    raw = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8)
+    c = {(r.id_a, r.id_b): r.jaccard for r in composed.collect()}
+    r = {(x.id_a, x.id_b): x.jaccard for x in raw.collect()}
+    # precision is exact: every composed pair is a true pair with the same score
+    for pair, score in c.items():
+        assert pair in r and r[pair] == score
+    # recall on this corpus (planted J>=0.9 near-dups, 2x4 banding): complete
+    assert set(c) == set(r)
+
+
+def test_simhash_md5_matches_bit_definition(spark):
+    """Hand-check one tiny doc: fingerprint bit i = majority vote of bit i
+    over md5-derived 60-bit token hashes."""
+    from pontem_spark.operators.dedup import simhash_md5
+
+    rows = [(1, "alpha beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = simhash_md5(df, "doc_id", "text", bits=60).collect()[0].simhash60
+
+    import hashlib
+
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    toks = ["alpha", "beta", "alpha"]
+    fp = 0
+    for i in range(60):
+        vote = sum(1 if (h(t) >> i) & 1 else -1 for t in toks)
+        if vote > 0:
+            fp |= 1 << i
+    assert got == fp
+
+
+def test_dedup_persist_storage_level(spark):
+    """storage_level='DISK_ONLY' must reach the persisted intermediate;
+    default stays MEMORY_AND_DISK (cache())."""
+    from pyspark import StorageLevel
+
+    from pontem_spark.operators.dedup import _persist
+
+    df = spark.range(10)
+    try:
+        assert _persist(df, "DISK_ONLY").storageLevel == StorageLevel.DISK_ONLY
+    finally:
+        df.unpersist()
+    df2 = spark.range(11)
+    try:
+        assert _persist(df2, None).storageLevel.useMemory
+    finally:
+        df2.unpersist()
+
+
+def test_hier_ivf_assignment_no_exchange(spark, sf_dir):
+    """Hierarchical cell assignment must stay map-side: scan → project →
+    generate, ZERO Exchange before the probe equi-join."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.ivf import hierarchical_assign_cells, label_centroids
+    from pontem_spark.plans import count_exchanges
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell_key", F.col("label") * 16 + F.col("vec_id") % 16
+    )
+    cents = label_centroids(emb, "vec_id", "embedding", "cell_key", 64).collect()
+    assigned = hierarchical_assign_cells(emb, cents, "vec_id", "embedding", 64, n_probe=1)
+    assert count_exchanges(assigned) == 0
+
+
+def test_hier_ivf_large_k_matches_numpy(spark):
+    """K=1024 synthetic centroids (the scale the flat expression form cannot
+    express): hierarchical assignment must equal the brute-force numpy
+    argmax-cosine *restricted to the chosen group* — the exact hierarchy
+    contract — and the expression must build/evaluate without issue."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from pontem_spark.operators.ivf import (
+        build_centroid_groups,
+        hierarchical_assign_cells,
+    )
+
+    rng = np.random.RandomState(7)
+    K, dim, n_vec = 1024, 16, 40
+    cents_np = rng.randn(K, dim).round(6)
+    rows = [
+        Row(centroid_id=i, centroid=[float(x) for x in cents_np[i]]) for i in range(K)
+    ]
+    vecs = rng.randn(n_vec, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n_vec)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in hierarchical_assign_cells(
+            df, rows, "vec_id", "embedding", dim, n_probe=1
+        ).collect()
+    }
+    assert len(got) == n_vec
+
+    groups = build_centroid_groups(rows, 6)
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return math.floor((float(np.dot(a, b)) / (na * nb)) * 1e6 + 0.5) / 1e6
+
+    for i in range(n_vec):
+        v = vecs[i]
+        # stage 1: nearest group centroid (max sim, tie → lower gid)
+        best_g = min(
+            ((-cos(v, np.array(gc)), gid) for gid, gc, _, _ in groups)
+        )[1]
+        members = next(m for gid, _, _, m in groups if gid == best_g)
+        best_c = min(
+            ((-cos(v, np.array(r.centroid)), r.centroid_id) for r in members)
+        )[1]
+        assert got[i] == best_c, f"vec {i}: {got[i]} != {best_c}"
+
+
+def test_profile_approx_within_bounds(spark, sf_dir):
+    """approx=True (HLL, rsd=2%) must land within ±10% of the exact twin on
+    every profiled column — mirroring the approx-aggregates bounds test."""
+    from pontem_spark.operators.profile import profile_columns
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"]
+    exact = {r.column_name: r for r in profile_columns(orders, cols).collect()}
+    approx = {r.column_name: r for r in profile_columns(orders, cols, approx=True).collect()}
+    for c in cols:
+        assert approx[c].n_rows == exact[c].n_rows
+        assert approx[c].n_nulls == exact[c].n_nulls
+        e, a = exact[c].n_distinct, approx[c].n_distinct
+        assert abs(a - e) <= max(0.10 * e, 2), f"{c}: approx {a} vs exact {e}"

@@ -451,8 +451,18 @@ def test_positional_slice_step_and_negative(spark):
         slice(-100, None),
     ):
         assert_series_equal(s[sl], w[sl])
-    with pytest.raises(NotImplementedError):
-        s[::-1]
+    # negative steps: same positions AND reversed materialization order
+    for sl in (
+        slice(None, None, -1),
+        slice(10, 2, -2),
+        slice(5, None, -2),
+        slice(None, 4, -3),
+        slice(-2, -10, -1),
+        slice(-1, None, -4),
+    ):
+        assert_series_equal(s[sl], w[sl])
+    with pytest.raises(ValueError):
+        s[::0]
 
 
 def test_iloc_negative_and_list(spark):
