@@ -74,7 +74,12 @@ def main() -> None:
         med = samples[len(samples) // 2]
         timings[name] = round(med, 3) if med != float("inf") else -1.0
         lo, hi = samples[0], samples[-1]
-        spreads[name] = [round(lo, 3), round(hi, 3) if hi != float("inf") else -1.0]
+        # a query that fails on its FIRST run leaves samples=[inf] — guard
+        # BOTH ends or json.dumps emits bare Infinity (invalid JSON)
+        spreads[name] = [
+            round(lo, 3) if lo != float("inf") else -1.0,
+            round(hi, 3) if hi != float("inf") else -1.0,
+        ]
         print(f"# {name}: {timings[name]:.3f}s (min {lo:.3f} max {hi:.3f})", file=sys.stderr)
 
     # streaming queries hold executor threads for whole micro-batch cycles —

@@ -97,11 +97,15 @@ class DataFrame:
         pdf = self._ordered(self._materialized()).toPandas()
         name = self._internal.index_name
         if isinstance(name, tuple):  # struct-backed MultiIndex
-            # Arrow materializes structs as dicts; classic rows as Row tuples
-            idx = pd.MultiIndex.from_tuples(
-                [tuple(r.values()) if isinstance(r, dict) else tuple(r) for r in pdf[INDEX_COL]],
-                names=list(name),
-            )
+            if len(pdf) == 0:
+                # from_tuples([]) cannot infer the level count
+                idx = pd.MultiIndex.from_arrays([[] for _ in name], names=list(name))
+            else:
+                # Arrow materializes structs as dicts; classic rows as Row tuples
+                idx = pd.MultiIndex.from_tuples(
+                    [tuple(r.values()) if isinstance(r, dict) else tuple(r) for r in pdf[INDEX_COL]],
+                    names=list(name),
+                )
             return pdf.drop(columns=[INDEX_COL]).set_index(idx)
         out = pdf.set_index(INDEX_COL)
         out.index.name = name
@@ -402,18 +406,40 @@ class DataFrame:
         """Demote the index (single or multi) to column(s) and renumber rows
         0..n-1.
 
-        The renumbering is a ``row_number`` over the frame's order — a
-        GLOBAL total order, which Spark executes through a single partition.
-        Fine at driver-result scale (where pandas semantics matter); on a
-        full-size distributed frame prefer ``set_index`` on a natural key —
-        never silently enumerate 100 TB (SURVEY §1.4)."""
+        Renumbering is DISTRIBUTED — the zipWithIndex trick in DataFrame
+        space: range-partition by the frame's order (globally ordered
+        partitions), count rows per partition (one small job; driver sees
+        one long per partition, never rows), then number every partition in
+        parallel as cumulative-offset + within-partition ``row_number``.
+        No single-partition Exchange, unlike a global-window row_number.
+        Spark's range sampler is seeded per input-partition index, so the
+        counting job and the numbering job see identical boundaries for a
+        deterministic input — the same property zipWithIndex relies on."""
         from pyspark.sql import Window
 
         name = self._internal.index_name or "index"
-        sdf = self._materialized().withColumn(
-            "__new_idx__",
-            F.row_number().over(Window.orderBy(*self._internal.order_columns(INDEX_COL))) - 1,
+        order_cols = self._internal.order_columns(INDEX_COL)
+        base = self._materialized()
+        n_parts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        ranged = base.repartitionByRange(n_parts, *order_cols).withColumn(
+            "__pid__", F.spark_partition_id()
         )
+        counts = {
+            r["__pid__"]: r["cnt"]
+            for r in ranged.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets: list[int] = []
+        acc = 0
+        for pid in range((max(counts) + 1) if counts else 0):
+            offsets.append(acc)
+            acc += counts.get(pid, 0)
+        off_expr = F.element_at(
+            F.array(*[F.lit(o) for o in offsets]), F.col("__pid__") + 1
+        ) if offsets else F.lit(0)
+        w = Window.partitionBy("__pid__").orderBy(*order_cols)
+        sdf = ranged.withColumn(
+            "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
+        ).drop("__pid__")
         internal = InternalFrame(sdf, "__new_idx__", None)
         cols: dict[str, Column] = {}
         if not drop:
@@ -422,7 +448,11 @@ class DataFrame:
                     cols[str(level)] = sdf[INDEX_COL][level]
             else:
                 cols[str(name)] = sdf[INDEX_COL]
-        cols.update({c: cols.get(c, sdf[c]) for c in self._columns if c not in cols})
+        collisions = sorted(set(cols) & set(self._columns))
+        if collisions:
+            # pandas raises rather than silently dropping the body column
+            raise ValueError(f"cannot insert {collisions[0]}, already exists")
+        cols.update({c: sdf[c] for c in self._columns})
         return DataFrame._from_internal(internal, cols)
 
     def query(self, expr: str) -> "DataFrame":

@@ -365,13 +365,19 @@ class Series:
         result frame, so materialization (to_pandas/head/repr) shows the
         reversed order without the engine ever storing a reversed table —
         order is metadata here, exactly the property order_spec exists for.
+
+        Positions are always computed over the frame's VISIBLE order
+        (``order_spec``), so chained positional ops compose: ``s[::-1][:3]``
+        numbers rows descending and returns the last three, and
+        ``s[::-1][::-1]`` restores ascending order.
         """
         from pyspark.sql import Window
 
         step = 1 if key.step is None else key.step
         if step == 0:
             raise ValueError("slice step cannot be zero")
-        w = Window.orderBy(INDEX_COL)
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+        cur_spec = self._internal.order_spec
         if step < 0:
             start, stop, step = key.indices(len(self))
             sdf = self._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
@@ -382,10 +388,15 @@ class Series:
                 & ((F.lit(start) - F.col("__rn__")) % F.lit(-step) == 0)
             )
             sdf = sdf.filter(cond).drop("__rn__")
+            flipped = tuple((c, not asc) for c, asc in (cur_spec or ((INDEX_COL, True),)))
+            # double reverse lands back on plain index order — drop the spec
+            # so downstream ops take the no-metadata fast paths
+            if flipped == ((INDEX_COL, True),):
+                flipped = None
             return Series._from_internal(
                 InternalFrame(
                     sdf, INDEX_COL, self._internal.index_name,
-                    order_spec=((INDEX_COL, False),),
+                    order_spec=flipped,
                 ),
                 sdf[_VALUE],
                 self._name,
@@ -402,15 +413,19 @@ class Series:
             cond = cond & ((F.col("__rn__") - F.lit(start)) % F.lit(step) == 0)
         sdf = sdf.filter(cond).drop("__rn__")
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name, order_spec=cur_spec),
+            sdf[_VALUE],
+            self._name,
         )
 
     def _positional_take(self, positions: list) -> "Series":
         """iloc with an integer list: keep the rows at those positions.
-        Negative positions resolve against the length. NOTE: rows come back
-        in INDEX order, not key order — an index-ordered engine cannot
-        express pandas' take-order without materializing; duplicates in the
-        key list are likewise collapsed."""
+        Positions count over the frame's VISIBLE order (``order_spec``), so
+        ``s[::-1].iloc[[0]]`` is the last row, matching pandas. Negative
+        positions resolve against the length. NOTE: rows come back in the
+        frame's visible order, not key order — an index-ordered engine
+        cannot express pandas' take-order without materializing; duplicates
+        in the key list are likewise collapsed."""
         from pyspark.sql import Window
 
         keys = [int(k) for k in positions]
@@ -419,7 +434,7 @@ class Series:
             keys = [k + n if k < 0 else k for k in keys]
             if any(k < 0 for k in keys):
                 raise IndexError(f"position out of bounds for length {n}")
-        w = Window.orderBy(INDEX_COL)
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
         sdf = (
             self._materialized()
             .withColumn("__rn__", F.row_number().over(w) - 1)
@@ -427,7 +442,12 @@ class Series:
             .drop("__rn__")
         )
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name,
+                order_spec=self._internal.order_spec,
+            ),
+            sdf[_VALUE],
+            self._name,
         )
 
     @property

@@ -63,6 +63,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable; required even when the caller (e.g. the driver)
         # built its own session without pontem_spark.session.get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TIMESTAMP cast in normalize_timestamps is value-preserving
+        # only under a UTC session timezone; pin it here too, not just in
+        # session.py, so an externally-built non-UTC session cannot shift
+        # epoch-derived values vs the DuckDB oracle.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 

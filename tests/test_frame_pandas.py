@@ -367,3 +367,38 @@ def test_set_index_multi_roundtrip(spark):
     # single-element list behaves like the scalar form
     got3 = pf.set_index(["seg"]).to_pandas().sort_index()
     pd.testing.assert_frame_equal(got3, pdf.set_index("seg").sort_index())
+
+
+def test_to_pandas_empty_multiindex(spark):
+    """Empty frame with a MultiIndex materializes (ADVICE r04: from_tuples([])
+    cannot infer level count)."""
+    pf = DataFrame(RAW, spark=spark)
+    out = pf[pf["a"] > 100].set_index(["seg", "reg"] if "reg" in RAW else ["seg", "a"]).to_pandas()
+    assert len(out) == 0
+    assert list(out.index.names) == ["seg", "a"]
+
+
+def test_reset_index_collision_raises(spark):
+    """Demoting an index level onto an existing body column raises like
+    pandas instead of silently dropping the body column (ADVICE r04)."""
+    pf = DataFrame(RAW, spark=spark).set_index("seg", drop=False)
+    with pytest.raises(ValueError, match="already exists"):
+        pf.reset_index()
+
+
+def test_reset_index_distributed_plan(spark):
+    """reset_index renumbering must not funnel through a single-partition
+    Exchange: the plan shows range partitioning + a partitioned window, not
+    Exchange SinglePartition (VERDICT r04 #3)."""
+    pf = DataFrame(RAW, spark=spark).set_index("seg")
+    out = pf.reset_index()
+    plan = out._materialized()._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    got = out.to_pandas()
+    want = pd.DataFrame(RAW).set_index("seg").reset_index()
+    got_sorted = got.sort_values(["seg", "a"]).reset_index(drop=True)
+    want_sorted = want.sort_values(["seg", "a"]).reset_index(drop=True)
+    assert got_sorted[["seg", "a", "b"]].equals(want_sorted[["seg", "a", "b"]])
+    # renumbering is exactly 0..n-1
+    assert sorted(got.index.tolist()) == list(range(len(want)))

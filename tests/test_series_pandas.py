@@ -572,3 +572,21 @@ def test_astype_decimal_and_nested(spark):
     assert d.to_pandas().tolist() == [pytest.approx(1.5), pytest.approx(2.25), pytest.approx(3.0)]
     arr = Series([[1, 2], [3]], spark=spark).astype("array<double>")
     assert [list(v) for v in arr.to_pandas()] == [[1.0, 2.0], [3.0]]
+
+
+def test_chained_positional_after_reverse(spark):
+    """Positional ops compose over the VISIBLE order (ADVICE r04): s[::-1][:3]
+    is the last three rows reversed, iloc counts over the reversed order, and
+    a double reverse restores plain ascending index order."""
+    data = [5, 1, 4, 2, 3, 9, 7]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    assert_series_equal(s[::-1][:3], w[::-1][:3])
+    assert_series_equal(s[::-1][1:5:2], w[::-1][1:5:2])
+    assert_series_equal(s[::-1][::-1], w[::-1][::-1])
+    assert s[::-1][::-1]._internal.order_spec is None  # spec collapses
+    # iloc over reversed order: position 0 is the LAST original row
+    got = s[::-1]._positional_take([0, 2])
+    want = w[::-1].iloc[[0, 2]].sort_index()
+    assert list(got.to_pandas().sort_index().values) == list(want.values)
+    assert_series_equal(s[2:6][::-1], w[2:6][::-1])
