@@ -175,6 +175,7 @@ def hierarchical_assign_cells(
     dim: int,
     n_probe: int = 1,
     round_digits: int = 6,
+    n_probe_groups: int = 1,
 ) -> DataFrame:
     """Two-stage map-side cell assignment for LARGE K — the production IVF
     shape :func:`assign_cells` documents: a coarse ceil(sqrt(K))-way
@@ -189,6 +190,13 @@ def hierarchical_assign_cells(
     broadcast size (K x dim doubles), not plan size. Same arithmetic
     contract as assign_cells: 0.0-seeded left-chained dot fold, floor-form
     rounding, (-sim, id) tie-break, zero-norm rows excluded via +Infinity.
+
+    ``n_probe_groups`` > 1 is the boundary-recall mitigation: the row's
+    ``n_probe_groups`` nearest GROUPS are selected, their member cells are
+    concatenated, and the ``n_probe`` nearest cells of that UNION are
+    probed — so a query sitting on a group boundary also sees the adjacent
+    group's cells. Per-row cost grows to O(sqrt(K)·dim·g); still zero
+    Exchange, still one deterministic expression the oracle can mirror.
     """
     rows = centroids.collect() if isinstance(centroids, DataFrame) else list(centroids)
     if not rows:
@@ -232,27 +240,127 @@ def hierarchical_assign_cells(
         sim = f"floor((({dot.format(c=cvec_ref)}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
         return f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
 
-    gid_expr = (
-        "element_at(transform(slice(array_sort(transform("
+    gids_expr = (
+        "transform(slice(array_sort(transform("
         f"array({g_items}), g -> struct({neg_sim('g.gvec', 'g.gnorm')} AS ns, g.gid AS gid)"
-        ")), 1, 1), s -> s.gid), 1)"
+        f")), 1, {n_probe_groups}), s -> s.gid)"
     )
+    # candidate cells = union of the selected groups' members; the argmin
+    # ranks the union, so cross-group ties break on (ns, cid) exactly like
+    # the single-group form
     cells_expr = (
         "transform(slice(array_sort(transform("
-        f"element_at({members_lit}, __gid + 1), "
+        f"flatten(transform(__gids, gi -> element_at({members_lit}, gi + 1))), "
         f"c -> struct({neg_sim('c.cvec', 'c.cnorm')} AS ns, c.cid AS cid)"
         f")), 1, {n_probe}), s -> s.cid)"
     )
     return (
         corpus
         .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
-        .withColumn("__gid", F.expr(gid_expr))
+        .withColumn("__gids", F.expr(gids_expr))
         .select(
             F.col(id_col),
             F.col(vec_col),
             F.explode(F.expr(cells_expr)).alias("centroid_id"),
         )
     )
+
+
+def _argmin_cell_expr(
+    rows: "list[Row]", vec_col: str, round_digits: int = 6
+) -> str:
+    """SQL expression: id of the SINGLE nearest centroid (exact argmin over
+    all K, not the two-stage route) — rounded cosine desc, centroid_id asc
+    tie-break, zero-norm denominators excluded via +Infinity. Centroids ride
+    as an array literal folded with higher-order functions, so the
+    expression tree is O(dim) regardless of K. Requires a ``__vnorm``
+    column (see norm_fixed)."""
+    scale = float(10**round_digits)
+    parts = []
+    for r in sorted(rows, key=lambda r: int(r["centroid_id"])):
+        cvec = [float(x) for x in r["centroid"]]
+        acc = 0.0
+        for x in cvec:
+            acc = acc + x * x
+        parts.append(
+            f"struct({int(r['centroid_id'])} AS cid, {_vec_sql_literal(cvec)} AS cvec, "
+            f"CAST({math.sqrt(acc)!r} AS DOUBLE) AS cnorm)"
+        )
+    items = "array(" + ", ".join(parts) + ")"
+    dot = (
+        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), c.cvec, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    denom = "(__vnorm * c.cnorm)"
+    sim = f"floor((({dot}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
+    neg = f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
+    return (
+        "element_at(transform(slice(array_sort(transform("
+        f"{items}, c -> struct({neg} AS ns, c.cid AS cid)"
+        ")), 1, 1), s -> s.cid), 1)"
+    )
+
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    sample_pct: int = 30,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> "list[Row]":
+    """Sampled Lloyd k-means expressed as DataFrame aggregations — the
+    production centroid build the label-derived fixtures stand in for.
+
+    - **Sample**: deterministic md5-bucket filter (``hash_bucket(id) <
+      sample_pct`` — the same engine-independent idiom as
+      operators/sampling.py), so every engine trains on identical rows; at
+      100 TB the sample is a narrow scan-side filter, never a full pass.
+    - **Init**: the ``k`` sampled vectors with the smallest ids
+      (deterministic and oracle-mirrorable; k-means++ is inherently
+      sequential-RNG and would break cross-engine reproducibility).
+    - **Iterate**: nearest-centroid assignment is a map-side fold over the
+      centroid array literal (zero shuffles), new centroids are the
+      posexplode → per-(cell, pos) AVG partial-agg from
+      :func:`label_centroids`, floor-rounded componentwise; a cell that
+      loses every member keeps its previous centroid. Each iteration is one
+      job over the SAMPLE; only K x dim doubles ever reach the driver.
+
+    Returns ``[Row(centroid_id, centroid)]`` ready for
+    :func:`hierarchical_assign_cells` / :func:`ivf_topk_hier`.
+    """
+    from pontem_spark.operators.sampling import hash_bucket
+
+    sample = corpus.filter(hash_bucket(id_col, 100) < sample_pct).select(
+        id_col, vec_col
+    )
+    init = sample.orderBy(id_col).limit(k).collect()
+    cents = [
+        Row(
+            centroid_id=i,
+            centroid=[_portable_round_py(float(x), round_digits) for x in r[vec_col]],
+        )
+        for i, r in enumerate(init)
+    ]
+    for _ in range(iters):
+        assigned = (
+            sample.withColumn("__vnorm", V.norm_fixed(vec_col, dim))
+            .withColumn("cid", F.expr(_argmin_cell_expr(cents, vec_col, round_digits)))
+        )
+        new_rows = label_centroids(
+            assigned, id_col, vec_col, "cid", dim, round_digits
+        ).collect()
+        new = {int(r["centroid_id"]): [float(x) for x in r["centroid"]] for r in new_rows}
+        cents = [
+            Row(
+                centroid_id=int(c["centroid_id"]),
+                centroid=new.get(int(c["centroid_id"]), list(c["centroid"])),
+            )
+            for c in cents
+        ]
+    return cents
 
 
 def ivf_topk(
@@ -323,24 +431,38 @@ def ivf_topk_hier(
     n_probe: int = 3,
     round_digits: int = 6,
     broadcast_queries: bool = True,
+    n_probe_groups: int = 1,
+    centroids: "list[Row] | None" = None,
 ) -> DataFrame:
     """IVF top-k with the LARGE-K build: ``cell_key_col`` (any integer
     column — e.g. a fine-grained composite label, or a k-means cell id from
     a previous iteration) defines the K cells, the coarse sqrt(K) quantizer
     from :func:`build_centroid_groups` routes each vector to its group
-    map-side, and the within-group argmin picks the cell. Queries probe
-    their ``n_probe`` nearest cells OF THEIR NEAREST GROUP (the recall
-    trade of hierarchical IVF: a query near a group boundary may miss a
-    neighbor routed to the adjacent group — production raises n_probe
-    groups before n_probe cells; the oracle mirrors this exact rule).
+    map-side, and the within-group argmin picks the cell.
+
+    Queries probe their ``n_probe`` nearest cells drawn from their
+    ``n_probe_groups`` nearest groups (default 1 — the classic hierarchical
+    recall trade: a query near a group boundary may miss a neighbor routed
+    to the adjacent group; raising ``n_probe_groups`` to 2 is the standard
+    production mitigation, and the oracle mirrors the exact rule either
+    way). Corpus vectors always live in exactly ONE cell of their single
+    nearest group, so no candidate-pair dedup is ever needed.
     Probe is the same broadcast equi-join as :func:`ivf_topk`.
+
+    ``centroids``: pre-built centroid rows (e.g. from
+    :func:`train_centroids`); defaults to per-``cell_key_col`` means.
     """
-    cents = label_centroids(corpus, id_col, vec_col, cell_key_col, dim, round_digits).collect()
+    if centroids is None:
+        centroids = label_centroids(
+            corpus, id_col, vec_col, cell_key_col, dim, round_digits
+        ).collect()
+    cents = centroids
     corpus_cells = hierarchical_assign_cells(
         corpus, cents, id_col, vec_col, dim, n_probe=1, round_digits=round_digits
     )
     query_cells = hierarchical_assign_cells(
-        queries, cents, id_col, vec_col, dim, n_probe=n_probe, round_digits=round_digits
+        queries, cents, id_col, vec_col, dim, n_probe=n_probe,
+        round_digits=round_digits, n_probe_groups=n_probe_groups,
     )
 
     c = corpus_cells.select(

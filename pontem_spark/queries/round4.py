@@ -131,22 +131,37 @@ _HIER_COS = (
 )
 
 
-def _ivf_hier_oracle(m: int = 16, dim: int = 64, n_probe: int = 3, k: int = 5, n_queries: int = 10) -> str:
+def _ivf_hier_oracle(
+    m: int = 16,
+    dim: int = 64,
+    n_probe: int = 3,
+    k: int = 5,
+    n_queries: int = 10,
+    n_probe_groups: int = 1,
+    centroids_cte: str | None = None,
+) -> str:
     """DuckDB twin of ivf_topk_hier: same composite cell key, same
     (first-component, id)-ordered chunking into ceil(sqrt(K)) groups, same
-    two-stage argmin with (-sim, id) tie-breaks."""
+    two-stage argmin with (-sim, id) tie-breaks. ``n_probe_groups`` mirrors
+    the multi-group probe: query vectors rank cells over the UNION of their
+    g nearest groups' members (corpus vectors always stay single-group).
+    ``centroids_cte`` swaps the centroid source: CTE text that must end
+    with a CTE named ``centroids(centroid_id, centroid)`` (default: the
+    composite-label mean build)."""
     vg_cos = _HIER_COS.format(a="e.embedding", b="g.gcentroid", d=dim)
     cc_cos = _HIER_COS.format(a="v.embedding", b="c.centroid", d=dim)
     nn_cos = _HIER_COS.format(a="q.embedding", b="c.embedding", d=dim)
-    return f"""
-    WITH cent_parts AS (
+    if centroids_cte is None:
+        centroids_cte = f"""cent_parts AS (
         SELECT label * {m} + (vec_id % {m}) AS centroid_id, i,
                ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
         FROM embeddings, generate_series(1, {dim}) AS t(i)
         GROUP BY 1, i
     ), centroids AS (
         SELECT centroid_id, list(m ORDER BY i) AS centroid FROM cent_parts GROUP BY 1
-    ), meta AS (
+    )"""
+    return f"""
+    WITH {centroids_cte}, meta AS (
         SELECT COUNT(*) AS kk, CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS ng FROM centroids
     ), corder AS (
         SELECT centroid_id, centroid,
@@ -176,13 +191,20 @@ def _ivf_hier_oracle(m: int = 16, dim: int = 64, n_probe: int = 3, k: int = 5, n
                                       ORDER BY ROUND({cc_cos}, 6) DESC, c.centroid_id) AS r
             FROM vg v JOIN cgrouped c ON c.group_id = v.group_id
         ) WHERE r <= 1
+    ), vgq AS (
+        SELECT vec_id, embedding, group_id FROM (
+            SELECT e.vec_id, e.embedding, g.group_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ROUND({vg_cos}, 6) DESC, g.group_id) AS r
+            FROM embeddings e CROSS JOIN gcentroids g
+            WHERE e.vec_id < {n_queries}
+        ) WHERE r <= {n_probe_groups}
     ), query_cells AS (
         SELECT vec_id, embedding, centroid_id FROM (
             SELECT v.vec_id, v.embedding, c.centroid_id,
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                       ORDER BY ROUND({cc_cos}, 6) DESC, c.centroid_id) AS r
-            FROM vg v JOIN cgrouped c ON c.group_id = v.group_id
-            WHERE v.vec_id < {n_queries}
+            FROM vgq v JOIN cgrouped c ON c.group_id = v.group_id
         ) WHERE r <= {n_probe}
     ), cand AS (
         SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,8 +1,102 @@
-"""Round-5 queries: evidence-age rotation companions.
-
-New driver-checked queries added this round land here: reshaping
-(melt / explode) and grouped-transform promotions, the hierarchical-IVF
-multi-group probe, and trained-centroid IVF.
+"""Round-5 queries: reshaping (melt / explode) and grouped-transform
+promotions, the hierarchical-IVF multi-group probe, and trained-centroid
+IVF — each a new driver-checked (Spark vs DuckDB oracle) entry.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.queries.registry import register
+from pontem_spark.queries.round4 import _ivf_hier_oracle
+from pontem_spark.sources.tables import load_table
+
+
+@register(
+    "q_ann_ivf_hier_g2_topk",
+    oracle=_ivf_hier_oracle(16, 64, 3, 5, 10, n_probe_groups=2),
+    tags=("similarity", "ann", "ivf", "hierarchical"),
+)
+def q_ann_ivf_hier_g2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical IVF ANN with the boundary-recall mitigation: queries
+    take their 2 nearest coarse GROUPS, pool both groups' cells, and probe
+    the n_probe nearest of the union — so a query on a group boundary also
+    sees the adjacent group's cells (the single-group trade documented in
+    ivf.py). The DuckDB oracle mirrors the exact two-stage rule."""
+    from pontem_spark.operators.ivf import ivf_topk_hier
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell_key", F.col("label") * 16 + F.col("vec_id") % 16
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_hier(
+        emb, queries, cell_key_col="cell_key", k=5, dim=64, n_probe=3,
+        n_probe_groups=2,
+    )
+
+
+def _kmeans_centroids_cte(k: int, pct: int, dim: int) -> str:
+    """DuckDB twin of operators/ivf.py:train_centroids (iters=2, unrolled):
+    same md5-bucket sample, same smallest-id init, same rounded-cosine
+    argmin assignment, same per-(cell, pos) AVG rebuild with empty cells
+    keeping their previous centroid. Ends in ``centroids(centroid_id,
+    centroid)`` for _ivf_hier_oracle."""
+    from pontem_spark.operators.sampling import hash_bucket_sql
+    from pontem_spark.queries.round4 import _HIER_COS
+
+    hb = hash_bucket_sql("vec_id", 100)
+    sc = _HIER_COS.format(a="s.embedding", b="c.centroid", d=dim)
+
+    def lloyd(prev: str, n: int) -> str:
+        return f"""a{n} AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT s.vec_id, s.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY ROUND({sc}, 6) DESC, c.centroid_id) AS r
+            FROM samp s CROSS JOIN {prev} c
+        ) WHERE r = 1
+    ), c{n}p AS (
+        SELECT centroid_id, i, ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM a{n}, generate_series(1, {dim}) AS t(i) GROUP BY 1, 2
+    ), c{n}n AS (
+        SELECT centroid_id, list(m ORDER BY i) AS centroid FROM c{n}p GROUP BY 1
+    ), c{n} AS (
+        SELECT p.centroid_id, COALESCE(n.centroid, p.centroid) AS centroid
+        FROM {prev} p LEFT JOIN c{n}n n ON n.centroid_id = p.centroid_id
+    )"""
+
+    return f"""samp AS (
+        SELECT vec_id, embedding FROM embeddings WHERE {hb} < {pct}
+    ), init AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+               list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6)) AS centroid
+        FROM samp ORDER BY vec_id LIMIT {k}
+    ), {lloyd('init', 1)}, {lloyd('c1', 2)},
+    centroids AS (SELECT centroid_id, centroid FROM c2)"""
+
+
+@register(
+    "q_ann_ivf_trained_topk",
+    oracle=_ivf_hier_oracle(
+        dim=64, n_probe=3, k=5, n_queries=10,
+        centroids_cte=_kmeans_centroids_cte(k=24, pct=30, dim=64),
+    ),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids (VERDICT r04 #5): sampled Lloyd k-means
+    (deterministic md5-bucket sample, smallest-id init, 2 iterations as
+    DataFrame aggs) feeds the hierarchical assign/probe machinery — no
+    label crutch anywhere. The oracle replays the identical training
+    (unrolled to 2 iterations) and the identical two-stage probe, so the
+    whole index build is hash-checked cross-engine."""
+    from pontem_spark.operators.ivf import ivf_topk_hier, train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb, "vec_id", "embedding", dim=64, k=24, sample_pct=30, iters=2
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk_hier(
+        emb, queries, k=5, dim=64, n_probe=3, centroids=cents
+    )

@@ -435,3 +435,92 @@ def test_profile_approx_within_bounds(spark, sf_dir):
         assert approx[c].n_nulls == exact[c].n_nulls
         e, a = exact[c].n_distinct, approx[c].n_distinct
         assert abs(a - e) <= max(0.10 * e, 2), f"{c}: approx {a} vs exact {e}"
+
+
+def test_hier_ivf_multigroup_recall(spark, sf_dir):
+    """n_probe_groups=2 must (a) widen the candidate POOL (unsliced cells
+    are a per-query superset of the single-group pool — with a fixed
+    n_probe the *selected* cells may legitimately displace single-group
+    picks for nearer ones) and (b) recall at least as many of the
+    brute-force true top-k neighbors on this fixture — the boundary-recall
+    mitigation doing its job (VERDICT r04 #2)."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.ivf import (
+        hierarchical_assign_cells,
+        ivf_topk_hier,
+        label_centroids,
+    )
+    from pontem_spark.operators.similarity import brute_force_topk
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "cell_key", F.col("label") * 16 + F.col("vec_id") % 16
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = label_centroids(emb, "vec_id", "embedding", "cell_key", 64).collect()
+
+    def cells(g, n_probe):
+        out = {}
+        for r in hierarchical_assign_cells(
+            queries, cents, "vec_id", "embedding", 64, n_probe=n_probe,
+            n_probe_groups=g,
+        ).collect():
+            out.setdefault(r.vec_id, set()).add(r.centroid_id)
+        return out
+
+    # unsliced pools: two groups' members strictly contain one group's
+    c1, c2 = cells(1, 10_000), cells(2, 10_000)
+    assert set(c1) == set(c2)
+    for qid in c1:
+        assert c1[qid] < c2[qid], f"query {qid}: g=2 pool did not widen"
+
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=5, dim=64).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(res):
+        hits = {}
+        for r in res.collect():
+            hits.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(hits.get(q, set()) & t) for q, t in truth.items()), sum(
+            len(t) for t in truth.values()
+        )
+
+    # probe every cell of the selected group(s): the g=2 candidate set is a
+    # strict superset, so recall is monotone — the mechanism by which wider
+    # group probing recovers boundary neighbors. (At a FIXED small n_probe
+    # the nearer cells of the second group can displace first-group cells,
+    # so recall is data-dependent there — by design, not a bug.)
+    r1, tot = recall(
+        ivf_topk_hier(
+            emb, queries, cell_key_col="cell_key", k=5, dim=64, n_probe=10_000
+        )
+    )
+    r2, _ = recall(
+        ivf_topk_hier(
+            emb, queries, cell_key_col="cell_key", k=5, dim=64, n_probe=10_000,
+            n_probe_groups=2,
+        )
+    )
+    assert r2 >= r1, f"multi-group recall regressed: {r2}/{tot} < {r1}/{tot}"
+    assert r2 > 0
+
+
+def test_train_centroids_deterministic_and_moves(spark, sf_dir):
+    """k-means training: k centroids out, bit-identical across runs (the
+    cross-engine determinism contract), and iteration actually moves the
+    init vectors (Lloyd did something)."""
+    from pontem_spark.operators.ivf import train_centroids
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = train_centroids(emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=2)
+    b = train_centroids(emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=2)
+    assert len(a) == 8
+    assert [r.centroid_id for r in a] == list(range(8))
+    assert [list(r.centroid) for r in a] == [list(r.centroid) for r in b]
+    init_only = train_centroids(
+        emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=0
+    )
+    assert [list(r.centroid) for r in a] != [list(r.centroid) for r in init_only]
