@@ -87,6 +87,7 @@ def jaccard_similar_pairs(
     ngram: int = 3,
     round_digits: int = 4,
     storage_level: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard similarity pairs above ``threshold``.
 
@@ -95,17 +96,34 @@ def jaccard_similar_pairs(
     intersections per pair → Jaccard from the per-doc set sizes.
 
     Scale note: the join key (shingle) is the skew hazard — a boilerplate
-    shingle shared by millions of docs creates a quadratic bucket. At 100 TB,
-    drop top-frequency shingles first (they carry no discriminative signal)
-    or feed candidates from :func:`minhash_candidate_pairs` instead.
+    shingle shared by millions of docs creates a quadratic bucket.
+    ``max_doc_freq`` is the standard mitigation: drop shingles whose
+    document frequency exceeds the cap BEFORE the self-join (a shingle in
+    thousands of docs carries no dedup signal — it only identifies the
+    boilerplate, not the document). Set sizes and Jaccard are then computed
+    over the RETAINED shingles on both engines, so the capped variant stays
+    oracle-exact. With the cap set, the join's worst bucket is bounded by
+    max_doc_freq² — linear total work — and the raw quadratic tier is gone;
+    alternatively feed candidates from :func:`minhash_candidate_pairs`.
     """
     # Attach each doc's set size via an unordered window count — no extra
     # join and no recompute of the shingle pipeline for the union size.
     from pyspark.sql import Window
 
+    sh = _tokens_distinct_shingles(df, id_col, text_col, ngram)
+    if max_doc_freq is not None:
+        # document frequency via a shingle-partitioned window count: the
+        # shuffle it costs co-partitions by shingle — exactly the
+        # partitioning the self-join needs next, so AQE reuses it
+        sh = (
+            sh.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
     sh = _persist(
-        _tokens_distinct_shingles(df, id_col, text_col, ngram)
-        .withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))),
+        sh.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))),
         storage_level,  # referenced twice (both join sides)
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")

@@ -42,10 +42,13 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 50),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+            WHERE sh.shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), scored AS (
         SELECT id_a, id_b,
@@ -60,9 +63,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard near-dup pairs (threshold 0.8) via
-    inverted-index self-join — see operators/dedup.py for the scale story."""
+    inverted-index self-join WITH the hot-shingle cap (max_doc_freq=50):
+    shingles in more than 50 documents are boilerplate, carry no dedup
+    signal, and are exactly the keys that would make the self-join
+    quadratic — dropping them bounds the worst bucket at 50². The oracle
+    applies the identical cap. (Non-binding at the tested SFs — max df is
+    25 at sf0.1 — so results equal the uncapped query there; at 100 TB the
+    cap is what keeps this runnable.)"""
     docs = load_table(spark, sf_dir, "documents")
-    return D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    return D.jaccard_similar_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=3, max_doc_freq=50
+    )
 
 
 _minhash_oracle = _minhash_oracle_shared

@@ -91,3 +91,72 @@ def test_quantize_unit_vector_exact(spark):
     assert r["max_abs"] == 4.0
     # normalized (0.6, 0.8) -> codes floor(76.2+.5)=76, floor(101.6+.5)=102
     assert r["q_checksum"] == 76 + 102
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_doc_freq drops boilerplate shingles before the self-join: a
+    shared header that would otherwise link every doc pair contributes
+    nothing, and Jaccard is recomputed over retained shingles — checked
+    against a pure-Python mirror of the capped semantics."""
+    from itertools import combinations
+
+    from pontem_spark.operators.dedup import jaccard_similar_pairs
+
+    header = "terms of service apply here"  # boilerplate in EVERY doc
+    bodies = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",   # near-dup of 0
+        "one two three four five six",
+        "seven eight nine ten eleven twelve",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{header} {b}") for i, b in enumerate(bodies)],
+        "doc_id bigint, text string",
+    )
+
+    def shingle_set(text, n=3):
+        toks = text.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingle_set(f"{header} {b}") for i, b in enumerate(bodies)}
+    cap = 3  # 4 docs share every header shingle -> header shingles dropped
+    freq = {}
+    for s in sets.values():
+        for sh in s:
+            freq[sh] = freq.get(sh, 0) + 1
+    kept = {i: {sh for sh in s if freq[sh] <= cap} for i, s in sets.items()}
+
+    def jac(a, b):
+        inter = len(kept[a] & kept[b])
+        union = len(kept[a]) + len(kept[b]) - inter
+        return round(inter / union, 4) if union and inter else 0.0
+
+    want = {
+        (a, b): jac(a, b)
+        for a, b in combinations(range(4), 2)
+        if jac(a, b) >= 0.3
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_similar_pairs(
+            docs, "doc_id", "text", threshold=0.3, max_doc_freq=cap
+        ).collect()
+    }
+    assert got == want
+    # and WITHOUT the cap the boilerplate links even unrelated docs: every
+    # pair shares the header shingles, so all 6 pairs clear a low threshold,
+    # while the capped form keeps only the genuine near-dup (0, 1)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in jaccard_similar_pairs(
+            docs, "doc_id", "text", threshold=0.1
+        ).collect()
+    }
+    capped_low = {
+        (r.id_a, r.id_b)
+        for r in jaccard_similar_pairs(
+            docs, "doc_id", "text", threshold=0.1, max_doc_freq=cap
+        ).collect()
+    }
+    assert (2, 3) in uncapped and (2, 3) not in capped_low
+    assert len(uncapped) > len(capped_low)
