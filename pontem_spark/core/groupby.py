@@ -55,6 +55,14 @@ class GroupBy:
         if self._as_index and len(self._keys) == 1:
             internal = InternalFrame(base, self._keys[0], self._keys[0])
             return DataFrame._from_internal(internal, {c: base[c] for c in out_names})
+        if self._as_index:
+            # multi-key → struct-backed MultiIndex, the same representation
+            # set_index(list) builds (frame.py): struct ordering is
+            # lexicographic by field = MultiIndex sort order, and
+            # to_pandas/reset_index already translate it back
+            sdf = base.withColumn("__midx__", F.struct(*[F.col(k) for k in self._keys]))
+            internal = InternalFrame(sdf, "__midx__", tuple(self._keys))
+            return DataFrame._from_internal(internal, {c: sdf[c] for c in out_names})
         sdf = base.withColumn(INDEX_COL, F.monotonically_increasing_id())
         internal = InternalFrame(sdf, INDEX_COL, None)
         return DataFrame._from_internal(
@@ -81,14 +89,19 @@ class GroupBy:
     def std(self): return self._all_numeric("std")
 
     def size(self):
-        """Group sizes as a Series (counts rows incl. nulls, like pandas)."""
+        """Group sizes as a Series (counts rows incl. nulls, like pandas);
+        multiple keys yield a MultiIndexed Series."""
         from pontem_spark.core.series import Series
 
         base = self._df._internal.sdf.groupBy(
             *[self._df._columns[k].alias(k) for k in self._keys]
         ).agg(F.count(F.lit(1)).alias("__value__"))
-        internal = InternalFrame(base, self._keys[0], self._keys[0])
-        return Series._from_internal(internal, base["__value__"], None)
+        if len(self._keys) == 1:
+            internal = InternalFrame(base, self._keys[0], self._keys[0])
+            return Series._from_internal(internal, base["__value__"], None)
+        sdf = base.withColumn("__midx__", F.struct(*[F.col(k) for k in self._keys]))
+        internal = InternalFrame(sdf, "__midx__", tuple(self._keys))
+        return Series._from_internal(internal, sdf["__value__"], None)
 
     def __getitem__(self, col: str) -> "SeriesGroupBy":
         if col not in self._df._columns:

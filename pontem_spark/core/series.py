@@ -133,8 +133,21 @@ class Series:
         import pandas as pd
 
         pdf = self._ordered(self._materialized()).toPandas()
+        name = self._internal.index_name
+        if isinstance(name, tuple):  # struct-backed MultiIndex
+            if len(pdf) == 0:
+                idx = pd.MultiIndex.from_arrays([[] for _ in name], names=list(name))
+            else:
+                idx = pd.MultiIndex.from_tuples(
+                    [
+                        tuple(r.values()) if isinstance(r, dict) else tuple(r)
+                        for r in pdf[INDEX_COL]
+                    ],
+                    names=list(name),
+                )
+            return pd.Series(pdf[_VALUE].values, index=idx, name=self._name)
         out = pd.Series(pdf[_VALUE].values, index=pdf[INDEX_COL].values, name=self._name)
-        out.index.name = self._internal.index_name
+        out.index.name = name
         return out
 
     def __repr__(self) -> str:  # never a full count/scan (SURVEY §4: repr hazard)

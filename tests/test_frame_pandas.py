@@ -402,3 +402,32 @@ def test_reset_index_distributed_plan(spark):
     assert got_sorted[["seg", "a", "b"]].equals(want_sorted[["seg", "a", "b"]])
     # renumbering is exactly 0..n-1
     assert sorted(got.index.tolist()) == list(range(len(want)))
+
+
+def test_groupby_multikey_multiindex(spark):
+    """groupby(list).agg returns a struct-backed MultiIndexed frame
+    (VERDICT r04 #6): to_pandas yields a real pandas MultiIndex, reset_index
+    demotes both levels, and size() gives a MultiIndexed Series."""
+    raw = {
+        "seg": ["x", "y", "x", "y", "x", "x"],
+        "reg": ["a", "a", "b", "b", "a", "b"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    }
+    pf = DataFrame(raw, spark=spark)
+    pdf = pd.DataFrame(raw)
+
+    got = pf.groupby(["seg", "reg"]).agg({"v": "sum"}).to_pandas().sort_index()
+    want = pdf.groupby(["seg", "reg"]).agg(v=("v", "sum")).sort_index()
+    assert list(got.index.names) == ["seg", "reg"]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    rt = pf.groupby(["seg", "reg"]).agg({"v": "sum"}).reset_index().to_pandas()
+    wrt = want.reset_index()
+    rt_s = rt.sort_values(["seg", "reg"]).reset_index(drop=True)[["seg", "reg", "v"]]
+    wrt_s = wrt.sort_values(["seg", "reg"]).reset_index(drop=True)[["seg", "reg", "v"]]
+    pd.testing.assert_frame_equal(rt_s, wrt_s, check_dtype=False)
+
+    gs = pf.groupby(["seg", "reg"]).size().to_pandas().sort_index()
+    ws = pdf.groupby(["seg", "reg"]).size().sort_index()
+    assert list(gs.index.names) == ["seg", "reg"]
+    assert list(gs.values) == list(ws.values)
