@@ -100,3 +100,84 @@ def q_ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_hier(
         emb, queries, k=5, dim=64, n_probe=3, centroids=cents
     )
+
+
+@register(
+    "q_api_melt_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable,
+           ROUND(CAST(l_quantity AS DOUBLE), 2) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+           ROUND(CAST(l_extendedprice AS DOUBLE), 2) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount',
+           ROUND(CAST(l_discount AS DOUBLE), 2) FROM lineitem
+    """,
+    tags=("api", "reshape", "melt"),
+)
+def q_api_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt (wide → long) through the wrapper == one stack() Generate —
+    each row fans out to one row per value column entirely map-side, no
+    shuffle, no UDF (promoted to a driver query per VERDICT r04 #8)."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    li = from_spark(load_table(spark, sf_dir, "lineitem"))[
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    ]
+    out = li.melt(id_vars=["l_orderkey", "l_linenumber"])
+    return out.to_spark().select(
+        "l_orderkey", "l_linenumber", "variable",
+        rnd(F.col("value"), 2).alias("value"),
+    )
+
+
+@register(
+    "q_api_explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')[1:5]) AS tok
+    FROM documents
+    """,
+    tags=("api", "reshape", "explode"),
+)
+def q_api_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode through the wrapper == explode_outer Generate (one row per
+    array element, map-side). First five whitespace tokens per document."""
+    from pontem_spark.core import from_spark
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 5).alias("tok")
+    )
+    out = from_spark(docs).explode("tok")
+    return out.to_spark().select("doc_id", "tok").filter(F.col("tok").isNotNull())
+
+
+@register(
+    "q_api_grouped_transform",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice / AVG(o_totalprice) OVER (PARTITION BY o_orderpriority), 6)
+               AS price_ratio
+    FROM orders
+    """,
+    tags=("api", "groupby", "transform"),
+)
+def q_api_grouped_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().transform through the wrapper: the per-group mean is a
+    window aggregate broadcast back to every row (single shuffle on the
+    group key, no join-back), and the ratio assignment stays one growing
+    Catalyst plan on the shared anchor."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    df = from_spark(load_table(spark, sf_dir, "orders"))[
+        ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    ]
+    mean = df.groupby("o_orderpriority")["o_totalprice"].transform("mean")
+    ratio = df["o_totalprice"] / mean
+    out = df.assign(price_ratio=ratio)
+    return out.to_spark().select(
+        "o_orderkey", "o_orderpriority",
+        rnd(F.col("price_ratio"), 6).alias("price_ratio"),
+    )
