@@ -254,14 +254,34 @@ class DataFrame:
         aggfunc: str = "mean",
         column_values: list | None = None,
         fill_value=None,
+        margins: bool = False,
+        margins_name: str = "All",
     ) -> "DataFrame":
         """pandas pivot_table == groupBy(index).pivot(columns).agg.
 
         Pass ``column_values`` explicitly at scale — without it Spark runs a
         hidden distinct-scan job to discover the pivot columns.
+
+        ``margins=True`` appends pandas' totals: an ``All`` column (the
+        aggregate across a row's underlying data — for mean that is the mean
+        over ROWS, not the mean of cell means) and an ``All`` row (per-pivot
+        column aggregate plus the grand total). Three extra aggregations of
+        the same base scan, unioned in; the index column is cast to string
+        so the ``All`` label can live alongside non-string keys, exactly as
+        pandas promotes the index to object.
         """
+        return self._pivot_table_impl(
+            index, columns, values, aggfunc, column_values, fill_value,
+            margins, margins_name,
+        )
+
+    def _pivot_table_impl(
+        self, index, columns, values, aggfunc, column_values, fill_value,
+        margins, margins_name,
+    ) -> "DataFrame":
         from pontem_spark.core.groupby import _AGGS
 
+        agg = _AGGS[aggfunc]
         base = self._materialized()
         grouped = base.groupBy(index)
         pivoted = (
@@ -269,7 +289,26 @@ class DataFrame:
             if column_values is not None
             else grouped.pivot(columns)
         )
-        sdf = pivoted.agg(_AGGS[aggfunc](base[values]))
+        sdf = pivoted.agg(agg(base[values]))
+        if margins:
+            sdf = sdf.withColumn(index, F.col(index).cast("string"))
+            row_tot = (
+                base.groupBy(F.col(index).cast("string").alias(index))
+                .agg(agg(base[values]).alias(margins_name))
+            )
+            sdf = sdf.join(row_tot, index, "left")
+            col_grouped = base.groupBy()
+            col_pivoted = (
+                col_grouped.pivot(columns, column_values)
+                if column_values is not None
+                else col_grouped.pivot(columns)
+            )
+            margin_row = (
+                col_pivoted.agg(agg(base[values]))
+                .withColumn(index, F.lit(margins_name))
+                .crossJoin(base.select(agg(base[values]).alias(margins_name)))
+            )
+            sdf = sdf.unionByName(margin_row.select(*sdf.columns))
         if fill_value is not None:
             sdf = sdf.fillna(fill_value)
         internal = InternalFrame(sdf, index, index)

@@ -431,3 +431,46 @@ def test_groupby_multikey_multiindex(spark):
     ws = pdf.groupby(["seg", "reg"]).size().sort_index()
     assert list(gs.index.names) == ["seg", "reg"]
     assert list(gs.values) == list(ws.values)
+
+
+def test_pivot_table_margins(spark):
+    """pivot_table(margins=True) matches pandas: the All column/row are
+    aggregates over the underlying rows (NOT means of cell means), with the
+    grand total in the corner."""
+    raw = {
+        "seg": ["x", "y", "x", "y", "x", "x"],
+        "reg": ["a", "a", "b", "b", "a", "b"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 7.0],
+    }
+    pf = DataFrame(raw, spark=spark)
+    pdf = pd.DataFrame(raw)
+    for aggfunc in ("mean", "sum"):
+        got = (
+            pf.pivot_table(index="seg", columns="reg", values="v",
+                           aggfunc=aggfunc, margins=True)
+            .to_pandas()
+            .sort_index()
+        )
+        want = pd.pivot_table(
+            pdf, index="seg", columns="reg", values="v",
+            aggfunc=aggfunc, margins=True,
+        ).sort_index()
+        want.index = want.index.astype(str)
+        want.columns = [str(c) for c in want.columns]
+        want.columns.name = None
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False, check_names=False,
+        )
+
+
+def test_str_cat_scalar(spark):
+    """str.cat() with no others collapses to ONE Python string in index
+    order, exactly pandas."""
+    from pontem_spark.core import Series
+
+    data = ["b", "a", "c", "d"]
+    s = Series(data, name="t", spark=spark)
+    w = pd.Series(data, name="t")
+    assert s.str.cat() == w.str.cat()
+    assert s.str.cat(sep="-") == w.str.cat(sep="-")
