@@ -25,6 +25,85 @@ from pontem_spark.queries.registry import all_queries  # noqa: E402
 from pontem_spark.session import get_spark  # noqa: E402
 
 
+def _load_bench_baseline() -> "tuple[dict | None, str]":
+    """Find per-query baseline medians+spreads. Preference order: the
+    newest driver BENCH_r*.json (full object, or the driver's wrapper whose
+    truncated ``tail`` sometimes still contains the full JSON line), else
+    the repo-committed BENCH_BASELINE.json snapshot. Returns (object, name)
+    or (None, '')."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m:
+            candidates.append((int(m.group(1)), p))
+    for _, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                obj = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(obj.get("queries"), dict):
+            return obj, os.path.basename(path)
+        for nested in (obj.get("parsed"), None):
+            if isinstance(nested, dict) and isinstance(nested.get("queries"), dict):
+                return nested, os.path.basename(path)
+        tail = obj.get("tail")
+        if isinstance(tail, str) and '"queries"' in tail:
+            start = tail.find('{"metric"')
+            if start >= 0:
+                try:
+                    inner = json.loads(tail[start : tail.index("\n", start)])
+                except ValueError:
+                    inner = None
+                if isinstance(inner, dict) and isinstance(inner.get("queries"), dict):
+                    return inner, os.path.basename(path)
+    snap = os.path.join(here, "BENCH_BASELINE.json")
+    try:
+        with open(snap) as f:
+            obj = json.load(f)
+        if isinstance(obj.get("queries"), dict):
+            return obj, "BENCH_BASELINE.json"
+    except (OSError, ValueError):
+        pass
+    return None, ""
+
+
+def _regressions_vs_baseline(timings: dict[str, float]) -> list[dict]:
+    """Compare this run's medians against the newest BENCH_r*.json sitting
+    next to bench.py. A query regresses when its median exceeds 2x the
+    baseline's recorded worst sample (max of median and spread-high — so
+    ordinary shared-box variance, which the spread already witnessed, can't
+    cry wolf). Carried in the artifact so drift is caught by the JSON diff,
+    not by a human rereading numbers (VERDICT r04 #7). Advisory: the exit
+    code stays 0 — the driver must always get its JSON line."""
+    base, newest = _load_bench_baseline()
+    if base is None:
+        return []
+    base_q = base.get("queries") or {}
+    base_spread = base.get("spread") or {}
+    out = []
+    for name, med in timings.items():
+        b_med = base_q.get(name)
+        if b_med is None or b_med <= 0 or med <= 0:
+            continue
+        b_hi = max(b_med, (base_spread.get(name) or [0, 0])[1])
+        if med > 2.0 * b_hi:
+            out.append(
+                {
+                    "query": name,
+                    "sec": med,
+                    "baseline_sec": b_med,
+                    "baseline_hi": b_hi,
+                    "baseline_file": os.path.basename(newest),
+                }
+            )
+    return sorted(out, key=lambda d: -d["sec"] / d["baseline_hi"])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -93,6 +172,7 @@ def main() -> None:
     failed = sorted(n for n, v in timings.items() if v < 0)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    regressions = _regressions_vs_baseline(timings)
     # full object with per-query timings; totals at the END of the object so
     # a tail-truncated capture loses query names, not the headline number
     print(
@@ -104,6 +184,7 @@ def main() -> None:
                 "spread": spreads,
                 "runs": runs,
                 "failed": failed,
+                "regressions": regressions,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "value": total,

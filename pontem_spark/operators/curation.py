@@ -248,3 +248,48 @@ def sequence_packing(
         "n_tok",
         F.floor((cum - F.col("n_tok")) / budget).cast("bigint").alias("bin_id"),
     )
+
+
+# PII patterns chosen for cross-engine regex portability: character
+# classes, bounded quantifiers and \b only — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB). Replacement order is part of the
+# contract (emails contain dots that the IPv4 pattern must never see
+# first).
+PII_PATTERNS: "tuple[tuple[str, str], ...]" = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{9,15}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: "tuple[tuple[str, str], ...]" = PII_PATTERNS,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Scrub personally identifiable substrings before a corpus ships to
+    training: per-pattern match counts plus the redacted text, as pure
+    Column expressions (``regexp_count`` + a chained ``regexp_replace``) —
+    zero UDFs, map-side only, no shuffle; at 100 TB this is a narrow
+    projection pipelined into whatever scan feeds it.
+
+    Returns (id, n_<name> per pattern, orig_len, redacted_len,
+    redacted_text). Counting uses the pre-redaction text for every pattern
+    (so overlapping pattern families don't hide each other), while
+    replacement applies in ``patterns`` order.
+    """
+    out = df.select(F.col(id_col), F.col(text_col))
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in patterns:
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.select(
+        F.col(id_col),
+        *counts,
+        F.length(F.col(text_col)).alias("orig_len"),
+        F.length(redacted).alias("redacted_len"),
+        redacted.alias("redacted_text"),
+    )

@@ -181,3 +181,107 @@ def q_api_grouped_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority",
         rnd(F.col("price_ratio"), 6).alias("price_ratio"),
     )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{9,15}\\b"
+
+_PII_ORACLE = (
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '" + _PII_EMAIL + "')) AS INTEGER) AS n_email, "
+    "CAST(len(regexp_extract_all(text, '" + _PII_IPV4 + "')) AS INTEGER) AS n_ipv4, "
+    "CAST(len(regexp_extract_all(text, '" + _PII_PHONE + "')) AS INTEGER) AS n_phone, "
+    "CAST(length(text) AS INTEGER) AS orig_len, "
+    "CAST(length(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'" + _PII_EMAIL + "', '[PII]', 'g'), "
+    "'" + _PII_IPV4 + "', '[PII]', 'g'), "
+    "'" + _PII_PHONE + "', '[PII]', 'g')) AS INTEGER) AS redacted_len "
+    "FROM documents"
+)
+
+
+@register(
+    "q_curation_pii_redaction",
+    oracle=_PII_ORACLE,
+    tags=("curation", "pii", "text"),
+)
+def q_curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a pure-Column map-side pass (operators/curation.py
+    redact_pii): per-pattern regexp_count + chained regexp_replace, zero
+    UDF, zero shuffle. Patterns restricted to the Java-regex ∩ RE2 subset
+    so the DuckDB oracle is exact. The fixture corpus is PII-free (counts
+    all zero) — the planted-PII differential lives in tests/."""
+    from pontem_spark.operators.curation import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = redact_pii(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("n_phone").cast("int").alias("n_phone"),
+        F.col("orig_len").cast("int").alias("orig_len"),
+        F.col("redacted_len").cast("int").alias("redacted_len"),
+    )
+
+
+@register(
+    "q_dedup_apply_removal",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(ts) >= 3
+                 THEN list_transform(generate_series(1, len(ts) - 2),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+                 ELSE [] END)) AS shingle
+        FROM t
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 4) >= 0.8
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), clusters AS (
+        SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY 1
+    """,
+    tags=("dedup", "clustering", "pipeline"),
+)
+def q_dedup_apply_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the near-dup pipeline: connected components over the
+    Jaccard-0.8 graph, keep ONE canonical doc per cluster (the min id —
+    which IS the min-label component id, so survivorship is a filter, not
+    another join), and report each survivor with the number of docs it
+    absorbed. Composes jaccard_similar_pairs → connected_components →
+    one groupBy; the oracle replays it as a recursive CTE."""
+    from pontem_spark.operators import dedup as D
+    from pontem_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    comps = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        node_col="doc_id", src_col="id_a", dst_col="id_b",
+    )
+    return (
+        comps.groupBy(F.col("component").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )

@@ -160,3 +160,30 @@ def test_jaccard_hot_shingle_cap(spark):
     }
     assert (2, 3) in uncapped and (2, 3) not in capped_low
     assert len(uncapped) > len(capped_low)
+
+
+def test_redact_pii_planted(spark):
+    """Planted PII: counts and redacted text are exact, the plan is pure
+    map-side (zero Exchange), and clean text passes through untouched."""
+    from pontem_spark.operators.curation import redact_pii
+    from pontem_spark.plans import count_exchanges
+
+    rows = [
+        (0, "contact john.doe+spam@example.co.uk or call +12345678901 now"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 pinged"),
+        (2, "perfectly clean prose with no identifiers at all"),
+        (3, "a@b.io mailed b@c.org from 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = redact_pii(df, "doc_id", "text")
+    assert count_exchanges(out) == 0
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[0].n_email, got[0].n_ipv4, got[0].n_phone) == (1, 0, 1)
+    assert got[0].redacted_text == "contact [PII] or call [PII] now"
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (0, 2, 0)
+    assert got[1].redacted_text == "server at [PII] and [PII] pinged"
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 0, 0)
+    assert got[2].redacted_text == rows[2][1]
+    assert got[2].orig_len == got[2].redacted_len
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (2, 1, 0)
+    assert got[3].redacted_text == "[PII] mailed [PII] from [PII]"
