@@ -451,17 +451,28 @@ class DataFrame:
         one long per partition, never rows), then number every partition in
         parallel as cumulative-offset + within-partition ``row_number``.
         No single-partition Exchange, unlike a global-window row_number.
-        Spark's range sampler is seeded per input-partition index, so the
-        counting job and the numbering job see identical boundaries for a
-        deterministic input — the same property zipWithIndex relies on."""
+
+        ``repartitionByRange`` samples boundaries with a PER-EXECUTION
+        random seed (documented in Spark: "the output may not be
+        consistent"), so the ranged intermediate is persisted
+        (MEMORY_AND_DISK) before the counting job — the numbering plan then
+        reads the SAME pinned partitions instead of re-sampling new ones.
+        This was a real bug, caught by the q_api_reset_index_enumerate
+        oracle: unpinned, the two jobs disagreed at partition boundaries
+        and duplicated ~1% of ids. Caveat shared with RDD.zipWithIndex:
+        losing a cached block to executor failure recomputes with fresh
+        sampling; a job that cannot tolerate that should write out the
+        enumerated result immediately."""
         from pyspark.sql import Window
 
         name = self._internal.index_name or "index"
         order_cols = self._internal.order_columns(INDEX_COL)
         base = self._materialized()
         n_parts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        ranged = base.repartitionByRange(n_parts, *order_cols).withColumn(
-            "__pid__", F.spark_partition_id()
+        ranged = (
+            base.repartitionByRange(n_parts, *order_cols)
+            .withColumn("__pid__", F.spark_partition_id())
+            .persist()
         )
         counts = {
             r["__pid__"]: r["cnt"]

@@ -285,3 +285,30 @@ def q_dedup_apply_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.groupBy(F.col("component").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     )
+
+
+@register(
+    "q_api_reset_index_enumerate",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS idx,
+           o_orderkey, o_orderpriority
+    FROM orders
+    """,
+    tags=("api", "reset_index"),
+)
+def q_api_reset_index_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reset_index through the wrapper — driver evidence for the
+    DISTRIBUTED renumbering (range-partition + per-partition counts +
+    cumulative offsets; no single-partition Exchange, plan-asserted in
+    tests/test_frame_pandas.py). The oracle's global ROW_NUMBER proves the
+    offset arithmetic reproduces the exact total order 0..n-1."""
+    from pontem_spark.core import from_spark
+
+    df = from_spark(load_table(spark, sf_dir, "orders"))[
+        ["o_orderkey", "o_orderpriority"]
+    ]
+    out = df.set_index("o_orderkey").reset_index()
+    sdf = out.to_spark()
+    return sdf.select(
+        F.col("__index__").alias("idx"), "o_orderkey", "o_orderpriority"
+    )
