@@ -312,3 +312,40 @@ def q_api_reset_index_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdf.select(
         F.col("__index__").alias("idx"), "o_orderkey", "o_orderpriority"
     )
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events STREAM broadcast-joins the
+    static customer dimension per micro-batch (stateless — no watermark,
+    no join state), then aggregates value by market segment. Drained with
+    availableNow and compared against the equivalent batch join — proving
+    the streaming join path loses and duplicates nothing."""
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.streaming.events import (
+        enrich_with_dim,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = read_event_stream(spark, sf_dir)
+    enriched = enrich_with_dim(stream, cust, "user_id", "c_custkey")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    result = run_to_memory(agg, mode="complete")
+    return result.select(
+        "c_mktsegment", "n_events", rnd(F.col("total_value"), 2).alias("total_value")
+    )

@@ -107,3 +107,15 @@ def dedup_stream(
     duplicates come from delivery retries (always close together).
     """
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on_stream: str, on_dim: str) -> DataFrame:
+    """Stream-static enrichment join — the lookup-table pattern every
+    streaming ingest needs (attach dimension attributes to each event as it
+    arrives). The static side is explicitly ``broadcast()``: per micro-batch
+    Spark re-evaluates the static relation against the broadcast hash table,
+    the stream is never shuffled, and no state is kept (stream-static inner
+    joins are stateless by construction — only stream-stream joins buffer)."""
+    return stream.join(
+        F.broadcast(dim), stream[on_stream] == dim[on_dim], "inner"
+    ).drop(dim[on_dim])
