@@ -72,7 +72,7 @@ def _load_bench_baseline() -> "tuple[dict | None, str]":
     return None, ""
 
 
-def _regressions_vs_baseline(timings: dict[str, float]) -> list[dict]:
+def _regressions_vs_baseline(timings: dict[str, float], sf_val) -> list[dict]:
     """Compare this run's medians against the newest BENCH_r*.json sitting
     next to bench.py. A query regresses when its median exceeds 2x the
     baseline's recorded worst sample (max of median and spread-high — so
@@ -82,6 +82,10 @@ def _regressions_vs_baseline(timings: dict[str, float]) -> list[dict]:
     code stays 0 — the driver must always get its JSON line."""
     base, newest = _load_bench_baseline()
     if base is None:
+        return []
+    if base.get("sf") is not None and base.get("sf") != sf_val:
+        # cross-SF medians are incomparable — sf1 vs an sf0.1 baseline
+        # would flag every query
         return []
     base_q = base.get("queries") or {}
     base_spread = base.get("spread") or {}
@@ -172,7 +176,7 @@ def main() -> None:
     failed = sorted(n for n, v in timings.items() if v < 0)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    regressions = _regressions_vs_baseline(timings)
+    regressions = _regressions_vs_baseline(timings, sf_val)
     # full object with per-query timings; totals at the END of the object so
     # a tail-truncated capture loses query names, not the headline number
     print(

@@ -267,18 +267,12 @@ class DataFrame:
         over ROWS, not the mean of cell means) and an ``All`` row (per-pivot
         column aggregate plus the grand total). Three extra aggregations of
         the same base scan, unioned in; the index column is cast to string
-        so the ``All`` label can live alongside non-string keys, exactly as
-        pandas promotes the index to object.
+        so the ``All`` label can live alongside non-string keys (pandas
+        instead promotes the index to object, so a numeric key shows as
+        ``1.0`` there and ``'1.0'`` here). Deliberate deviation: rows
+        materialize in index order, so ``All`` sorts alphabetically among
+        the keys rather than pinning to the last row as pandas prints it.
         """
-        return self._pivot_table_impl(
-            index, columns, values, aggfunc, column_values, fill_value,
-            margins, margins_name,
-        )
-
-    def _pivot_table_impl(
-        self, index, columns, values, aggfunc, column_values, fill_value,
-        margins, margins_name,
-    ) -> "DataFrame":
         from pontem_spark.core.groupby import _AGGS
 
         agg = _AGGS[aggfunc]
@@ -291,6 +285,13 @@ class DataFrame:
         )
         sdf = pivoted.agg(agg(base[values]))
         if margins:
+            if margins_name in sdf.columns:
+                # a pivot value equal to margins_name would collide with the
+                # row-total column downstream; pandas raises the same way
+                raise ValueError(
+                    f"margins_name {margins_name!r} conflicts with a pivot "
+                    "column value"
+                )
             sdf = sdf.withColumn(index, F.col(index).cast("string"))
             row_tot = (
                 base.groupBy(F.col(index).cast("string").alias(index))
@@ -454,21 +455,27 @@ class DataFrame:
 
         ``repartitionByRange`` samples boundaries with a PER-EXECUTION
         random seed (documented in Spark: "the output may not be
-        consistent"), so the ranged intermediate is persisted
-        (MEMORY_AND_DISK) before the counting job — the numbering plan then
-        reads the SAME pinned partitions instead of re-sampling new ones.
-        This was a real bug, caught by the q_api_reset_index_enumerate
-        oracle: unpinned, the two jobs disagreed at partition boundaries
-        and duplicated ~1% of ids. Caveat shared with RDD.zipWithIndex:
-        losing a cached block to executor failure recomputes with fresh
-        sampling; a job that cannot tolerate that should write out the
-        enumerated result immediately."""
+        consistent"), so the ranged intermediate is persisted before the
+        counting job — the numbering plan then reads the SAME pinned
+        partitions instead of re-sampling new ones. This was a real bug,
+        caught by the q_api_reset_index_enumerate oracle: unpinned, the two
+        jobs disagreed at partition boundaries and duplicated ~1% of ids.
+        The numbered result is eagerly ``localCheckpoint``ed, which freezes
+        the enumeration and lets the range cache be unpersisted immediately
+        (no per-call cache leak). Caveat shared with RDD.zipWithIndex:
+        losing a checkpointed block to executor failure recomputes the lost
+        partitions; a job that cannot tolerate that should write the
+        enumerated result out immediately."""
         from pyspark.sql import Window
 
         name = self._internal.index_name or "index"
         order_cols = self._internal.order_columns(INDEX_COL)
         base = self._materialized()
-        n_parts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            n_parts = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            # AQE auto-partitioning runtimes set this conf to 'auto'
+            n_parts = 200
         ranged = (
             base.repartitionByRange(n_parts, *order_cols)
             .withColumn("__pid__", F.spark_partition_id())
@@ -487,9 +494,14 @@ class DataFrame:
             F.array(*[F.lit(o) for o in offsets]), F.col("__pid__") + 1
         ) if offsets else F.lit(0)
         w = Window.partitionBy("__pid__").orderBy(*order_cols)
-        sdf = ranged.withColumn(
-            "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
-        ).drop("__pid__")
+        sdf = (
+            ranged.withColumn(
+                "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
+            )
+            .drop("__pid__")
+            .localCheckpoint(eager=True)
+        )
+        ranged.unpersist()
         internal = InternalFrame(sdf, "__new_idx__", None)
         cols: dict[str, Column] = {}
         if not drop:

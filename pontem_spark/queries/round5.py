@@ -226,23 +226,20 @@ def q_curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pontem_spark.queries.oracle_fragments import SHINGLES_CTE as _SHINGLES_CTE
+
+
 @register(
     "q_dedup_apply_removal",
-    oracle="""
-    WITH RECURSIVE t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
-    ), sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(ts) >= 3
-                 THEN list_transform(generate_series(1, len(ts) - 2),
-                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-                 ELSE [] END)) AS shingle
-        FROM t
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 50),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+            WHERE sh.shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ), pairs AS (
         SELECT id_a, id_b FROM inter
@@ -271,12 +268,16 @@ def q_dedup_apply_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     which IS the min-label component id, so survivorship is a filter, not
     another join), and report each survivor with the number of docs it
     absorbed. Composes jaccard_similar_pairs → connected_components →
-    one groupBy; the oracle replays it as a recursive CTE."""
+    one groupBy; the oracle replays it as a recursive CTE. Uses the same
+    hot-shingle cap (max_doc_freq=50) as q_dedup_jaccard_pairs so the
+    at-scale path has no uncapped self-join anywhere."""
     from pontem_spark.operators import dedup as D
     from pontem_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.jaccard_similar_pairs(docs, "doc_id", "text", threshold=0.8, ngram=3)
+    pairs = D.jaccard_similar_pairs(
+        docs, "doc_id", "text", threshold=0.8, ngram=3, max_doc_freq=50
+    )
     comps = connected_components(
         docs.select("doc_id"), pairs.select("id_a", "id_b"),
         node_col="doc_id", src_col="id_a", dst_col="id_b",

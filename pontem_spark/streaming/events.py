@@ -30,6 +30,10 @@ def read_event_stream(
     from pontem_spark.sources.tables import normalize_timestamps
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same pin as sources/tables.py: the NTZ→TIMESTAMP cast below is
+    # value-preserving only under UTC; a non-UTC driver session would shift
+    # streaming ts values vs the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(path).schema
     # file-stream sources take a DIRECTORY; select just the events table via

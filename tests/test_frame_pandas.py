@@ -388,13 +388,37 @@ def test_reset_index_collision_raises(spark):
 
 def test_reset_index_distributed_plan(spark):
     """reset_index renumbering must not funnel through a single-partition
-    Exchange: the plan shows range partitioning + a partitioned window, not
-    Exchange SinglePartition (VERDICT r04 #3)."""
+    stage (VERDICT r04 #3): the enumerated (checkpointed) result keeps the
+    range partitioning — a global-window implementation would collapse to
+    ONE partition. Values still match pandas exactly."""
     pf = DataFrame(RAW, spark=spark).set_index("seg")
     out = pf.reset_index()
-    plan = out._materialized()._jdf.queryExecution().executedPlan().toString()
+    sdf = out._materialized()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # AQE coalesces test-sized data (far under the 64MB advisory size) to
+    # one partition no matter the operator — that's adaptive sizing, not a
+    # bottleneck. With coalescing off, the enumeration's intrinsic
+    # parallelism shows: many partitions, still no SinglePartition stage
+    # (a global-window implementation collapses to 1 either way).
+    from pyspark.sql import functions as F
+
+    from pontem_spark.core import from_spark
+
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    try:
+        spark.conf.set(coalesce_key, "false")
+        big = from_spark(
+            spark.range(200_000).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+            )
+        ).set_index("k")
+        bsdf = big.reset_index()._materialized()
+        assert bsdf.rdd.getNumPartitions() > 1
+        assert "SinglePartition" not in bsdf._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(coalesce_key, prev)
     got = out.to_pandas()
     want = pd.DataFrame(RAW).set_index("seg").reset_index()
     got_sorted = got.sort_values(["seg", "a"]).reset_index(drop=True)
@@ -474,3 +498,12 @@ def test_str_cat_scalar(spark):
     w = pd.Series(data, name="t")
     assert s.str.cat() == w.str.cat()
     assert s.str.cat(sep="-") == w.str.cat(sep="-")
+
+
+def test_pivot_table_margins_name_conflict_raises(spark):
+    """A pivot value equal to margins_name must raise upfront like pandas,
+    not die with an ambiguous-column AnalysisException mid-plan."""
+    raw = {"seg": ["x", "y"], "reg": ["All", "a"], "v": [1.0, 2.0]}
+    pf = DataFrame(raw, spark=spark)
+    with pytest.raises(ValueError, match="conflicts"):
+        pf.pivot_table(index="seg", columns="reg", values="v", margins=True)
