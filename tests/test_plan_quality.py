@@ -187,3 +187,22 @@ def test_zscore_broadcasts_scalar_stats(q):
     # value column never shuffles
     plan = physical_plan(q("q_zscore_outliers"))
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_melt_explode_are_map_side_generates(q):
+    """Reshaping promotions (round 5): melt == one stack() Generate and
+    explode == one explode Generate, both with ZERO Exchange — wide-to-long
+    must never shuffle."""
+    for name in ("q_api_melt_lineitem", "q_api_explode_tokens"):
+        df = q(name)
+        plan = physical_plan(df)
+        assert "Generate" in plan, name
+        assert count_exchanges(df) == 0, name
+
+
+def test_grouped_transform_single_window_shuffle(q):
+    """groupby().transform through the wrapper: exactly one Exchange (the
+    window's key shuffle) and no join-back."""
+    df = q("q_api_grouped_transform")
+    assert count_exchanges(df) == 1
+    assert "Join" not in physical_plan(df)
