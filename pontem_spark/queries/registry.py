@@ -69,11 +69,12 @@ def register(
 # rows-only driver rows are their best evidence — never compete for slots.
 NO_ORACLE = frozenset({"q_dedup_simhash_nearpairs", "q_approx_aggregates"})
 
-# Queries whose IMPLEMENTATION changed semantics this round after earning
-# their latest green row — the one thing evidence age cannot see. They
-# sort with the never-verified group so the next driver window re-checks
-# the changed code first. Clear entries once the round's CORRECTNESS
-# artifact lands (their latest-green round then reflects the new code).
+# Queries whose IMPLEMENTATION changed semantics after earning their
+# latest green row — the one thing evidence age cannot see. They sort
+# with the never-verified group so the next driver window re-checks the
+# changed code first. SELF-RETIRING: once a query here earns a green row
+# in the newest artifact round (evidence now covers the changed code),
+# the flag is ignored, so stale entries cost nothing.
 # Round 5: jaccard pairs gained the max_doc_freq cap (new oracle too);
 # hierarchical assignment was refactored to the multi-group __gids form.
 CHANGED_THIS_ROUND = frozenset({"q_dedup_jaccard_pairs", "q_ann_ivf_hier_topk"})
@@ -141,11 +142,12 @@ def all_queries() -> dict[str, Query]:
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
     latest = _latest_green_rounds()
+    newest_round = max(latest.values(), default=0)
 
     def key(n: str) -> tuple[int, int]:
         if n in NO_ORACLE:
             return (1_000_000, order[n])
-        if n in CHANGED_THIS_ROUND:
+        if n in CHANGED_THIS_ROUND and latest.get(n, 0) < newest_round:
             return (0, order[n])
         return (latest.get(n, 0), order[n])
 
