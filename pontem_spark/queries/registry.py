@@ -70,14 +70,13 @@ def register(
 NO_ORACLE = frozenset({"q_dedup_simhash_nearpairs", "q_approx_aggregates"})
 
 # Queries whose IMPLEMENTATION changed semantics after earning their
-# latest green row — the one thing evidence age cannot see. They sort
-# with the never-verified group so the next driver window re-checks the
-# changed code first. SELF-RETIRING: once a query here earns a green row
-# in the newest artifact round (evidence now covers the changed code),
-# the flag is ignored, so stale entries cost nothing.
+# latest green row — the one thing evidence age cannot see. Maps query →
+# round DURING which the change landed; the query sorts with the
+# never-verified group until it earns a green row in that round or later
+# (then the flag self-retires — evidence covers the changed code).
 # Round 5: jaccard pairs gained the max_doc_freq cap (new oracle too);
 # hierarchical assignment was refactored to the multi-group __gids form.
-CHANGED_THIS_ROUND = frozenset({"q_dedup_jaccard_pairs", "q_ann_ivf_hier_topk"})
+CHANGED_IN_ROUND = {"q_dedup_jaccard_pairs": 5, "q_ann_ivf_hier_topk": 5}
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -142,12 +141,11 @@ def all_queries() -> dict[str, Query]:
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
     latest = _latest_green_rounds()
-    newest_round = max(latest.values(), default=0)
 
     def key(n: str) -> tuple[int, int]:
         if n in NO_ORACLE:
             return (1_000_000, order[n])
-        if n in CHANGED_THIS_ROUND and latest.get(n, 0) < newest_round:
+        if latest.get(n, 0) < CHANGED_IN_ROUND.get(n, 0):
             return (0, order[n])
         return (latest.get(n, 0), order[n])
 
