@@ -19,6 +19,23 @@ from pontem_spark.core.series import Series
 _ROWID = "__rowid__"
 
 
+class _ReverseOrder:
+    """Sort-key wrapper inverting comparisons — lets ``sorted`` order a
+    mixed asc/desc multi-column key tuple driver-side (reset_index
+    boundary derivation)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 class DataFrame:
     # -- construction -------------------------------------------------------
 
@@ -447,25 +464,29 @@ class DataFrame:
         0..n-1.
 
         Renumbering is DISTRIBUTED — the zipWithIndex trick in DataFrame
-        space: range-partition by the frame's order (globally ordered
-        partitions), count rows per partition (one small job; driver sees
-        one long per partition, never rows), then number every partition in
-        parallel as cumulative-offset + within-partition ``row_number``.
-        No single-partition Exchange, unlike a global-window row_number.
+        space, with EXPLICIT bucket boundaries so it is deterministic:
 
-        ``repartitionByRange`` samples boundaries with a PER-EXECUTION
-        random seed (documented in Spark: "the output may not be
-        consistent"), so the ranged intermediate is persisted before the
-        counting job — the numbering plan then reads the SAME pinned
-        partitions instead of re-sampling new ones. This was a real bug,
-        caught by the q_api_reset_index_enumerate oracle: unpinned, the two
-        jobs disagreed at partition boundaries and duplicated ~1% of ids.
-        The numbered result is eagerly ``localCheckpoint``ed, which freezes
-        the enumeration and lets the range cache be unpersisted immediately
-        (no per-call cache leak). Caveat shared with RDD.zipWithIndex:
-        losing a checkpointed block to executor failure recomputes the lost
-        partitions; a job that cannot tolerate that should write the
-        enumerated result out immediately."""
+        1. collect a small deterministic sample of index values (md5-bucket
+           filter + limit — one tiny job) and pick ~n_parts-1 split points
+           driver-side;
+        2. every row computes its bucket as a fold over the split-point
+           ARRAY LITERAL (``acc + (key >= b)`` — O(n_parts) per row, pure
+           codegen);
+        3. count rows per bucket (one small job; the driver sees one long
+           per bucket, never rows) → cumulative offsets;
+        4. final index = offset[bucket] + row_number within the bucket —
+           a PARTITIONED window, never a single-partition Exchange.
+
+        Because the boundaries are literals, the counting job and the
+        numbering job agree by construction — no persist, no checkpoint,
+        fully lazy. (``repartitionByRange`` cannot be used here: it samples
+        split points with a per-execution random seed, so two jobs over the
+        same plan see different partitions — a real bug caught by the
+        q_api_reset_index_enumerate oracle, which duplicated ~1% of ids.)
+        Boundary QUALITY only affects balance, never correctness: any
+        boundary set yields the exact 0..n-1 enumeration in frame order,
+        since equal keys always fold to the same bucket. Ties beyond the
+        order columns break arbitrarily, as documented for sorts."""
         from pyspark.sql import Window
 
         name = self._internal.index_name or "index"
@@ -476,14 +497,75 @@ class DataFrame:
         except ValueError:
             # AQE auto-partitioning runtimes set this conf to 'auto'
             n_parts = 200
-        ranged = (
-            base.repartitionByRange(n_parts, *order_cols)
-            .withColumn("__pid__", F.spark_partition_id())
-            .persist()
+
+        spec = self._internal.order_spec or ((INDEX_COL, True),)
+        key_cols = [c for c, _ in spec]
+        ascending = [asc for _, asc in spec]
+        # deterministic boundary sample: md5-bucket filter keeps ~1% of
+        # rows, LIMIT caps driver transfer. The sample needs no cross-run
+        # stability — both jobs below share these exact literals, which is
+        # the only consistency the enumeration requires.
+        sample_rows = (
+            base.select(*key_cols)
+            .filter(
+                (
+                    F.ascii(F.substring(F.md5(F.col(key_cols[0]).cast("string")), 1, 1))
+                    * 256
+                    + F.ascii(F.substring(F.md5(F.col(key_cols[0]).cast("string")), 2, 1))
+                )
+                % 100
+                < 1
+            )
+            .limit(100_000)
+            .collect()
         )
+        keys = sorted(
+            [tuple(r) for r in sample_rows],
+            key=lambda t: tuple(
+                (v if asc else _ReverseOrder(v)) for v, asc in zip(t, ascending)
+            ),
+        )
+        step = max(1, len(keys) // n_parts)
+        boundaries = [keys[i] for i in range(step, len(keys), step)][: n_parts - 1]
+
+        # struct-typed keys (MultiIndex) expand to per-field atoms — Spark
+        # cannot build struct LITERALS, and struct ordering is field-wise
+        # lexicographic anyway, so the comparison is identical
+        schema_types = {f.name: f.dataType for f in base.schema.fields}
+
+        def atoms(b: tuple) -> "list[tuple[Column, bool, object]]":
+            out = []
+            for (col, asc), bv in zip(spec, b):
+                dt = schema_types.get(col)
+                if dt is not None and dt.typeName() == "struct":
+                    vals = list(bv.values()) if isinstance(bv, dict) else list(bv)
+                    for fname, fv in zip(dt.names, vals):
+                        out.append((F.col(col)[fname], asc, fv))
+                else:
+                    out.append((F.col(col), asc, bv))
+            return out
+
+        def ge_boundary(b: tuple) -> Column:
+            # row-key >= boundary under the frame's order (lexicographic
+            # over the order columns, honoring per-column direction)
+            cond = F.lit(False)
+            eq = F.lit(True)
+            for c, asc, bv in atoms(b):
+                after = (c > F.lit(bv)) if asc else (c < F.lit(bv))
+                # null keys fold to bucket 0 (nulls-first, the asc default);
+                # ties beyond the order columns break arbitrarily
+                cond = cond | (eq & F.coalesce(after, F.lit(False)))
+                eq = eq & c.eqNullSafe(F.lit(bv))
+            return cond | eq
+
+        bucket = F.lit(0)
+        for b in boundaries:
+            bucket = bucket + ge_boundary(b).cast("int")
+        with_bucket = base.withColumn("__pid__", bucket)
+
         counts = {
             r["__pid__"]: r["cnt"]
-            for r in ranged.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
+            for r in with_bucket.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
         }
         offsets: list[int] = []
         acc = 0
@@ -494,14 +576,9 @@ class DataFrame:
             F.array(*[F.lit(o) for o in offsets]), F.col("__pid__") + 1
         ) if offsets else F.lit(0)
         w = Window.partitionBy("__pid__").orderBy(*order_cols)
-        sdf = (
-            ranged.withColumn(
-                "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
-            )
-            .drop("__pid__")
-            .localCheckpoint(eager=True)
-        )
-        ranged.unpersist()
+        sdf = with_bucket.withColumn(
+            "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
+        ).drop("__pid__")
         internal = InternalFrame(sdf, "__new_idx__", None)
         cols: dict[str, Column] = {}
         if not drop:

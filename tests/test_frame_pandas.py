@@ -507,3 +507,36 @@ def test_pivot_table_margins_name_conflict_raises(spark):
     pf = DataFrame(raw, spark=spark)
     with pytest.raises(ValueError, match="conflicts"):
         pf.pivot_table(index="seg", columns="reg", values="v", margins=True)
+
+
+def test_reset_index_boundary_paths_at_size(spark):
+    """Boundary-literal enumeration exercises every key shape at a size
+    where the sample actually yields split points: plain index, struct
+    MultiIndex (per-field atoms — Spark has no struct literals), and a
+    descending order_spec. Enumeration must be exactly 0..n-1 in frame
+    order every time."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.core import from_spark
+
+    n = 30_000
+    big = from_spark(
+        spark.range(n).select(
+            (F.col("id") % 50).alias("g"), (F.col("id") % 7).alias("h"),
+            F.col("id").alias("v"),
+        )
+    )
+    flat = big.set_index("v").reset_index().to_pandas()
+    assert sorted(flat.index.tolist()) == list(range(n))
+    assert flat.sort_index()["v"].is_monotonic_increasing
+
+    midx = big.set_index(["g", "h"]).reset_index().to_pandas()
+    assert sorted(midx.index.tolist()) == list(range(n))
+    ordered = midx.sort_index()[["g", "h"]].reset_index(drop=True)
+    assert ordered.equals(
+        ordered.sort_values(["g", "h"], kind="stable").reset_index(drop=True)
+    )
+
+    desc = big.sort_values("v", ascending=False).reset_index(drop=True).to_pandas()
+    assert desc.sort_index()["v"].iloc[0] == n - 1
+    assert desc.sort_index()["v"].is_monotonic_decreasing
