@@ -350,3 +350,44 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select(
         "c_mktsegment", "n_events", rnd(F.col("total_value"), 2).alias("total_value")
     )
+
+
+@register(
+    "q_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(SUM(value) / COUNT(value), 2) AS avg,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("incremental", "agg", "rollup"),
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation proof: the events table is split into three
+    disjoint 'arrival batches' (by event_id mod), each batch is aggregated
+    INDEPENDENTLY into a mergeable state, the states are merged pairwise
+    (tree order, not list order — merging is associative), and read-time
+    stats derive from the merged state. The oracle aggregates everything
+    directly — hash-equality proves the incremental path loses nothing,
+    which is what lets a 100 TB rollup update by shuffling only the new
+    batch (operators/incremental.py)."""
+    from pontem_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        rollup_state,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    batches = [
+        rollup_state(
+            events.filter(F.col("event_id") % 3 == i), ["event_type"], "value"
+        )
+        for i in range(3)
+    ]
+    merged = merge_states(merge_states(batches[0], batches[1], ["event_type"]),
+                          batches[2], ["event_type"])
+    return finalize(merged, ["event_type"], round_digits=2)

@@ -524,3 +524,42 @@ def test_train_centroids_deterministic_and_moves(spark, sf_dir):
         emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=0
     )
     assert [list(r.centroid) for r in a] != [list(r.centroid) for r in init_only]
+
+
+def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
+    """Merging per-batch states (any split, any merge order) must equal the
+    direct aggregation — the monoid property incremental pipelines rely
+    on. Checked on integer-exact fields (n) and rounded floats."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        rollup_state,
+    )
+    from pontem_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    direct = finalize(
+        rollup_state(events, ["event_type"], "value"), ["event_type"]
+    ).toPandas().set_index("event_type").sort_index()
+
+    parts = [
+        rollup_state(events.filter(F.col("event_id") % 4 == i), ["event_type"], "value")
+        for i in range(4)
+    ]
+    # two different merge trees
+    left = merge_states(
+        merge_states(merge_states(parts[0], parts[1], ["event_type"]), parts[2], ["event_type"]),
+        parts[3], ["event_type"],
+    )
+    bal = merge_states(
+        merge_states(parts[0], parts[1], ["event_type"]),
+        merge_states(parts[2], parts[3], ["event_type"]),
+        ["event_type"],
+    )
+    for merged in (left, bal):
+        got = finalize(merged, ["event_type"]).toPandas().set_index("event_type").sort_index()
+        assert got["n"].equals(direct["n"])
+        for c in ("total", "avg", "lo", "hi"):
+            assert (got[c] - direct[c]).abs().max() < 1e-9, c
