@@ -95,7 +95,10 @@ def _regressions_vs_baseline(timings: dict[str, float], sf_val) -> list[dict]:
         if b_med is None or b_med <= 0 or med <= 0:
             continue
         b_hi = max(b_med, (base_spread.get(name) or [0, 0])[1])
-        if med > 2.0 * b_hi:
+        # 2x multiplicative AND >0.5s absolute: sub-second queries jitter
+        # 2-3x on a shared box run-to-run; a real regression (e.g. a new
+        # shuffle or a cache gone missing) clears both bars easily
+        if med > 2.0 * b_hi and med - b_hi > 0.5:
             out.append(
                 {
                     "query": name,
