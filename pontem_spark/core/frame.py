@@ -501,26 +501,38 @@ class DataFrame:
         spec = self._internal.order_spec or ((INDEX_COL, True),)
         key_cols = [c for c, _ in spec]
         ascending = [asc for _, asc in spec]
-        # deterministic boundary sample: md5-bucket filter keeps ~1% of
-        # rows, LIMIT caps driver transfer. The sample needs no cross-run
-        # stability — both jobs below share these exact literals, which is
-        # the only consistency the enumeration requires.
+        # persist around the two driver jobs so an expensive upstream
+        # lineage is computed once for them, not twice; unpersisted before
+        # returning (the final action recomputes — correctness never
+        # depends on the cache, only the literal boundaries)
+        base = base.persist()
+        # deterministic boundary sample: md5-bucket filter (the shared
+        # operators/sampling.py formula) keeps ~1% of rows, LIMIT caps
+        # driver transfer. The sample needs no cross-run stability — both
+        # jobs below share these exact literals, which is the only
+        # consistency the enumeration requires. Tuples containing null are
+        # dropped: null keys never need a boundary (they fold to a fixed
+        # end bucket below) and None is not orderable driver-side.
+        from pontem_spark.operators.sampling import hash_bucket
+
         sample_rows = (
             base.select(*key_cols)
-            .filter(
-                (
-                    F.ascii(F.substring(F.md5(F.col(key_cols[0]).cast("string")), 1, 1))
-                    * 256
-                    + F.ascii(F.substring(F.md5(F.col(key_cols[0]).cast("string")), 2, 1))
-                )
-                % 100
-                < 1
-            )
+            .filter(hash_bucket(key_cols[0], 100) < 1)
             .limit(100_000)
             .collect()
         )
+
+        def _flat(t: tuple) -> tuple:
+            out = []
+            for v in t:
+                if isinstance(v, tuple):  # struct key (MultiIndex)
+                    out.extend(v)
+                else:
+                    out.append(v)
+            return tuple(out)
+
         keys = sorted(
-            [tuple(r) for r in sample_rows],
+            [tuple(r) for r in sample_rows if None not in _flat(tuple(r))],
             key=lambda t: tuple(
                 (v if asc else _ReverseOrder(v)) for v, asc in zip(t, ascending)
             ),
@@ -547,26 +559,34 @@ class DataFrame:
 
         def ge_boundary(b: tuple) -> Column:
             # row-key >= boundary under the frame's order (lexicographic
-            # over the order columns, honoring per-column direction)
+            # over the order columns, honoring per-column direction).
+            # Null atoms follow Spark's sort placement: nulls FIRST under
+            # asc (before every boundary → False), nulls LAST under desc
+            # (after every boundary → True).
             cond = F.lit(False)
             eq = F.lit(True)
             for c, asc, bv in atoms(b):
                 after = (c > F.lit(bv)) if asc else (c < F.lit(bv))
-                # null keys fold to bucket 0 (nulls-first, the asc default);
-                # ties beyond the order columns break arbitrarily
-                cond = cond | (eq & F.coalesce(after, F.lit(False)))
+                after = F.when(c.isNull(), F.lit(not asc)).otherwise(after)
+                cond = cond | (eq & after)
                 eq = eq & c.eqNullSafe(F.lit(bv))
             return cond | eq
 
         bucket = F.lit(0)
         for b in boundaries:
             bucket = bucket + ge_boundary(b).cast("int")
+        # deterministic tie-break beyond the order columns: a content hash
+        # over every column, so re-executions of this LAZY plan assign the
+        # same index to the same row (rows identical in all columns remain
+        # interchangeable — observationally equivalent either way)
+        tiebreak = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in base.columns]))
         with_bucket = base.withColumn("__pid__", bucket)
 
         counts = {
             r["__pid__"]: r["cnt"]
             for r in with_bucket.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
         }
+        base.unpersist()
         offsets: list[int] = []
         acc = 0
         for pid in range((max(counts) + 1) if counts else 0):
@@ -575,7 +595,7 @@ class DataFrame:
         off_expr = F.element_at(
             F.array(*[F.lit(o) for o in offsets]), F.col("__pid__") + 1
         ) if offsets else F.lit(0)
-        w = Window.partitionBy("__pid__").orderBy(*order_cols)
+        w = Window.partitionBy("__pid__").orderBy(*order_cols, tiebreak)
         sdf = with_bucket.withColumn(
             "__new_idx__", (off_expr + F.row_number().over(w) - 1).cast("long")
         ).drop("__pid__")

@@ -382,10 +382,12 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
+    # pmod + coalesce: plain `% 3 == i` would silently drop null ids (null
+    # predicate) and negative ids (Spark % keeps sign), breaking the
+    # batches-partition-the-input invariant this query exists to prove
+    split = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(3))
     batches = [
-        rollup_state(
-            events.filter(F.col("event_id") % 3 == i), ["event_type"], "value"
-        )
+        rollup_state(events.filter(split == i), ["event_type"], "value")
         for i in range(3)
     ]
     merged = merge_states(merge_states(batches[0], batches[1], ["event_type"]),

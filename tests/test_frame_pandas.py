@@ -540,3 +540,43 @@ def test_reset_index_boundary_paths_at_size(spark):
     desc = big.sort_values("v", ascending=False).reset_index(drop=True).to_pandas()
     assert desc.sort_index()["v"].iloc[0] == n - 1
     assert desc.sort_index()["v"].is_monotonic_decreasing
+
+
+def test_reset_index_nulls_and_desc(spark):
+    """Null keys under every direction (review r5): desc places nulls LAST
+    (Spark desc_nulls_last = pandas na_position='last'), multi-column sorts
+    with nulls in a non-first key neither crash the driver-side boundary
+    sort nor mis-bucket, and repeated materializations of one lazy
+    reset_index result agree (content-hash tie-break)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pontem_spark.core import from_spark
+
+    n = 20_000
+    sdf = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 97 == 0, None).otherwise(F.col("id") % 50).alias("v"),
+        (F.col("id") % 5).alias("g"),
+    )
+    big = from_spark(sdf)
+
+    desc = big.sort_values("v", ascending=False).reset_index(drop=True).to_pandas()
+    ordered = desc.sort_index()["v"]
+    n_null = ordered.isna().sum()
+    assert n_null > 0
+    assert ordered.iloc[-n_null:].isna().all(), "desc must place nulls last"
+    assert ordered.iloc[: n - n_null].is_monotonic_decreasing
+
+    multi = big.sort_values(["g", "v"]).reset_index(drop=True).to_pandas()
+    mo = multi.sort_index()[["g", "v"]].reset_index(drop=True)
+    want = mo.sort_values(["g", "v"], kind="stable", na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(mo, want)
+
+    # lazy-plan stability: same row -> same index on every materialization
+    r = big.sort_values("v").reset_index(drop=False)
+    a = r.to_pandas().sort_values("k").set_index("k")
+    b = r.to_pandas().sort_values("k").set_index("k")
+    assert a.index.equals(b.index)
+    assert (a.reset_index().set_index("k").index == b.reset_index().set_index("k").index).all()
+    pd.testing.assert_frame_equal(a, b)
