@@ -25,16 +25,19 @@ from pontem_spark.queries.registry import all_queries  # noqa: E402
 from pontem_spark.session import get_spark  # noqa: E402
 
 
-def _load_bench_baseline() -> "tuple[dict | None, str]":
-    """Find per-query baseline medians+spreads. Preference order: the
-    newest driver BENCH_r*.json (full object, or the driver's wrapper whose
-    truncated ``tail`` sometimes still contains the full JSON line), else
-    the repo-committed BENCH_BASELINE.json snapshot. Returns (object, name)
-    or (None, '')."""
+def _load_bench_baselines() -> "list[tuple[dict, str]]":
+    """Collect EVERY usable per-query baseline: the newest driver
+    BENCH_r*.json (full object, or the driver's wrapper whose truncated
+    ``tail`` sometimes still contains the full JSON line) AND the
+    repo-committed BENCH_BASELINE.json snapshot. The gate compares against
+    the per-query max across all of them — so a leftover pre-refresh driver
+    artifact can no longer shadow a refreshed snapshot (it can only RAISE
+    the bar, never silently lower it back to stale numbers)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    out: list[tuple[dict, str]] = []
     candidates: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(p))
@@ -46,30 +49,36 @@ def _load_bench_baseline() -> "tuple[dict | None, str]":
                 obj = json.load(f)
         except (OSError, ValueError):
             continue
+        found = None
         if isinstance(obj.get("queries"), dict):
-            return obj, os.path.basename(path)
-        for nested in (obj.get("parsed"), None):
-            if isinstance(nested, dict) and isinstance(nested.get("queries"), dict):
-                return nested, os.path.basename(path)
-        tail = obj.get("tail")
-        if isinstance(tail, str) and '"queries"' in tail:
-            start = tail.find('{"metric"')
-            if start >= 0:
-                try:
-                    inner = json.loads(tail[start : tail.index("\n", start)])
-                except ValueError:
-                    inner = None
-                if isinstance(inner, dict) and isinstance(inner.get("queries"), dict):
-                    return inner, os.path.basename(path)
+            found = obj
+        elif isinstance(obj.get("parsed"), dict) and isinstance(
+            obj["parsed"].get("queries"), dict
+        ):
+            found = obj["parsed"]
+        else:
+            tail = obj.get("tail")
+            if isinstance(tail, str) and '"queries"' in tail:
+                start = tail.find('{"metric"')
+                if start >= 0:
+                    try:
+                        inner = json.loads(tail[start : tail.index("\n", start)])
+                    except ValueError:
+                        inner = None
+                    if isinstance(inner, dict) and isinstance(inner.get("queries"), dict):
+                        found = inner
+        if found is not None:
+            out.append((found, os.path.basename(path)))
+            break  # only the newest driver artifact
     snap = os.path.join(here, "BENCH_BASELINE.json")
     try:
         with open(snap) as f:
             obj = json.load(f)
         if isinstance(obj.get("queries"), dict):
-            return obj, "BENCH_BASELINE.json"
+            out.append((obj, "BENCH_BASELINE.json"))
     except (OSError, ValueError):
         pass
-    return None, ""
+    return out
 
 
 def _regressions_vs_baseline(timings: dict[str, float], sf_val) -> list[dict]:
@@ -80,34 +89,47 @@ def _regressions_vs_baseline(timings: dict[str, float], sf_val) -> list[dict]:
     cry wolf). Carried in the artifact so drift is caught by the JSON diff,
     not by a human rereading numbers (VERDICT r04 #7). Advisory: the exit
     code stays 0 — the driver must always get its JSON line."""
-    base, newest = _load_bench_baseline()
-    if base is None:
-        return []
-    if base.get("sf") is not None and base.get("sf") != sf_val:
-        # cross-SF medians are incomparable — sf1 vs an sf0.1 baseline
-        # would flag every query
-        return []
-    base_q = base.get("queries") or {}
-    base_spread = base.get("spread") or {}
+    # per-query effective bar = max over every usable baseline (newest
+    # driver artifact + committed snapshot) of max(median, spread-high) —
+    # ordinary shared-box variance, already witnessed by some spread, can't
+    # cry wolf, and a stale artifact can only raise the bar, never shadow a
+    # refreshed snapshot with lower stale numbers
+    merged: dict[str, tuple[float, float, str, "int | None"]] = {}
+    for base, fname in _load_bench_baselines():
+        if base.get("sf") is not None and base.get("sf") != sf_val:
+            # cross-SF medians are incomparable — sf1 vs an sf0.1 baseline
+            # would flag every query
+            continue
+        base_q = base.get("queries") or {}
+        base_spread = base.get("spread") or {}
+        base_runix = base.get("median_run") or {}
+        for name, b_med in base_q.items():
+            if b_med is None or b_med <= 0:
+                continue
+            b_hi = max(b_med, (base_spread.get(name) or [0, 0])[1])
+            if name not in merged or b_hi > merged[name][1]:
+                merged[name] = (b_med, b_hi, fname, base_runix.get(name))
     out = []
     for name, med in timings.items():
-        b_med = base_q.get(name)
-        if b_med is None or b_med <= 0 or med <= 0:
+        if med <= 0 or name not in merged:
             continue
-        b_hi = max(b_med, (base_spread.get(name) or [0, 0])[1])
+        b_med, b_hi, fname, b_run = merged[name]
         # 2x multiplicative AND >0.5s absolute: sub-second queries jitter
         # 2-3x on a shared box run-to-run; a real regression (e.g. a new
         # shuffle or a cache gone missing) clears both bars easily
         if med > 2.0 * b_hi and med - b_hi > 0.5:
-            out.append(
-                {
-                    "query": name,
-                    "sec": med,
-                    "baseline_sec": b_med,
-                    "baseline_hi": b_hi,
-                    "baseline_file": os.path.basename(newest),
-                }
-            )
+            entry = {
+                "query": name,
+                "sec": med,
+                "baseline_sec": b_med,
+                "baseline_hi": b_hi,
+                "baseline_file": fname,
+            }
+            if b_run is not None:
+                # which run produced the baseline median (0 = first/cold) —
+                # distinguishes compile-cost drift from execution drift
+                entry["baseline_median_run"] = b_run
+            out.append(entry)
     return sorted(out, key=lambda d: -d["sec"] / d["baseline_hi"])
 
 
@@ -135,9 +157,10 @@ def main() -> None:
     runs = max(1, int(os.environ.get("PONTEM_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    median_run: dict[str, int] = {}
 
     def run_one(name: str, q) -> None:
-        samples: list[float] = []
+        raw: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             # noop write executes the full plan INCLUDING every projected
@@ -149,16 +172,20 @@ def main() -> None:
                 q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as e:  # noqa: BLE001
                 print(f"# {name}: ERROR {type(e).__name__}: {e}"[:300], file=sys.stderr)
-                samples.append(float("inf"))
+                raw.append(float("inf"))
                 break
-            samples.append(time.perf_counter() - t0)
-        samples.sort()
+            raw.append(time.perf_counter() - t0)
+        samples = sorted(raw)
         # median-of-N: robust to a one-off scheduling stall on a shared box
         # (best-of-N hid regressions; r02-vs-rerun swings were 3-10x on
         # sub-second queries). Warm runs, so JIT/codegen is amortized like a
         # long-lived cluster session. PONTEM_BENCH_RUNS=1 for cold numbers.
         med = samples[len(samples) // 2]
         timings[name] = round(med, 3) if med != float("inf") else -1.0
+        # provenance: WHICH run produced the median (0 = first run, i.e.
+        # compile-cost-inclusive; >0 = warm). Lets a future regression flag
+        # distinguish codegen/compile drift from execution drift.
+        median_run[name] = raw.index(med)
         lo, hi = samples[0], samples[-1]
         # a query that fails on its FIRST run leaves samples=[inf] — guard
         # BOTH ends or json.dumps emits bare Infinity (invalid JSON)
@@ -189,6 +216,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spreads,
+                "median_run": median_run,
                 "runs": runs,
                 "failed": failed,
                 "regressions": regressions,

@@ -309,6 +309,16 @@ class DataFrame:
                     f"margins_name {margins_name!r} conflicts with a pivot "
                     "column value"
                 )
+            # an INDEX value equal to margins_name would silently union a
+            # second 'All' row next to the real totals row; pandas raises
+            # for index-value conflicts too (one tiny limit-1 probe job)
+            if not base.filter(
+                F.col(index).cast("string") == margins_name
+            ).isEmpty():
+                raise ValueError(
+                    f"margins_name {margins_name!r} conflicts with an index "
+                    "value"
+                )
             sdf = sdf.withColumn(index, F.col(index).cast("string"))
             row_tot = (
                 base.groupBy(F.col(index).cast("string").alias(index))
@@ -497,6 +507,13 @@ class DataFrame:
         except ValueError:
             # AQE auto-partitioning runtimes set this conf to 'auto'
             n_parts = 200
+        # Cap the boundary count independently of the conf: each boundary
+        # adds a ge_boundary() when/boolean chain to the bucket expression,
+        # and a cluster conf of 2000+ would build a Catalyst tree deep
+        # enough to break whole-stage codegen (or analysis itself). Balance
+        # only needs enough buckets to avoid a single-partition window;
+        # correctness is boundary-count-independent (see docstring).
+        n_parts = min(n_parts, 256)
 
         spec = self._internal.order_spec or ((INDEX_COL, True),)
         key_cols = [c for c, _ in spec]
@@ -506,6 +523,8 @@ class DataFrame:
         # returning (the final action recomputes — correctness never
         # depends on the cache, only the literal boundaries)
         base = base.persist()
+        # the two driver jobs run under try/finally so a failing upstream
+        # source cannot leak the cached frame in session storage memory
         # deterministic boundary sample: md5-bucket filter (the shared
         # operators/sampling.py formula) keeps ~1% of rows, LIMIT caps
         # driver transfer. The sample needs no cross-run stability — both
@@ -515,78 +534,80 @@ class DataFrame:
         # end bucket below) and None is not orderable driver-side.
         from pontem_spark.operators.sampling import hash_bucket
 
-        sample_rows = (
-            base.select(*key_cols)
-            .filter(hash_bucket(key_cols[0], 100) < 1)
-            .limit(100_000)
-            .collect()
-        )
+        try:
+            sample_rows = (
+                base.select(*key_cols)
+                .filter(hash_bucket(key_cols[0], 100) < 1)
+                .limit(100_000)
+                .collect()
+            )
 
-        def _flat(t: tuple) -> tuple:
-            out = []
-            for v in t:
-                if isinstance(v, tuple):  # struct key (MultiIndex)
-                    out.extend(v)
-                else:
-                    out.append(v)
-            return tuple(out)
+            def _flat(t: tuple) -> tuple:
+                out = []
+                for v in t:
+                    if isinstance(v, tuple):  # struct key (MultiIndex)
+                        out.extend(v)
+                    else:
+                        out.append(v)
+                return tuple(out)
 
-        keys = sorted(
-            [tuple(r) for r in sample_rows if None not in _flat(tuple(r))],
-            key=lambda t: tuple(
-                (v if asc else _ReverseOrder(v)) for v, asc in zip(t, ascending)
-            ),
-        )
-        step = max(1, len(keys) // n_parts)
-        boundaries = [keys[i] for i in range(step, len(keys), step)][: n_parts - 1]
+            keys = sorted(
+                [tuple(r) for r in sample_rows if None not in _flat(tuple(r))],
+                key=lambda t: tuple(
+                    (v if asc else _ReverseOrder(v)) for v, asc in zip(t, ascending)
+                ),
+            )
+            step = max(1, len(keys) // n_parts)
+            boundaries = [keys[i] for i in range(step, len(keys), step)][: n_parts - 1]
 
-        # struct-typed keys (MultiIndex) expand to per-field atoms — Spark
-        # cannot build struct LITERALS, and struct ordering is field-wise
-        # lexicographic anyway, so the comparison is identical
-        schema_types = {f.name: f.dataType for f in base.schema.fields}
+            # struct-typed keys (MultiIndex) expand to per-field atoms — Spark
+            # cannot build struct LITERALS, and struct ordering is field-wise
+            # lexicographic anyway, so the comparison is identical
+            schema_types = {f.name: f.dataType for f in base.schema.fields}
 
-        def atoms(b: tuple) -> "list[tuple[Column, bool, object]]":
-            out = []
-            for (col, asc), bv in zip(spec, b):
-                dt = schema_types.get(col)
-                if dt is not None and dt.typeName() == "struct":
-                    vals = list(bv.values()) if isinstance(bv, dict) else list(bv)
-                    for fname, fv in zip(dt.names, vals):
-                        out.append((F.col(col)[fname], asc, fv))
-                else:
-                    out.append((F.col(col), asc, bv))
-            return out
+            def atoms(b: tuple) -> "list[tuple[Column, bool, object]]":
+                out = []
+                for (col, asc), bv in zip(spec, b):
+                    dt = schema_types.get(col)
+                    if dt is not None and dt.typeName() == "struct":
+                        vals = list(bv.values()) if isinstance(bv, dict) else list(bv)
+                        for fname, fv in zip(dt.names, vals):
+                            out.append((F.col(col)[fname], asc, fv))
+                    else:
+                        out.append((F.col(col), asc, bv))
+                return out
 
-        def ge_boundary(b: tuple) -> Column:
-            # row-key >= boundary under the frame's order (lexicographic
-            # over the order columns, honoring per-column direction).
-            # Null atoms follow Spark's sort placement: nulls FIRST under
-            # asc (before every boundary → False), nulls LAST under desc
-            # (after every boundary → True).
-            cond = F.lit(False)
-            eq = F.lit(True)
-            for c, asc, bv in atoms(b):
-                after = (c > F.lit(bv)) if asc else (c < F.lit(bv))
-                after = F.when(c.isNull(), F.lit(not asc)).otherwise(after)
-                cond = cond | (eq & after)
-                eq = eq & c.eqNullSafe(F.lit(bv))
-            return cond | eq
+            def ge_boundary(b: tuple) -> Column:
+                # row-key >= boundary under the frame's order (lexicographic
+                # over the order columns, honoring per-column direction).
+                # Null atoms follow Spark's sort placement: nulls FIRST under
+                # asc (before every boundary → False), nulls LAST under desc
+                # (after every boundary → True).
+                cond = F.lit(False)
+                eq = F.lit(True)
+                for c, asc, bv in atoms(b):
+                    after = (c > F.lit(bv)) if asc else (c < F.lit(bv))
+                    after = F.when(c.isNull(), F.lit(not asc)).otherwise(after)
+                    cond = cond | (eq & after)
+                    eq = eq & c.eqNullSafe(F.lit(bv))
+                return cond | eq
 
-        bucket = F.lit(0)
-        for b in boundaries:
-            bucket = bucket + ge_boundary(b).cast("int")
-        # deterministic tie-break beyond the order columns: a content hash
-        # over every column, so re-executions of this LAZY plan assign the
-        # same index to the same row (rows identical in all columns remain
-        # interchangeable — observationally equivalent either way)
-        tiebreak = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in base.columns]))
-        with_bucket = base.withColumn("__pid__", bucket)
+            bucket = F.lit(0)
+            for b in boundaries:
+                bucket = bucket + ge_boundary(b).cast("int")
+            # deterministic tie-break beyond the order columns: a content hash
+            # over every column, so re-executions of this LAZY plan assign the
+            # same index to the same row (rows identical in all columns remain
+            # interchangeable — observationally equivalent either way)
+            tiebreak = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in base.columns]))
+            with_bucket = base.withColumn("__pid__", bucket)
 
-        counts = {
-            r["__pid__"]: r["cnt"]
-            for r in with_bucket.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
-        }
-        base.unpersist()
+            counts = {
+                r["__pid__"]: r["cnt"]
+                for r in with_bucket.groupBy("__pid__").agg(F.count("*").alias("cnt")).collect()
+            }
+        finally:
+            base.unpersist()
         offsets: list[int] = []
         acc = 0
         for pid in range((max(counts) + 1) if counts else 0):

@@ -10,7 +10,7 @@ a deterministic agg on both engines and rounded at derivation time), so the
 cross-engine oracle can check the whole incremental path against a direct
 GROUP BY over the full input.
 
-Derived statistics (avg here; stddev needs a sum-of-squares state) come
+Derived statistics (avg, var/stddev via the sum-of-squares state) come
 from the states at READ time — never stored, so they stay consistent under
 any merge order.
 
@@ -28,10 +28,16 @@ from pontem_spark.functions.compat import rnd
 
 
 def rollup_state(df: DataFrame, keys: "list[str]", value_col: str) -> DataFrame:
-    """Per-key mergeable aggregate state: (keys..., n, total, lo, hi)."""
+    """Per-key mergeable aggregate state: (keys..., n, total, ss, lo, hi).
+
+    ``ss`` (sum of squares) is the extra monoid column that lets the state
+    serve variance/stddev at read time — sums of squares merge by addition
+    exactly like sums."""
+    v = F.col(value_col)
     return df.groupBy(*keys).agg(
         F.count(value_col).alias("n"),
         F.sum(value_col).alias("total"),
+        F.sum(v * v).alias("ss"),
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
@@ -47,6 +53,7 @@ def merge_states(a: DataFrame, b: DataFrame, keys: "list[str]") -> DataFrame:
         .agg(
             F.sum("n").alias("n"),
             F.sum("total").alias("total"),
+            F.sum("ss").alias("ss"),
             F.min("lo").alias("lo"),
             F.max("hi").alias("hi"),
         )
@@ -54,13 +61,23 @@ def merge_states(a: DataFrame, b: DataFrame, keys: "list[str]") -> DataFrame:
 
 
 def finalize(state: DataFrame, keys: "list[str]", round_digits: int = 2) -> DataFrame:
-    """Derive read-time statistics from the state (avg = total/n), rounding
-    the floats portably so the result is hash-comparable cross-engine."""
+    """Derive read-time statistics from the state (avg = total/n; sample
+    stddev from the sum-of-squares identity, NULL when n < 2 like SQL
+    STDDEV_SAMP), rounding the floats portably so the result is
+    hash-comparable cross-engine. The textbook ``(ss - total²/n)/(n-1)``
+    form is used on BOTH engines (the oracle replays it from SUM(x*x)), so
+    any cancellation error is shared and absorbed by the rounding;
+    ``greatest(…, 0)`` guards the sqrt against a tiny negative residual."""
+    n = F.col("n")
+    var = F.greatest(
+        (F.col("ss") - F.col("total") * F.col("total") / n) / (n - 1), F.lit(0.0)
+    )
     return state.select(
         *keys,
-        F.col("n"),
+        n,
         rnd(F.col("total"), round_digits).alias("total"),
-        rnd(F.col("total") / F.col("n"), round_digits).alias("avg"),
+        rnd(F.col("total") / n, round_digits).alias("avg"),
+        rnd(F.when(n >= 2, F.sqrt(var)), round_digits).alias("sd"),
         rnd(F.col("lo"), round_digits).alias("lo"),
         rnd(F.col("hi"), round_digits).alias("hi"),
     )

@@ -76,7 +76,14 @@ NO_ORACLE = frozenset({"q_dedup_simhash_nearpairs", "q_approx_aggregates"})
 # (then the flag self-retires — evidence covers the changed code).
 # Round 5: jaccard pairs gained the max_doc_freq cap (new oracle too);
 # hierarchical assignment was refactored to the multi-group __gids form.
-CHANGED_IN_ROUND = {"q_dedup_jaccard_pairs": 5, "q_ann_ivf_hier_topk": 5}
+# (Both earned green r5 rows — retired.) Round 6: the incremental rollup
+# gained the sum-of-squares state and an ``sd`` output column (oracle
+# extended to match), changing its schema and hash.
+CHANGED_IN_ROUND = {
+    "q_dedup_jaccard_pairs": 5,
+    "q_ann_ivf_hier_topk": 5,
+    "q_incremental_rollup": 6,
+}
 
 
 def _latest_green_rounds() -> dict[str, int]:
@@ -127,6 +134,7 @@ def all_queries() -> dict[str, Query]:
         round2,
         round4,
         round5,
+        round6,
         multimodal,
         asof,
         dedup,

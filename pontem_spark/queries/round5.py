@@ -359,6 +359,9 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(value) AS BIGINT) AS n,
            ROUND(SUM(value), 2) AS total,
            ROUND(SUM(value) / COUNT(value), 2) AS avg,
+           ROUND(CASE WHEN COUNT(value) >= 2 THEN SQRT(GREATEST(
+               (SUM(value * value) - SUM(value) * SUM(value) / COUNT(value))
+               / (COUNT(value) - 1), 0.0)) END, 2) AS sd,
            ROUND(MIN(value), 2) AS lo,
            ROUND(MAX(value), 2) AS hi
     FROM events
@@ -374,7 +377,10 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats derive from the merged state. The oracle aggregates everything
     directly — hash-equality proves the incremental path loses nothing,
     which is what lets a 100 TB rollup update by shuffling only the new
-    batch (operators/incremental.py)."""
+    batch (operators/incremental.py). The ``sd`` column exercises the
+    sum-of-squares state: sample stddev derived at READ time from the
+    merged (n, total, ss) monoid — the oracle replays the same identity
+    from SUM(value*value)."""
     from pontem_spark.operators.incremental import (
         finalize,
         merge_states,

@@ -1,0 +1,79 @@
+"""Round-6 queries: streaming × incremental composition.
+
+The batch incremental rollup (operators/incremental.py, proven by
+q_incremental_rollup) and the streaming machinery (streaming/events.py)
+exist to be composed: a continuous pipeline where each arriving micro-batch
+updates a persistent monoid-state table without rescanning history. This
+module registers that composition as a driver-oracle-checked query.
+
+The reference has no streaming surface at all (SURVEY §2.G); this is part
+of the promised LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pontem_spark.queries.registry import register
+from pontem_spark.sources.tables import load_table
+
+
+@register(
+    "q_stream_incremental_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(value) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(SUM(value) / COUNT(value), 2) AS avg,
+           ROUND(CASE WHEN COUNT(value) >= 2 THEN SQRT(GREATEST(
+               (SUM(value * value) - SUM(value) * SUM(value) / COUNT(value))
+               / (COUNT(value) - 1), 0.0)) END, 2) AS sd,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "incremental", "agg", "rollup"),
+)
+def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous incremental rollup, end to end: the events table is
+    re-written as THREE parquet files, streamed back with
+    ``maxFilesPerTrigger=1`` (so the pipeline provably processes ≥3 real
+    micro-batches), and ``foreachBatch`` merges each batch's monoid partial
+    into the accumulated state table
+    (streaming/events.py::run_incremental_rollup). Read-time stats derive
+    from the FINAL state only — the oracle aggregates everything directly,
+    so hash-equality proves the batch×streaming composition loses nothing
+    regardless of how the rows were sliced into batches.
+
+    Scale shape: per micro-batch the shuffle touches batch rows plus the
+    ~|keys|-row state; the temp re-write exists only to manufacture
+    multiple files from the single-file test fixture (production streams
+    from a landing directory that is already many files)."""
+    from pontem_spark.operators.incremental import finalize
+    from pontem_spark.streaming.events import run_incremental_rollup
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_inc_")
+    try:
+        events.repartition(3).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        state, n_batches = run_incremental_rollup(stream, ["event_type"], "value")
+        if n_batches < 3:
+            raise RuntimeError(
+                f"expected >=3 micro-batches, got {n_batches} — the"
+                " multi-batch merge path was not exercised"
+            )
+        # state is localCheckpoint-materialized, so the finalize projection
+        # no longer references the temp files — safe to remove them
+        return finalize(state, ["event_type"], round_digits=2)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -113,6 +113,50 @@ def dedup_stream(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def run_incremental_rollup(
+    stream: DataFrame,
+    keys: "list[str]",
+    value_col: str,
+    timeout_s: int = 120,
+) -> "tuple[DataFrame, int]":
+    """Continuous incremental rollup: ``foreachBatch`` drives the mergeable
+    monoid state (operators/incremental.py) — each micro-batch is aggregated
+    INDEPENDENTLY into a partial state and merged into the accumulated state
+    table. This is THE production continuous-rollup composition: per batch
+    the shuffle touches only the batch rows plus the ~|keys|-row state,
+    never history.
+
+    The state table here is held as a ``localCheckpoint``-materialized
+    DataFrame (truncates lineage so plan depth stays O(1) across batches,
+    and pins the merged values so a later merge can't recompute a prior
+    batch's scan); production swaps that one line for MERGE INTO a Delta/
+    Iceberg state table — the monoid algebra is identical.
+
+    Returns (final state DataFrame, number of micro-batches processed).
+    """
+    from pontem_spark.operators.incremental import merge_states, rollup_state
+
+    holder: dict = {"state": None, "batches": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = rollup_state(batch_df, keys, value_col)
+        prev = holder["state"]
+        merged = part if prev is None else merge_states(prev, part, keys)
+        holder["state"] = merged.localCheckpoint(eager=True)
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return holder["state"], holder["batches"]
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on_stream: str, on_dim: str) -> DataFrame:
     """Stream-static enrichment join — the lookup-table pattern every
     streaming ingest needs (attach dimension attributes to each event as it

@@ -507,6 +507,12 @@ def test_pivot_table_margins_name_conflict_raises(spark):
     pf = DataFrame(raw, spark=spark)
     with pytest.raises(ValueError, match="conflicts"):
         pf.pivot_table(index="seg", columns="reg", values="v", margins=True)
+    # an INDEX value equal to margins_name would silently union a second
+    # 'All' row next to the totals row; pandas raises for this too
+    raw2 = {"seg": ["All", "y"], "reg": ["a", "b"], "v": [1.0, 2.0]}
+    pf2 = DataFrame(raw2, spark=spark)
+    with pytest.raises(ValueError, match="conflicts"):
+        pf2.pivot_table(index="seg", columns="reg", values="v", margins=True)
 
 
 def test_reset_index_boundary_paths_at_size(spark):

@@ -544,8 +544,12 @@ def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
         rollup_state(events, ["event_type"], "value"), ["event_type"]
     ).toPandas().set_index("event_type").sort_index()
 
+    # the query's own split expression: pmod+coalesce provably PARTITIONS
+    # the input (a plain % drops null event_ids and maps negatives to
+    # negative remainders no batch would claim)
+    split = F.pmod(F.coalesce(F.col("event_id"), F.lit(0)), F.lit(4))
     parts = [
-        rollup_state(events.filter(F.col("event_id") % 4 == i), ["event_type"], "value")
+        rollup_state(events.filter(split == i), ["event_type"], "value")
         for i in range(4)
     ]
     # two different merge trees
@@ -561,5 +565,7 @@ def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
     for merged in (left, bal):
         got = finalize(merged, ["event_type"]).toPandas().set_index("event_type").sort_index()
         assert got["n"].equals(direct["n"])
-        for c in ("total", "avg", "lo", "hi"):
-            assert (got[c] - direct[c]).abs().max() < 1e-9, c
+        for c in ("total", "avg", "sd", "lo", "hi"):
+            # fillna: sd is NULL for n<2 groups on BOTH sides; NaN-NaN
+            # would poison the max otherwise
+            assert (got[c].fillna(0) - direct[c].fillna(0)).abs().max() < 1e-9, c

@@ -150,3 +150,45 @@ def test_stream_static_enrich_stateless_broadcast(spark, sf_dir, stream):
     # the join itself is stateless: only the aggregation keeps state
     explained = enriched._jdf.queryExecution().analyzed().toString()
     assert "Join" in explained
+
+
+def test_stream_incremental_rollup_multibatch(spark, sf_dir):
+    """foreachBatch-driven incremental rollup over >=3 real micro-batches
+    must equal the direct batch aggregation — the continuous-pipeline
+    composition of streaming/events.py and operators/incremental.py."""
+    import shutil
+    import tempfile
+
+    from pontem_spark.operators.incremental import finalize, rollup_state
+    from pontem_spark.streaming.events import run_incremental_rollup
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="pontem_test_stream_inc_")
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        assert stream.isStreaming
+        state, n_batches = run_incremental_rollup(stream, ["event_type"], "value")
+        assert n_batches >= 3, n_batches
+        got = (
+            finalize(state, ["event_type"])
+            .toPandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    direct = (
+        finalize(rollup_state(events, ["event_type"], "value"), ["event_type"])
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert got["n"].equals(direct["n"])
+    for c in ("total", "avg", "sd", "lo", "hi"):
+        assert (got[c].fillna(0) - direct[c].fillna(0)).abs().max() < 1e-9, c
