@@ -14,7 +14,7 @@ from typing import Any, Iterable, Mapping
 from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
 
 from pontem_spark.core.internal import INDEX_COL, InternalFrame, default_session
-from pontem_spark.core.series import Series
+from pontem_spark.core.series import _VALUE, Series
 
 _ROWID = "__rowid__"
 
@@ -180,6 +180,87 @@ class DataFrame:
         for k, v in kwargs.items():
             out[k] = v(out) if callable(v) else v
         return out
+
+    # -- positional indexing --------------------------------------------------
+
+    def _positional_slice(self, key: slice) -> "DataFrame":
+        """Positional row slice — the frame twin of
+        Series._positional_slice (series.py:369): row_number over the
+        frame's VISIBLE order (``order_spec``), so chained positional ops
+        compose (``df.iloc[::-1].iloc[:3]`` is the last three rows,
+        reversed). The global window is on-demand only — pandas-positional
+        semantics fundamentally need a total order (SURVEY §7)."""
+        from pyspark.sql import Window
+
+        step = 1 if key.step is None else key.step
+        if step == 0:
+            raise ValueError("slice step cannot be zero")
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+        cur_spec = self._internal.order_spec
+        base = self._materialized()
+        if step < 0:
+            start, stop, step = key.indices(len(self))
+            sdf = base.withColumn("__rn__", F.row_number().over(w) - 1)
+            cond = (
+                (F.col("__rn__") <= start)
+                & (F.col("__rn__") > stop)
+                & ((F.lit(start) - F.col("__rn__")) % F.lit(-step) == 0)
+            )
+            sdf = sdf.filter(cond).drop("__rn__")
+            flipped = tuple((c, not asc) for c, asc in (cur_spec or ((INDEX_COL, True),)))
+            # double reverse lands back on plain index order — drop the
+            # spec so downstream ops take the no-metadata fast paths
+            if flipped == ((INDEX_COL, True),):
+                flipped = None
+            internal = InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, order_spec=flipped
+            )
+            return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+        if (key.start or 0) < 0 or (key.stop is not None and key.stop < 0):
+            start, stop, step = key.indices(len(self))
+        else:
+            start, stop = key.start or 0, key.stop
+        sdf = base.withColumn("__rn__", F.row_number().over(w) - 1)
+        cond = F.col("__rn__") >= start
+        if stop is not None:
+            cond = cond & (F.col("__rn__") < stop)
+        if step != 1:
+            cond = cond & ((F.col("__rn__") - F.lit(start)) % F.lit(step) == 0)
+        sdf = sdf.filter(cond).drop("__rn__")
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, order_spec=cur_spec
+        )
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def _positional_take(self, positions: list) -> "DataFrame":
+        """iloc with an integer list, counting over the VISIBLE order; same
+        contract as Series._positional_take (rows come back in frame order,
+        not key order; duplicate positions collapse — an index-ordered
+        engine cannot express pandas' take-order without materializing)."""
+        from pyspark.sql import Window
+
+        keys = [int(k) for k in positions]
+        if any(k < 0 for k in keys):
+            n = len(self)
+            keys = [k + n if k < 0 else k for k in keys]
+            if any(k < 0 for k in keys):
+                raise IndexError(f"position out of bounds for length {n}")
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+        sdf = (
+            self._materialized()
+            .withColumn("__rn__", F.row_number().over(w) - 1)
+            .filter(F.col("__rn__").isin(keys))
+            .drop("__rn__")
+        )
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name,
+            order_spec=self._internal.order_spec,
+        )
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    @property
+    def iloc(self):
+        return _FrameILocIndexer(self)
 
     def drop(self, columns: list[str] | str) -> "DataFrame":
         drop = {columns} if isinstance(columns, str) else set(columns)
@@ -761,6 +842,69 @@ class DataFrame:
             c: [row[f"{c}__{label}"] for label, _ in stats] for c in numeric
         }
         return pd.DataFrame(data, index=[label for label, _ in stats])
+
+
+class _FrameILocIndexer:
+    """``df.iloc[rows]`` / ``df.iloc[rows, cols]`` — positional over the
+    frame's visible order (rows) and registration order (columns).
+
+    Row keys: slice (incl. negative step), int (returns a pandas Series of
+    that row, like pandas), integer list. Column keys: int / list / slice
+    over column POSITIONS. ``df.iloc[:, 0]`` returns the Series at column
+    position 0."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def _select_cols(self, df: "DataFrame", key):
+        names = list(df._columns)
+        if isinstance(key, slice):
+            picked = names[key]
+        elif isinstance(key, int):
+            return df[names[key]]  # Series
+        elif isinstance(key, (list, tuple)):
+            picked = [names[int(k)] for k in key]
+        else:
+            raise TypeError(f"iloc column key: {type(key)}")
+        return df[picked]
+
+    def __getitem__(self, key):
+        col_key = None
+        if isinstance(key, tuple) and len(key) == 2:
+            key, col_key = key
+        if isinstance(key, bool):
+            raise TypeError("iloc key: bool")
+        if isinstance(key, slice):
+            out = self._df._positional_slice(key)
+        elif isinstance(key, int):
+            k = key
+            if k < 0:
+                k += len(self._df)
+                if k < 0:
+                    raise IndexError(key)
+            sliced = self._df._positional_slice(slice(k, k + 1))
+            if col_key is not None:
+                sliced = self._select_cols(sliced, col_key)
+                if isinstance(sliced, Series):
+                    rows = sliced._materialized().collect()
+                    if not rows:
+                        raise IndexError(key)
+                    return rows[0][_VALUE]
+            pdf = sliced.to_pandas()
+            if len(pdf) == 0:
+                raise IndexError(key)
+            row = pdf.iloc[0]
+            row.name = pdf.index[0]
+            return row
+        elif isinstance(key, (list, tuple)) or (
+            hasattr(key, "__array__") and getattr(key, "ndim", 1) == 1
+        ):
+            out = self._df._positional_take(list(key))
+        else:
+            raise TypeError(f"iloc key: {type(key)}")
+        if col_key is not None:
+            out = self._select_cols(out, col_key)
+        return out
 
 
 def concat(frames: list[DataFrame]) -> DataFrame:

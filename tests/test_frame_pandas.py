@@ -586,3 +586,65 @@ def test_reset_index_nulls_and_desc(spark):
     assert a.index.equals(b.index)
     assert (a.reset_index().set_index("k").index == b.reset_index().set_index("k").index).all()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_frame_iloc_slices_match_pandas(spark, pf, wf):
+    """DataFrame.iloc positional slices — incl. negative steps and chained
+    composition — must match pandas row-for-row."""
+    for key in (slice(1, 4), slice(None, None, 2), slice(None, None, -1),
+                slice(4, 0, -2), slice(-3, None), slice(None, -2)):
+        got = pf.iloc[key].to_pandas()
+        want = wf.iloc[key]
+        pd.testing.assert_frame_equal(
+            got.sort_index(), want.sort_index(), check_names=False
+        )
+    # visible-order composition: reversed then head-sliced
+    got = pf.iloc[::-1].iloc[:2].to_pandas()
+    want = wf.iloc[::-1].iloc[:2]
+    assert sorted(got.index) == sorted(want.index)
+    assert got.loc[want.index[0], "a"] == want.iloc[0]["a"]
+
+
+def test_frame_iloc_int_list_and_cols(spark, pf, wf):
+    """Scalar row (pandas Series), integer-list take, and (rows, cols)
+     2-tuples over column positions."""
+    row = pf.iloc[1]
+    wrow = wf.iloc[1]
+    assert list(row.index) == list(wrow.index)
+    assert row["a"] == wrow["a"] and row["seg"] == wrow["seg"]
+    row_neg = pf.iloc[-1]
+    assert row_neg["a"] == wf.iloc[-1]["a"]
+    took = pf.iloc[[0, 2, -1]].to_pandas()
+    wtook = wf.iloc[[0, 2, -1]]
+    pd.testing.assert_frame_equal(
+        took.sort_index(), wtook.sort_index(), check_names=False
+    )
+    # (rows, cols)
+    sub = pf.iloc[1:4, [0, 2]].to_pandas()
+    wsub = wf.iloc[1:4, [0, 2]]
+    pd.testing.assert_frame_equal(sub.sort_index(), wsub.sort_index(), check_names=False)
+    col = pf.iloc[:, 1]
+    assert col.to_pandas().sort_index().tolist() == wf.iloc[:, 1].tolist()
+    scalar = pf.iloc[2, 0]
+    assert scalar == wf.iloc[2, 0]
+    with pytest.raises(IndexError):
+        pf.iloc[99]
+    with pytest.raises(TypeError):
+        pf.iloc[True]
+
+
+def test_frame_iloc_multiindex(spark):
+    """iloc over a struct-backed MultiIndex frame: positions follow the
+    frame's VISIBLE order — which after set_index is INDEX order (the
+    engine's documented deviation from pandas' insertion order), so the
+    pandas twin is sort_index()ed before slicing."""
+    raw = {"k1": ["a", "a", "b", "b"], "k2": [2, 1, 2, 1], "v": [1.0, 2.0, 3.0, 4.0]}
+    pf = DataFrame(raw, spark=spark).set_index(["k1", "k2"])
+    wf = pd.DataFrame(raw).set_index(["k1", "k2"]).sort_index()
+    got = pf.iloc[1:3].to_pandas()
+    want = wf.iloc[1:3]
+    pd.testing.assert_frame_equal(got.sort_index(), want.sort_index(), check_names=False)
+    rev = pf.iloc[::-1].to_pandas()
+    wrev = wf.iloc[::-1]
+    assert sorted(rev.index.tolist()) == sorted(wrev.index.tolist())
+    assert rev["v"].sum() == wrev["v"].sum()

@@ -569,3 +569,81 @@ def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
             # fillna: sd is NULL for n<2 groups on BOTH sides; NaN-NaN
             # would poison the max otherwise
             assert (got[c].fillna(0) - direct[c].fillna(0)).abs().max() < 1e-9, c
+
+
+def test_train_centroids_k256_matches_python_replay(spark, sf_dir):
+    """Large-K evidence for the 'K bounded by broadcast size, not plan
+    size' claim (ivf.py): training at K=256 (vs the suite's usual k<=24)
+    completes, the argmin expression grows linearly in K, and one full
+    Lloyd step is replayed in pure Python double arithmetic — the same
+    left-chained folds and portable rounding — and must agree.
+
+    The assignment arithmetic is replicated BIT-IDENTICALLY (sequential
+    folds, driver-side rounded init on both sides); the per-cell means use
+    a different summation order than Spark's partial aggregation, so each
+    component may differ by at most ONE 1e-6 rounding step, and only
+    rarely (no cascade: assignment came from the shared init)."""
+    import collections
+    import math
+    import time
+
+    import numpy as np
+
+    from pontem_spark.operators.ivf import _argmin_cell_expr, train_centroids
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    got = train_centroids(
+        emb, "vec_id", "embedding", dim=64, k=256, sample_pct=100, iters=1
+    )
+    t_k256 = time.perf_counter() - t0
+    assert len(got) == 256
+    assert [r.centroid_id for r in got] == list(range(256))
+    # plan-size evidence: the expression is a string literal array — linear
+    # in K, far from any codegen/analysis cliff
+    e256 = len(_argmin_cell_expr(got, "embedding"))
+    e24 = len(_argmin_cell_expr(got[:24], "embedding"))
+    assert e256 < 15 * e24, (e24, e256)
+    print(f"\n# K=256 train: {t_k256:.2f}s, argmin expr {e256} chars (K=24: {e24})")
+
+    def pr(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in pdf.itertuples()}
+    ids = sorted(vecs)
+    init = [[pr(x) for x in vecs[i]] for i in ids[:256]]
+    cnorms = [math.sqrt(fold_dot(c, c)) for c in init]
+    members = collections.defaultdict(list)
+    for vid in ids:
+        v = vecs[vid]
+        vn = math.sqrt(fold_dot(v, v))
+        best = None
+        for cid, (c, cn) in enumerate(zip(init, cnorms)):
+            den = vn * cn
+            ns = -pr(fold_dot(v, c) / den) if den > 0 else float("inf")
+            if best is None or (ns, cid) < best:
+                best = (ns, cid)
+        members[best[1]].append(vid)
+    want = []
+    for cid in range(256):
+        if members[cid]:
+            n = len(members[cid])
+            want.append(
+                [pr(sum(vecs[vid][p] for vid in members[cid]) / n) for p in range(64)]
+            )
+        else:  # a cell that lost every member keeps its init centroid
+            want.append(init[cid])
+    G = np.array([[float(x) for x in r.centroid] for r in got])
+    W = np.array(want)
+    diff = np.abs(G - W)
+    # exact up to one rounding step per component; flips must be isolated
+    assert diff.max() <= 1.000001e-6, float(diff.max())
+    assert (diff > 1e-9).mean() < 0.01, float((diff > 1e-9).mean())
