@@ -26,6 +26,37 @@ from pyspark.sql import DataFrame, functions as F
 
 from pontem_spark.functions.compat import rnd
 
+# The ONE state definition, shared by the batch DataFrame aggregations
+# below and the Python tuple form used by streaming
+# applyInPandasWithState (streaming/stateful.py). Field order is the tuple
+# order; ``n`` counts NON-NULL values (SQL COUNT(value)) in both forms.
+STATE_FIELDS = ("n", "total", "ss", "lo", "hi")
+STATE_SCHEMA = "n bigint, total double, ss double, lo double, hi double"
+# identity element of the merge monoid (min over inf / max over -inf)
+ZERO_STATE = (0, 0.0, 0.0, float("inf"), float("-inf"))
+
+
+def partial_from_pandas(values) -> tuple:
+    """Aggregate a pandas Series into one state tuple — the Arrow-batch
+    twin of :func:`rollup_state` for custom stateful streaming operators."""
+    v = values.dropna()
+    if len(v) == 0:
+        return ZERO_STATE
+    return (
+        int(v.count()),
+        float(v.sum()),
+        float((v * v).sum()),
+        float(v.min()),
+        float(v.max()),
+    )
+
+
+def merge_state_tuples(a: tuple, b: tuple) -> tuple:
+    """The merge law — identical, field for field, to :func:`merge_states`:
+    adds for n/total/ss, min for lo, max for hi. Associative and
+    commutative, so any batch arrival order yields the same state."""
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2], min(a[3], b[3]), max(a[4], b[4]))
+
 
 def rollup_state(df: DataFrame, keys: "list[str]", value_col: str) -> DataFrame:
     """Per-key mergeable aggregate state: (keys..., n, total, ss, lo, hi).

@@ -85,7 +85,7 @@ def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_stateful_user_stats",
     oracle="""
     SELECT user_id,
-           COUNT(*) AS n_events,
+           COUNT(value) AS n_events,
            ROUND(SUM(value), 2) AS total_value,
            MAX(value) AS max_value
     FROM events
@@ -95,11 +95,14 @@ def q_dedup_cosine_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running (count, sum, max) maintained in grouped state across
-    micro-batches, drained with availableNow — the FINAL state per key must
-    hash-match the plain batch aggregation. Update mode can emit a key once
-    per batch; the final emission is selected via max-by-count (n_events is
-    strictly increasing per emission), so the check is multi-batch-safe."""
+    running stats maintained in grouped state across micro-batches, drained
+    with availableNow — the FINAL state per key must hash-match the plain
+    batch aggregation. The state is the SAME monoid as the batch
+    incremental rollup (operators/incremental.py — n counts non-null
+    values, hence COUNT(value) in the oracle; identical on this data).
+    Update mode can emit a key once per batch; the final emission is
+    selected via max-by-count (n_events is strictly increasing per
+    emission), so the check is multi-batch-safe."""
     from pyspark.sql import functions as F
 
     from pontem_spark.functions.compat import rnd
