@@ -1,0 +1,104 @@
+"""Time-series resampling: fixed-interval downsample, gap fill, forward fill.
+
+The pandas idiom ``df.resample('6H').mean().ffill()`` has no single Spark
+operator, but its pieces map cleanly onto DataFrame primitives:
+
+1. **resample** — floor each timestamp onto the interval grid with pure
+   epoch arithmetic and aggregate per (group, bucket). One shuffle on the
+   (group, bucket) key; partial aggregation is map-side, so at 100 TB the
+   shuffle carries ~|groups × buckets| partial rows, not events.
+2. **gap fill** — the complete bucket grid is ``sequence(min_bucket,
+   max_bucket, interval)`` EXPLODED from the per-group span row. The span
+   aggregate is |groups| rows; the grid is |groups × buckets| rows built
+   without touching the raw events again. A left join (grid ← buckets)
+   lands missing intervals as explicit null rows. Both sides hash-partition
+   on the same key, and the grid side is tiny — AQE broadcasts it when it
+   fits.
+3. **forward fill** — ``last(value, ignorenulls=True)`` over a
+   rows-unbounded-preceding window per group. One window pass; the
+   partition key is the series key, so state per task is one scalar.
+
+At scale every step shuffles metadata-sized frames (grids and buckets, not
+raw events); only step 1 reads the input, and its aggregate is the minimal
+one-pass plan.
+
+Reference parity: the reference has no time-series surface
+(`pontem/series/series.py` is positional/arith only); this extends the
+promised analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def bucket_ts(ts_col: Column | str, interval_sec: int) -> Column:
+    """Floor a timestamp onto the ``interval_sec`` grid (epoch arithmetic —
+    integer division, no string round-trip, codegen-friendly)."""
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    epoch = F.unix_timestamp(ts)  # bigint seconds, UTC session pin
+    return F.timestamp_seconds((epoch - (epoch % interval_sec)))
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    interval_sec: int,
+    bucket_name: str = "bucket_ts",
+) -> DataFrame:
+    """Downsample to fixed intervals: per (group, bucket) count/sum/avg.
+
+    Returns one row per OBSERVED bucket; compose with :func:`gap_fill` for
+    the complete grid."""
+    b = bucket_ts(ts_col, interval_sec).alias(bucket_name)
+    return df.groupBy(*group_cols, b).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("total"),
+        F.avg(value_col).alias("avg_value"),
+    )
+
+
+def gap_fill(
+    resampled: DataFrame,
+    group_cols: list[str],
+    bucket_name: str,
+    interval_sec: int,
+) -> DataFrame:
+    """Expand each group's observed [min, max] bucket span to the full
+    interval grid, left-joining observed buckets so gaps become explicit
+    null rows (``n`` coalesced to 0).
+
+    The grid derives from a |groups|-row span aggregate — the raw input is
+    never rescanned, and the explode produces exactly the grid rows."""
+    span = resampled.groupBy(*group_cols).agg(
+        F.min(bucket_name).alias("__lo"), F.max(bucket_name).alias("__hi")
+    )
+    grid = span.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {interval_sec} SECONDS")
+            )
+        ).alias(bucket_name),
+    )
+    filled = grid.join(resampled, on=[*group_cols, bucket_name], how="left")
+    return filled.withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+
+
+def forward_fill(
+    df: DataFrame, group_cols: list[str], order_col: str, cols: list[str]
+) -> DataFrame:
+    """Forward-fill nulls in ``cols`` with the last non-null value per group
+    in ``order_col`` order (``last(ignorenulls)`` over an unbounded-preceding
+    rows frame — single window pass, scalar state)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -14,10 +14,27 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     on one core while 31 idle. The repartition shuffles only the narrow
     input, which is cheap relative to the downstream blow-up. On a healthy
     cluster input (many splits), this is a no-op.
+
+    The parallelism estimate is driver-side METADATA only — ``inputFiles()``
+    reads the file index and shuffle-partition conf covers derived frames.
+    (``df.rdd.getNumPartitions()`` would be exact but forces the whole plan
+    through RDD translation — a real cost on a utility path at scale, and it
+    pins the pre-AQE partitioning.)
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = len(df.inputFiles())
+    except Exception:  # non-file-based plans (streams, local relations)
+        files = 0
+    if files == 0:
+        # Derived / in-memory frame: its width is governed by the shuffle
+        # conf; only rebalance when that conf itself is below target.
+        try:
+            files = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:  # AQE 'auto'
+            return df
+    if files < target:
         return df.repartition(target)
     return df
 

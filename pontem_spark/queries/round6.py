@@ -77,3 +77,69 @@ def q_stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return finalize(state, ["event_type"], round_digits=2)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample → gap fill → forward fill
+
+
+@register(
+    "q_ts_resample_gapfill",
+    oracle="""
+    WITH f AS (
+        SELECT event_type,
+               to_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT)
+                            - CAST(FLOOR(epoch(ts)) AS BIGINT) % 21600) AS bt,
+               value
+        FROM events WHERE value >= 195
+    ), agg AS (
+        SELECT event_type, bt, COUNT(value) AS n, ROUND(AVG(value), 2) AS avg_value
+        FROM f GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, MIN(bt) AS lo, MAX(bt) AS hi FROM agg GROUP BY 1
+    ), grid AS (
+        SELECT event_type,
+               UNNEST(generate_series(lo, hi, INTERVAL 21600 SECONDS)) AS bt
+        FROM span
+    ), j AS (
+        SELECT g.event_type, g.bt, COALESCE(a.n, 0) AS n, a.avg_value
+        FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.bt = g.bt
+    )
+    SELECT event_type,
+           strftime(bt, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n, avg_value,
+           LAST_VALUE(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_filled
+    FROM j
+    """,
+    tags=("timeseries", "resample", "gapfill", "window"),
+)
+def q_ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``resample('6H').mean()`` with explicit gap rows and forward fill —
+    the pandas time-series idiom re-expressed as three scale-safe pieces
+    (operators/timeseries.py): epoch-floor bucket + one-pass agg (the only
+    scan of the input), a |groups|-row span aggregate EXPLODED into the full
+    interval grid (never rescans events), and a ``last(ignorenulls)`` window
+    for the fill. The >=195 value filter makes the series sparse enough that
+    real gaps exist at every SF, so the left-join null path and the fill are
+    both exercised, not just compiled."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.operators.timeseries import forward_fill, gap_fill, resample
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 195)
+    res = resample(ev, "ts", "value", ["event_type"], 21600)
+    filled = gap_fill(res, ["event_type"], "bucket_ts", 21600)
+    filled = filled.withColumn("avg_value", rnd(F.col("avg_value"), 2)).withColumn(
+        "avg_filled", F.col("avg_value")
+    )
+    filled = forward_fill(filled, ["event_type"], "bucket_ts", ["avg_filled"])
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "n",
+        "avg_value",
+        "avg_filled",
+    )

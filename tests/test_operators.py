@@ -647,3 +647,38 @@ def test_train_centroids_k256_matches_python_replay(spark, sf_dir):
     # exact up to one rounding step per component; flips must be isolated
     assert diff.max() <= 1.000001e-6, float(diff.max())
     assert (diff > 1e-9).mean() < 0.01, float((diff > 1e-9).mean())
+
+
+def test_resample_gapfill_ffill_matches_pandas(spark, sf_dir):
+    """The three timeseries pieces compose to pandas' resample().mean() +
+    reindex + ffill on the same sparse slice, and the fixture really has
+    gaps (else the fill path is dead code in this test)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.timeseries import forward_fill, gap_fill, resample
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 195)
+    res = resample(ev, "ts", "value", ["event_type"], 21600)
+    filled = forward_fill(
+        gap_fill(res, ["event_type"], "bucket_ts", 21600)
+        .withColumn("avg_filled", F.col("avg_value")),
+        ["event_type"],
+        "bucket_ts",
+        ["avg_filled"],
+    )
+    got = filled.toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    assert (got["n"] == 0).any(), "fixture produced no gaps — filter too loose"
+    assert got.loc[got["n"] == 0, "avg_value"].isna().all()
+    assert got["avg_filled"].notna().all()  # spans start at an observed bucket
+
+    pdf = ev.select("ts", "event_type", "value").toPandas()
+    pdf["bucket_ts"] = pdf["ts"].dt.floor("6h")
+    for etype, g in pdf.groupby("event_type"):
+        series = g.groupby("bucket_ts")["value"].mean()
+        idx = pd.date_range(series.index.min(), series.index.max(), freq="6h")
+        want = series.reindex(idx).ffill()
+        mine = got[got["event_type"] == etype].set_index("bucket_ts")["avg_filled"]
+        assert len(mine) == len(want), etype
+        assert (mine - want).abs().max() < 1e-9, etype
