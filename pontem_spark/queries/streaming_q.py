@@ -85,3 +85,36 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `> 1800` keeps it. With microsecond timestamps an exact-1800.000000s gap
 # does not occur in practice; if this dataset ever produced one, the oracle
 # would catch it — which is the point of checking streaming differentially.
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, date_trunc('microseconds', ts) AS ts
+        FROM events
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('microsecond', c.ts, p.ts) AS delay_us
+    FROM e c JOIN e p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 4 HOURS
+    """,
+    tags=("streaming", "join", "state"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-STREAM interval join (click→purchase attribution
+    within 4 hours), drained with availableNow and hash-compared against the
+    batch interval join — proving the buffered-state matching emits exactly
+    the relational join, no more, no less. The time-range condition bounds
+    the join state (streaming/events.py::stream_stream_attribution); an
+    unbounded-state join shape cannot be expressed through this helper."""
+    from pontem_spark.streaming import stream_stream_attribution
+
+    clicks = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = stream_stream_attribution(clicks, purchases)
+    return run_to_memory(joined, mode="append")

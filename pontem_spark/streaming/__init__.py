@@ -11,6 +11,7 @@ from pontem_spark.streaming.events import (
     hourly_rollup,
     session_windows,
     run_to_memory,
+    stream_stream_attribution,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "hourly_rollup",
     "session_windows",
     "run_to_memory",
+    "stream_stream_attribution",
 ]

@@ -167,3 +167,41 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on_stream: str, on_dim: s
     return stream.join(
         F.broadcast(dim), stream[on_stream] == dim[on_dim], "inner"
     ).drop(dim[on_dim])
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    join_key: str = "user_id",
+    max_lag: str = "4 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join — the attribution pattern (match each
+    purchase to the clicks that preceded it within ``max_lag``).
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range, so Spark derives state-expiry bounds: a buffered click
+    is dropped once the purchase-side watermark passes ``click_ts +
+    max_lag`` (and vice versa) — state is O(rows within the lag window), not
+    O(stream). Without the time-range condition an inner stream-stream join
+    buffers BOTH streams forever; that shape is rejected here by
+    construction. The join itself hash-partitions both sides on the key —
+    the same single-shuffle plan the batch twin gets.
+    """
+    c = clicks.selectExpr(
+        f"{join_key} AS user_id", "event_id AS click_id", "ts AS click_ts"
+    ).withWatermark("click_ts", watermark)
+    p = purchases.selectExpr(
+        f"{join_key} AS p_user_id", "event_id AS purchase_id", "ts AS purchase_ts"
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (c["user_id"] == p["p_user_id"])
+        & (p["purchase_ts"] >= c["click_ts"])
+        & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delay_us"),
+    )

@@ -192,3 +192,70 @@ def test_stream_incremental_rollup_multibatch(spark, sf_dir):
     assert got["n"].equals(direct["n"])
     for c in ("total", "avg", "sd", "lo", "hi"):
         assert (got[c].fillna(0) - direct[c].fillna(0)).abs().max() < 1e-9, c
+
+
+def test_stream_stream_join_across_microbatches(spark, sf_dir):
+    """The interval join must BUFFER: clicks and purchases are split into
+    separate multi-file directories drained one file per trigger, so most
+    matches pair rows that arrived in different micro-batches — equality
+    with the batch join proves cross-batch state works, not just
+    within-batch matching."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pontem_spark.sources.tables import load_table
+    from pontem_spark.streaming import run_to_memory, stream_stream_attribution
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    tmp = tempfile.mkdtemp(prefix="pontem_ssj_")
+    try:
+        for etype, sub in [("click", "c"), ("purchase", "p")]:
+            ev.filter(F.col("event_type") == etype).repartition(3).write.mode(
+                "overwrite"
+            ).parquet(f"{tmp}/{sub}")
+
+        def stream(sub):
+            schema = spark.read.parquet(f"{tmp}/{sub}").schema
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{tmp}/{sub}")
+            )
+
+        # files are split randomly, so each one spans the full month — a
+        # tight watermark would (correctly) drop most of files 2-3 as late.
+        # Widen it past the fixture span: no row is late, so streaming must
+        # reproduce the batch join EXACTLY, and every cross-file pair still
+        # exercises cross-batch buffered state.
+        got = run_to_memory(
+            stream_stream_attribution(stream("c"), stream("p"), watermark="40 days"),
+            mode="append",
+        ).toPandas()
+
+        want = (
+            ev.filter(F.col("event_type") == "click")
+            .selectExpr("user_id", "event_id AS click_id", "ts AS cts")
+            .join(
+                ev.filter(F.col("event_type") == "purchase").selectExpr(
+                    "user_id", "event_id AS purchase_id", "ts AS pts"
+                ),
+                on="user_id",
+            )
+            .filter("pts >= cts AND pts <= cts + INTERVAL 4 HOURS")
+            .select(
+                "user_id",
+                "click_id",
+                "purchase_id",
+                (F.unix_micros("pts") - F.unix_micros("cts")).alias("delay_us"),
+            )
+            .toPandas()
+        )
+        assert len(want) > 0
+        key = ["user_id", "click_id", "purchase_id", "delay_us"]
+        g = got[key].sort_values(key).reset_index(drop=True)
+        w = want[key].sort_values(key).reset_index(drop=True)
+        assert g.equals(w)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
