@@ -63,3 +63,82 @@ def stratified_sample(
     for value, pct in percents.items():
         rate = F.when(F.col(stratum_col) == value, F.lit(pct)).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def hash_value16(id_col: str) -> Column:
+    """Deterministic near-uniform value in [0, 65536) from the first four
+    md5 hex digits of the id. Each hex char maps to its nibble via
+    ``ascii(c) - 48 - 39*(c >= 'a')`` — pure arithmetic both engines compute
+    identically (no conv/BASE). Unlike :func:`hash_bucket`'s two-char sum
+    (fine for splits, lumpy as a rate), all 16-bit values are equally
+    likely, so a threshold ``v < floor(rate * 65536)`` realizes ``rate`` to
+    within 1/65536."""
+    h = F.md5(F.col(id_col).cast("string"))
+
+    def nibble(i: int) -> Column:
+        a = F.ascii(F.substring(h, i, 1))
+        return a - 48 - 39 * (a >= 97).cast("int")
+
+    return ((nibble(1) * 4096) + (nibble(2) * 256) + (nibble(3) * 16) + nibble(4)).cast(
+        "bigint"
+    )
+
+
+def hash_value16_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`hash_value16` for oracle SQL."""
+    h = f"md5(CAST({id_expr} AS VARCHAR))"
+
+    def nib(i: int) -> str:
+        a = f"ascii(substr({h}, {i}, 1))"
+        return f"({a} - 48 - 39 * CAST({a} >= 97 AS INTEGER))"
+
+    return f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: keep each row of stratum ``s``
+    with probability ∝ ``count(s)**(alpha-1)``, normalized so the rarest
+    stratum keeps everything — the multilingual-LM sampling scheme (sampled
+    share ∝ count**alpha; alpha=1 keeps the natural distribution, alpha→0
+    flattens it).
+
+    The keep decision is a deterministic md5-derived 16-bit value
+    (:func:`hash_value16`), so the selected rows are reproducible across
+    engines/retries, an oracle can re-derive them exactly, and the realized
+    per-stratum rate lands within 1/65536 of the target. Per-stratum
+    thresholds come from one tiny count aggregate joined back via broadcast
+    — two scans of nothing but the stratum column, no RNG, no driver-side
+    rates table.
+
+    Only ``alpha=0.5`` is exposed for oracle-checked use (weight =
+    1/sqrt(cnt) — sqrt and division are IEEE-correctly-rounded in both
+    engines, so thresholds agree bit-for-bit; arbitrary ``pow`` is not that
+    portable). Other alphas work but are checked by the repo's own tests.
+    """
+    if alpha == 0.5:
+        weight = F.lit(1.0) / F.sqrt(F.col("__cnt"))
+    else:
+        weight = F.pow(F.col("__cnt"), F.lit(alpha - 1.0))
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__w", weight)
+    )
+    max_w = counts.agg(F.max("__w").alias("__mw"))
+    thr = (
+        counts.crossJoin(F.broadcast(max_w))
+        .withColumn(
+            "__thr",
+            F.floor(F.col("__w") / F.col("__mw") * F.lit(65536.0)).cast("bigint"),
+        )
+        .select(stratum_col, "__thr")
+    )
+    kept = df.join(F.broadcast(thr), on=stratum_col, how="inner").filter(
+        hash_value16(id_col) < F.col("__thr")
+    )
+    return kept.drop("__thr")

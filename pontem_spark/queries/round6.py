@@ -143,3 +143,38 @@ def q_ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         "avg_filled",
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based corpus rebalancing
+
+
+from pontem_spark.operators.sampling import hash_value16_sql  # noqa: E402
+
+_HV16 = hash_value16_sql("d.doc_id")
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+    w AS (SELECT lang, CAST(1.0 AS DOUBLE) / sqrt(cnt) AS w FROM c),
+    m AS (SELECT MAX(w) AS mw FROM w),
+    thr AS (SELECT lang, CAST(FLOOR(w / mw * 65536.0) AS BIGINT) AS thr FROM w, m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN thr USING (lang)
+    WHERE {_HV16} < thr.thr
+    """,
+    tags=("sampling", "curation", "temperature"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.5) over the language distribution: the
+    multilingual-LM rebalancing scheme — sampled share ∝ count**alpha, the
+    rarest language kept whole, dominant ones deterministically downsampled
+    via the md5-derived 16-bit value (operators/sampling.py). The oracle
+    re-derives the EXACT kept set, so the hash check proves engine-portable
+    reproducibility of the sample itself, not just its size."""
+    from pontem_spark.operators.sampling import temperature_resample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_resample(docs, "lang", "doc_id", alpha=0.5)

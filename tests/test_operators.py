@@ -682,3 +682,37 @@ def test_resample_gapfill_ffill_matches_pandas(spark, sf_dir):
         mine = got[got["event_type"] == etype].set_index("bucket_ts")["avg_filled"]
         assert len(mine) == len(want), etype
         assert (mine - want).abs().max() < 1e-9, etype
+
+
+def test_temperature_resample_rate_fidelity(spark, sf_dir):
+    """Realized per-stratum keep rates must track the alpha=0.5 targets
+    (share ∝ sqrt(count), rarest stratum kept whole) — the property the
+    16-bit hash value exists to deliver (the two-char bucket was ~30% off).
+    Also: deterministic across runs."""
+    import math
+
+    from pontem_spark.operators.sampling import temperature_resample
+    from pontem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    kept1 = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    after = {r["lang"]: r["count"] for r in kept1.groupBy("lang").count().collect()}
+
+    min_cnt = min(before.values())
+    rarest = min(before, key=before.get)
+    assert after[rarest] == before[rarest], "rarest stratum must be kept whole"
+    for lang, n in before.items():
+        target = math.sqrt(min_cnt / n)
+        realized = after.get(lang, 0) / n
+        # binomial-ish noise on a few hundred rows: ±0.12 absolute
+        assert abs(realized - target) < 0.12, (lang, realized, target)
+
+    ids1 = sorted(r["doc_id"] for r in kept1.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
