@@ -455,3 +455,58 @@ def latest_by_key(
         .agg(F.max(F.struct(*fields)).alias("__latest"))
         .select(key_col, *[F.col(f"__latest.{c}").alias(c) for c in order_cols + payload_cols])
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    centroids,
+    threshold: float,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe): cluster the embedding
+    space, then drop every vector that has a sufficiently-similar
+    LOWER-id vector in the SAME cluster. Returns the kept rows as
+    ``(id, centroid_id)``.
+
+    Scale shape: cluster assignment is the map-side argmin over the
+    centroid literals (operators/ivf.py::assign_cells — zero shuffles), and
+    the only join is the within-cluster self-equi-join on ``centroid_id``,
+    so pairwise work is sum over clusters of |cluster|² instead of the
+    corpus quadratic — at 100 TB you raise K so clusters stay bounded, and
+    the join stays a plain hash/sort-merge equi-join. Per-row norms are
+    precomputed once so the pair expression is a single codegen'd expanded
+    dot product (functions/vector.py::cosine_with_norms).
+
+    Determinism: the keep rule is pure (lower id wins; cosine rounded to
+    ``round_digits`` before the threshold), so an oracle can re-derive the
+    exact kept set given the same centroids.
+    """
+    from pontem_spark.functions import vector as V
+    from pontem_spark.operators.ivf import assign_cells
+
+    assigned = assign_cells(corpus, centroids, id_col, vec_col, dim, n_probe=1)
+    a = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+    ).withColumn("__na", V.norm_fixed("__va", dim))
+    b = assigned.select(
+        F.col("centroid_id"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+    ).withColumn("__nb", V.norm_fixed("__vb", dim))
+    sim = rnd(
+        V.cosine_with_norms("__va", "__vb", F.col("__na"), F.col("__nb"), dim),
+        round_digits,
+    )
+    dups = (
+        a.join(b, on="centroid_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(sim >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, on=id_col, how="left_anti").select(id_col, "centroid_id")

@@ -178,3 +178,57 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): trained clusters → within-cluster near-dup drop
+
+
+def _semantic_dedup_oracle(k: int = 8, pct: int = 30, dim: int = 64, thr: str = "0.4") -> str:
+    from pontem_spark.queries.round4 import _HIER_COS
+    from pontem_spark.queries.round5 import _kmeans_centroids_cte
+
+    assign_cos = _HIER_COS.format(a="e.embedding", b="c.centroid", d=dim)
+    pair_cos = _HIER_COS.format(a="a.embedding", b="b.embedding", d=dim)
+    return f"""
+    WITH {_kmeans_centroids_cte(k, pct, dim)},
+    assign AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ROUND({assign_cos}, 6) DESC, c.centroid_id) AS r
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE r = 1
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE ROUND({pair_cos}, 4) >= {thr}
+    )
+    SELECT vec_id, CAST(centroid_id AS INTEGER) AS centroid_id
+    FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=_semantic_dedup_oracle(),
+    tags=("dedup", "semantic", "embedding", "kmeans"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end to end: trained k-means clusters (the same deterministic
+    sampled-Lloyd build as q_ann_ivf_trained_topk), map-side cluster
+    assignment, then within-cluster near-dup removal (cos ≥ 0.4, lower id
+    wins). The oracle replays training, assignment, AND the keep rule, so
+    the entire semantic-dedup pipeline is hash-checked cross-engine.
+    Pairwise work is bounded per cluster — raise K at scale, never the
+    corpus quadratic (operators/dedup.py::semantic_dedup)."""
+    from pontem_spark.operators.dedup import semantic_dedup
+    from pontem_spark.operators.ivf import train_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(
+        emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=2
+    )
+    return semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=0.4)

@@ -716,3 +716,46 @@ def test_temperature_resample_rate_fidelity(spark, sf_dir):
         .collect()
     )
     assert ids1 == ids2
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """SemDeDup keep-rule invariants on the real fixture: (1) rows are
+    actually dropped; (2) no kept pair within a cluster is >= threshold
+    (else the higher id should have been dropped); (3) every dropped id has
+    a lower-id same-cluster witness >= threshold."""
+    import numpy as np
+
+    from pontem_spark.operators.dedup import semantic_dedup
+    from pontem_spark.operators.ivf import assign_cells, train_centroids
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=2)
+    kept = semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=0.4).toPandas()
+    assigned = assign_cells(emb, cents, "vec_id", "embedding", 64).toPandas()
+    assert len(kept) < len(assigned), "no rows dropped — dup path not exercised"
+
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype="float64") for r in assigned.itertuples()}
+    cluster = {int(r.vec_id): int(r.centroid_id) for r in assigned.itertuples()}
+
+    def cos4(a, b):
+        va, vb = vecs[a], vecs[b]
+        c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        return np.floor(c * 1e4 + 0.5) / 1e4
+
+    kept_ids = sorted(int(v) for v in kept["vec_id"])
+    kept_set = set(kept_ids)
+    by_cluster: dict = {}
+    for vid, cid in cluster.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, members in by_cluster.items():
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                if a in kept_set and b in kept_set:
+                    assert cos4(a, b) < 0.4, (a, b)
+    dropped = [v for v in cluster if v not in kept_set]
+    for b in dropped:
+        assert any(
+            a < b and cluster[a] == cluster[b] and cos4(a, b) >= 0.4 for a in cluster
+        ), b
