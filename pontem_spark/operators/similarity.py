@@ -323,3 +323,100 @@ def lsh_bucket_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_candidates: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+    lam_comp: float = 0.3,
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: exact top-``n_candidates``
+    per query (distributed, :func:`brute_force_topk`), then the greedy MMR
+    selection ``argmax lam*rel(c) - lam_comp*max_{s in S} sim(c, s)`` down
+    to ``k`` diverse results.
+
+    Scale shape: candidate generation is the linear corpus scan; the
+    inherently-sequential greedy step runs per QUERY GROUP inside ONE
+    Arrow-batched ``applyInPandas`` — each group is n_candidates rows, so
+    the sequential part is O(k · n_candidates²) on a bounded set, and
+    queries parallelize freely. This is the production re-rank shape:
+    never driver-side, never corpus-quadratic.
+
+    Determinism: relevance comes in pre-rounded from brute_force_topk; pair
+    similarities use an explicit left-fold dot product (NOT numpy BLAS —
+    its pairwise summation order differs from the engines' fold) rounded to
+    ``round_digits``; ties break on the lower id. ``lam``/``lam_comp`` are
+    both explicit so no side computes ``1 - lam`` in floating point. An
+    oracle can therefore replay the greedy unrolled.
+    """
+    import math
+
+    import pandas as pd
+
+    from pontem_spark.operators.ivf import _portable_round_py
+
+    cands = brute_force_topk(
+        corpus, queries, id_col, vec_col, k=n_candidates,
+        round_digits=round_digits, dim=dim,
+    ).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vec")),
+        on="neighbor_id",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        vecs = {
+            int(nid): [float(x) for x in v]
+            for nid, v in zip(pdf["neighbor_id"], pdf["__vec"])
+        }
+        rel = {
+            int(nid): float(c) for nid, c in zip(pdf["neighbor_id"], pdf["cos_sim"])
+        }
+        norms = {}
+        for cid, v in vecs.items():
+            acc = 0.0
+            for x in v:
+                acc = acc + x * x
+            norms[cid] = math.sqrt(acc)
+
+        def pairsim(a: int, b: int) -> float:
+            va, vb = vecs[a], vecs[b]
+            acc = 0.0
+            for x, y in zip(va, vb):
+                acc = acc + x * y
+            den = norms[a] * norms[b]
+            return _portable_round_py(acc / den, round_digits) if den > 0 else 0.0
+
+        remaining = sorted(vecs)
+        selected: list[tuple[int, float]] = []
+        while remaining and len(selected) < k:
+            best = None
+            for c in remaining:
+                if selected:
+                    ms = max(pairsim(c, s) for s, _ in selected)
+                    score = lam * rel[c] - lam_comp * ms
+                else:
+                    score = rel[c]
+                if best is None or (-score, c) < best[:2]:
+                    best = (-score, c, score)
+            selected.append((best[1], best[2]))
+            remaining.remove(best[1])
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(selected),
+                "neighbor_id": [s for s, _ in selected],
+                "mmr_rank": list(range(1, len(selected) + 1)),
+                "score": [_portable_round_py(sc, round_digits) for _, sc in selected],
+            }
+        )
+
+    return cands.groupBy("query_id").applyInPandas(
+        greedy, "query_id long, neighbor_id long, mmr_rank int, score double"
+    )

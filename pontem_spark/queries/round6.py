@@ -15,7 +15,7 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pontem_spark.queries.registry import register
 from pontem_spark.sources.tables import load_table
@@ -232,3 +232,99 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=2
     )
     return semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (unrolled-greedy oracle)
+
+
+def _mmr_oracle(n_queries: int = 10, n_cand: int = 20, k: int = 5, dim: int = 64) -> str:
+    from pontem_spark.queries.round4 import _HIER_COS
+
+    qc = _HIER_COS.format(a="q.embedding", b="c.embedding", d=dim)
+    ab = _HIER_COS.format(a="a.emb", b="b.emb", d=dim)
+    ctes = [
+        f"""cand0 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.embedding AS emb,
+               ROUND({qc}, 6) AS rel
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+    )""",
+        f"""cands AS (
+        SELECT query_id, neighbor_id, emb, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS r
+            FROM cand0
+        ) WHERE r <= {n_cand}
+    )""",
+        f"""ps AS (
+        SELECT a.query_id, a.neighbor_id AS c1, b.neighbor_id AS c2,
+               ROUND({ab}, 6) AS s
+        FROM cands a JOIN cands b
+          ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+    )""",
+        """sel1 AS (
+        SELECT query_id, neighbor_id, rel AS score, 1 AS mmr_rank FROM (
+            SELECT query_id, neighbor_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS r
+            FROM cands
+        ) WHERE r = 1
+    )""",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        prev = f"selall{i - 1}"
+        ctes.append(
+            f"""sel{i} AS (
+        SELECT query_id, neighbor_id, score, {i} AS mmr_rank FROM (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS r
+            FROM (
+                SELECT c.query_id, c.neighbor_id,
+                       CAST(0.7 AS DOUBLE) * MAX(c.rel)
+                       - CAST(0.3 AS DOUBLE) * MAX(p.s) AS score
+                FROM cands c
+                JOIN ps p ON p.query_id = c.query_id AND p.c1 = c.neighbor_id
+                JOIN {prev} sp ON sp.query_id = p.query_id AND sp.neighbor_id = p.c2
+                WHERE NOT EXISTS (SELECT 1 FROM {prev} sx
+                                  WHERE sx.query_id = c.query_id
+                                    AND sx.neighbor_id = c.neighbor_id)
+                GROUP BY 1, 2
+            )
+        ) WHERE r = 1
+    )"""
+        )
+        ctes.append(
+            f"selall{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM sel{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           ROUND(score, 6) AS score
+    FROM selall{k}
+    """
+    )
+
+
+@register(
+    "q_ann_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "ann", "mmr", "rerank"),
+)
+def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking: exact top-20 candidates per query
+    (distributed scan), then the greedy lam=0.7 selection down to 5 inside
+    one Arrow-batched applyInPandas per query group — the sequential part
+    is bounded by the candidate set, never the corpus. The oracle unrolls
+    all five greedy iterations in SQL (cumulative-selection CTEs), so the
+    hash check proves the entire iterative selection, tie-breaks included,
+    is engine-portable (operators/similarity.py::mmr_rerank)."""
+    from pontem_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, queries, n_candidates=20, k=5, dim=64)

@@ -759,3 +759,55 @@ def test_semantic_dedup_invariants(spark, sf_dir):
         assert any(
             a < b and cluster[a] == cluster[b] and cos4(a, b) >= 0.4 for a in cluster
         ), b
+
+
+def test_mmr_rerank_diversifies(spark, sf_dir):
+    """MMR invariants: rank-1 is the plain nearest neighbor, every selection
+    is drawn from the candidate pool, and an independent numpy replay of the
+    greedy lam=0.7 selection (BLAS dot products instead of the operator's
+    explicit folds) picks the identical sequence. (Note: greedy MMR does
+    NOT guarantee a lower max-pairwise-similarity than plain top-k — it
+    optimizes the marginal score per step — so that is deliberately not
+    asserted.)"""
+    import numpy as np
+
+    from pontem_spark.operators.similarity import brute_force_topk, mmr_rerank
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    mmr = mmr_rerank(emb, queries, n_candidates=20, k=5, dim=64).toPandas()
+    plain = brute_force_topk(emb, queries, k=20, dim=64).toPandas()
+    vecs = {
+        int(r.vec_id): np.array(r.embedding, dtype="float64")
+        for r in emb.select("vec_id", "embedding").toPandas().itertuples()
+    }
+
+    def cos6(a, b):
+        va, vb = vecs[a], vecs[b]
+        c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        return np.floor(c * 1e6 + 0.5) / 1e6
+
+    assert sorted(mmr["query_id"].unique()) == list(range(10))
+    for qid, g in mmr.groupby("query_id"):
+        g = g.sort_values("mmr_rank")
+        assert len(g) == 5
+        pq = plain[plain["query_id"] == qid].sort_values("rank")
+        assert g.loc[g["mmr_rank"] == 1, "neighbor_id"].iloc[0] == pq["neighbor_id"].iloc[0]
+        assert set(g["neighbor_id"]) <= set(pq["neighbor_id"])
+        # independent greedy replay
+        rel = {int(r.neighbor_id): float(r.cos_sim) for r in pq.itertuples()}
+        remaining = sorted(rel)
+        sel: list = []
+        while remaining and len(sel) < 5:
+            scored = []
+            for c in remaining:
+                if sel:
+                    s = 0.7 * rel[c] - 0.3 * max(cos6(c, s0) for s0 in sel)
+                else:
+                    s = rel[c]
+                scored.append((-s, c))
+            _, pick = min(scored)
+            sel.append(pick)
+            remaining.remove(pick)
+        assert [int(x) for x in g["neighbor_id"]] == sel, qid
