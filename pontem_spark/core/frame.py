@@ -102,8 +102,15 @@ class DataFrame:
             *[expr.alias(name) for name, expr in self._columns.items()],
         )
 
-    def to_spark(self) -> SparkDataFrame:
-        return self._materialized()
+    def to_spark(self, index_col: str | None = None) -> SparkDataFrame:
+        """Escape hatch to the raw Spark DataFrame. By default the index
+        travels under the internal ``__index__`` name; pass ``index_col``
+        to expose it under a caller-chosen name instead (the
+        pyspark.pandas ``to_spark(index_col=...)`` convention)."""
+        sdf = self._materialized()
+        if index_col is not None:
+            sdf = sdf.withColumnRenamed(INDEX_COL, index_col)
+        return sdf
 
     def _ordered(self, sdf):
         return sdf.orderBy(*self._internal.order_columns(INDEX_COL))
@@ -420,6 +427,28 @@ class DataFrame:
             sdf = sdf.unionByName(margin_row.select(*sdf.columns))
         if fill_value is not None:
             sdf = sdf.fillna(fill_value)
+        internal = InternalFrame(sdf, index, index)
+        return DataFrame._from_internal(
+            internal, {c: sdf[c] for c in sdf.columns if c != index}
+        )
+
+    def crosstab(
+        self, index: str, columns: str, column_values: list | None = None
+    ) -> "DataFrame":
+        """pandas ``crosstab``: co-occurrence counts of two columns ==
+        ``groupBy(index).pivot(columns).count()`` with absent cells as 0.
+
+        Pass ``column_values`` at scale for the same reason as
+        :meth:`pivot_table` — without it Spark runs a hidden distinct-scan
+        job to discover the pivot columns."""
+        base = self._materialized()
+        grouped = base.groupBy(index)
+        pivoted = (
+            grouped.pivot(columns, column_values)
+            if column_values is not None
+            else grouped.pivot(columns)
+        )
+        sdf = pivoted.count().fillna(0)
         internal = InternalFrame(sdf, index, index)
         return DataFrame._from_internal(
             internal, {c: sdf[c] for c in sdf.columns if c != index}

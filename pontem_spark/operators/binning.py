@@ -1,0 +1,66 @@
+"""Quantile binning (pandas ``qcut``) as a scale-safe two-step plan.
+
+``NTILE`` would be the one-liner, but it needs a GLOBAL sort — a
+single-partition window that dies at scale. The scale-correct shape is:
+
+1. one aggregate computes the boundary quantiles (exact ``percentile``
+   here; swap for ``approx_percentile`` at 100 TB — the bucket rule is
+   boundary-agnostic),
+2. the q-1 boundaries travel as a broadcast single-row frame, and every
+   row's bucket is ``#boundaries strictly below the value`` — a map-side
+   array fold, no shuffle, no sort, no per-row job.
+
+Boundaries are rounded before comparison so both engines bucket from the
+same doubles (interpolated quantiles are the one place two engines'
+arithmetic can drift an ulp).
+
+Reference parity: the reference has no binning surface; pandas-API
+extension (SURVEY §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+def quantile_bins(
+    df: DataFrame,
+    col: str,
+    q: int = 4,
+    bucket_name: str = "bucket",
+    round_digits: int = 2,
+) -> DataFrame:
+    """Append an equal-frequency bucket id in ``[0, q)`` for ``col``.
+
+    Bucket = number of (rounded) quantile boundaries strictly below the
+    value, so the bins are right-inclusive like pandas ``qcut``."""
+    probs = [i / q for i in range(1, q)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    bnds = df.agg(
+        F.expr(
+            f"transform(percentile(CAST({col} AS DOUBLE), array({probs_sql})), "
+            f"b -> floor(b * {10.0 ** round_digits!r} + 0.5) / {10.0 ** round_digits!r})"
+        ).alias("__bnds")
+    )
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn(
+            bucket_name,
+            F.expr(f"size(filter(__bnds, b -> CAST({col} AS DOUBLE) > b))"),
+        )
+        .drop("__bnds")
+    )
+
+
+def quantile_bins_oracle_sql(
+    table: str, col: str, q: int = 4, round_digits: int = 2
+) -> "tuple[str, str]":
+    """DuckDB twin of :func:`quantile_bins`'s boundary list + bucket rule
+    (returns a CTE body ``bnds AS (...)`` plus the bucket expression; the
+    caller composes the final SELECT)."""
+    items = ", ".join(
+        f"ROUND(quantile_cont(CAST({col} AS DOUBLE), {i / q!r}), {round_digits})"
+        for i in range(1, q)
+    )
+    cte = f"bnds AS (SELECT [{items}] AS b FROM {table})"
+    bucket = f"CAST(len(list_filter(bnds.b, x -> CAST({col} AS DOUBLE) > x)) AS INTEGER)"
+    return cte, bucket

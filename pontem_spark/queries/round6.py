@@ -328,3 +328,64 @@ def q_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return mmr_rerank(emb, queries, n_candidates=20, k=5, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# pandas-API parity: crosstab + quantile binning (qcut)
+
+
+_SOURCES = [f"src{i}" for i in range(20)]
+
+
+@register(
+    "q_api_crosstab",
+    oracle="""
+    SELECT lang, """
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN source = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}"
+        for s in _SOURCES
+    )
+    + """
+    FROM documents GROUP BY lang
+    """,
+    tags=("api", "reshape", "crosstab"),
+)
+def q_api_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas crosstab through the wrapper: lang × source co-occurrence
+    counts as one pivot aggregate (explicit column_values, so no hidden
+    distinct-scan job), absent cells filled with 0."""
+    from pontem_spark.core import from_spark
+
+    docs = from_spark(load_table(spark, sf_dir, "documents"))
+    out = docs.crosstab("lang", "source", column_values=_SOURCES)
+    return out.to_spark(index_col="lang").select("lang", *_SOURCES)
+
+
+def _qcut_oracle() -> str:
+    from pontem_spark.operators.binning import quantile_bins_oracle_sql
+
+    cte, bucket = quantile_bins_oracle_sql("orders", "o_totalprice", q=4)
+    return f"""
+    WITH {cte}
+    SELECT o_orderkey, {bucket} AS price_bucket
+    FROM orders, bnds
+    """
+
+
+@register(
+    "q_api_qcut",
+    oracle=_qcut_oracle(),
+    tags=("api", "binning", "quantile"),
+)
+def q_api_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quantile binning (pandas qcut, q=4) the scale-safe
+    way: one percentile aggregate for the boundaries, broadcast to a
+    map-side array fold per row — no NTILE global sort anywhere
+    (operators/binning.py). The per-row hash check proves both engines
+    bucket every order identically from the same rounded boundaries."""
+    from pontem_spark.operators.binning import quantile_bins
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return quantile_bins(orders, "o_totalprice", q=4, bucket_name="price_bucket").select(
+        "o_orderkey", "price_bucket"
+    )

@@ -648,3 +648,44 @@ def test_frame_iloc_multiindex(spark):
     wrev = wf.iloc[::-1]
     assert sorted(rev.index.tolist()) == sorted(wrev.index.tolist())
     assert rev["v"].sum() == wrev["v"].sum()
+
+
+def test_crosstab_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from pontem_spark.core import from_spark
+    from pontem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    got = (
+        from_spark(docs)
+        .crosstab("lang", "source", column_values=sources)
+        .to_spark(index_col="lang")
+        .toPandas()
+        .set_index("lang")
+        .sort_index()[sources]
+    )
+    pdf = docs.select("lang", "source").toPandas()
+    want = pd.crosstab(pdf["lang"], pdf["source"]).reindex(columns=sources, fill_value=0)
+    assert (got.values == want.sort_index().values).all()
+    assert list(got.index) == list(want.sort_index().index)
+
+
+def test_quantile_bins_properties(spark, sf_dir):
+    """qcut invariants: buckets partition the rows near-equally, and bucket
+    ids are monotone in the binned value (no interleaving across the
+    boundary)."""
+    from pontem_spark.operators.binning import quantile_bins
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = quantile_bins(orders, "o_totalprice", q=4).toPandas()
+    n = len(out)
+    sizes = out.groupby("bucket").size()
+    assert sorted(sizes.index) == [0, 1, 2, 3]
+    assert (abs(sizes - n / 4) / (n / 4) < 0.02).all(), sizes.to_dict()
+    by_bucket = out.groupby("bucket")["o_totalprice"]
+    maxes, mins = by_bucket.max(), by_bucket.min()
+    for b in range(3):
+        assert maxes[b] <= mins[b + 1]
