@@ -118,3 +118,39 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = stream_stream_attribution(clicks, purchases)
     return run_to_memory(joined, mode="append")
+
+
+@register(
+    "q_stream_sliding_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               date_trunc('hour', ts) AS h
+        FROM events
+    ), expanded AS (
+        SELECT event_type, value, h AS win_start FROM e
+        UNION ALL
+        SELECT event_type, value, h - INTERVAL 1 HOUR FROM e
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "sliding", "agg"),
+)
+def q_stream_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour/1-hour streaming windows vs the relational expansion
+    (each event contributes to exactly TWO hop starts: its hour and the
+    hour before), proving the overlapping-pane state machinery assigns
+    every event to every covering window exactly once."""
+    from pontem_spark.streaming.events import sliding_rollup
+
+    result = run_to_memory(
+        sliding_rollup(read_event_stream(spark, sf_dir)), mode="complete"
+    )
+    return result.select(
+        "win_start", "event_type", "n_events", rnd(F.col("total_value"), 2).alias("total_value")
+    )

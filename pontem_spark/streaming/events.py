@@ -205,3 +205,29 @@ def stream_stream_attribution(
         "purchase_id",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delay_us"),
     )
+
+
+def sliding_rollup(
+    stream: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (hopping) windows: each event lands in window/slide
+    overlapping aggregates. State per key is window/slide concurrent
+    panes, still watermark-bounded — the moving-average / rolling-rate
+    shape tumbling windows can't express."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
