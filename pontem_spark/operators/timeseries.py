@@ -65,13 +65,22 @@ def gap_fill(
     group_cols: list[str],
     bucket_name: str,
     interval_sec: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """Expand each group's observed [min, max] bucket span to the full
     interval grid, left-joining observed buckets so gaps become explicit
     null rows (``n`` coalesced to 0).
 
-    The grid derives from a |groups|-row span aggregate — the raw input is
-    never rescanned, and the explode produces exactly the grid rows."""
+    The span aggregate and the join probe BOTH reference ``resampled`` —
+    and Spark duplicates a shared subtree per join branch, which would scan
+    the raw input twice. Since the resampled frame is only
+    |groups × buckets| rows, ``materialize=True`` (default) pins it with
+    ``localCheckpoint`` so the expensive upstream scan+agg runs exactly
+    once and both branches read the checkpointed rows (the same idiom as
+    core/frame.py's reset_index). Pass ``materialize=False`` to keep the
+    plan fully lazy (e.g. when the caller already persisted it)."""
+    if materialize:
+        resampled = resampled.localCheckpoint(eager=True)
     span = resampled.groupBy(*group_cols).agg(
         F.min(bucket_name).alias("__lo"), F.max(bucket_name).alias("__hi")
     )
