@@ -389,3 +389,86 @@ def q_api_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bins(orders, "o_totalprice", q=4, bucket_name="price_bucket").select(
         "o_orderkey", "price_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (classic product-analytics rollup)
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+               AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "retention", "agg"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (long form): users cohorted by first-seen
+    week, counted per week offset they were active. Two aggregates over one
+    events scan branch each — the firsts aggregate shuffles ~|users| rows
+    (map-side partial min), activity is a distinct projection, and the join
+    is user-keyed so both sides co-partition; no window, no cross join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct().withColumnRenamed("week", "active_week")
+    return (
+        activity.join(firsts, on="user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size deterministic per-stratum sample
+
+
+@register(
+    "q_sample_fixed_size",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents
+    ) WHERE r <= 10
+    """,
+    tags=("sampling", "curation", "fixed-size"),
+)
+def q_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside each
+    stratum by the md5 of their id (a content-independent total order both
+    engines share) and keep the first 10. The rate-based samplers
+    (stratified/temperature) can't promise an exact count; this one can —
+    the 'give me exactly 10 eval docs per language, same ones every run'
+    shape. One window pass partitioned by stratum; at scale the per-stratum
+    rank never globally sorts, and TOP-n per partition is the same
+    hash-partitioned shuffle as the group-by family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 10)
+        .select("doc_id", "lang")
+    )

@@ -811,3 +811,43 @@ def test_mmr_rerank_diversifies(spark, sf_dir):
             sel.append(pick)
             remaining.remove(pick)
         assert [int(x) for x in g["neighbor_id"]] == sel, qid
+
+
+def test_round6_operator_plan_shapes(spark, sf_dir):
+    """Plan assertions for the round-6 operators: the scale claims in the
+    docstrings, checked against the actual physical plans."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.binning import quantile_bins
+    from pontem_spark.operators.dedup import semantic_dedup
+    from pontem_spark.operators.ivf import assign_cells, train_centroids
+    from pontem_spark.operators.sampling import temperature_resample
+    from pontem_spark.plans import count_exchanges, has_node, physical_plan
+    from pontem_spark.sources.tables import load_table
+
+    # qcut: boundaries broadcast, bucket map-side — no sort, no window
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    q = quantile_bins(orders, "o_totalprice", q=4)
+    assert not has_node(q, "Window"), physical_plan(q)
+    assert has_node(q, "BroadcastNestedLoopJoin") or has_node(
+        q, "BroadcastExchange"
+    ), physical_plan(q)
+    # the only Exchange is the percentile aggregate's single-partition reduce
+    assert count_exchanges(q) <= 1, physical_plan(q)
+
+    # temperature sampling: thresholds broadcast back, stream side never
+    # sort-merge-joined
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    t = temperature_resample(docs, "lang", "doc_id")
+    assert has_node(t, "BroadcastHashJoin"), physical_plan(t)
+    assert not has_node(t, "SortMergeJoin"), physical_plan(t)
+
+    # semantic dedup: cluster assignment is map-side (zero Exchange before
+    # the within-cluster join); the joins are equi-joins, never cartesian
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_centroids(emb, "vec_id", "embedding", dim=64, k=8, sample_pct=30, iters=1)
+    assigned = assign_cells(emb, cents, "vec_id", "embedding", 64)
+    assert count_exchanges(assigned) == 0, physical_plan(assigned)
+    sd = semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=0.4)
+    assert not has_node(sd, "CartesianProduct"), physical_plan(sd)
+    assert not has_node(sd, "BroadcastNestedLoopJoin"), physical_plan(sd)
