@@ -13,8 +13,8 @@ from pontem_spark.sources.tables import (
     load_tables,
     register_views,
 )
-from pontem_spark.sources.readers import read_parquet, read_csv, read_json
-from pontem_spark.sources.writers import write_parquet, write_csv, write_json
+from pontem_spark.sources.readers import read_parquet, read_csv, read_json, read_orc
+from pontem_spark.sources.writers import write_parquet, write_csv, write_json, write_orc
 
 __all__ = [
     "TABLES",
@@ -24,7 +24,9 @@ __all__ = [
     "read_parquet",
     "read_csv",
     "read_json",
+    "read_orc",
     "write_parquet",
+    "write_orc",
     "write_csv",
     "write_json",
 ]

@@ -45,3 +45,10 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.orc(path)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -35,3 +35,17 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite", **options) -> None:
     """JSON-lines sink."""
     df.write.mode(mode).options(**options).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems); same pruning/pushdown properties as parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -59,3 +59,20 @@ def test_cluster_conf_sizing():
     assert conf["spark.sql.shuffle.partitions"] == str(2 * 4000)
     assert conf["spark.sql.adaptive.enabled"] == "true"
     assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) == 64 * 1024 * 1024
+
+
+def test_orc_roundtrip_pruned(spark, sf_dir, tmp_path):
+    from pontem_spark.sources import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(orders, out, partition_by=["o_orderstatus"])
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # predicate + column pruning survive the format swap
+    one = read_orc(spark, out, columns=["o_orderkey", "o_orderstatus"]).filter(
+        "o_orderstatus = 'F'"
+    )
+    n_f = orders.filter("o_orderstatus = 'F'").count()
+    assert one.count() == n_f

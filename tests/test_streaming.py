@@ -259,3 +259,86 @@ def test_stream_stream_join_across_microbatches(spark, sf_dir):
         assert g.equals(w)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Production checkpointing: a file-source stream aggregated into a
+    parquet sink with a real checkpointLocation, run TWICE — first over one
+    landed file, then again after two more files land. The checkpoint must
+    make the second run process ONLY the new files (no double counting), and
+    the final sink contents must equal the batch aggregate over everything."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    parts = [ev.filter(F.pmod(F.coalesce(F.crc32(F.col("event_type")), F.lit(0)) + F.col("value").cast("bigint"), F.lit(3)) == i) for i in range(3)]
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    def land(df, name):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    # a file sink can't take complete-mode aggregates — use foreachBatch
+    # with an idempotent overwrite, the production exactly-once pattern
+    state_dir = str(tmp_path / "state")
+
+    def run(n_expected_batches):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        seen = {"batches": 0}
+
+        def sink_batch(batch_df, batch_id):
+            # complete-mode foreachBatch: overwrite is idempotent per batch,
+            # so a replayed batch cannot double-count
+            batch_df.write.mode("overwrite").parquet(state_dir)
+            seen["batches"] += 1
+
+        q = (
+            agg.writeStream.foreachBatch(sink_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return seen["batches"]
+
+    land(parts[0], "f0")
+    b1 = run(1)
+    assert b1 >= 1
+    first = spark.read.parquet(state_dir).toPandas()
+
+    land(parts[1], "f1")
+    land(parts[2], "f2")
+    b2 = run(2)
+    # resume processed only the two NEW files (one per trigger)
+    assert b2 == 2, b2
+
+    got = (
+        spark.read.parquet(state_dir)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == want["n"].tolist()
+    assert (got["total"] - want["total"]).abs().max() < 1e-6
+    # and the first run really was partial (the resume added data)
+    assert first["n"].sum() < got["n"].sum()
