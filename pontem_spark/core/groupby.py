@@ -169,6 +169,11 @@ class SeriesGroupBy:
     def agg(self, how: str):
         return GroupBy(self._df, self._keys).agg({self._col: how})
 
+    def rolling(self, window: int):
+        from pontem_spark.core.window import GroupedRolling
+
+        return GroupedRolling(self._df, self._keys, self._col, window)
+
     def sum(self): return self.agg("sum")
     def mean(self): return self.agg("mean")
     def min(self): return self.agg("min")

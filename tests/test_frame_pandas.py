@@ -689,3 +689,43 @@ def test_quantile_bins_properties(spark, sf_dir):
     maxes, mins = by_bucket.max(), by_bucket.min()
     for b in range(3):
         assert maxes[b] <= mins[b + 1]
+
+
+def test_groupby_rolling_matches_pandas(spark, sf_dir):
+    """groupby(k)[col].rolling(n).mean()/sum() — partitioned windows within
+    each group, NaN until n observations, matching pandas exactly."""
+    import numpy as np
+
+    from pontem_spark.core import from_spark
+    from pontem_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+        .limit(500)
+    )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    df = from_spark(ev, index_col="event_id")
+    got = (
+        df.groupby("user_id")["value"].rolling(3).mean().to_pandas().sort_index()
+    )
+    want = (
+        pdf.set_index("event_id")
+        .groupby("user_id")["value"]
+        .rolling(3)
+        .mean()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    assert np.allclose(got.fillna(-1).values, want.fillna(-1).values)
+    got_s = df.groupby("user_id")["value"].rolling(2).sum().to_pandas().sort_index()
+    want_s = (
+        pdf.set_index("event_id")
+        .groupby("user_id")["value"]
+        .rolling(2)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .sort_index()
+    )
+    assert np.allclose(got_s.fillna(-1).values, want_s.fillna(-1).values)
