@@ -472,3 +472,35 @@ def q_sample_fixed_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= 10)
         .select("doc_id", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped rolling window through the pandas API
+
+
+@register(
+    "q_api_groupby_rolling",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN COUNT(value) OVER w >= 3
+                THEN ROUND(AVG(value) OVER w, 2) END AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("api", "window", "rolling"),
+)
+def q_api_groupby_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(user)[value].rolling(3).mean() through the wrapper == one
+    hash-partitioned window pass (core/window.py::GroupedRolling — no
+    global sort, no join-back), NaN until the window holds 3 observations,
+    exactly as pandas gates it."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    df = from_spark(ev, index_col="event_id")
+    roll = df.groupby("user_id")["value"].rolling(3).mean()
+    return roll.to_frame().to_spark(index_col="event_id").select(
+        "event_id", rnd(F.col("value"), 2).alias("rolling_avg")
+    )
