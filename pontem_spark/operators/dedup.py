@@ -510,3 +510,42 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dups, on=id_col, how="left_anti").select(id_col, "centroid_id")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    block_expr: Column | None = None,
+) -> DataFrame:
+    """Approximate string matching: pairs of DISTINCT values of ``col``
+    within edit distance ``max_dist`` — entity-resolution's first step
+    (catalog names, merchant strings, near-identical titles).
+
+    Scale shape: the self-join runs on the DISTINCT vocabulary, which is
+    orders of magnitude smaller than the rows (dedup first, then match —
+    never pair raw rows). ``block_expr`` (default: first whitespace token)
+    turns the quadratic all-pairs into an equi-join on the block key, so
+    pair work is Σ|block|²; use a coarser key (length band, soundex,
+    first-k chars) when tokens don't block well. ``levenshtein`` is the
+    JVM built-in — no UDF.
+    """
+    if block_expr is None:
+        block_expr = F.split(F.col(col), r"\s+").getItem(0)
+    vocab = (
+        df.select(col)
+        .distinct()
+        .withColumn("__blk", block_expr)
+        .withColumnRenamed(col, "__name")
+    )
+    # re-derive the block for the right side from its own name column so the
+    # join condition stays a plain equi-join on materialized columns
+    a = vocab.select(F.col("__name").alias("name_a"), F.col("__blk").alias("__blk"))
+    b = vocab.select(F.col("__name").alias("name_b"), F.col("__blk").alias("__blk"))
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("name_a", "name_b", "edit_dist")
+    )

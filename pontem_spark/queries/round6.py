@@ -504,3 +504,34 @@ def q_api_groupby_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.to_frame().to_spark(index_col="event_id").select(
         "event_id", rnd(F.col("value"), 2).alias("rolling_avg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) matching over the distinct vocabulary
+
+
+@register(
+    "q_dedup_fuzzy_names",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk
+        FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS edit_dist
+    FROM vocab a JOIN vocab b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    tags=("dedup", "fuzzy", "levenshtein", "entity-resolution"),
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: DISTINCT part names within edit
+    distance 3, blocked on the first token so the self-join is an equi-join
+    over Σ|block|² vocabulary pairs — never row-quadratic (the distinct
+    comes first; vocabulary is SF-stable while rows grow). levenshtein is
+    JVM-side in Spark and native in DuckDB — same classic DP metric, so the
+    pair set hash-matches exactly (operators/dedup.py::fuzzy_pairs)."""
+    from pontem_spark.operators.dedup import fuzzy_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(part, "p_name", max_dist=3)
