@@ -535,3 +535,51 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return fuzzy_pairs(part, "p_name", max_dist=3)
+
+
+# ---------------------------------------------------------------------------
+# Token-entropy quality scoring (information-theoretic repetition signal)
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_sort(list_distinct(toks))) AS BIGINT) AS n_distinct,
+           ROUND(-list_sum(list_transform(list_sort(list_distinct(toks)),
+               d -> (len(list_filter(toks, x -> x = d)) * 1.0 / len(toks))
+                    * log2(len(list_filter(toks, x -> x = d)) * 1.0 / len(toks)))), 3)
+               AS entropy
+    FROM t
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-theoretic repetition signal (low entropy = chant-like spam,
+    entropy ≈ log2(n) = no repetition; complements the Gopher ratio gates).
+    Computed ENTIRELY within the row by higher-order functions over the
+    token array (sorted-distinct fold so both engines sum in the same
+    order) — a pure projection: zero shuffles, zero UDFs, scales with
+    executor count alone."""
+    from pontem_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    d = "array_sort(array_distinct(__toks))"
+    p = "(size(filter(__toks, x -> x = d)) * 1.0 / size(__toks))"
+    h = (
+        f"-aggregate({d}, CAST(0.0 AS DOUBLE), "
+        f"(acc, d) -> acc + ({p} * log2({p})))"
+    )
+    from pontem_spark.functions.compat import rnd
+
+    return docs.withColumn("__toks", toks).select(
+        "doc_id",
+        F.expr(f"size({d})").cast("bigint").alias("n_distinct"),
+        rnd(F.expr(h), 3).alias("entropy"),
+    )
