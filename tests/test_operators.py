@@ -851,3 +851,59 @@ def test_round6_operator_plan_shapes(spark, sf_dir):
     sd = semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=0.4)
     assert not has_node(sd, "CartesianProduct"), physical_plan(sd)
     assert not has_node(sd, "BroadcastNestedLoopJoin"), physical_plan(sd)
+
+
+def test_round6_operator_edge_cases(spark, sf_dir):
+    """Degenerate inputs for the round-6 operators: empty frames, single
+    strata, fewer candidates than k, constant binning columns."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.binning import quantile_bins
+    from pontem_spark.operators.dedup import fuzzy_pairs, semantic_dedup
+    from pontem_spark.operators.sampling import temperature_resample
+    from pontem_spark.operators.similarity import mmr_rerank
+    from pontem_spark.operators.timeseries import forward_fill, gap_fill, resample
+    from pontem_spark.sources.tables import load_table
+
+    # gap_fill on an empty resample: no groups, no grid, empty result
+    ev = load_table(spark, sf_dir, "events").filter("value > 1e12")
+    res = resample(ev, "ts", "value", ["event_type"], 3600)
+    filled = forward_fill(
+        gap_fill(res, ["event_type"], "bucket_ts", 3600), ["event_type"],
+        "bucket_ts", ["avg_value"],
+    )
+    assert filled.count() == 0
+
+    # temperature sampling with ONE stratum: rate 1.0, everything kept
+    docs = load_table(spark, sf_dir, "documents").filter("lang = 'fr'")
+    kept = temperature_resample(docs.select("doc_id", "lang"), "lang", "doc_id")
+    assert kept.count() == docs.count()
+
+    # MMR with fewer candidates than k: returns what exists, ranks contiguous
+    emb = load_table(spark, sf_dir, "embeddings")
+    tiny = emb.filter("vec_id < 4")  # 3 candidates per query after self-excl
+    out = mmr_rerank(tiny, tiny.filter("vec_id = 0"), n_candidates=10, k=5, dim=64).toPandas()
+    assert len(out) == 3
+    assert sorted(out["mmr_rank"]) == [1, 2, 3]
+
+    # semantic dedup where every vector is its own cluster-mate-free island
+    # (threshold above any real similarity): nothing dropped
+    from pontem_spark.operators.ivf import train_centroids
+
+    cents = train_centroids(emb, "vec_id", "embedding", dim=64, k=4, sample_pct=30, iters=1)
+    kept_sd = semantic_dedup(emb, "vec_id", "embedding", 64, cents, threshold=1.01)
+    assert kept_sd.count() == emb.count()
+
+    # qcut on a CONSTANT column: all boundaries equal the value, "x > b" is
+    # false everywhere -> every row lands in bucket 0 (deliberate deviation:
+    # pandas raises on duplicate bin edges; at scale a constant shard must
+    # not kill the job)
+    const = spark.range(100).select(F.lit(7.0).alias("v"), F.col("id"))
+    b = quantile_bins(const, "v", q=4).toPandas()
+    assert (b["bucket"] == 0).all()
+
+    # fuzzy pairs on a vocabulary with no near matches
+    pdf = pd.DataFrame({"name": ["alpha one", "bravo two", "charlie three"]})
+    fz = fuzzy_pairs(spark.createDataFrame(pdf), "name", max_dist=2)
+    assert fz.count() == 0
