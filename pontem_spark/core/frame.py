@@ -830,16 +830,66 @@ class DataFrame:
         row = self._internal.sdf.select(*exprs).first()
         return pd.Series({c: row[c] for c in self._columns})
 
-    def sum(self):
+    def _numeric_cols(self) -> list[str]:
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        return [
+            c
+            for c in self._columns
+            if schema[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ]
+
+    def _reduce_rowwise(self, how: str):
+        """axis=1 reduction → a Series over the SAME anchor (one map-side
+        expression per row — no shuffle, no job until materialized).
+        pandas skipna semantics: nulls are ignored; an all-null row yields
+        0 for sum (pandas min_count=0) and null for mean/min/max."""
+        from functools import reduce as _reduce
+
+        from pontem_spark.core.series import Series
+
+        cols = [self._columns[c] for c in self._numeric_cols()]
+        if not cols:
+            raise ValueError("no numeric columns for axis=1 reduction")
+        if how == "sum":
+            expr = _reduce(
+                lambda a, b: a + b,
+                [F.coalesce(c.cast("double"), F.lit(0.0)) for c in cols],
+            )
+        elif how == "mean":
+            total = _reduce(
+                lambda a, b: a + b,
+                [F.coalesce(c.cast("double"), F.lit(0.0)) for c in cols],
+            )
+            n = _reduce(
+                lambda a, b: a + b, [c.isNotNull().cast("int") for c in cols]
+            )
+            expr = F.when(n > 0, total / n)
+        elif how == "min":  # least/greatest skip nulls (all-null → null)
+            expr = F.least(*cols) if len(cols) > 1 else cols[0]
+        elif how == "max":
+            expr = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        else:
+            raise ValueError(f"unsupported axis=1 reduction: {how!r}")
+        return Series._from_internal(self._internal, expr, None)
+
+    def sum(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._reduce_rowwise("sum")
         return self._reduce_all("sum")
 
-    def mean(self):
+    def mean(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._reduce_rowwise("mean")
         return self._reduce_all("mean")
 
-    def min(self):
+    def min(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._reduce_rowwise("min")
         return self._reduce_all("min")
 
-    def max(self):
+    def max(self, axis: int = 0):
+        if axis in (1, "columns"):
+            return self._reduce_rowwise("max")
         return self._reduce_all("max")
 
     def count(self):

@@ -729,3 +729,32 @@ def test_groupby_rolling_matches_pandas(spark, sf_dir):
         .sort_index()
     )
     assert np.allclose(got_s.fillna(-1).values, want_s.fillna(-1).values)
+
+
+def test_rowwise_reductions_match_pandas(spark):
+    """axis=1 sum/mean/min/max with nulls — pandas skipna semantics,
+    computed map-side over the same anchor (no shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    from pontem_spark.core import from_spark
+
+    pdf = pd.DataFrame(
+        {
+            "a": [1.0, np.nan, 3.0, np.nan],
+            "b": [10.0, 20.0, np.nan, np.nan],
+            "c": [100, 200, 300, 400],
+            "s": ["x", "y", "z", "w"],  # non-numeric: excluded like pandas numeric_only
+        }
+    )
+    df = from_spark(spark.createDataFrame(pdf))
+    num = pdf[["a", "b", "c"]]
+    for how in ("sum", "mean", "min", "max"):
+        got = getattr(df, how)(axis=1).to_pandas().reset_index(drop=True)
+        want = getattr(num, how)(axis=1).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got.astype("float64"), want.astype("float64"), check_names=False
+        )
+    # axis=0 unchanged (numeric projection; _reduce_all sums every
+    # selected column, so project like pandas numeric_only first)
+    assert df[["a", "b", "c"]].sum()["c"] == 1000
