@@ -75,3 +75,55 @@ def zscore_outliers(
         .filter(F.abs(F.col("zscore")) > threshold)
         .select(*keep_cols, "zscore")
     )
+
+
+def population_stability(
+    df: DataFrame,
+    value_col: str,
+    split_cond: Column,
+    group_cols: "list[str] | None" = None,
+    bin_width: float = 60.0,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Population Stability Index between two slices of the same frame —
+    the standard data-drift monitor (PSI < 0.1 stable, > 0.25 drifted).
+
+    ``split_cond`` marks the REFERENCE slice (e.g. ``ts < '…'``); the rest
+    is the CURRENT slice. Values land in ``n_bins`` fixed-width bins (last
+    bin catches overflow — fixed literal edges, so both engines and both
+    slices bin identically with zero coordination), counts for both slices
+    come from ONE aggregation pass (conditional sums — the table is scanned
+    once, not once per slice), and ``PSI = Σ (p−q)·ln(p/q)`` with an
+    epsilon floor so empty bins don't blow up the log.
+
+    Scale shape: one scan → one shuffle of |groups × bins| partial counts →
+    a |groups|-row result. Nothing else.
+    """
+    group_cols = group_cols or []
+    bucket = F.least(
+        F.floor(F.col(value_col) / F.lit(float(bin_width))), F.lit(n_bins - 1)
+    ).cast("int")
+    ref = F.sum(F.when(split_cond, 1).otherwise(0))
+    cur = F.sum(F.when(split_cond, 0).otherwise(1))
+    binned = (
+        df.groupBy(*group_cols, bucket.alias("__bin"))
+        .agg(ref.alias("__ref"), cur.alias("__cur"))
+    )
+    tot = (
+        binned.groupBy(*group_cols)
+        .agg(F.sum("__ref").alias("__tref"), F.sum("__cur").alias("__tcur"))
+    )
+    # coalesce BEFORE greatest: a group entirely absent from one slice has
+    # total 0 → null share, and the engines disagree on greatest(null, x)
+    # (Spark skips nulls, DuckDB propagates) — floor it to eps explicitly
+    p = F.greatest(F.coalesce(F.col("__ref") / F.col("__tref"), F.lit(0.0)), F.lit(eps))
+    q = F.greatest(F.coalesce(F.col("__cur") / F.col("__tcur"), F.lit(0.0)), F.lit(eps))
+    contrib = (p - q) * F.log(p / q)
+    joined = binned.join(tot, on=group_cols) if group_cols else binned.crossJoin(
+        F.broadcast(tot)
+    )
+    out = joined.select(*group_cols, contrib.alias("__c"))
+    agg = out.groupBy(*group_cols).agg(rnd(F.sum("__c"), round_digits).alias("psi"))
+    return agg

@@ -583,3 +583,48 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({d})").cast("bigint").alias("n_distinct"),
         rnd(F.expr(h), 3).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — data drift between two time windows
+
+
+@register(
+    "q_profile_psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(LEAST(FLOOR(value / 60.0), 9) AS INTEGER) AS bin,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS ref,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS cur
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, SUM(ref) AS tref, SUM(cur) AS tcur FROM b GROUP BY 1
+    )
+    SELECT b.event_type,
+           ROUND(SUM(
+               (GREATEST(COALESCE(b.ref * 1.0 / t.tref, 0.0), 1e-6)
+                - GREATEST(COALESCE(b.cur * 1.0 / t.tcur, 0.0), 1e-6))
+               * LN(GREATEST(COALESCE(b.ref * 1.0 / t.tref, 0.0), 1e-6)
+                    / GREATEST(COALESCE(b.cur * 1.0 / t.tcur, 0.0), 1e-6))
+           ), 4) AS psi
+    FROM b JOIN t ON b.event_type = t.event_type
+    GROUP BY 1
+    """,
+    tags=("profile", "drift", "psi", "data-quality"),
+)
+def q_profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution, first half of
+    January (reference) vs second half (current), per event type — the
+    standard production drift monitor. One scan, conditional sums for both
+    slices in a single aggregation, fixed literal bin edges so both engines
+    bin identically (operators/profile.py::population_stability)."""
+    from pontem_spark.operators.profile import population_stability
+
+    ev = load_table(spark, sf_dir, "events")
+    return population_stability(
+        ev,
+        "value",
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        group_cols=["event_type"],
+    )
