@@ -675,3 +675,37 @@ def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("c_acctbal"), 2).alias("acctbal"),
         "n_orders",
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured ingestion (Spark 4 parse_json / variant_get)
+
+
+@register(
+    "q_events_variant",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("events", "json", "variant"),
+)
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion the Spark-4 way: ``parse_json`` turns the
+    JSON string into a VARIANT column ONCE at the scan, and every downstream
+    access is a typed ``try_variant_get`` against the binary-encoded value —
+    at scale this replaces re-parsing the JSON text per extraction
+    (get_json_object re-tokenizes the string each call; the variant parses
+    once and navigates an offset-encoded tree). Aggregation over the typed
+    extraction hash-matches DuckDB's native JSON path."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("__v"), "value")
+    k = F.try_variant_get(F.col("__v"), "$.k", "bigint")
+    from pontem_spark.functions.compat import rnd
+
+    return v.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        rnd(F.avg("value"), 2).alias("avg_value"),
+    )
