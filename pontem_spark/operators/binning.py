@@ -64,3 +64,35 @@ def quantile_bins_oracle_sql(
     cte = f"bnds AS (SELECT [{items}] AS b FROM {table})"
     bucket = f"CAST(len(list_filter(bnds.b, x -> CAST({col} AS DOUBLE) > x)) AS INTEGER)"
     return cte, bucket
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_name: str | None = None,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Clip ``col`` to its [lower, upper] quantiles — the standard outlier
+    tamer before normalization/training. Same scale shape as
+    :func:`quantile_bins`: ONE percentile aggregate (→ approx_percentile at
+    100 TB) broadcast as a single row, then a map-side LEAST/GREATEST per
+    row; boundaries rounded so both engines clip from identical doubles."""
+    out_name = out_name or f"{col}_winsorized"
+    s = 10.0 ** round_digits
+    bnds = df.agg(
+        F.expr(
+            f"transform(percentile(CAST({col} AS DOUBLE), array({lower!r}, {upper!r})), "
+            f"b -> floor(b * {s!r} + 0.5) / {s!r})"
+        ).alias("__wb")
+    )
+    clipped = F.least(
+        F.greatest(F.col(col).cast("double"), F.element_at("__wb", 1)),
+        F.element_at("__wb", 2),
+    )
+    return (
+        df.crossJoin(F.broadcast(bnds))
+        .withColumn(out_name, clipped)
+        .drop("__wb")
+    )

@@ -709,3 +709,37 @@ def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         rnd(F.avg("value"), 2).alias("avg_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile winsorization (outlier clipping)
+
+
+@register(
+    "q_curation_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01), 2) AS lo,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 2) AS hi
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE), b.lo), b.hi)
+               AS l_extendedprice_winsorized
+    FROM lineitem, b
+    """,
+    tags=("curation", "winsorize", "quantile"),
+)
+def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at [p01, p99]: one percentile aggregate broadcast as a
+    single row, then a map-side LEAST/GREATEST per row — no sort, no window
+    (operators/binning.py::winsorize). Per-row hash check proves both
+    engines clip identically from the same rounded boundaries."""
+    from pontem_spark.operators.binning import winsorize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return winsorize(li, "l_extendedprice", 0.01, 0.99).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice_winsorized"
+    )
