@@ -196,15 +196,42 @@ class Series:
         return Series._from_internal(internal, op(l, r), name)
 
     @staticmethod
+    def _zero_div_value(a: Column, b: Column) -> Column:
+        # pandas float semantics for a zero divisor: x/0 → ±inf signed by
+        # BOTH operands' signs, 0/0 (and nan/0) → NaN. The divisor's sign
+        # bit matters even for zero (1.0/-0.0 = -inf); a zero's sign bit is
+        # invisible to comparisons, but CAST(-0.0 AS STRING) = '-0.0', so
+        # the sign flip reads it from the string form (zero branch only —
+        # the per-row cost exists solely where the division would THROW).
+        flip = F.when(
+            b.cast("string").startswith("-"), F.lit(-1.0)
+        ).otherwise(F.lit(1.0))
+        return (
+            F.when(a > 0, F.lit(float("inf")))
+            .when(a < 0, F.lit(float("-inf")))
+            .otherwise(F.lit(float("nan")))
+        ) * flip
+
+    @staticmethod
+    def _truediv_cols(a: Column, b: Column) -> Column:
+        # Spark 4 runs ANSI mode by default, where /0 THROWS at runtime;
+        # pandas never does. Guarding with when() keeps the division branch
+        # unevaluated for zero divisors (found by hypothesis: Series/0.0
+        # killed the job).
+        return F.when(b == 0, Series._zero_div_value(a, b)).otherwise(a / b)
+
+    @staticmethod
     def _floordiv_cols(a: Column, b: Column) -> Column:
         # pandas floordiv is FLOOR division (the reference truncated via
-        # cast('integer'), wrong for negatives — series.py:203-209)
-        return F.floor(a / b)
+        # cast('integer'), wrong for negatives — series.py:203-209);
+        # zero divisor → same IEEE values as truediv (floor(±inf) = ±inf)
+        return F.when(b == 0, Series._zero_div_value(a, b)).otherwise(F.floor(a / b))
 
     @staticmethod
     def _mod_cols(a: Column, b: Column) -> Column:
-        # pandas/Python mod takes the divisor's sign; Spark % the dividend's
-        return a - F.floor(a / b) * b
+        # pandas/Python mod takes the divisor's sign; Spark % the dividend's.
+        # Zero divisor → NaN (pandas float x % 0.0).
+        return F.when(b == 0, F.lit(float("nan"))).otherwise(a - F.floor(a / b) * b)
 
     def __add__(self, o): return self._binop(o, operator.add)
     def __radd__(self, o): return self._binop(o, operator.add, reflected=True)
@@ -212,8 +239,8 @@ class Series:
     def __rsub__(self, o): return self._binop(o, operator.sub, reflected=True)
     def __mul__(self, o): return self._binop(o, operator.mul)
     def __rmul__(self, o): return self._binop(o, operator.mul, reflected=True)
-    def __truediv__(self, o): return self._binop(o, operator.truediv)
-    def __rtruediv__(self, o): return self._binop(o, operator.truediv, reflected=True)
+    def __truediv__(self, o): return self._binop(o, self._truediv_cols)
+    def __rtruediv__(self, o): return self._binop(o, self._truediv_cols, reflected=True)
     def __floordiv__(self, o): return self._binop(o, self._floordiv_cols)
     def __rfloordiv__(self, o): return self._binop(o, self._floordiv_cols, reflected=True)
     def __mod__(self, o): return self._binop(o, self._mod_cols)

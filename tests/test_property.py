@@ -1,0 +1,99 @@
+"""Property-based differentials (hypothesis): random inputs, pandas as the
+oracle. Few examples per property — each example is a real Spark round-trip
+— but the inputs cover corners example-based tests hard-code away (NaNs,
+negatives, zero divisors, empty/degenerate slices)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+_vals = st.lists(st.one_of(_finite, st.just(float("nan"))), min_size=1, max_size=30)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _series(spark, data):
+    from pontem_spark.core.series import Series
+
+    return Series(data=data, spark=spark)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "truediv"])
+@given(data=_vals, scalar=_finite)
+@settings(**_SETTINGS)
+def test_scalar_arithmetic_matches_pandas(spark, op, data, scalar):
+    import operator as _op
+
+    fn = getattr(_op, op)
+    got = fn(_series(spark, data), scalar).to_pandas().reset_index(drop=True)
+    want = fn(pd.Series(data), scalar).reset_index(drop=True)
+    for g, w in zip(got.tolist(), want.tolist()):
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+        elif math.isinf(w):  # pandas float div-by-zero → ±inf; Spark agrees
+            assert g == w, (g, w)
+        else:
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
+
+
+@given(
+    data=st.lists(st.integers(-100, 100), min_size=1, max_size=25),
+    start=st.one_of(st.none(), st.integers(-30, 30)),
+    stop=st.one_of(st.none(), st.integers(-30, 30)),
+    step=st.one_of(st.none(), st.integers(-5, 5).filter(lambda x: x != 0)),
+)
+@settings(**_SETTINGS)
+def test_positional_slice_matches_pandas(spark, data, start, stop, step):
+    got = (
+        _series(spark, data)[slice(start, stop, step)]
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = pd.Series(data)[slice(start, stop, step)].reset_index(drop=True)
+    assert got.tolist() == want.tolist()
+
+
+@given(data=st.lists(_finite, min_size=8, max_size=60, unique=True))
+@settings(**_SETTINGS)
+def test_quantile_bins_partition_and_monotone(spark, data):
+    """For ANY distinct-value distribution: every row gets a bucket in
+    [0, q), and bucket ids are monotone in the value."""
+    from pontem_spark.operators.binning import quantile_bins
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(data)], "id int, v double")
+    out = quantile_bins(df, "v", q=4).toPandas().sort_values("v")
+    assert out["bucket"].between(0, 3).all()
+    assert (out["bucket"].diff().dropna() >= 0).all()
+
+
+@given(
+    strata=st.lists(st.sampled_from(["a", "b", "c"]), min_size=5, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_temperature_resample_deterministic_and_bounded(spark, strata):
+    """For ANY stratum layout: the kept set is a subset, identical across
+    runs, and the rarest stratum is kept whole."""
+    from pontem_spark.operators.sampling import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strata)], "id long, s string"
+    )
+    k1 = sorted(r["id"] for r in temperature_resample(df, "s", "id").collect())
+    k2 = sorted(r["id"] for r in temperature_resample(df, "s", "id").collect())
+    assert k1 == k2
+    assert set(k1) <= set(range(len(strata)))
+    counts = pd.Series(strata).value_counts()
+    rarest = counts.idxmin()
+    kept_rarest = sum(1 for i in k1 if strata[i] == rarest)
+    assert kept_rarest == counts.min()
