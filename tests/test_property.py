@@ -97,3 +97,41 @@ def test_temperature_resample_deterministic_and_bounded(spark, strata):
     rarest = counts.idxmin()
     kept_rarest = sum(1 for i in k1 if strata[i] == rarest)
     assert kept_rarest == counts.min()
+
+
+@given(
+    idx1=st.lists(st.integers(-20, 20), min_size=1, max_size=15, unique=True),
+    idx2=st.lists(st.integers(-20, 20), min_size=1, max_size=15, unique=True),
+    op=st.sampled_from(["add", "sub", "mul", "truediv"]),
+    data=st.data(),
+)
+@settings(**_SETTINGS)
+def test_aligned_arithmetic_matches_pandas(spark, idx1, idx2, op, data):
+    """Series⊕Series across different anchors: pandas index alignment
+    (outer join, null-fill) for random overlapping/disjoint/unique index
+    sets — fuzzes the _aligned_binop join path incl. zero divisors."""
+    import operator as _op
+
+    from pontem_spark.core.series import Series
+
+    v1 = data.draw(
+        st.lists(_finite, min_size=len(idx1), max_size=len(idx1)), label="v1"
+    )
+    v2 = data.draw(
+        st.lists(_finite, min_size=len(idx2), max_size=len(idx2)), label="v2"
+    )
+    fn = getattr(_op, op)
+    got = (
+        fn(Series(data=v1, index=idx1, spark=spark), Series(data=v2, index=idx2, spark=spark))
+        .to_pandas()
+        .sort_index()
+    )
+    want = fn(pd.Series(v1, index=idx1), pd.Series(v2, index=idx2)).sort_index()
+    assert list(got.index) == list(want.index)
+    for g, w in zip(got.tolist(), want.tolist()):
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+        elif isinstance(w, float) and math.isinf(w):
+            assert g == w, (g, w)
+        else:
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
