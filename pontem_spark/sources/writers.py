@@ -49,3 +49,37 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the standing maintenance job every streaming
+    ingest needs (each micro-batch lands a file; a day of 30-second batches
+    is ~3k files whose open/footer overhead dominates scans).
+
+    Rewrites the directory into ``target_files`` files; with ``sort_by``,
+    uses ``repartitionByRange`` + within-partition sort so each output file
+    covers a narrow key range — min/max footer stats then let later scans
+    skip whole files (poor-man's clustering, no table format needed).
+    Writes to a sibling temp dir first and swaps only after success, so a
+    failed compaction never destroys the input. Returns the file count.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(target_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(target_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])

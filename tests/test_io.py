@@ -76,3 +76,92 @@ def test_orc_roundtrip_pruned(spark, sf_dir, tmp_path):
     )
     n_f = orders.filter("o_orderstatus = 'F'").count()
     assert one.count() == n_f
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pontem_spark.sources.writers import compact_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "landing")
+    # simulate a micro-batch landing zone: many small files
+    orders.repartition(24).write.mode("overwrite").parquet(path)
+    assert len([f for f in os.listdir(path) if f.endswith(".parquet")]) == 24
+    before = orders.count()
+
+    n = compact_parquet(spark, path, target_files=3, sort_by=["o_orderdate"])
+    assert n <= 4  # repartitionByRange may produce up to target ranges
+    back = spark.read.parquet(path)
+    assert back.count() == before
+    assert sorted(back.columns) == sorted(orders.columns)
+    # clustering: each file's date range is narrow — files are skippable.
+    # spark exposes the source file via input_file_name()
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg((F.max("o_orderdate").cast("long") - F.min("o_orderdate").cast("long")).alias("span"))
+        .toPandas()
+    )
+    total_span = (
+        orders.agg(
+            (F.max("o_orderdate").cast("long") - F.min("o_orderdate").cast("long")).alias("s")
+        ).collect()[0]["s"]
+    )
+    # every clustered file covers well under the full range
+    assert (spans["span"] < total_span * 0.7).all()
+
+
+def test_zorder_clusters_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: after clustering on (custkey, totalprice), EACH
+    column's per-file min/max span is a fraction of its global span — the
+    multi-column file-skipping property a single-column sort cannot give.
+    A morton key also must agree with a python bit-interleave reference."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.layout import morton_key, zorder_frame
+
+    # python reference for the interleave itself
+    ref = spark.createDataFrame([(5, 9), (0, 0), (65535, 1)], "a long, b long")
+    got = ref.select(morton_key(F.col("a"), F.col("b")).alias("k")).collect()
+
+    def py_morton(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    assert [r["k"] for r in got] == [py_morton(5, 9), 0, py_morton(65535, 1)]
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "zordered")
+    zorder_frame(orders, "o_custkey", "o_totalprice", n_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files >= 4
+
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("span_c"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("span_p"),
+        )
+        .toPandas()
+    )
+    g = orders.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("c"),
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("p"),
+    ).collect()[0]
+    # with 8 z-ordered files, the MEDIAN file spans a strict subrange of
+    # both dimensions (a random or single-column layout leaves one ~1.0)
+    assert stats["span_c"].median() < g["c"] * 0.8
+    assert stats["span_p"].median() < g["p"] * 0.8
