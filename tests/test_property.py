@@ -135,3 +135,43 @@ def test_aligned_arithmetic_matches_pandas(spark, idx1, idx2, op, data):
             assert g == w, (g, w)
         else:
             assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
+
+
+# plain ' ' only, not category Zs: pandas .str.strip removes ALL unicode
+# whitespace (NBSP etc.) while Spark's trim removes only ASCII space — a
+# real, documented engine difference this differential is not about
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po"),
+            whitelist_characters=" ",
+            max_codepoint=0x24F,
+        ),
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=_texts)
+@settings(**_SETTINGS)
+def test_str_accessor_matches_pandas(spark, texts):
+    """upper/lower/len/strip/startswith/slice over random unicode text
+    (latin + accents + digits + punctuation) vs pandas .str."""
+    s = _series(spark, texts)
+    p = pd.Series(texts)
+
+    def eq(got, want):
+        g = got.to_pandas().reset_index(drop=True)
+        w = want.reset_index(drop=True)
+        assert g.fillna("\0").tolist() == w.fillna("\0").tolist(), (g, w)
+
+    eq(s.str.upper(), p.str.upper())
+    eq(s.str.lower(), p.str.lower())
+    eq(s.str.strip(), p.str.strip())
+    eq(s.str.slice(1, 4), p.str.slice(1, 4))
+    got_len = s.str.len().to_pandas().reset_index(drop=True)
+    assert got_len.tolist() == p.str.len().tolist()
+    got_sw = s.str.startswith("a").to_pandas().reset_index(drop=True)
+    assert got_sw.tolist() == p.str.startswith("a").tolist()
