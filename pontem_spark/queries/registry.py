@@ -67,7 +67,9 @@ def register(
 
 # Permanently no-oracle by design (approx sketches / xxhash64 SimHash); their
 # rows-only driver rows are their best evidence — never compete for slots.
-NO_ORACLE = frozenset({"q_dedup_simhash_nearpairs", "q_approx_aggregates"})
+NO_ORACLE = frozenset(
+    {"q_dedup_simhash_nearpairs", "q_approx_aggregates", "q_sketch_hll_users"}
+)
 
 # Queries whose IMPLEMENTATION changed semantics after earning their
 # latest green row — the one thing evidence age cannot see. Maps query →

@@ -743,3 +743,31 @@ def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize(li, "l_extendedprice", 0.01, 0.99).select(
         "l_orderkey", "l_linenumber", "l_extendedprice_winsorized"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct-count sketches (no SQL oracle — approximate by
+# design; bounds + merge-invariance proven in tests/test_operators.py)
+
+
+@register(
+    "q_sketch_hll_users",
+    oracle=None,
+    tags=("sketch", "hll", "approx", "incremental"),
+)
+def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type WITHOUT rescanning history: per-day
+    HLL sketch states (operators/sketches.py::hll_rollup) union-merged up
+    to event_type — the mergeable distinct-count pattern exact
+    COUNT(DISTINCT) cannot express. Approximate by design (±~1.6% at
+    lgk=12), so no hash oracle; the test suite proves the estimates land
+    within bounds of the exact twin AND that merge order doesn't change
+    the state."""
+    from pontem_spark.operators.sketches import estimate, hll_rollup, rollup_over
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_rollup(ev, ["event_type", "day"], "user_id")
+    merged = rollup_over(daily, ["event_type"])
+    return estimate(merged, ["event_type"]).orderBy("event_type")

@@ -907,3 +907,55 @@ def test_round6_operator_edge_cases(spark, sf_dir):
     pdf = pd.DataFrame({"name": ["alpha one", "bravo two", "charlie three"]})
     fz = fuzzy_pairs(spark.createDataFrame(pdf), "name", max_dist=2)
     assert fz.count() == 0
+
+
+def test_hll_sketch_rollup_bounds_and_merge_invariance(spark, sf_dir):
+    """HLL sketch estimates land within the lgk=12 error bounds of the
+    exact distinct counts, and the merged per-day state gives the SAME
+    estimate as a direct build — mergeability is the whole point."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.sketches import (
+        estimate,
+        hll_rollup,
+        merge_rollups,
+        rollup_over,
+    )
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_rollup(ev, ["event_type", "day"], "user_id")
+    merged = rollup_over(daily, ["event_type"])
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in estimate(merged, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in estimate(
+            hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (k, est[k], exact[k])
+        # merged-from-daily state == direct build (union semantics)
+        assert abs(est[k] - direct[k]) / max(direct[k], 1) < 0.01, k
+
+    # arbitrary merge tree: split by day parity, merge the two states
+    odd = hll_rollup(ev.filter(F.dayofmonth("day") % 2 == 1), ["event_type"], "user_id")
+    even = hll_rollup(ev.filter(F.dayofmonth("day") % 2 == 0), ["event_type"], "user_id")
+    two_way = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in estimate(merge_rollups(odd, even, ["event_type"]), ["event_type"]).collect()
+    }
+    for k in exact:
+        assert abs(two_way[k] - direct[k]) / max(direct[k], 1) < 0.01, k
