@@ -342,3 +342,49 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert (got["total"] - want["total"]).abs().max() < 1e-6
     # and the first run really was partial (the resume added data)
     assert first["n"].sum() < got["n"].sum()
+
+
+def test_stream_hll_distinct_rollup(spark, sf_dir):
+    """Continuous distinct-count pipeline: foreachBatch merges each
+    micro-batch's HLL sketch partial into the accumulated state — same
+    composition as the monoid incremental rollup, for the aggregate that
+    exact arithmetic cannot merge. Final estimates equal a direct build."""
+    import shutil
+    import tempfile
+
+    from pontem_spark.operators.sketches import estimate, hll_rollup, merge_rollups
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_hll_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        holder = {"state": None, "batches": 0}
+
+        def upsert(batch_df, batch_id):
+            part = hll_rollup(batch_df, ["event_type"], "user_id")
+            prev = holder["state"]
+            merged = part if prev is None else merge_rollups(prev, part, ["event_type"])
+            holder["state"] = merged.localCheckpoint(eager=True)
+            holder["batches"] += 1
+
+        q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        q.stop()
+        assert holder["batches"] >= 3
+        got = {
+            r["event_type"]: r["n_distinct_est"]
+            for r in estimate(holder["state"], ["event_type"]).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    direct = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in estimate(hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]).collect()
+    }
+    assert got == direct
