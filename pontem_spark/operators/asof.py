@@ -1,8 +1,10 @@
-"""As-of join: for each left row, the latest right row at-or-before its
-timestamp (per key). Spark has no built-in; this is the standard
-union-and-window construction — ONE shuffle on (key), no range cross-join.
+"""As-of join: for each left row, the right row nearest its timestamp (per
+key) — backward (at-or-before, the default), forward (at-or-after), or
+nearest. Spark has no built-in; this is the standard union-and-window
+construction — ONE shuffle on (key), no range cross-join.
 
-Semantics match pandas ``merge_asof(direction='backward')``.
+Semantics match pandas ``merge_asof`` for all three directions
+(``nearest`` breaks exact-distance ties backward, like pandas).
 """
 
 from __future__ import annotations
@@ -17,18 +19,26 @@ def asof_join(
     by: str,
     tolerance_seconds: int | None = None,
     right_prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join in any pandas direction.
 
     ``on``: timestamp column name (present in both sides).
     ``by``: equality key column name (present in both sides).
+    ``direction``: ``backward`` | ``forward`` | ``nearest``.
 
-    Implementation: tag both sides, union, window-sort by (by, on) and
-    ``last(right_value, ignorenulls=True)`` carries the most recent right row
-    forward onto each left row. This is a single shuffle on ``by`` — at 100 TB
-    it beats any range-join formulation (which Spark would plan as an
-    exploded inequality join).
+    Implementation: tag both sides, union, and window over (by, on):
+    ``last(right, ignorenulls)`` over the preceding frame carries the most
+    recent right row onto each left row (backward); ``first`` over the
+    following frame the next one (forward); nearest computes both and picks
+    the closer (tie → backward). Either way this is a single shuffle on
+    ``by`` — at 100 TB it beats any range-join formulation (which Spark
+    would plan as an exploded inequality join). The two directions differ
+    only in sort order within the partition, so nearest costs one extra
+    in-partition sort, never a second Exchange.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unsupported direction: {direction!r}")
     r_payload = [c for c in right.columns if c not in (on, by)]
     r = right.select(
         F.col(by),
@@ -46,19 +56,64 @@ def asof_join(
     )
     r_full = r.select(by, on, "__is_right", "__rdata", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_payload])
 
-    # right rows sort BEFORE left rows at the same timestamp (at-or-before)
     unioned = l.unionByName(r_full)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(on), F.col("__is_right").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = unioned.withColumn("__match", F.last("__rdata", ignorenulls=True).over(w))
+    matched = unioned
+    if direction in ("backward", "nearest"):
+        # right rows sort BEFORE left rows at the same timestamp, so the
+        # preceding frame includes an equal-timestamp right row (at-or-before)
+        wb = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on), F.col("__is_right").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = matched.withColumn(
+            "__bmatch", F.last("__rdata", ignorenulls=True).over(wb)
+        )
+    if direction in ("forward", "nearest"):
+        # right rows sort AFTER left rows at the same timestamp, so the
+        # following frame includes an equal-timestamp right row (at-or-after)
+        wf = (
+            Window.partitionBy(by)
+            .orderBy(F.col(on), F.col("__is_right").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = matched.withColumn(
+            "__fmatch", F.first("__rdata", ignorenulls=True).over(wf)
+        )
     out = matched.filter(F.col("__is_right") == 0)
 
+    def _within(match_col: str, forward: bool):
+        gap = (
+            F.unix_timestamp(F.col(f"{match_col}.{on}")) - F.unix_timestamp(F.col(on))
+            if forward
+            else F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(f"{match_col}.{on}"))
+        )
+        return gap <= tolerance_seconds
+
     if tolerance_seconds is not None:
-        within = F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col(f"__match.{on}")) <= tolerance_seconds
-        out = out.withColumn("__match", F.when(within, F.col("__match")))
+        if direction in ("backward", "nearest"):
+            out = out.withColumn(
+                "__bmatch", F.when(_within("__bmatch", False), F.col("__bmatch"))
+            )
+        if direction in ("forward", "nearest"):
+            out = out.withColumn(
+                "__fmatch", F.when(_within("__fmatch", True), F.col("__fmatch"))
+            )
+
+    if direction == "backward":
+        out = out.withColumn("__match", F.col("__bmatch"))
+    elif direction == "forward":
+        out = out.withColumn("__match", F.col("__fmatch"))
+    else:
+        bgap = F.unix_micros(F.col(on)) - F.unix_micros(F.col(f"__bmatch.{on}"))
+        fgap = F.unix_micros(F.col(f"__fmatch.{on}")) - F.unix_micros(F.col(on))
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__fmatch").isNull(), F.col("__bmatch"))
+            .when(F.col("__bmatch").isNull(), F.col("__fmatch"))
+            .when(fgap < bgap, F.col("__fmatch"))
+            .otherwise(F.col("__bmatch")),  # tie → backward, like pandas
+        )
 
     cols = [F.col(by), F.col(on), *[F.col(c) for c in l_payload]]
     cols.append(F.col(f"__match.{on}").alias(f"{right_prefix}{on}"))

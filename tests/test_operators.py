@@ -959,3 +959,63 @@ def test_hll_sketch_rollup_bounds_and_merge_invariance(spark, sf_dir):
     }
     for k in exact:
         assert abs(two_way[k] - direct[k]) / max(direct[k], 1) < 0.01, k
+
+
+def test_asof_forward_and_nearest_match_pandas(spark):
+    """All three merge_asof directions against pandas on a fixture with
+    equal timestamps, gaps on both sides, and unmatched rows."""
+    import pandas as pd
+
+    left_pd = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 2, 2, 3],
+            "t": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00", "2024-01-01 11:30",
+                 "2024-01-01 12:00", "2024-01-01 09:00", "2024-01-01 10:30",
+                 "2024-01-01 08:00"]
+            ),
+            "lv": [1, 2, 3, 4, 5, 6, 7],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "t": pd.to_datetime(
+                ["2024-01-01 09:30", "2024-01-01 11:00", "2024-01-01 13:00",
+                 "2024-01-01 10:00"]
+            ),
+            "rv": [100, 200, 300, 400],
+        }
+    )
+    l, r = spark.createDataFrame(left_pd), spark.createDataFrame(right_pd)
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(l, r, on="t", by="k", direction=direction)
+            .toPandas()
+            .sort_values(["k", "t"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left_pd.sort_values("t"),
+            right_pd.sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+        ).sort_values(["k", "t"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["r_rv"].astype("float64"), want["rv"].astype("float64"),
+            check_names=False,
+        ), direction
+
+    # tolerance in the forward direction
+    tight = asof_join(
+        l, r, on="t", by="k", direction="forward", tolerance_seconds=1800
+    ).toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    want_t = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd.sort_values("t"), on="t", by="k",
+        direction="forward", tolerance=pd.Timedelta(seconds=1800),
+    ).sort_values(["k", "t"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        tight["r_rv"].astype("float64"), want_t["rv"].astype("float64"),
+        check_names=False,
+    )
