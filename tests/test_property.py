@@ -139,13 +139,17 @@ def test_aligned_arithmetic_matches_pandas(spark, idx1, idx2, op, data):
 
 # plain ' ' only, not category Zs: pandas .str.strip removes ALL unicode
 # whitespace (NBSP etc.) while Spark's trim removes only ASCII space — a
-# real, documented engine difference this differential is not about
+# real, documented engine difference this differential is not about.
+# Cap at 0x17F (Latin Extended-A): Latin Extended-B (0x180-0x24F) contains
+# letters whose UPPERCASE mapping was only added in Unicode 16 (e.g. U+019B
+# "ƛ" → U+A7DC), so the JVM (newer tables) and CPython (Unicode 14 in 3.11)
+# legitimately disagree — a Unicode-version skew, not an engine bug.
 _texts = st.lists(
     st.text(
         alphabet=st.characters(
             whitelist_categories=("Lu", "Ll", "Nd", "Po"),
             whitelist_characters=" ",
-            max_codepoint=0x24F,
+            max_codepoint=0x17F,
         ),
         max_size=20,
     ),
