@@ -293,3 +293,71 @@ def redact_pii(
         F.length(redacted).alias("redacted_len"),
         redacted.alias("redacted_text"),
     )
+
+
+def _word_windows(text_col: str, window: int):
+    """Column of non-overlapping ``window``-word chunks of ``text_col``
+    (last chunk may be short) — one in-row higher-order fold, no UDF."""
+    return F.expr(
+        f"transform("
+        f"  sequence(1, cast(ceil(size(split({text_col}, ' ')) / {window}.0) as int)),"
+        f"  i -> array_join(slice(split({text_col}, ' '), (i-1)*{window}+1, {window}), ' '))"
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 5,
+    max_doc_freq: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the RefinedWeb / CCNet frequent-line
+    filter): chunk every document into non-overlapping ``window``-word
+    spans, find the spans that occur in more than ``max_doc_freq`` DISTINCT
+    documents (headers, footers, cookie banners — content no model should
+    memorize), and strip every occurrence, reassembling each document
+    in-place.
+
+    Scale shape: pass 1 shuffles (chunk, doc_id) pairs once for the
+    document-frequency aggregate — the only shuffle, and it carries chunks,
+    never whole documents. The surviving frequent-chunk set is SMALL by
+    construction (each member appears in >``max_doc_freq`` docs, so there
+    are at most total_chunks/max_doc_freq of them, and in practice far
+    fewer), so it travels as one broadcast array row and pass 2 is a pure
+    map-side rebuild — documents are never shuffled or regrouped. If the
+    frequent set ever outgrew a broadcast, swap pass 2 for
+    explode → broadcast anti-join on md5(chunk) → groupBy(doc) reassembly.
+
+    Returns (id, clean_text, n_removed) — clean_text with every frequent
+    chunk excised, n_removed = how many chunk occurrences were dropped.
+    """
+    windows = _word_windows(text_col, window)
+    chunks = df.select(F.col(id_col), F.explode(windows).alias("__chunk"))
+    frequent = (
+        chunks.groupBy("__chunk")
+        .agg(F.count_distinct(id_col).alias("__dfreq"))
+        .filter(F.col("__dfreq") > max_doc_freq)
+        .agg(F.array_sort(F.collect_list("__chunk")).alias("__bl"))
+    )
+    # null text → ('', 0): the coalesces make the contract total (and match
+    # the oracle, where DuckDB's array_to_string([]) is NULL, not '')
+    return (
+        df.crossJoin(F.broadcast(frequent))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.array_join(
+                    F.filter(windows, lambda c: ~F.array_contains(F.col("__bl"), c)),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+            F.coalesce(
+                F.size(
+                    F.filter(windows, lambda c: F.array_contains(F.col("__bl"), c))
+                ),
+                F.lit(0),
+            ).alias("n_removed"),
+        )
+    )

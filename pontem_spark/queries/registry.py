@@ -137,6 +137,7 @@ def all_queries() -> dict[str, Query]:
         round4,
         round5,
         round6,
+        round6b,
         multimodal,
         asof,
         dedup,

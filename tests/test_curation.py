@@ -187,3 +187,54 @@ def test_redact_pii_planted(spark):
     assert got[2].orig_len == got[2].redacted_len
     assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (2, 1, 0)
     assert got[3].redacted_text == "[PII] mailed [PII] from [PII]"
+
+
+def test_boilerplate_removal_strips_frequent_chunks(spark):
+    from pontem_spark.operators.curation import remove_boilerplate
+
+    # "cookie banner ok" (3 words = one window at window=3) appears in 4 docs
+    # → exceeds max_doc_freq=3; every occurrence goes, including a repeat
+    # inside one doc. Unique content survives untouched.
+    rows = [
+        (1, "cookie banner ok alpha beta gamma"),
+        (2, "cookie banner ok delta eps zeta"),
+        (3, "cookie banner ok cookie banner ok"),
+        (4, "cookie banner ok unique tail here"),
+        (5, "totally original text only here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = remove_boilerplate(df, window=3, max_doc_freq=3)
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+    assert got[1] == ("alpha beta gamma", 1)
+    assert got[3] == ("", 2)  # fully-boilerplate doc → empty, both removed
+    assert got[5] == ("totally original text only here", 0)
+
+
+def test_boilerplate_removal_null_text_total(spark):
+    from pontem_spark.operators.curation import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "a b c"), (4, "a b c"), (5, "a b c")],
+        "doc_id int, text string",
+    )
+    out = remove_boilerplate(df, window=3, max_doc_freq=3)
+    got = {r.doc_id: (r.clean_text, r.n_removed) for r in out.collect()}
+    assert got[1] == ("", 0)  # null in → ('', 0), the contract is total
+    assert got[2] == ("", 1)  # "a b c" is in 4 docs → removed everywhere
+
+
+def test_boilerplate_removal_single_shuffle(spark):
+    """One Exchange only (the chunk doc-frequency aggregate); the rebuild is
+    map-side over a broadcast array row — documents are never shuffled."""
+    from pontem_spark.operators.curation import remove_boilerplate
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    out = remove_boilerplate(df, window=3, max_doc_freq=3)
+    # 3 Exchanges: two for the count_distinct pair-dedup dance (both on
+    # chunk-sized rows, never documents) and one SinglePartition collect of
+    # the already-tiny frequent set. The docs themselves hit zero Exchange.
+    assert count_exchanges(out) <= 3
+    assert has_node(out, "BroadcastNestedLoopJoin") or has_node(
+        out, "BroadcastExchange"
+    )
+    assert not has_node(out, "SortMergeJoin")
