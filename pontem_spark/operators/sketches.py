@@ -58,3 +58,134 @@ def rollup_over(
         state.groupBy(*coarse_keys)
         .agg(F.hll_union_agg(sketch_name).alias(sketch_name))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram states: the EXACTLY-mergeable quantile sketch.
+#
+# approx_percentile's KLL sketch is mergeable but engine-specific, so a
+# cross-engine hash check is impossible. A fixed-range histogram state is
+# mergeable AND exact: bin counts are integers, merging is element-wise
+# addition, and a tree of per-day merges is bit-identical to a direct build
+# over the union — so unlike HLL, the whole build→merge→finalize pipeline
+# is oracle-checkable. Quantile error is bounded by one bin width.
+
+
+def histogram_state(
+    df: DataFrame,
+    keys: "list[str]",
+    col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    bins_name: str = "bins",
+) -> DataFrame:
+    """Per-key histogram state of ``col``: an ``n_bins``-long count array
+    over the fixed range [lo, hi). Out-of-range values clamp into the edge
+    bins (the fixed range is the contract — pick it from domain knowledge,
+    not the data, or merges of differently-ranged states would be
+    meaningless). Nulls are skipped. ONE shuffle, fully map-side
+    combinable: the partial states ARE the merge states."""
+    w = (hi - lo) / n_bins
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / w).cast("int")),
+    )
+    counts = [
+        F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__b{i}") for i in range(n_bins)
+    ]
+    agged = df.filter(F.col(col).isNotNull()).groupBy(*keys).agg(*counts)
+    return agged.select(
+        *keys, F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias(bins_name)
+    )
+
+
+def merge_histograms(
+    a: DataFrame, b: DataFrame, keys: "list[str]", n_bins: int, bins_name: str = "bins"
+) -> DataFrame:
+    """Key-wise exact merge of histogram states (element-wise count sums via
+    an in-row fold over the collected blobs — the shuffle carries
+    ~|keys| arrays, never raw rows)."""
+    zero = F.expr(f"array_repeat(0L, {n_bins})")
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.aggregate(
+                F.collect_list(bins_name),
+                zero,
+                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            ).alias(bins_name)
+        )
+    )
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    keys: "list[str]",
+    quantiles: "dict[str, float]",
+    lo: float,
+    hi: float,
+    n_bins: int,
+    bins_name: str = "bins",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Read-time quantile estimates from a histogram state — a pure map-side
+    projection (in-row folds over the count array; zero shuffle, zero jobs).
+
+    Estimate rule (deterministic integer math, shared verbatim with
+    :func:`histogram_quantiles_sql` so DuckDB reproduces every double):
+    rank ``target = max(1, ceil(q*n))``; ``bin`` = first bin whose cumulative
+    count reaches target; linear interpolation inside that bin."""
+    from pontem_spark.functions.compat import rnd
+
+    w = (hi - lo) / n_bins
+    n_expr = f"aggregate({bins_name}, 0L, (a, x) -> a + x)"
+    cols = [F.col(k) for k in keys]
+    for name, q in quantiles.items():
+        # q is cast to DOUBLE on BOTH engines: a bare 0.9 literal is DECIMAL
+        # in Spark SQL (and DuckDB), and decimal-vs-double q*n can ceil()
+        # differently when the product lands on an integer
+        target = f"greatest(1L, cast(ceil(cast({q!r} as double) * {n_expr}) as long))"
+        bpos = f"element_at(filter(sequence(1, {n_bins}), i -> aggregate(slice({bins_name}, 1, i), 0L, (a, x) -> a + x) >= {target}), 1)"
+        est = (
+            f"cast({lo!r} as double) + cast({w!r} as double) * (cast({bpos} - 1 as double) + "
+            f"cast({target} - if({bpos} = 1, 0L, aggregate(slice({bins_name}, 1, {bpos} - 1), 0L, (a, x) -> a + x)) as double)"
+            f" / cast(element_at({bins_name}, {bpos}) as double))"
+        )
+        cols.append(rnd(F.expr(est), round_digits).alias(name))
+    cols.append(F.expr(n_expr).alias("n"))
+    return state.select(*cols)
+
+
+def histogram_quantiles_sql(
+    bins_sql: str,
+    quantiles: "dict[str, float]",
+    lo: float,
+    hi: float,
+    n_bins: int,
+    round_digits: int = 4,
+) -> "list[str]":
+    """DuckDB twin of :func:`histogram_quantiles`'s estimate rule: SELECT
+    items (one per quantile, plus ``n``) over a list-valued ``bins_sql``
+    expression. The arithmetic mirrors the Spark expression term-for-term so
+    both engines produce the same doubles."""
+    w = (hi - lo) / n_bins
+    s = 10.0 ** round_digits
+    n_expr = f"list_sum({bins_sql})"
+    items = []
+    for name, q in quantiles.items():
+        # CAST q AS DOUBLE mirrors the Spark side (bare decimal literals
+        # would ceil() differently at exact-integer products)
+        target = f"greatest(1, CAST(ceil(CAST({q!r} AS DOUBLE) * {n_expr}) AS BIGINT))"
+        bpos = f"list_filter(generate_series(1, {n_bins}), i -> list_sum(({bins_sql})[1:i]) >= {target})[1]"
+        est = (
+            f"CAST({lo!r} AS DOUBLE) + CAST({w!r} AS DOUBLE) * (CAST({bpos} - 1 AS DOUBLE) + "
+            f"CAST({target} - CASE WHEN {bpos} = 1 THEN 0 ELSE list_sum(({bins_sql})[1:{bpos} - 1]) END AS DOUBLE)"
+            f" / CAST(({bins_sql})[{bpos}] AS DOUBLE))"
+        )
+        items.append(
+            f"floor(({est}) * CAST({s!r} AS DOUBLE) + 0.5) / CAST({s!r} AS DOUBLE) AS {name}"
+        )
+    items.append(f"CAST({n_expr} AS BIGINT) AS n")
+    return items

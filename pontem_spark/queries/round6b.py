@@ -55,3 +55,74 @@ def q_curation_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFram
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return remove_boilerplate(docs, id_col="doc_id", text_col="text", window=5, max_doc_freq=3)
+
+
+def _hist_quantile_oracle() -> str:
+    from pontem_spark.operators.sketches import histogram_quantiles_sql
+
+    items = ",\n      ".join(
+        histogram_quantiles_sql(
+            "bins", {"p50": 0.5, "p90": 0.9, "p99": 0.99}, lo=0.0, hi=640.0, n_bins=32
+        )
+    )
+    return f"""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(31, GREATEST(0, CAST(floor((value - 0.0) / 20.0) AS INTEGER))) AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    grid AS (
+      SELECT et.event_type, gs.i
+      FROM (SELECT DISTINCT event_type FROM binned) et,
+           (SELECT unnest(generate_series(0, 31)) AS i) gs
+    ),
+    cnts AS (SELECT event_type, b, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+    hstate AS (
+      SELECT g.event_type, list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY g.i) AS bins
+      FROM grid g LEFT JOIN cnts c ON g.event_type = c.event_type AND g.i = c.b
+      GROUP BY 1
+    )
+    SELECT event_type,
+      {items}
+    FROM hstate
+    """
+
+
+@register(
+    "q_sketch_histogram_quantiles",
+    oracle=_hist_quantile_oracle(),
+    tags=("sketch", "quantile", "incremental", "mergeable"),
+)
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via fixed-bin histogram states — the
+    exactly-checkable sketch: per-(event_type, day) count arrays are built,
+    split into two frames, key-wise MERGED back (in-row fold over collected
+    blobs), and p50/p90/p99 finalized read-time by deterministic
+    integer-rank interpolation (operators/sketches.py). Because histogram
+    merge is exact, the oracle rebuilds the state directly from raw rows
+    and every interpolated double must hash-match — proving the whole
+    build → merge → finalize pipeline, which HLL's probabilistic estimates
+    never could."""
+    from pontem_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histograms,
+    )
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    daily = histogram_state(
+        events, ["event_type", "day"], "value", lo=0.0, hi=640.0, n_bins=32
+    )
+    even = daily.filter(F.dayofmonth("day") % 2 == 0)
+    odd = daily.filter(F.dayofmonth("day") % 2 == 1)
+    merged = merge_histograms(even, odd, ["event_type"], n_bins=32)
+    return histogram_quantiles(
+        merged,
+        ["event_type"],
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        lo=0.0,
+        hi=640.0,
+        n_bins=32,
+    )

@@ -1019,3 +1019,69 @@ def test_asof_forward_and_nearest_match_pandas(spark):
         tight["r_rv"].astype("float64"), want_t["rv"].astype("float64"),
         check_names=False,
     )
+
+
+def test_histogram_state_merge_is_exact(spark, sf_dir):
+    """Unlike HLL, histogram merge is EXACT: a three-way split merged back
+    is bit-identical to the direct build, and quantile estimates are within
+    one bin width of the true quantile."""
+    from pontem_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_state,
+        merge_histograms,
+    )
+    from pontem_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    LO, HI, NB = 0.0, 640.0, 32
+    direct = histogram_state(ev, ["event_type"], "value", LO, HI, NB)
+
+    # provably-partitioning split (pmod+coalesce — the r5 ADVICE lesson)
+    split = F.pmod(F.coalesce(F.crc32(F.col("value").cast("string")), F.lit(0)), F.lit(3))
+    parts = [
+        histogram_state(ev.filter(split == i), ["event_type"], "value", LO, HI, NB)
+        for i in range(3)
+    ]
+    merged = merge_histograms(
+        merge_histograms(parts[0], parts[1], ["event_type"], NB),
+        parts[2],
+        ["event_type"],
+        NB,
+    )
+    d = {r.event_type: r.bins for r in direct.collect()}
+    m = {r.event_type: r.bins for r in merged.collect()}
+    assert d == m  # exact, element-wise
+
+    # error bound: |est - exact quantile| <= bin width
+    est = {
+        r.event_type: (r.p50, r.p90)
+        for r in histogram_quantiles(
+            direct, ["event_type"], {"p50": 0.5, "p90": 0.9}, LO, HI, NB
+        ).collect()
+    }
+    exact = {
+        r.event_type: (r.q50, r.q90)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("q50"),
+            F.expr("percentile(value, 0.9)").alias("q90"),
+        )
+        .collect()
+    }
+    width = (HI - LO) / NB
+    for et, (e50, e90) in est.items():
+        assert abs(e50 - exact[et][0]) <= width, (et, e50, exact[et][0])
+        assert abs(e90 - exact[et][1]) <= width, (et, e90, exact[et][1])
+
+
+def test_histogram_quantiles_zero_jobs_mapside(spark):
+    """Finalize is a pure projection over the state — no Exchange added."""
+    from pontem_spark.operators.sketches import histogram_quantiles, histogram_state
+    from pontem_spark.plans import count_exchanges
+
+    df = spark.range(100).select((F.col("id") % 50).cast("double").alias("v"))
+    state = histogram_state(df, [], "v", 0.0, 64.0, 8)
+    # stateless grouping: histogram_state with no keys still aggregates
+    out = histogram_quantiles(state, [], {"p50": 0.5}, 0.0, 64.0, 8)
+    assert count_exchanges(out) == count_exchanges(state)
