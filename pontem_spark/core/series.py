@@ -738,35 +738,68 @@ class Series:
 
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
         """pandas rank: 'average' (the pandas default), 'min', 'max',
-        'dense', or 'first'. Computed as a window over the value order
-        (global window — on-demand positional semantics, see
-        _positional_slice for the scale caveat). 'average' and 'max' derive
-        from min-rank plus the tie-group size (one extra value-partitioned
-        count window, no second sort)."""
+        'dense', or 'first'; na_option='keep' semantics — null/NaN values
+        rank as null (float64 result, like pandas).
+
+        Scale shape: average/min/max/dense are derived on the
+        DISTINCT-VALUE frame — one groupBy shuffle at value_counts
+        cardinality, a single unpartitioned window over the K distinct
+        values (K rows, never the raw data), then an equi-join back on the
+        value. No full-row global sort anywhere. 'first' (appearance-order
+        tie-break) genuinely needs per-row positions, so it keeps the
+        on-demand global window (same scale caveat as _positional_slice).
+        """
         from pyspark.sql import Window
 
-        order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()
-        w = Window.orderBy(order)
         sdf = self._materialized()
-        if method == "min":
-            col = F.rank().over(w)
-        elif method == "dense":
-            col = F.dense_rank().over(w)
-        elif method == "first":
-            col = F.row_number().over(Window.orderBy(order, F.col(INDEX_COL).asc()))
-        elif method in ("average", "max"):
-            ties = F.count(F.lit(1)).over(Window.partitionBy(F.col(_VALUE)))
-            if method == "average":
-                col = F.rank().over(w) + (ties - F.lit(1)) / F.lit(2.0)
-            else:
-                col = F.rank().over(w) + ties - F.lit(1)
-        else:
+        # pandas treats NaN as missing; Spark distinguishes NULL from NaN
+        # (a float Series built from None may carry either), so exclude both
+        present = F.col(_VALUE).isNotNull()
+        if sdf.schema[_VALUE].dataType.simpleString() in ("double", "float"):
+            present = present & ~F.isnan(F.col(_VALUE))
+
+        if method == "first":
+            val_order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()
+            # present rows sort first so excluded null/NaN rows cannot
+            # inflate the row_number of ranked rows
+            w = Window.orderBy(F.col("__p").desc(), val_order, F.col(INDEX_COL).asc())
+            sdf2 = sdf.withColumn("__p", present)
+            col = F.when(F.col("__p"), F.row_number().over(w)).cast("double")
+            return Series._from_internal(
+                InternalFrame(sdf2, INDEX_COL, self._internal.index_name),
+                col,
+                self._name,
+            )
+        if method not in ("average", "min", "max", "dense"):
             raise ValueError(
                 f"rank method {method!r} (use 'average', 'min', 'max', 'dense', or 'first')"
             )
+
+        per_val = (
+            sdf.filter(present)
+            .groupBy(F.col(_VALUE).alias("__v"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        order = F.col("__v").asc() if ascending else F.col("__v").desc()
+        cum = F.sum("__c").over(
+            Window.orderBy(order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        before = cum - F.col("__c")
+        if method == "average":
+            r = before + (F.col("__c") + 1) / 2.0
+        elif method == "min":
+            r = before + 1
+        elif method == "max":
+            r = cum
+        else:  # dense
+            r = F.row_number().over(Window.orderBy(order))
+        ranked = per_val.select("__v", r.cast("double").alias("__r"))
+        joined = sdf.join(ranked, sdf[_VALUE] == ranked["__v"], "left").select(
+            INDEX_COL, F.col("__r")
+        )
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
-            col.cast("double"),
+            InternalFrame(joined, INDEX_COL, self._internal.index_name),
+            joined["__r"],
             self._name,
         )
 

@@ -126,3 +126,36 @@ def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi=640.0,
         n_bins=32,
     )
+
+
+@register(
+    "q_api_rank",
+    oracle="""
+    WITH c AS (
+      SELECT c_acctbal AS v, COUNT(*) AS n, min(c_custkey) AS dummy
+      FROM customer GROUP BY 1
+    ),
+    r AS (
+      SELECT v,
+             CAST(SUM(n) OVER (ORDER BY v) - n + (n + 1) / 2.0 AS DOUBLE) AS rnk
+      FROM c
+    )
+    SELECT cu.c_custkey, r.rnk
+    FROM customer cu JOIN r ON cu.c_acctbal = r.v
+    """,
+    tags=("api", "rank", "window"),
+)
+def q_api_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas Series.rank (method='average') over customer balances,
+    per-customer — computed on the distinct-value frame (groupBy shuffle at
+    value_counts cardinality + one window over the K distinct balances +
+    join back), never a global sort of the raw rows (core/series.py::rank).
+    The oracle derives the same average rank relationally."""
+    from pontem_spark.core import from_spark
+
+    df = from_spark(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ).set_index("c_custkey")
+    r = df["c_acctbal"].rank()
+    out = r.to_spark(value_name="rnk")
+    return out.select(F.col("c_custkey").cast("long").alias("c_custkey"), "rnk")

@@ -590,3 +590,29 @@ def test_chained_positional_after_reverse(spark):
     want = w[::-1].iloc[[0, 2]].sort_index()
     assert list(got.to_pandas().sort_index().values) == list(want.values)
     assert_series_equal(s[2:6][::-1], w[2:6][::-1])
+
+
+def test_rank_keeps_nulls(spark):
+    """na_option='keep' (the pandas default): null/NaN ranks as NaN and is
+    excluded from every other row's rank — for ALL methods, both orders."""
+    data = [3.0, 1.0, 2.0, 3.0, None, 1.0, 5.0]
+    w = pd.Series(data)
+    for m in ("average", "min", "max", "dense", "first"):
+        for asc in (True, False):
+            s = Series(data, spark=spark)
+            assert_series_equal(
+                s.rank(method=m, ascending=asc), w.rank(method=m, ascending=asc)
+            )
+
+
+def test_rank_no_global_sort_for_tie_methods(spark):
+    """average/min/max/dense rank via the distinct-value frame: the raw-row
+    side of the plan must carry no unpartitioned row-level Sort — only the
+    K-row aggregate is windowed globally."""
+    from pontem_spark.plans import physical_plan
+
+    s = Series([10, 30, 20, 30, 5, 20, 20], spark=spark)
+    plan = physical_plan(s.rank()._materialized())
+    # the join back is on the value; a full-row global window would show a
+    # row_number/Window over the unaggregated side
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
