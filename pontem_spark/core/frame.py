@@ -820,6 +820,40 @@ class DataFrame:
                     k += 1
         return out
 
+    def cov(self, ddof: int = 1):
+        """Pairwise sample-covariance matrix of the numeric columns — like
+        :meth:`corr`, ONE aggregation pass computes every cell (the k²/2
+        covar aggregates plus the k variances run side by side in a single
+        scan). ``ddof=1`` is the pandas default; ``ddof=0`` gives the
+        population covariance."""
+        import pandas as pd
+
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        cols = [c for c in self._columns if schema[c] in numeric]
+        if ddof not in (0, 1):
+            raise ValueError(f"ddof must be 0 or 1, got {ddof}")
+        pair = F.covar_samp if ddof == 1 else F.covar_pop
+        var = (lambda c: F.var_samp(c)) if ddof == 1 else (lambda c: F.var_pop(c))
+        exprs = [var(self._columns[c]).alias(f"v_{i}") for i, c in enumerate(cols)]
+        exprs += [
+            pair(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols)
+            if i < j
+        ]
+        row = self._internal.sdf.select(*exprs).first() if exprs else []
+        out = pd.DataFrame(0.0, index=cols, columns=cols)
+        for i, c in enumerate(cols):
+            out.loc[c, c] = row[i]
+        k = len(cols)
+        for i, a in enumerate(cols):
+            for j, b in enumerate(cols):
+                if i < j:
+                    out.loc[a, b] = out.loc[b, a] = row[k]
+                    k += 1
+        return out
+
     def _reduce_all(self, how: str):
         """Per-column reduction → pandas Series, one aggregation pass."""
         import pandas as pd

@@ -142,3 +142,52 @@ def temperature_resample(
         hash_value16(id_col) < F.col("__thr")
     )
     return kept.drop("__thr")
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    strata: "list[str] | None" = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis exponential race): every row gets priority
+    ``ln(u)/w`` from a content-independent uniform ``u`` (md5-derived, so
+    the SAME race re-runs identically on any engine or cluster size) and
+    its weight; the top-k priorities ARE a weighted sample without
+    replacement. Rows with null or non-positive weight have zero mass and
+    are excluded.
+
+    Priorities are rounded (half-up, ``round_digits``) before ordering with
+    an id tie-break, so the two engines' last-ulp ``ln`` differences cannot
+    reorder the race.
+
+    Scale shape: global top-k is sort+limit — Spark plans
+    TakeOrderedAndProject (per-partition top-k, then a k-row merge; no
+    global sort materializes). With ``strata``, a window partitioned by the
+    strata takes top-k per group — one shuffle on the strata keys.
+    """
+    from pontem_spark.functions.compat import rnd
+
+    u = (hash_value16(id_col) + F.lit(1)) / F.lit(65536.0)
+    key = rnd(F.log(u) / F.col(weight_col), round_digits)
+    base = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+    if strata:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*strata).orderBy(key.desc(), F.col(id_col).asc())
+        return (
+            base.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return base.orderBy(key.desc(), F.col(id_col).asc()).limit(k)
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str, round_digits: int = 9) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s rounded priority."""
+    s = 10 ** round_digits
+    u = f"(({hash_value16_sql(id_expr)} + 1) / 65536.0)"
+    return f"(floor((ln({u}) / ({weight_expr})) * {s}.0 + 0.5) / {s}.0)"

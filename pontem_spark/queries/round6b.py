@@ -159,3 +159,37 @@ def q_api_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = df["c_acctbal"].rank()
     out = r.to_spark(value_name="rnk")
     return out.select(F.col("c_custkey").cast("long").alias("c_custkey"), "rnk")
+
+
+def _weighted_sample_oracle() -> str:
+    from pontem_spark.operators.sampling import weighted_sample_key_sql
+
+    key = weighted_sample_key_sql("doc_id", "n_chars")
+    return f"""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY {key} DESC, doc_id ASC
+             ) AS rn
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ) WHERE rn <= 10
+    """
+
+
+@register(
+    "q_sample_weighted",
+    oracle=_weighted_sample_oracle(),
+    tags=("sampling", "weighted", "deterministic"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sampling without replacement, per language: the
+    Efraimidis–Spirakis exponential race with a deterministic md5-derived
+    uniform, so DuckDB re-runs the identical race and must select the
+    identical winners (operators/sampling.py::weighted_sample). Priorities
+    are rounded before ordering so last-ulp ln() differences can't flip
+    the top-k boundary."""
+    from pontem_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=10, strata=["lang"])

@@ -758,3 +758,16 @@ def test_rowwise_reductions_match_pandas(spark):
     # axis=0 unchanged (numeric projection; _reduce_all sums every
     # selected column, so project like pandas numeric_only first)
     assert df[["a", "b", "c"]].sum()["c"] == 1000
+
+
+def test_cov_matrix(pf, wf):
+    got = pf.cov()
+    want = wf[["a", "b"]].cov()
+    np.testing.assert_allclose(got.values, want.values, atol=1e-12)
+    assert got.columns.tolist() == want.columns.tolist()
+    # population covariance (ddof=0)
+    got0 = pf.cov(ddof=0)
+    want0 = wf[["a", "b"]].cov(ddof=0)
+    np.testing.assert_allclose(got0.values, want0.values, atol=1e-12)
+    with pytest.raises(ValueError):
+        pf.cov(ddof=2)

@@ -1085,3 +1085,32 @@ def test_histogram_quantiles_zero_jobs_mapside(spark):
     # stateless grouping: histogram_state with no keys still aggregates
     out = histogram_quantiles(state, [], {"p50": 0.5}, 0.0, 64.0, 8)
     assert count_exchanges(out) == count_exchanges(state)
+
+
+def test_weighted_sample_deterministic_and_filtered(spark):
+    from pontem_spark.operators.sampling import weighted_sample
+    from pontem_spark.plans import physical_plan
+
+    rows = [(i, float(i % 7) if i % 11 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    a = sorted(r.id for r in weighted_sample(df, "id", "w", k=20).collect())
+    b = sorted(r.id for r in weighted_sample(df, "id", "w", k=20).collect())
+    assert a == b and len(a) == 20  # same race, same winners
+    # zero/null weights have no mass
+    sampled = weighted_sample(df, "id", "w", k=500).collect()
+    assert all(r.w and r.w > 0 for r in sampled)
+    # global top-k plans as TakeOrderedAndProject — no full sort materializes
+    plan = physical_plan(weighted_sample(df, "id", "w", k=20))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """With weight 1000 vs 1, the heavy stratum should dominate the race:
+    all heavy rows that entered must appear before most light rows."""
+    from pontem_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 20 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r.id for r in weighted_sample(df, "id", "w", k=40).collect()}
+    heavy = {i for i in range(20)}
+    assert len(got & heavy) >= 18  # ln(u)/1000 ≈ 0 beats ln(u)/1 a.s.
