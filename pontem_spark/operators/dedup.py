@@ -545,3 +545,90 @@ def fuzzy_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    ngram: int = 3,
+    round_digits: int = 4,
+    storage_level: "str | None" = None,
+) -> DataFrame:
+    """Exact Jaccard pairs ≥ ``threshold`` via PREFIX FILTERING (the
+    PPJoin/AllPairs family) — the candidate generation that scales where
+    even the capped inverted index over-pairs.
+
+    Why it is exact: order every doc's shingle set by a GLOBAL total order
+    (ascending document frequency, rarest first — the order that shrinks
+    candidate buckets hardest). If Jaccard(A, B) ≥ t, the sets must overlap
+    in more than ``|S| - ⌈t·|S|⌉`` elements of either prefix, so two docs
+    with NO shared prefix shingle can be skipped with zero false negatives.
+    Only prefixes (the ``(1-t)`` rarest fraction of each set) enter the
+    self-join, and each prefix shingle's bucket is small BY CONSTRUCTION —
+    rare shingles pair few docs, and the hot shingles that wreck the plain
+    inverted index never appear in a prefix at all.
+
+    Verification then runs map-side: candidates join each doc's full
+    shingle array once and compute the exact intersection in-row. The
+    length filter ``min_size ≥ t·max_size`` (necessary for J ≥ t) prunes
+    candidates before the arrays are even fetched.
+
+    Cites: reference has no similarity surface (`pontem/series/series.py`);
+    this extends SURVEY §2.G's dedup family with its best-at-scale tier.
+    """
+    from pyspark.sql import Window
+
+    sh = _persist(
+        _tokens_distinct_shingles(df, id_col, text_col, ngram), storage_level
+    )
+    w_sh = Window.partitionBy("shingle")
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .withColumn("__sz", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
+    )
+    prefix_len = F.col("__sz") - F.ceil(F.lit(float(threshold)) * F.col("__sz")).cast(
+        "int"
+    ) + 1
+    pref = ranked.filter(F.col("__rn") <= prefix_len)
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: J >= t forces min >= t * max
+        .filter(
+            F.least("size_a", "size_b")
+            >= F.lit(float(threshold)) * F.greatest("size_a", "size_b")
+        )
+        .select("id_a", "id_b", "size_a", "size_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    j = F.col("__n_common") / (F.col("size_a") + F.col("size_b") - F.col("__n_common"))
+    return (
+        cand.join(
+            sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
+            "id_b",
+        )
+        .withColumn("__n_common", inter)
+        .filter(j >= threshold)
+        .select("id_a", "id_b", rnd(j, round_digits).alias("jaccard"))
+    )

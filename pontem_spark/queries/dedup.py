@@ -255,3 +255,34 @@ def q_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(row.values())],
         "n_true_pairs bigint, n_candidates bigint, n_hits bigint, recall double, precision double",
     )
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.8
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (PPJoin family): only the (1-t) rarest
+    fraction of each doc's shingles — ordered by global document frequency
+    — enters the self-join, with zero false negatives by the prefix
+    theorem; candidates length-filtered then verified map-side against the
+    full shingle arrays (operators/dedup.py::jaccard_prefix_pairs). The
+    oracle computes the UNFILTERED quadratic Jaccard directly, so the hash
+    match proves the pruning loses nothing."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.8)

@@ -1114,3 +1114,30 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     got = {r.id for r in weighted_sample(df, "id", "w", k=40).collect()}
     heavy = {i for i in range(20)}
     assert len(got & heavy) >= 18  # ln(u)/1000 ≈ 0 beats ln(u)/1 a.s.
+
+
+def test_jaccard_prefix_equals_direct(spark):
+    """Prefix filtering is EXACT: pairs from the prefix-filtered join equal
+    the plain inverted-index join on a corpus with planted near-dups and a
+    hot boilerplate shingle shared by every doc."""
+    from pontem_spark.operators.dedup import jaccard_prefix_pairs, jaccard_similar_pairs
+
+    base = "the common header row alpha beta gamma delta"
+    rows = [
+        (1, base + " one two three four five six"),
+        (2, base + " one two three four five seven"),   # near-dup of 1
+        (3, base + " totally different tail content here now"),
+        (4, base + " one two three four five six"),     # exact dup of 1
+        (5, "unrelated words entirely separate from others okay fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for t in (0.5, 0.8):
+        got = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_prefix_pairs(df, "doc_id", "text", threshold=t).collect()
+        }
+        want = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_similar_pairs(df, "doc_id", "text", threshold=t).collect()
+        }
+        assert got == want, (t, got, want)
