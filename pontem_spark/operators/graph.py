@@ -62,3 +62,62 @@ def connected_components(
         prev_sum = cur_sum
 
     return labels.select(F.col("u").alias(node_col), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank by power iteration — the engine's second iterative-algorithm
+    pattern beside :func:`connected_components`: a driver-side loop of
+    fully distributed join+aggregate steps with ``localCheckpoint``
+    truncating the lineage each round.
+
+    ``edges`` are DIRECTED (pass both directions for an undirected graph —
+    that also removes dangling nodes, since every vertex then has
+    out-degree ≥ 1). Uniform 1/N init;
+    ``r' = (1-d)/N + d · Σ_in r/outdeg`` per iteration. N comes from one
+    O(1)-result count job (the same driver-scalar shape GraphX uses).
+
+    Scale shape per iteration: one shuffle joining ranks to edges on the
+    source (co-partitioned with the out-degree join — AQE reuses the
+    exchange) and one aggregate shuffle on the destination. Rank state is
+    |V| rows; edges are re-read from their checkpoint, never recomputed.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__outdeg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -193,3 +193,71 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return weighted_sample(docs, "doc_id", "n_chars", k=10, strata=["lang"])
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 3) -> str:
+    prev = "r0"
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+    r{k} AS (
+      SELECT nd.node AS node,
+             CAST({1.0 - damping!r} AS DOUBLE) / nn.n
+             + CAST({damping!r} AS DOUBLE) * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank / d.outdeg) AS c
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+      ) s ON s.node = nd.node
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS p,
+                      's' || CAST(l_suppkey AS VARCHAR) AS s
+      FROM lineitem
+    ),
+    edges AS (
+      SELECT p AS src, s AS dst FROM pairs
+      UNION ALL
+      SELECT s AS src, p AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank FROM nodes, nn),{",".join(steps)}
+    SELECT node, ROUND(rank * 1e6, 6) AS rank_ppm
+    FROM {prev}
+    """
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 power iterations) over the bipartite
+    part↔supplier graph from lineitem — the iterative-algorithm pattern as
+    driver-looped joins+aggregates with lineage checkpoints
+    (operators/graph.py::pagerank). The oracle unrolls the identical three
+    iterations as CTEs; ranks are scaled to parts-per-million and rounded
+    so the two engines' summation orders cannot flip the hash."""
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=3)
+    return ranks.select(
+        "node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm")
+    )

@@ -1141,3 +1141,20 @@ def test_jaccard_prefix_equals_direct(spark):
             for r in jaccard_similar_pairs(df, "doc_id", "text", threshold=t).collect()
         }
         assert got == want, (t, got, want)
+
+
+def test_pagerank_star_graph(spark):
+    """On an undirected star the hub outranks every leaf, and total rank
+    mass stays ~1 (bidirectional edges leave no dangling nodes)."""
+    from pontem_spark.operators.graph import pagerank
+
+    leaves = [f"leaf{i}" for i in range(8)]
+    pairs = [("hub", l) for l in leaves]
+    edges = spark.createDataFrame(
+        pairs + [(d, s) for s, d in pairs], "src string, dst string"
+    )
+    ranks = {r.node: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    hub = ranks["hub"]
+    assert all(hub > ranks[l] for l in leaves)
+    assert len({round(ranks[l], 12) for l in leaves}) == 1  # symmetry
