@@ -127,3 +127,64 @@ def population_stability(
     out = joined.select(*group_cols, contrib.alias("__c"))
     agg = out.groupBy(*group_cols).agg(rnd(F.sum("__c"), round_digits).alias("psi"))
     return agg
+
+
+def categorical_association(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Association strength between two categorical columns — mutual
+    information (nats), normalized MI, and the chi-squared statistic, all
+    from ONE contingency-table pass.
+
+    Scale shape: one aggregate shuffle on (x, y) builds the contingency
+    table (|X|·|Y| cells — tiny relative to the data); marginals and totals
+    are unpartitioned windows over that tiny aggregate, and the three
+    statistics fold map-side over the cells. Null categories count as a
+    level of their own (they are often the most informative one).
+
+    The profiling counterpart to :func:`population_stability`: PSI watches
+    one column drift over time, this watches two columns covary — the
+    standard screen for leakage/redundancy before a feature ships.
+    """
+    from pyspark.sql import Window
+
+    x = F.coalesce(F.col(col_x).cast("string"), F.lit("__null__"))
+    y = F.coalesce(F.col(col_y).cast("string"), F.lit("__null__"))
+    cells = df.groupBy(x.alias("__x"), y.alias("__y")).agg(
+        F.count(F.lit(1)).alias("__nxy")
+    )
+    all_w = Window.partitionBy()
+    cells = cells.select(
+        "__x",
+        "__y",
+        "__nxy",
+        F.sum("__nxy").over(Window.partitionBy("__x")).alias("__nx"),
+        F.sum("__nxy").over(Window.partitionBy("__y")).alias("__ny"),
+        F.sum("__nxy").over(all_w).alias("__n"),
+    )
+    n = F.col("__n").cast("double")
+    pxy = F.col("__nxy") / n
+    px = F.col("__nx") / n
+    py = F.col("__ny") / n
+    exp = F.col("__nx").cast("double") * F.col("__ny") / n
+    mi_term = pxy * F.log(pxy / (px * py))
+    chi_term = (F.col("__nxy") - exp) * (F.col("__nxy") - exp) / exp
+    hx_term = px * F.log(px)  # summed per distinct x via nxy/nx weighting
+    agged = cells.agg(
+        F.max("__n").alias("n"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(chi_term).alias("__chi2"),
+        # H(X) = -Σ_x p(x) ln p(x): spread each x's term over its cells
+        (-F.sum(hx_term * F.col("__nxy") / F.col("__nx"))).alias("__hx"),
+        (-F.sum((py * F.log(py)) * F.col("__nxy") / F.col("__ny"))).alias("__hy"),
+    )
+    nmi = F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy"))
+    return agged.select(
+        "n",
+        rnd(F.col("__mi"), round_digits).alias("mi_nats"),
+        rnd(nmi, round_digits).alias("nmi"),
+        rnd(F.col("__chi2"), round_digits).alias("chi2"),
+    )

@@ -261,3 +261,52 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm")
     )
+
+
+@register(
+    "q_profile_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS x,
+             coalesce(CAST(source AS VARCHAR), '__null__') AS y,
+             COUNT(*) AS nxy
+      FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, nxy,
+             SUM(nxy) OVER (PARTITION BY x) AS nx,
+             SUM(nxy) OVER (PARTITION BY y) AS ny,
+             SUM(nxy) OVER () AS n
+      FROM cells
+    ),
+    agg AS (
+      SELECT MAX(n) AS n,
+             SUM((nxy / CAST(n AS DOUBLE))
+                 * ln((nxy / CAST(n AS DOUBLE))
+                      / ((nx / CAST(n AS DOUBLE)) * (ny / CAST(n AS DOUBLE))))) AS mi,
+             SUM((nxy - CAST(nx AS DOUBLE) * ny / CAST(n AS DOUBLE))
+                 * (nxy - CAST(nx AS DOUBLE) * ny / CAST(n AS DOUBLE))
+                 / (CAST(nx AS DOUBLE) * ny / CAST(n AS DOUBLE))) AS chi2,
+             -SUM(((nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE)))
+                  * (nxy / CAST(nx AS DOUBLE))) AS hx,
+             -SUM(((ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE)))
+                  * (nxy / CAST(ny AS DOUBLE))) AS hy
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(mi, 6) AS mi_nats,
+           ROUND(mi / sqrt(hx * hy), 6) AS nmi,
+           ROUND(chi2, 6) AS chi2
+    FROM agg
+    """,
+    tags=("profile", "association", "mutual-information"),
+)
+def q_profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / normalized MI / chi-squared between lang and
+    source — the two-column association screen beside PSI's one-column
+    drift screen, from ONE contingency-table pass with windowed marginals
+    (operators/profile.py::categorical_association)."""
+    from pontem_spark.operators.profile import categorical_association
+
+    docs = load_table(spark, sf_dir, "documents")
+    return categorical_association(docs, "lang", "source")

@@ -1158,3 +1158,25 @@ def test_pagerank_star_graph(spark):
     hub = ranks["hub"]
     assert all(hub > ranks[l] for l in leaves)
     assert len({round(ranks[l], 12) for l in leaves}) == 1  # symmetry
+
+
+def test_categorical_association_known_cases(spark):
+    """MI/NMI/chi2 sanity: independent columns give ~0; identical columns
+    give NMI 1 with MI = H(X); scipy-free closed-form check."""
+    import math
+
+    from pontem_spark.operators.profile import categorical_association
+
+    # identical columns, two balanced levels: MI = H = ln 2, NMI = 1
+    rows = [(("a" if i % 2 else "b"),) * 2 for i in range(100)]
+    df = spark.createDataFrame([(x, y) for x, y in rows], "x string, y string")
+    r = categorical_association(df, "x", "y").collect()[0]
+    assert abs(r.mi_nats - math.log(2)) < 1e-5
+    assert abs(r.nmi - 1.0) < 1e-6
+    assert r.n == 100
+
+    # independent 2x2 with equal counts: MI = 0, chi2 = 0
+    rows2 = [(a, b) for a in "ab" for b in "cd" for _ in range(25)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    r2 = categorical_association(df2, "x", "y").collect()[0]
+    assert abs(r2.mi_nats) < 1e-9 and abs(r2.chi2) < 1e-9
