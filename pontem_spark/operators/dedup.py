@@ -632,3 +632,63 @@ def jaccard_prefix_pairs(
         .filter(j >= threshold)
         .select("id_a", "id_b", rnd(j, round_digits).alias("jaccard"))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    ngram: int = 3,
+    round_digits: int = 4,
+    max_doc_freq: "int | None" = 50,
+    storage_level: "str | None" = None,
+) -> DataFrame:
+    """Directed shingle CONTAINMENT ``|A∩B| / |A|`` ≥ threshold — catches a
+    document swallowed inside a larger one, which symmetric Jaccard
+    misses (a 100-word doc pasted into a 10,000-word doc has Jaccard ~0.01
+    but containment 1.0). The standard screen for quote/excerpt/boilerplate
+    inclusion before training.
+
+    Same inverted-index plan as :func:`jaccard_similar_pairs` (one
+    shingle-key self-join, ``max_doc_freq`` bounding the worst bucket);
+    each unordered pair is scored in BOTH directions and a direction is
+    emitted when the smaller side is covered: (id_contained, id_container).
+    """
+    from pyspark.sql import Window
+
+    sh = _tokens_distinct_shingles(df, id_col, text_col, ngram)
+    if max_doc_freq is not None:
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sh = _persist(
+        sh.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy(id_col))),
+        storage_level,
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    c_a = F.col("n_common") / F.col("size_a")  # how much of A sits in B
+    c_b = F.col("n_common") / F.col("size_b")
+    both = pairs.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        c_a.alias("__c"),
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("id_contained"),
+            F.col("id_a").alias("id_container"),
+            c_b.alias("__c"),
+        )
+    )
+    return both.filter(F.col("__c") >= threshold).select(
+        "id_contained", "id_container", rnd(F.col("__c"), round_digits).alias("containment")
+    )

@@ -286,3 +286,39 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the pruning loses nothing."""
     docs = load_table(spark, sf_dir, "documents")
     return D.jaccard_prefix_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 50),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+            WHERE sh.shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shc GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dirs AS (
+        SELECT id_a AS id_contained, id_b AS id_container,
+               n_common * 1.0 / sa.set_size AS c
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        UNION ALL
+        SELECT id_b AS id_contained, id_a AS id_container,
+               n_common * 1.0 / sb.set_size AS c
+        FROM inter JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_contained, id_container, ROUND(c, 4) AS containment
+    FROM dirs WHERE c >= 0.85
+    """,
+    tags=("dedup", "containment", "ngram"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment |A∩B|/|A| ≥ 0.85 — sub-document
+    detection (a doc pasted inside a bigger one has tiny Jaccard but
+    containment ~1). Same capped inverted-index plan as the Jaccard tier,
+    scored in both directions (operators/dedup.py::containment_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "doc_id", "text", threshold=0.85)

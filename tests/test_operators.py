@@ -1180,3 +1180,20 @@ def test_categorical_association_known_cases(spark):
     df2 = spark.createDataFrame(rows2, "x string, y string")
     r2 = categorical_association(df2, "x", "y").collect()[0]
     assert abs(r2.mi_nats) < 1e-9 and abs(r2.chi2) < 1e-9
+
+
+def test_containment_catches_subdocument(spark):
+    """A short doc pasted inside a long one: Jaccard is tiny (misses it),
+    containment is 1.0 (catches it, in the right direction only)."""
+    from pontem_spark.operators.dedup import containment_pairs, jaccard_similar_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 60, 3))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    jac = jaccard_similar_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert jac == []  # symmetric measure misses the inclusion
+    cont = containment_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r.id_contained, r.id_container, r.containment) for r in cont] == [
+        (1, 2, 1.0)
+    ]
