@@ -310,3 +310,52 @@ def q_profile_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return categorical_association(docs, "lang", "source")
+
+
+@register(
+    "q_stream_histogram_quantiles",
+    oracle=_hist_quantile_oracle(),
+    tags=("streaming", "sketch", "quantile", "incremental"),
+)
+def q_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quantiles end to end: events re-written as three parquet
+    files, streamed back one file per trigger, each micro-batch's histogram
+    state merged into the accumulated state via foreachBatch
+    (streaming/events.py::run_histogram_rollup). Histogram merge is EXACT,
+    so the final p50/p90/p99 hash-match the same direct-build oracle as the
+    batch query — proving the streaming composition loses nothing no
+    matter how the rows were sliced into batches."""
+    import shutil
+    import tempfile
+
+    from pontem_spark.operators.sketches import histogram_quantiles
+    from pontem_spark.streaming.events import run_histogram_rollup
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_hist_")
+    try:
+        events.repartition(3).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        state, n_batches = run_histogram_rollup(
+            stream, ["event_type"], "value", lo=0.0, hi=640.0, n_bins=32
+        )
+        if n_batches < 3:
+            raise RuntimeError(
+                f"expected >=3 micro-batches, got {n_batches} — the"
+                " multi-batch merge path was not exercised"
+            )
+        return histogram_quantiles(
+            state,
+            ["event_type"],
+            {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+            lo=0.0,
+            hi=640.0,
+            n_bins=32,
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

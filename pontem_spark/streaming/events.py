@@ -157,6 +157,50 @@ def run_incremental_rollup(
     return holder["state"], holder["batches"]
 
 
+def run_histogram_rollup(
+    stream: DataFrame,
+    keys: "list[str]",
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    timeout_s: int = 120,
+) -> "tuple[DataFrame, int]":
+    """Continuous QUANTILE rollup: the same ``foreachBatch`` composition as
+    :func:`run_incremental_rollup`, driving the exactly-mergeable histogram
+    sketch (operators/sketches.py) instead of the scalar monoids — each
+    micro-batch builds its own per-key count arrays and merges them
+    key-wise into the accumulated state, so read-time p50/p99 over any
+    horizon never rescans history. Histogram merge is exact, so the final
+    state is bit-identical to a direct build over all batches.
+
+    Returns (final state DataFrame, number of micro-batches processed).
+    """
+    from pontem_spark.operators.sketches import histogram_state, merge_histograms
+
+    holder: dict = {"state": None, "batches": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = histogram_state(batch_df, keys, value_col, lo, hi, n_bins)
+        prev = holder["state"]
+        merged = (
+            part if prev is None else merge_histograms(prev, part, keys, n_bins)
+        )
+        holder["state"] = merged.localCheckpoint(eager=True)
+        holder["batches"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return holder["state"], holder["batches"]
+
+
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on_stream: str, on_dim: str) -> DataFrame:
     """Stream-static enrichment join — the lookup-table pattern every
     streaming ingest needs (attach dimension attributes to each event as it
