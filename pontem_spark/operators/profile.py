@@ -188,3 +188,44 @@ def categorical_association(
         rnd(nmi, round_digits).alias("nmi"),
         rnd(F.col("__chi2"), round_digits).alias("chi2"),
     )
+
+
+def embedding_dimension_profile(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-DIMENSION statistics of an embedding column — n/mean/sd/lo/hi
+    for every vector position. The embedding-QA screen: dead dimensions
+    (sd ≈ 0), saturated dimensions (|mean| ≫ sd), and scale drift between
+    model versions all show up here before they poison a similarity index.
+
+    Scale shape: posexplode fans each row into dim (pos, value) pairs, but
+    the groupBy(pos) partially aggregates map-side, so the shuffle carries
+    ~dims × partitions partial rows — never rows × dims. Stddev derives
+    from (n, Σx, Σx²) with the explicit formula, mirrored term-for-term in
+    the oracle (engine-native stddev implementations accumulate
+    differently and would drift the hash).
+    """
+    from pontem_spark.functions.compat import rnd
+
+    x = df.select(
+        F.posexplode(vec_col).alias("dim", "__v")
+    ).select("dim", F.col("__v").cast("double").alias("__v"))
+    agged = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("__s"),
+        F.sum(F.col("__v") * F.col("__v")).alias("__ss"),
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+    )
+    n = F.col("n").cast("double")
+    var = (F.col("__ss") - F.col("__s") * F.col("__s") / n) / (n - 1)
+    return agged.select(
+        "dim",
+        "n",
+        rnd(F.col("__s") / n, round_digits).alias("mean"),
+        rnd(F.sqrt(F.greatest(var, F.lit(0.0))), round_digits).alias("sd"),
+        rnd(F.col("__lo"), round_digits).alias("lo"),
+        rnd(F.col("__hi"), round_digits).alias("hi"),
+    )

@@ -359,3 +359,33 @@ def q_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "q_embedding_dim_profile",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(u.i - 1 AS INTEGER) AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings,
+      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(v) / COUNT(*), 4) AS mean,
+           ROUND(sqrt(GREATEST((SUM(v * v) - SUM(v) * SUM(v) / COUNT(*))
+                               / (COUNT(*) - 1), CAST(0 AS DOUBLE))), 4) AS sd,
+           ROUND(MIN(v), 4) AS lo,
+           ROUND(MAX(v), 4) AS hi
+    FROM x GROUP BY dim
+    """,
+    tags=("profile", "embedding", "vector"),
+)
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA profile: posexplode + map-side-combined
+    groupBy(pos), so the shuffle carries ~dims×partitions partial rows,
+    never rows×dims; stddev from (n, Σx, Σx²) mirrored term-for-term in
+    the oracle (operators/profile.py::embedding_dimension_profile)."""
+    from pontem_spark.operators.profile import embedding_dimension_profile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dimension_profile(emb, "embedding")

@@ -1197,3 +1197,14 @@ def test_containment_catches_subdocument(spark):
     assert [(r.id_contained, r.id_container, r.containment) for r in cont] == [
         (1, 2, 1.0)
     ]
+
+
+def test_embedding_dim_profile_flags_dead_dimension(spark):
+    from pontem_spark.operators.profile import embedding_dimension_profile
+
+    rows = [(i, [float(i), 7.0, float(-i)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    prof = {r.dim: r for r in embedding_dimension_profile(df).collect()}
+    assert prof[1].sd == 0.0 and prof[1].mean == 7.0  # dead dimension
+    assert prof[0].n == 10 and prof[0].lo == 0.0 and prof[0].hi == 9.0
+    assert prof[2].mean == -prof[0].mean
