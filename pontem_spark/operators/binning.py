@@ -96,3 +96,55 @@ def winsorize(
         .withColumn(out_name, clipped)
         .drop("__wb")
     )
+
+
+def grouped_quantile_bins(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    q: int = 4,
+    bucket_name: str = "bucket",
+    round_digits: int = 2,
+) -> DataFrame:
+    """Per-GROUP equal-frequency binning — qcut within each stratum, so
+    every group's rows spread evenly over its own ``[0, q)`` buckets (the
+    per-language / per-source normalization a mixed corpus needs before
+    thresholding; one global boundary set would let a dominant group set
+    everyone's cutoffs).
+
+    Same scale shape as :func:`quantile_bins`, widened per key: ONE
+    aggregate computes each group's q-1 boundaries (→ approx_percentile at
+    100 TB), the tiny boundary table broadcasts into an equi-join on the
+    group key, and the bucket is a map-side array fold. No window, no sort,
+    no per-group job."""
+    probs = [i / q for i in range(1, q)]
+    probs_sql = ", ".join(repr(p) for p in probs)
+    s = 10.0 ** round_digits
+    bnds = df.groupBy(group_col).agg(
+        F.expr(
+            f"transform(percentile(CAST({col} AS DOUBLE), array({probs_sql})), "
+            f"b -> floor(b * {s!r} + 0.5) / {s!r})"
+        ).alias("__bnds")
+    )
+    return (
+        df.join(F.broadcast(bnds), group_col)
+        .withColumn(
+            bucket_name,
+            F.expr(f"size(filter(__bnds, b -> CAST({col} AS DOUBLE) > b))"),
+        )
+        .drop("__bnds")
+    )
+
+
+def grouped_quantile_bins_oracle_sql(
+    table: str, group_col: str, col: str, q: int = 4, round_digits: int = 2
+) -> "tuple[str, str]":
+    """DuckDB twin of :func:`grouped_quantile_bins` (CTE + bucket expr; the
+    caller joins ``bnds USING ({group_col})``)."""
+    items = ", ".join(
+        f"ROUND(quantile_cont(CAST({col} AS DOUBLE), {i / q!r}), {round_digits})"
+        for i in range(1, q)
+    )
+    cte = f"bnds AS (SELECT {group_col}, [{items}] AS b FROM {table} GROUP BY {group_col})"
+    bucket = f"CAST(len(list_filter(bnds.b, x -> CAST({col} AS DOUBLE) > x)) AS INTEGER)"
+    return cte, bucket

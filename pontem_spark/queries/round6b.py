@@ -389,3 +389,34 @@ def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_dimension_profile(emb, "embedding")
+
+
+def _grouped_qcut_oracle() -> str:
+    from pontem_spark.operators.binning import grouped_quantile_bins_oracle_sql
+
+    cte, bucket = grouped_quantile_bins_oracle_sql("orders", "o_orderpriority", "o_totalprice", q=4)
+    return f"""
+    WITH {cte}
+    SELECT o_orderkey, o_orderpriority, {bucket} AS price_bucket
+    FROM orders JOIN bnds USING (o_orderpriority)
+    """
+
+
+@register(
+    "q_api_grouped_qcut",
+    oracle=_grouped_qcut_oracle(),
+    tags=("api", "binning", "quantile", "grouped"),
+)
+def q_api_grouped_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group equal-frequency binning (qcut within each order priority):
+    one grouped percentile aggregate, broadcast boundary join on the group
+    key, map-side bucket fold — no window, no sort, no per-group job
+    (operators/binning.py::grouped_quantile_bins)."""
+    from pontem_spark.operators.binning import grouped_quantile_bins
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return grouped_quantile_bins(
+        orders, "o_orderpriority", "o_totalprice", q=4, bucket_name="price_bucket"
+    ).select("o_orderkey", "o_orderpriority", "price_bucket")

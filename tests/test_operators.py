@@ -1208,3 +1208,23 @@ def test_embedding_dim_profile_flags_dead_dimension(spark):
     assert prof[1].sd == 0.0 and prof[1].mean == 7.0  # dead dimension
     assert prof[0].n == 10 and prof[0].lo == 0.0 and prof[0].hi == 9.0
     assert prof[2].mean == -prof[0].mean
+
+
+def test_grouped_qcut_balanced_within_each_group(spark):
+    """Each group spreads ~evenly over its own buckets even when the groups'
+    value ranges are disjoint (a global qcut would put group B entirely in
+    the top bucket)."""
+    from pontem_spark.operators.binning import grouped_quantile_bins
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", 1000.0 + i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_quantile_bins(df, "g", "v", q=4)
+    counts = {
+        (r.g, r.bucket): r.n
+        for r in out.groupBy("g", "bucket").agg(F.count("*").alias("n")).collect()
+    }
+    for g in ("a", "b"):
+        for b in range(4):
+            assert 20 <= counts[(g, b)] <= 30, counts
