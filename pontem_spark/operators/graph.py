@@ -96,7 +96,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # materialized once — otherwise every iteration's plan re-aggregates it
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
