@@ -420,3 +420,81 @@ def q_api_grouped_qcut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_quantile_bins(
         orders, "o_orderpriority", "o_totalprice", q=4, bucket_name="price_bucket"
     ).select("o_orderkey", "o_orderpriority", "price_bucket")
+
+
+def _pipeline_oracle() -> str:
+    from pontem_spark.operators.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("doc_id", 100)
+    win = _WIN_LIST
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en' AND len(string_split(text, ' ')) >= 30
+    ),
+    chunks AS (
+      SELECT doc_id, unnest({win}) AS chunk FROM gated
+    ),
+    bl AS (
+      SELECT coalesce(list(chunk ORDER BY chunk), []) AS b FROM (
+        SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 3
+      )
+    ),
+    cleaned AS (
+      SELECT g.doc_id,
+             coalesce(array_to_string(
+               list_filter({win}, c -> NOT list_contains(bl.b, c)), ' '), '')
+               AS clean_text
+      FROM gated g, bl
+    ),
+    survivors AS (
+      SELECT MIN(doc_id) AS doc_id, ANY_VALUE(clean_text) AS clean_text
+      FROM cleaned GROUP BY md5(clean_text)
+    )
+    SELECT doc_id,
+           CASE WHEN {bucket} < 80 THEN 'train' ELSE 'test' END AS split,
+           CAST(len(string_split(clean_text, ' ')) AS INTEGER) AS n_tokens
+    FROM survivors
+    """
+
+
+@register(
+    "q_pipeline_corpus_prep",
+    oracle=_pipeline_oracle(),
+    tags=("pipeline", "curation", "dedup", "composition"),
+)
+def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep pipeline as ONE lazy plan — the composition a
+    real training-data run executes: language + length gate → corpus-level
+    boilerplate removal → exact dedup on the CLEANED text (min-id
+    survivorship; boilerplate-only differences collapse) → deterministic
+    80/20 split → per-doc token count. Every stage reuses the registered
+    operator (curation.remove_boilerplate, dedup-style md5 groupBy,
+    sampling.hash_bucket), and the oracle replays the identical chain as
+    CTEs — hash equality proves the stages compose losslessly, not just
+    pass individually.
+
+    Scale: the stages add shuffles only where their standalone forms do
+    (chunk agg; md5 groupBy); the gate/split/count are map-side.
+    Catalyst pipelines the whole chain — no materialization between
+    stages."""
+    from pontem_spark.operators.curation import remove_boilerplate
+    from pontem_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    gated = docs.filter(
+        (F.col("lang") == "en") & (F.size(F.split(F.col("text"), " ")) >= 30)
+    ).select("doc_id", "text")
+    cleaned = remove_boilerplate(
+        gated, id_col="doc_id", text_col="text", window=5, max_doc_freq=3
+    ).select("doc_id", "clean_text")
+    survivors = cleaned.groupBy(F.md5("clean_text")).agg(
+        F.min("doc_id").alias("doc_id"), F.any_value("clean_text").alias("clean_text")
+    )
+    return survivors.select(
+        "doc_id",
+        F.when(hash_bucket("doc_id", 100) < 80, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.size(F.split(F.col("clean_text"), " ")).alias("n_tokens"),
+    )
