@@ -795,30 +795,45 @@ class DataFrame:
             self._internal, F.row_number().over(w) > 1, None
         )
 
-    def corr(self):
-        """Pairwise Pearson correlation matrix of the numeric columns —
-        ONE aggregation pass computes all k·(k-1)/2 cells (Catalyst runs the
-        corr aggregates side by side in a single scan)."""
+    def _pairwise_matrix(self, pair_agg, diag_agg=None, diag_const: float = 1.0):
+        """Shared scaffolding for corr/cov: numeric-column selection, ONE
+        aggregation pass for all k·(k-1)/2 pair cells (plus per-column
+        diagonal aggregates when ``diag_agg`` is given, else the constant
+        ``diag_const``), symmetric pandas matrix out."""
         import pandas as pd
 
         numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
         schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
         cols = [c for c in self._columns if schema[c] in numeric]
-        exprs = [
-            F.corr(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
+        exprs = (
+            [diag_agg(self._columns[c]).alias(f"v_{i}") for i, c in enumerate(cols)]
+            if diag_agg
+            else []
+        )
+        n_diag = len(exprs)
+        exprs += [
+            pair_agg(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
             for i, a in enumerate(cols)
             for j, b in enumerate(cols)
             if i < j
         ]
         row = self._internal.sdf.select(*exprs).first() if exprs else []
-        out = pd.DataFrame(1.0, index=cols, columns=cols)
-        k = 0
+        out = pd.DataFrame(diag_const, index=cols, columns=cols)
+        for i, c in enumerate(cols[:n_diag]):
+            out.loc[c, c] = row[i]
+        k = n_diag
         for i, a in enumerate(cols):
             for j, b in enumerate(cols):
                 if i < j:
                     out.loc[a, b] = out.loc[b, a] = row[k]
                     k += 1
         return out
+
+    def corr(self):
+        """Pairwise Pearson correlation matrix of the numeric columns —
+        ONE aggregation pass computes all k·(k-1)/2 cells (Catalyst runs the
+        corr aggregates side by side in a single scan)."""
+        return self._pairwise_matrix(F.corr, diag_const=1.0)
 
     def cov(self, ddof: int = 1):
         """Pairwise sample-covariance matrix of the numeric columns — like
@@ -826,33 +841,11 @@ class DataFrame:
         covar aggregates plus the k variances run side by side in a single
         scan). ``ddof=1`` is the pandas default; ``ddof=0`` gives the
         population covariance."""
-        import pandas as pd
-
-        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
-        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
-        cols = [c for c in self._columns if schema[c] in numeric]
         if ddof not in (0, 1):
             raise ValueError(f"ddof must be 0 or 1, got {ddof}")
         pair = F.covar_samp if ddof == 1 else F.covar_pop
-        var = (lambda c: F.var_samp(c)) if ddof == 1 else (lambda c: F.var_pop(c))
-        exprs = [var(self._columns[c]).alias(f"v_{i}") for i, c in enumerate(cols)]
-        exprs += [
-            pair(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
-            for i, a in enumerate(cols)
-            for j, b in enumerate(cols)
-            if i < j
-        ]
-        row = self._internal.sdf.select(*exprs).first() if exprs else []
-        out = pd.DataFrame(0.0, index=cols, columns=cols)
-        for i, c in enumerate(cols):
-            out.loc[c, c] = row[i]
-        k = len(cols)
-        for i, a in enumerate(cols):
-            for j, b in enumerate(cols):
-                if i < j:
-                    out.loc[a, b] = out.loc[b, a] = row[k]
-                    k += 1
-        return out
+        diag = F.var_samp if ddof == 1 else F.var_pop
+        return self._pairwise_matrix(pair, diag_agg=diag, diag_const=0.0)
 
     def _reduce_all(self, how: str):
         """Per-column reduction → pandas Series, one aggregation pass."""

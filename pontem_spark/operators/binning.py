@@ -126,13 +126,19 @@ def grouped_quantile_bins(
             f"b -> floor(b * {s!r} + 0.5) / {s!r})"
         ).alias("__bnds")
     )
+    # eqNullSafe: groupBy keeps NULL as a group of its own, so null-group
+    # rows must match their own boundary row — a plain equi-join would
+    # silently DROP every null-group row from the output
+    joined = df.join(
+        F.broadcast(bnds.withColumnRenamed(group_col, "__g")),
+        F.col(group_col).eqNullSafe(F.col("__g")),
+    )
     return (
-        df.join(F.broadcast(bnds), group_col)
-        .withColumn(
+        joined.withColumn(
             bucket_name,
             F.expr(f"size(filter(__bnds, b -> CAST({col} AS DOUBLE) > b))"),
         )
-        .drop("__bnds")
+        .drop("__bnds", "__g")
     )
 
 

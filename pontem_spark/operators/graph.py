@@ -96,6 +96,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
+        # from the 1/N literal below
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     # materialized once — otherwise every iteration's plan re-aggregates it
     deg = (
         e.groupBy("src")

@@ -181,7 +181,12 @@ def categorical_association(
         (-F.sum(hx_term * F.col("__nxy") / F.col("__nx"))).alias("__hx"),
         (-F.sum((py * F.log(py)) * F.col("__nxy") / F.col("__ny"))).alias("__hy"),
     )
-    nmi = F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy"))
+    # a constant column has zero entropy → NMI is 0/0; emit NULL (defined)
+    # rather than letting NaN flow through the floor-rounding arithmetic
+    nmi = F.when(
+        (F.col("__hx") > 0) & (F.col("__hy") > 0),
+        F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")),
+    )
     return agged.select(
         "n",
         rnd(F.col("__mi"), round_digits).alias("mi_nats"),

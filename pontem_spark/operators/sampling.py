@@ -150,7 +150,6 @@ def weighted_sample(
     weight_col: str,
     k: int,
     strata: "list[str] | None" = None,
-    round_digits: int = 9,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (the
     Efraimidis–Spirakis exponential race): every row gets priority
@@ -160,19 +159,22 @@ def weighted_sample(
     replacement. Rows with null or non-positive weight have zero mass and
     are excluded.
 
-    Priorities are rounded (half-up, ``round_digits``) before ordering with
-    an id tie-break, so the two engines' last-ulp ``ln`` differences cannot
-    reorder the race.
+    The priority is deliberately NOT rounded: an absolute rounding scale
+    collapses large-weight priorities (|ln(u)/w| shrinks below any fixed
+    quantum as w grows) and would degrade the race to an id sort among
+    heavy rows. Determinism instead rests on the key structure: u takes
+    65536 discrete values strictly inside (0, 1) — ``(h+1)/65537`` so even
+    h=65535 keeps ln(u) < 0 — which keeps distinct (u, w) pairs' key gaps
+    many orders of magnitude above the engines' ≤1-ulp ``ln`` differences,
+    and exact ties (same u, same w) break on the id.
 
     Scale shape: global top-k is sort+limit — Spark plans
     TakeOrderedAndProject (per-partition top-k, then a k-row merge; no
     global sort materializes). With ``strata``, a window partitioned by the
     strata takes top-k per group — one shuffle on the strata keys.
     """
-    from pontem_spark.functions.compat import rnd
-
-    u = (hash_value16(id_col) + F.lit(1)) / F.lit(65536.0)
-    key = rnd(F.log(u) / F.col(weight_col), round_digits)
+    u = (hash_value16(id_col) + F.lit(1)) / F.lit(65537.0)
+    key = F.log(u) / F.col(weight_col)
     base = df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
     if strata:
         from pyspark.sql import Window
@@ -186,8 +188,7 @@ def weighted_sample(
     return base.orderBy(key.desc(), F.col(id_col).asc()).limit(k)
 
 
-def weighted_sample_key_sql(id_expr: str, weight_expr: str, round_digits: int = 9) -> str:
-    """DuckDB twin of :func:`weighted_sample`'s rounded priority."""
-    s = 10 ** round_digits
-    u = f"(({hash_value16_sql(id_expr)} + 1) / 65536.0)"
-    return f"(floor((ln({u}) / ({weight_expr})) * {s}.0 + 0.5) / {s}.0)"
+def weighted_sample_key_sql(id_expr: str, weight_expr: str) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s priority."""
+    u = f"(({hash_value16_sql(id_expr)} + 1) / 65537.0)"
+    return f"(ln({u}) / ({weight_expr}))"

@@ -87,14 +87,20 @@ def histogram_state(
     meaningless). Nulls are skipped. ONE shuffle, fully map-side
     combinable: the partial states ARE the merge states."""
     w = (hi - lo) / n_bins
-    b = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / w).cast("int")),
-    )
+    # clamp in DOUBLE space BEFORE any integer cast: a far-out-of-range
+    # value (or +/-Infinity) would overflow the int cast and, under
+    # Spark 4's default ANSI mode, abort the whole aggregation instead of
+    # clamping to the edge bin as promised. For in-range values the result
+    # is identical (x=hi lands on n_bins and the least() takes the edge).
+    xc = F.least(F.greatest(F.col(col).cast("double"), F.lit(float(lo))), F.lit(float(hi)))
+    b = F.least(F.lit(n_bins - 1), F.floor((xc - lo) / w).cast("int"))
     counts = [
         F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__b{i}") for i in range(n_bins)
     ]
-    agged = df.filter(F.col(col).isNotNull()).groupBy(*keys).agg(*counts)
+    present = F.col(col).isNotNull()
+    if df.schema[col].dataType.simpleString() in ("double", "float"):
+        present = present & ~F.isnan(F.col(col))  # NaN is missing, not a bin
+    agged = df.filter(present).groupBy(*keys).agg(*counts)
     return agged.select(
         *keys, F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias(bins_name)
     )

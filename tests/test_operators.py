@@ -1228,3 +1228,45 @@ def test_grouped_qcut_balanced_within_each_group(spark):
     for g in ("a", "b"):
         for b in range(4):
             assert 20 <= counts[(g, b)] <= 30, counts
+
+
+def test_histogram_state_clamps_extreme_values_ansi(spark):
+    """Far-out-of-range values (incl. infinities) clamp into the edge bins
+    instead of overflowing the int cast under Spark 4's ANSI mode; NaN is
+    missing, not a bin member."""
+    from pontem_spark.operators.sketches import histogram_state
+
+    rows = [(1e11,), (-1e11,), (float("inf",),), (float("-inf"),), (float("nan"),), (5.0,), (None,)]
+    df = spark.createDataFrame([(float(v),) if v is not None else (None,) for (v,) in rows], "v double")
+    bins = histogram_state(df, [], "v", lo=0.0, hi=8.0, n_bins=4).collect()[0].bins
+    # 5.0 -> bin 2; +1e11/+inf -> bin 3; -1e11/-inf -> bin 0; NaN/null skipped
+    assert bins == [2, 0, 1, 2]
+
+
+def test_pagerank_empty_graph(spark):
+    from pontem_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(edges).collect() == []
+
+
+def test_grouped_qcut_keeps_null_group_rows(spark):
+    """Rows with a NULL group key bin among themselves instead of being
+    silently dropped by a null-rejecting join."""
+    from pontem_spark.operators.binning import grouped_quantile_bins
+
+    rows = [("a", float(i)) for i in range(40)] + [(None, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_quantile_bins(df, "g", "v", q=4)
+    assert out.count() == 80  # nothing dropped
+    null_buckets = {r.bucket for r in out.filter(F.col("g").isNull()).collect()}
+    assert null_buckets == {0, 1, 2, 3}
+
+
+def test_categorical_association_constant_column_nmi_null(spark):
+    from pontem_spark.operators.profile import categorical_association
+
+    df = spark.createDataFrame([("a", x) for x in "xyxy"], "c string, d string")
+    r = categorical_association(df, "c", "d").collect()[0]
+    assert r.nmi is None  # 0/0 is a defined NULL, not NaN
+    assert r.mi_nats == 0.0
