@@ -179,3 +179,57 @@ def test_str_accessor_matches_pandas(spark, texts):
     assert got_len.tolist() == p.str.len().tolist()
     got_sw = s.str.startswith("a").to_pandas().reset_index(drop=True)
     assert got_sw.tolist() == p.str.startswith("a").tolist()
+
+
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+    weights=st.lists(st.integers(1, 100_000), min_size=40, max_size=40),
+    k=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_matches_python_replay(spark, ids, weights, k):
+    """The A-ES race is content-deterministic: replay it exactly in Python
+    (hashlib md5 == Spark md5) and the selected ids must be identical —
+    across any weight magnitude (the collapsed-priority regression class)."""
+    import hashlib
+
+    from pontem_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in zip(ids, weights[: len(ids)])]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample(df, "id", "w", k=k).collect()]
+
+    def h16(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        return int(h, 16)
+
+    keyed = sorted(
+        ((math.log((h16(i) + 1) / 65537.0) / w, i) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [i for _, i in keyed[:k]]
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False), min_size=2, max_size=60
+    ),
+    q=st.floats(min_value=0.05, max_value=0.95),
+)
+@settings(**_SETTINGS)
+def test_histogram_quantile_within_bin_width(spark, vals, q):
+    """For any data and quantile, the histogram estimate sits within one bin
+    width of numpy's inverted-CDF quantile (values clamp to the fixed
+    range, so compare against the clamped data)."""
+    import numpy as np
+
+    from pontem_spark.operators.sketches import histogram_quantiles, histogram_state
+
+    LO, HI, NB = 0.0, 100.0, 20
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    state = histogram_state(df, [], "v", LO, HI, NB)
+    est = histogram_quantiles(state, [], {"p": q}, LO, HI, NB).collect()[0].p
+    clamped = np.clip(np.array(vals), LO, HI)
+    exact = float(np.quantile(clamped, q, method="inverted_cdf"))
+    assert abs(est - exact) <= (HI - LO) / NB + 1e-9, (est, exact)
