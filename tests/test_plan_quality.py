@@ -206,3 +206,45 @@ def test_grouped_transform_single_window_shuffle(q):
     df = q("q_api_grouped_transform")
     assert count_exchanges(df) == 1
     assert "Join" not in physical_plan(df)
+
+
+def test_round6b_queries_stay_jvm_side(q):
+    """This session's batch queries must not fall back to Python execution
+    (the only sanctioned Python in the engine is Arrow BLAS + streaming
+    state, none of which these use)."""
+    for name in (
+        "q_curation_boilerplate_removal",
+        "q_sketch_histogram_quantiles",
+        "q_api_rank",
+        "q_sample_weighted",
+        "q_dedup_jaccard_prefix",
+        "q_dedup_containment",
+        "q_profile_mutual_info",
+        "q_embedding_dim_profile",
+        "q_api_grouped_qcut",
+        "q_pipeline_corpus_prep",
+    ):
+        plan = physical_plan(q(name))
+        assert "EvalPython" not in plan, f"{name} fell back to Python: {plan[:500]}"
+
+
+def test_weighted_sample_query_is_take_ordered_per_stratum(q):
+    """The stratified race is one window shuffle — no global sort of raw
+    rows, no cartesian."""
+    plan = physical_plan(q("q_sample_weighted"))
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_pipeline_query_single_composed_plan(q):
+    """The end-to-end corpus-prep chain stays ONE lazy plan with only its
+    stages' own shuffles (chunk agg + md5 dedup agg) — no extra exchanges
+    from the composition itself, no Python, no cartesian beyond the 1-row
+    boilerplate broadcast."""
+    df = q("q_pipeline_corpus_prep")
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan
+    from pontem_spark.plans import count_exchanges
+
+    # chunk df-agg pair (2) + single-partition collect (1) + dedup agg (1)
+    assert count_exchanges(df) <= 5, plan[:800]
