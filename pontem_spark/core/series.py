@@ -736,6 +736,42 @@ class Series:
     def cummin(self) -> "Series":
         return self._cum(F.min)
 
+    def mode(self) -> "Series":
+        """Most frequent value(s), sorted ascending with a fresh 0..k-1
+        index like pandas (ties all returned). One value-level aggregate +
+        a max over the tiny count frame — never a sort of the raw rows."""
+        from pyspark.sql import Window
+
+        counts = (
+            self._materialized()
+            .filter(F.col(_VALUE).isNotNull())
+            .groupBy(_VALUE)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        top = counts.withColumn(
+            "__m", F.max("__c").over(Window.partitionBy())
+        ).filter(F.col("__c") == F.col("__m"))
+        sdf = top.select(
+            (F.row_number().over(Window.orderBy(F.col(_VALUE).asc())) - 1).alias(
+                INDEX_COL
+            ),
+            F.col(_VALUE),
+        )
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, None), sdf[_VALUE], self._name
+        )
+
+    def autocorr(self, lag: int = 1):
+        """Lag-N Pearson autocorrelation (pandas.Series.autocorr): the
+        series joined to itself shifted by ``lag`` positions, correlated —
+        one window shuffle for the shift, one scalar aggregate."""
+        shifted = self.shift(lag)
+        sdf = self._materialized().join(
+            shifted._materialized("__lagged"), INDEX_COL
+        )
+        row = sdf.agg(F.corr(F.col(_VALUE), F.col("__lagged"))).first()
+        return row[0] if row and row[0] is not None else float("nan")
+
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
         """pandas rank: 'average' (the pandas default), 'min', 'max',
         'dense', or 'first'; na_option='keep' semantics — null/NaN values

@@ -616,3 +616,28 @@ def test_rank_no_global_sort_for_tie_methods(spark):
     # the join back is on the value; a full-row global window would show a
     # row_number/Window over the unaggregated side
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mode(spark):
+    for data in ([1, 2, 2, 3, 3], [5.0, None, 5.0, 7.0]):
+        s = Series(data, spark=spark)
+        w = pd.Series(data)
+        assert_series_equal(s.mode(), w.mode())
+    # string mode: compare values directly (the float harness can't)
+    s = Series(["b", "a", "b", "a", "c"], spark=spark)
+    got = s.mode().to_pandas()
+    want = pd.Series(["b", "a", "b", "a", "c"]).mode()
+    assert got.tolist() == want.tolist()
+    assert got.index.tolist() == want.index.tolist()
+
+
+def test_autocorr(spark):
+    data = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    for lag in (1, 2, 3):
+        assert abs(s.autocorr(lag) - w.autocorr(lag)) < 1e-12
+    # degenerate: too short for the lag → NaN like pandas
+    s2 = Series([1.0, 2.0], spark=spark)
+    import math
+    assert math.isnan(s2.autocorr(5))
