@@ -88,3 +88,67 @@ def test_short_document_shingles(spark):
     )
     assert D.jaccard_similar_pairs(docs, "doc_id", "text", ngram=3).count() == 0
     assert D.minhash_candidate_pairs(docs, "doc_id", "text", ngram=3).count() == 0
+
+
+# --- round-6b operators: degenerate inputs -------------------------------
+
+
+def test_boilerplate_removal_empty_and_single_doc(spark):
+    from pontem_spark.operators.curation import remove_boilerplate
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert remove_boilerplate(empty).collect() == []
+    one = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    got = remove_boilerplate(one).collect()[0]
+    assert got.clean_text == "a b c d e f" and got.n_removed == 0
+
+
+def test_jaccard_prefix_empty_and_identical_corpus(spark):
+    from pontem_spark.operators.dedup import jaccard_prefix_pairs
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert jaccard_prefix_pairs(empty, "doc_id", "text").collect() == []
+    same = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(3)], "doc_id int, text string"
+    )
+    pairs = jaccard_prefix_pairs(same, "doc_id", "text", threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_histogram_empty_frame_and_all_null(spark):
+    from pontem_spark.operators.sketches import histogram_quantiles, histogram_state
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert histogram_state(empty, ["k"], "v", 0.0, 8.0, 4).collect() == []
+    nulls = spark.createDataFrame([("a", None)] * 3, "k string, v double")
+    # all-null group: no state row (nothing to bin) — finalize never sees it
+    assert histogram_state(nulls, ["k"], "v", 0.0, 8.0, 4).collect() == []
+    one = spark.createDataFrame([("a", 5.0)], "k string, v double")
+    st = histogram_state(one, ["k"], "v", 0.0, 8.0, 4)
+    r = histogram_quantiles(st, ["k"], {"p50": 0.5}, 0.0, 8.0, 4).collect()[0]
+    assert r.n == 1 and 4.0 <= r.p50 <= 6.0
+
+
+def test_weighted_sample_k_exceeds_population(spark):
+    from pontem_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0)], "id int, w double")
+    assert len(weighted_sample(df, "id", "w", k=100).collect()) == 2
+
+
+def test_pagerank_single_self_loop(spark):
+    from pontem_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([("a", "a")], "src string, dst string")
+    r = pagerank(edges, iterations=3).collect()
+    assert len(r) == 1 and abs(r[0]["rank"] - 1.0) < 1e-12
+
+
+def test_containment_no_shared_shingles(spark):
+    from pontem_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "ff gg hh ii jj")], "doc_id int, text string"
+    )
+    assert containment_pairs(df, "doc_id", "text").collect() == []
