@@ -498,3 +498,48 @@ def q_pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.size(F.split(F.col("clean_text"), " ")).alias("n_tokens"),
     )
+
+
+_COS_SQL = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+    "i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+)
+
+
+@register(
+    "q_ann_filtered_topk",
+    oracle=f"""
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS_SQL.format(a='q.embedding', b='c.embedding')}, 6) AS cos_sim
+        FROM embeddings q
+        JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label IN (0, 1)
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "filtered", "topk"),
+)
+def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the production ANN shape almost every
+    retrieval system needs (metadata predicate AND nearest-neighbor): the
+    label predicate is applied to the corpus BEFORE pair scoring, so it
+    reaches the parquet scan as a pushed filter and the similarity work is
+    proportional to the filtered subset, not the corpus. Post-filtering
+    top-k instead (score all, then filter) would both waste the scoring
+    work and silently return < k results."""
+    from pontem_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("label").isin(0, 1))
+    return S.brute_force_topk(corpus, queries, k=5, dim=64)

@@ -248,3 +248,11 @@ def test_pipeline_query_single_composed_plan(q):
 
     # chunk df-agg pair (2) + single-partition collect (1) + dedup agg (1)
     assert count_exchanges(df) <= 5, plan[:800]
+
+
+def test_filtered_ann_pushes_label_predicate(q):
+    """The metadata predicate of filtered vector search must reach the
+    parquet scan — scoring work is then proportional to the filtered
+    subset, not the corpus."""
+    pushed = " ".join(pushed_filters(q("q_ann_filtered_topk")))
+    assert "label" in pushed, pushed
