@@ -558,12 +558,32 @@ class Series:
         )
 
     def clip(self, lower=None, upper=None) -> "Series":
+        if lower is not None and upper is not None and lower > upper:
+            # pandas 2.x sorts inverted bounds (effective lower=min, upper=max)
+            lower, upper = upper, lower
         col = self._col
+        clipped = col
         if lower is not None:
-            col = F.greatest(col, F.lit(lower))
+            clipped = F.greatest(clipped, F.lit(lower))
         if upper is not None:
-            col = F.least(col, F.lit(upper))
-        return Series._from_internal(self._internal, col, self._name)
+            clipped = F.least(clipped, F.lit(upper))
+        if lower is None and upper is None:
+            return Series._from_internal(self._internal, col, self._name)
+        # pandas keeps missing values missing; Spark's greatest/least SKIP
+        # nulls (null would become the bound) and order NaN above every
+        # value (NaN would become the upper bound) — guard both
+        missing = col.isNull()
+        try:
+            if self._internal.sdf.select(col).schema[0].dataType.simpleString() in (
+                "double",
+                "float",
+            ):
+                missing = missing | F.isnan(col)
+        except Exception:  # non-resolvable dtype (synthetic column): null-only guard
+            pass
+        return Series._from_internal(
+            self._internal, F.when(~missing, clipped), self._name
+        )
 
     def apply(self, func: Callable, args: tuple = (), **kwargs) -> "Series":
         """Arrow-vectorized pandas_udf (the reference: row-at-a-time Python

@@ -233,3 +233,22 @@ def test_histogram_quantile_within_bin_width(spark, vals, q):
     clamped = np.clip(np.array(vals), LO, HI)
     exact = float(np.quantile(clamped, q, method="inverted_cdf"))
     assert abs(est - exact) <= (HI - LO) / NB + 1e-9, (est, exact)
+
+
+@given(
+    data=st.lists(st.one_of(_finite, st.just(float("nan"))), min_size=1, max_size=20),
+    lo=st.one_of(st.none(), _finite),
+    hi=st.one_of(st.none(), _finite),
+)
+@settings(**_SETTINGS)
+def test_clip_matches_pandas(spark, data, lo, hi):
+    """clip keeps missing values missing — Spark's greatest/least skip
+    nulls and order NaN above everything, which silently turned missing
+    into the bound (found by this fuzz)."""
+    got = _series(spark, data).clip(lo, hi).to_pandas().reset_index(drop=True)
+    want = pd.Series(data).clip(lo, hi).reset_index(drop=True)
+    for g, w in zip(got.tolist(), want.tolist()):
+        if isinstance(w, float) and math.isnan(w):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+        else:
+            assert g == w, (g, w)
