@@ -667,15 +667,7 @@ class Series:
     # window-style transforms --------------------------------------------------
 
     def cumsum(self) -> "Series":
-        from pyspark.sql import Window
-
-        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sdf = self._materialized()
-        return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
-            F.sum(sdf[_VALUE]).over(w),
-            self._name,
-        )
+        return self._cum(F.sum)
 
     def shift(self, periods: int = 1) -> "Series":
         from pyspark.sql import Window
@@ -740,13 +732,23 @@ class Series:
         return (self - prev) / prev
 
     def _cum(self, aggfn) -> "Series":
+        """Cumulative agg with pandas skipna semantics: missing positions
+        stay missing, and missing values never enter the running state
+        (Spark's NaN would otherwise poison a running max as the largest
+        value; its null is skipped by the agg but pandas keeps the output
+        slot NaN)."""
         from pyspark.sql import Window
 
         w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         sdf = self._materialized()
+        v = sdf[_VALUE]
+        missing = v.isNull()
+        if sdf.schema[_VALUE].dataType.simpleString() in ("double", "float"):
+            missing = missing | F.isnan(v)
+        col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name),
-            aggfn(sdf[_VALUE]).over(w),
+            col,
             self._name,
         )
 

@@ -252,3 +252,21 @@ def test_clip_matches_pandas(spark, data, lo, hi):
             assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
         else:
             assert g == w, (g, w)
+
+
+@given(data=st.lists(st.one_of(_finite, st.just(float("nan"))), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_cumulative_ops_skipna_matches_pandas(spark, data):
+    """cummax/cummin/cumsum with pandas skipna: missing positions stay
+    missing, missing values never enter the running state (Spark's NaN
+    sorts above every value and would poison a running max — found by this
+    fuzz)."""
+    p = pd.Series(data)
+    for op in ("cummax", "cummin", "cumsum"):
+        got = getattr(_series(spark, data), op)().to_pandas().reset_index(drop=True)
+        want = getattr(p, op)().reset_index(drop=True)
+        for g, w in zip(got.tolist(), want.tolist()):
+            if isinstance(w, float) and math.isnan(w):
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (op, g, w)
+            else:
+                assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (op, g, w)
