@@ -543,3 +543,86 @@ def q_ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     corpus = emb.filter(F.col("label").isin(0, 1))
     return S.brute_force_topk(corpus, queries, k=5, dim=64)
+
+
+@register(
+    "q_window_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cume
+    FROM orders
+    """,
+    tags=("window", "percent_rank", "cume_dist"),
+)
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per priority partition — the two remaining
+    analytic window functions; both share ONE partitioned sort (no second
+    Exchange). Relative ranks are what feature pipelines feed models
+    instead of raw amounts."""
+    from pyspark.sql import Window
+
+    from pontem_spark.functions.compat import rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q_api_topk_per_group_agg",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+    tags=("api", "topk", "agg", "no-window"),
+)
+def q_api_topk_per_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITHOUT a window, as a SALTED two-phase aggregate:
+    phase 1 takes top-3 within (group, salt) — the collect_list buffer is
+    bounded by group_size/n_salt, the knob that keeps the worst key's
+    buffer small at any scale — and phase 2 re-ranks the ≤ 3·n_salt
+    survivors per group (top-3 of per-salt top-3s is exactly the global
+    top-3). Replaces the window's partition-wide SORT with two hash
+    aggregates whose second input is provably tiny. The oracle is the
+    window formulation — value equality proves the two plans are
+    semantically interchangeable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+
+    def top3(df, keys):
+        # ascending (-price, key): the slice head IS the top by price with
+        # the deterministic key tie-break
+        return df.groupBy(*keys).agg(
+            F.slice(F.array_sort(F.collect_list("__t")), 1, 3).alias("top")
+        )
+
+    packed = j.select(
+        "c_mktsegment",
+        F.pmod(F.col("o_orderkey"), F.lit(8)).alias("__salt"),
+        F.struct(
+            (-F.col("o_totalprice")).alias("np"), F.col("o_orderkey").alias("k")
+        ).alias("__t"),
+    )
+    local = top3(packed, ["c_mktsegment", "__salt"]).select(
+        "c_mktsegment", F.explode("top").alias("__t")
+    )
+    final = top3(local, ["c_mktsegment"])
+    return final.select("c_mktsegment", F.explode("top").alias("t")).select(
+        "c_mktsegment",
+        F.col("t.k").alias("o_orderkey"),
+        (-F.col("t.np")).alias("o_totalprice"),
+    )
