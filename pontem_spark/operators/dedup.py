@@ -580,30 +580,42 @@ def jaccard_prefix_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _persist(
-        _tokens_distinct_shingles(df, id_col, text_col, ngram), storage_level
+    sh = _tokens_distinct_shingles(df, id_col, text_col, ngram)
+    # global document frequency per shingle: the one shingle-keyed shuffle
+    with_df = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    w_sh = Window.partitionBy("shingle")
-    w_doc = Window.partitionBy(id_col)
-    ranked = (
-        sh.withColumn("__df", F.count(F.lit(1)).over(w_sh))
-        .withColumn("__sz", F.count(F.lit(1)).over(w_doc))
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("__df", "shingle")
-            ),
+    # ONE per-doc aggregate yields everything doc-local: the frequency-
+    # ordered shingle array (struct sort = (df, shingle) lexicographic),
+    # the set size, the full set for verification, and the prefix — no
+    # doc-keyed windows, no second sets aggregate
+    t = float(threshold)
+    docs = _persist(
+        with_df.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__arr")
         )
+        .select(
+            F.col(id_col),
+            F.size("__arr").alias("__sz"),
+            F.transform("__arr", lambda x: x["shingle"]).alias("__set"),
+            F.expr(
+                f"transform(slice(__arr, 1, size(__arr) - cast(ceil({t!r} * size(__arr)) as int) + 1), x -> x.shingle)"
+            ).alias("__prefix"),
+        ),
+        storage_level,
     )
-    prefix_len = F.col("__sz") - F.ceil(F.lit(float(threshold)) * F.col("__sz")).cast(
-        "int"
-    ) + 1
-    pref = ranked.filter(F.col("__rn") <= prefix_len)
-    a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"), "shingle"
+    a = docs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sz").alias("size_a"),
+        F.explode("__prefix").alias("shingle"),
     )
-    b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"), "shingle"
+    b = docs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sz").alias("size_b"),
+        F.explode("__prefix").alias("shingle"),
     )
     cand = (
         a.join(b, "shingle")
@@ -611,21 +623,20 @@ def jaccard_prefix_pairs(
         # length filter: J >= t forces min >= t * max
         .filter(
             F.least("size_a", "size_b")
-            >= F.lit(float(threshold)) * F.greatest("size_a", "size_b")
+            >= F.lit(t) * F.greatest("size_a", "size_b")
         )
         .select("id_a", "id_b", "size_a", "size_b")
         .distinct()
     )
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("__set"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     j = F.col("__n_common") / (F.col("size_a") + F.col("size_b") - F.col("__n_common"))
     return (
         cand.join(
-            sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
+            docs.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")),
             "id_a",
         )
         .join(
-            sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
+            docs.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb")),
             "id_b",
         )
         .withColumn("__n_common", inter)
