@@ -100,18 +100,16 @@ def pagerank(
         # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
         # from the 1/N literal below
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    # materialized once — otherwise every iteration's plan re-aggregates it
-    deg = (
-        e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("__outdeg"))
-        .localCheckpoint(eager=True)
-    )
+    # the out-degree is static — fold it into the checkpointed edge table
+    # ONCE so each iteration is a single join (ranks) + one aggregate,
+    # instead of re-joining deg every round
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    e = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("__outdeg")).alias("__c"),
