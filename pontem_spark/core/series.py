@@ -129,6 +129,23 @@ class Series:
     def _ordered(self, sdf):
         return sdf.orderBy(*self._internal.order_columns(INDEX_COL))
 
+    def _missing_mask(self, col: Column, sdf: "SparkDataFrame | None" = None) -> Column:
+        """pandas missing-ness over a Spark column: NULL, plus NaN for
+        float dtypes (Spark distinguishes the two; pandas treats both as
+        missing). THE one definition every skipna-style op must share —
+        clip/_cum/rank/mode/autocorr all route here."""
+        missing = col.isNull()
+        try:
+            frame = sdf if sdf is not None else self._internal.sdf
+            if frame.select(col).schema[0].dataType.simpleString() in (
+                "double",
+                "float",
+            ):
+                missing = missing | F.isnan(col)
+        except Exception:  # non-resolvable dtype (synthetic column): null-only
+            pass
+        return missing
+
     def to_pandas(self):
         import pandas as pd
 
@@ -558,6 +575,15 @@ class Series:
         )
 
     def clip(self, lower=None, upper=None) -> "Series":
+        import math as _math
+
+        # pandas ignores NaN bounds entirely (clip(lower=nan) is a no-op
+        # bound); Spark's greatest(col, NaN) would instead turn EVERY row
+        # into NaN since NaN orders above all values
+        if isinstance(lower, float) and _math.isnan(lower):
+            lower = None
+        if isinstance(upper, float) and _math.isnan(upper):
+            upper = None
         if lower is not None and upper is not None and lower > upper:
             # pandas 2.x sorts inverted bounds (effective lower=min, upper=max)
             lower, upper = upper, lower
@@ -572,15 +598,7 @@ class Series:
         # pandas keeps missing values missing; Spark's greatest/least SKIP
         # nulls (null would become the bound) and order NaN above every
         # value (NaN would become the upper bound) — guard both
-        missing = col.isNull()
-        try:
-            if self._internal.sdf.select(col).schema[0].dataType.simpleString() in (
-                "double",
-                "float",
-            ):
-                missing = missing | F.isnan(col)
-        except Exception:  # non-resolvable dtype (synthetic column): null-only guard
-            pass
+        missing = self._missing_mask(col)
         return Series._from_internal(
             self._internal, F.when(~missing, clipped), self._name
         )
@@ -742,9 +760,7 @@ class Series:
         w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         sdf = self._materialized()
         v = sdf[_VALUE]
-        missing = v.isNull()
-        if sdf.schema[_VALUE].dataType.simpleString() in ("double", "float"):
-            missing = missing | F.isnan(v)
+        missing = self._missing_mask(v, sdf)
         col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name),
@@ -764,9 +780,9 @@ class Series:
         a max over the tiny count frame — never a sort of the raw rows."""
         from pyspark.sql import Window
 
+        m = self._materialized()
         counts = (
-            self._materialized()
-            .filter(F.col(_VALUE).isNotNull())
+            m.filter(~self._missing_mask(m[_VALUE], m))
             .groupBy(_VALUE)
             .agg(F.count(F.lit(1)).alias("__c"))
         )
@@ -791,7 +807,11 @@ class Series:
         sdf = self._materialized().join(
             shifted._materialized("__lagged"), INDEX_COL
         )
-        row = sdf.agg(F.corr(F.col(_VALUE), F.col("__lagged"))).first()
+        # pandas drops NaN pairs; Spark's corr skips nulls but lets NaN
+        # propagate through the Pearson aggregate — null out NaN first
+        v = F.when(~self._missing_mask(sdf[_VALUE], sdf), sdf[_VALUE])
+        lagged = F.when(~self._missing_mask(sdf["__lagged"], sdf), sdf["__lagged"])
+        row = sdf.agg(F.corr(v, lagged)).first()
         return row[0] if row and row[0] is not None else float("nan")
 
     def rank(self, method: str = "average", ascending: bool = True) -> "Series":
@@ -812,9 +832,7 @@ class Series:
         sdf = self._materialized()
         # pandas treats NaN as missing; Spark distinguishes NULL from NaN
         # (a float Series built from None may carry either), so exclude both
-        present = F.col(_VALUE).isNotNull()
-        if sdf.schema[_VALUE].dataType.simpleString() in ("double", "float"):
-            present = present & ~F.isnan(F.col(_VALUE))
+        present = ~self._missing_mask(sdf[_VALUE], sdf)
 
         if method == "first":
             val_order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()

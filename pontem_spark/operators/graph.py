@@ -82,13 +82,19 @@ def pagerank(
     ``r' = (1-d)/N + d · Σ_in r/outdeg`` per iteration. N comes from one
     O(1)-result count job (the same driver-scalar shape GraphX uses).
 
-    Scale shape per iteration: one shuffle joining ranks to edges on the
-    source (co-partitioned with the out-degree join — AQE reuses the
-    exchange) and one aggregate shuffle on the destination. Rank state is
-    |V| rows; edges are re-read from their checkpoint, never recomputed.
+    Scale shape per iteration: one shuffle joining ranks to the
+    degree-annotated edge table on the source and one aggregate shuffle on
+    the destination. Rank state is |V| rows; the edge table (with its
+    static out-degrees folded in) is checkpointed ONCE and re-read, never
+    recomputed.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.distinct().localCheckpoint(eager=True)
+    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # the out-degree is static — fold it into the edge table before the ONE
+    # |E|-sized checkpoint (a separate pre-join checkpoint would pin a
+    # second full copy of the edges for the job's lifetime); each iteration
+    # is then a single ranks join + one destination aggregate
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    e = raw.join(deg, "src").localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -100,11 +106,6 @@ def pagerank(
         # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
         # from the 1/N literal below
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    # the out-degree is static — fold it into the checkpointed edge table
-    # ONCE so each iteration is a single join (ranks) + one aggregate,
-    # instead of re-joining deg every round
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    e = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = F.lit((1.0 - damping) / n)
     for _ in range(iterations):

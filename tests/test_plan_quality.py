@@ -244,8 +244,6 @@ def test_pipeline_query_single_composed_plan(q):
     df = q("q_pipeline_corpus_prep")
     plan = physical_plan(df)
     assert "EvalPython" not in plan
-    from pontem_spark.plans import count_exchanges
-
     # chunk df-agg pair (2) + single-partition collect (1) + dedup agg (1)
     assert count_exchanges(df) <= 5, plan[:800]
 

@@ -641,3 +641,30 @@ def test_autocorr(spark):
     s2 = Series([1.0, 2.0], spark=spark)
     import math
     assert math.isnan(s2.autocorr(5))
+
+
+def test_clip_nan_bounds_are_ignored(spark):
+    """pandas ignores NaN bounds; Spark's greatest(col, NaN) would turn
+    every row into NaN (NaN orders above all values)."""
+    import math
+
+    data = [1.0, 5.0, 10.0]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    nan = float("nan")
+    assert s.clip(lower=nan).to_pandas().tolist() == w.clip(lower=nan).tolist()
+    assert (
+        s.clip(lower=nan, upper=5.0).to_pandas().tolist()
+        == w.clip(lower=nan, upper=5.0).tolist()
+    )
+    assert s.clip(upper=nan).to_pandas().tolist() == w.clip(upper=nan).tolist()
+
+
+def test_mode_and_autocorr_drop_nan(spark):
+    nan = float("nan")
+    s = Series([nan, nan, 1.0], spark=spark)
+    assert s.mode().to_pandas().tolist() == pd.Series([nan, nan, 1.0]).mode().tolist()
+    data = [1.0, nan, 3.0, 4.0, 5.0, 2.0]
+    got = Series(data, spark=spark).autocorr()
+    want = pd.Series(data).autocorr()
+    assert abs(got - want) < 1e-12, (got, want)
