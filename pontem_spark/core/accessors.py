@@ -63,9 +63,19 @@ class StringAccessor:
             return row["out"]
         return self._wrap(F.concat_ws(sep, self._s._col, others._col))
 
-    def zfill(self, width: int): return self._wrap(F.lpad(self._s._col, width, "0"))
+    def _pad_no_truncate(self, width: int, fillchar: str):
+        # pandas pads but NEVER truncates; Spark's lpad cuts strings longer
+        # than the width down to it
+        col = self._s._col
+        return F.when(F.length(col) >= width, col).otherwise(
+            F.lpad(col, width, fillchar)
+        )
+
+    def zfill(self, width: int):
+        return self._wrap(self._pad_no_truncate(width, "0"))
+
     def pad(self, width: int, fillchar: str = " "):
-        return self._wrap(F.lpad(self._s._col, width, fillchar))
+        return self._wrap(self._pad_no_truncate(width, fillchar))
 
 
 class DatetimeAccessor:

@@ -270,3 +270,30 @@ def test_cumulative_ops_skipna_matches_pandas(spark, data):
                 assert g is None or (isinstance(g, float) and math.isnan(g)), (op, g, w)
             else:
                 assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (op, g, w)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"),
+                whitelist_characters=" ",
+                max_codepoint=0x7F,
+            ),
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    w=st.integers(0, 12),
+)
+@settings(**_SETTINGS)
+def test_str_zfill_pad_never_truncate(spark, texts, w):
+    """pandas pads but never truncates; Spark's lpad cuts longer strings
+    down to the width (found by this fuzz: zfill(0) emptied every cell)."""
+    s = _series(spark, texts)
+    p = pd.Series(texts)
+    got_z = s.str.zfill(w).to_pandas().reset_index(drop=True).tolist()
+    assert got_z == p.str.zfill(w).tolist()
+    got_p = s.str.pad(w).to_pandas().reset_index(drop=True).tolist()
+    assert got_p == p.str.pad(w).tolist()
