@@ -37,8 +37,24 @@ class StringAccessor:
         return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
 
     def slice(self, start: int = 0, stop: int | None = None):
-        length = (stop - start) if stop is not None else 2**31 - 1
-        return self._wrap(F.substring(self._s._col, start + 1, length))
+        # full Python slice semantics incl. NEGATIVE bounds (pandas
+        # str.slice); the old positive-only form returned '' for any
+        # negative stop. Bounds are clamped per-row against the length.
+        col = self._s._col
+        n = F.length(col)
+        s_eff = (
+            F.least(F.lit(start), n)
+            if start >= 0
+            else F.greatest(n + F.lit(start), F.lit(0))
+        )
+        if stop is None:
+            e_eff = n
+        elif stop >= 0:
+            e_eff = F.least(F.lit(stop), n)
+        else:
+            e_eff = F.greatest(n + F.lit(stop), F.lit(0))
+        ln = F.greatest(e_eff - s_eff, F.lit(0))
+        return self._wrap(F.substring(col, s_eff + 1, ln))
 
     def split(self, pat: str = r"\s+"):
         return self._wrap(F.split(self._s._col, pat))

@@ -297,3 +297,18 @@ def test_str_zfill_pad_never_truncate(spark, texts, w):
     assert got_z == p.str.zfill(w).tolist()
     got_p = s.str.pad(w).to_pandas().reset_index(drop=True).tolist()
     assert got_p == p.str.pad(w).tolist()
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc XY", max_size=12), min_size=1, max_size=8),
+    a=st.integers(-8, 8),
+    b=st.one_of(st.none(), st.integers(-8, 8)),
+)
+@settings(**_SETTINGS)
+def test_str_slice_negative_bounds(spark, texts, a, b):
+    """Full Python slice semantics incl. negative start/stop (the old
+    positive-only substring form returned '' for any negative stop —
+    found by this fuzz)."""
+    got = _series(spark, texts).str.slice(a, b).to_pandas().reset_index(drop=True)
+    want = pd.Series(texts).str.slice(a, b).reset_index(drop=True)
+    assert got.fillna("\0").tolist() == want.fillna("\0").tolist()
