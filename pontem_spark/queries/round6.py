@@ -562,26 +562,46 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each document's token distribution — the
     information-theoretic repetition signal (low entropy = chant-like spam,
     entropy ≈ log2(n) = no repetition; complements the Gopher ratio gates).
-    Computed ENTIRELY within the row by higher-order functions over the
-    token array (sorted-distinct fold so both engines sum in the same
-    order) — a pure projection: zero shuffles, zero UDFs, scales with
-    executor count alone."""
+    Computed ENTIRELY within the row by higher-order functions — a pure
+    projection: zero shuffles, zero UDFs, scales with executor count alone.
+
+    Run-length form: sort the tokens once, find run boundaries, derive each
+    distinct token's count from consecutive boundary positions — O(n log n)
+    per row versus the naive O(n x n_distinct) filter-per-distinct fold
+    (which benched 4.7 s vs 1.2 s here at sf0.1). Runs of the sorted array
+    enumerate distinct tokens in ascending order, so the float summation
+    order (and therefore the oracle hash) is identical to the oracle's
+    sorted-distinct fold: each term is (count/n) * log2(count/n) added in
+    sorted-token order."""
     from pontem_spark.functions import text as T
 
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
-    d = "array_sort(array_distinct(__toks))"
-    p = "(size(filter(__toks, x -> x = d)) * 1.0 / size(__toks))"
-    h = (
-        f"-aggregate({d}, CAST(0.0 AS DOUBLE), "
-        f"(acc, d) -> acc + ({p} * log2({p})))"
+    # 0-based positions i where a run of equal tokens ends in the sorted
+    # array (element_at is 1-based, hence the +1/+2 shifts)
+    ends = (
+        "filter(sequence(0, size(__s) - 1), "
+        "i -> i = size(__s) - 1 OR element_at(__s, i + 2) != element_at(__s, i + 1))"
     )
+    # run length j = ends[j] - ends[j-1] (with a virtual end at -1); cast to
+    # double so count/n is the same double/int division the old form used
+    cnts = (
+        "transform(__ends, (e, j) -> "
+        "CAST(e - if(j = 0, -1, element_at(__ends, j)) AS DOUBLE))"
+    )
+    p = "(c / size(__s))"
+    h = f"-aggregate(__cnts, CAST(0.0 AS DOUBLE), (acc, c) -> acc + ({p} * log2({p})))"
     from pontem_spark.functions.compat import rnd
 
-    return docs.withColumn("__toks", toks).select(
-        "doc_id",
-        F.expr(f"size({d})").cast("bigint").alias("n_distinct"),
-        rnd(F.expr(h), 3).alias("entropy"),
+    return (
+        docs.withColumn("__s", F.array_sort(toks))
+        .withColumn("__ends", F.expr(ends))
+        .withColumn("__cnts", F.expr(cnts))
+        .select(
+            "doc_id",
+            F.expr("size(__ends)").cast("bigint").alias("n_distinct"),
+            rnd(F.expr(h), 3).alias("entropy"),
+        )
     )
 
 
