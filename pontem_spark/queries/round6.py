@@ -578,10 +578,14 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens("text")
     # 0-based positions i where a run of equal tokens ends in the sorted
-    # array (element_at is 1-based, hence the +1/+2 shifts)
+    # array (element_at is 1-based, hence the +1/+2 shifts). try_element_at
+    # yields NULL past the end, so the last index is a run end via
+    # coalesce(..., true) without an out-of-bounds access under ANSI mode
+    # (tokens() never returns an empty array: split of a non-null string
+    # has at least one element, so i + 1 is always in bounds)
     ends = (
         "filter(sequence(0, size(__s) - 1), "
-        "i -> i = size(__s) - 1 OR element_at(__s, i + 2) != element_at(__s, i + 1))"
+        "i -> coalesce(try_element_at(__s, i + 2) != element_at(__s, i + 1), true))"
     )
     # run length j = ends[j] - ends[j-1] (with a virtual end at -1); cast to
     # double so count/n is the same double/int division the old form used
