@@ -6,6 +6,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+# Python str.isspace()'s exact character set as a Java regex class. Spark's
+# trim/ltrim/rtrim strip ONLY U+0020 and Java \s is ASCII-only, but pandas
+# .str.strip() (= Python str.strip) also removes \t \n \v \f \r, the file/
+# group/record/unit separators 1C-1F, NEL (85), NBSP (A0) and the Unicode
+# Zs spaces - enumerated here so both engines agree character-for-character.
+_PY_SPACE = (
+    "[\\s\u001c-\u001f\u0085\u00a0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]"
+)
+# Cased letters (Lu/Ll/Lt): Python str.title() starts a new word after any
+# NON-cased character (digits, punctuation, uncased letters), not just
+# whitespace like Spark's initcap.
+_CASED = "[\\p{Lu}\\p{Ll}\\p{Lt}]"
+
 
 class StringAccessor:
     def __init__(self, s):
@@ -19,10 +33,45 @@ class StringAccessor:
     def upper(self): return self._wrap(F.upper(self._s._col))
     def lower(self): return self._wrap(F.lower(self._s._col))
     def len(self): return self._wrap(F.length(self._s._col))
-    def strip(self): return self._wrap(F.trim(self._s._col))
-    def lstrip(self): return self._wrap(F.ltrim(self._s._col))
-    def rstrip(self): return self._wrap(F.rtrim(self._s._col))
-    def title(self): return self._wrap(F.initcap(self._s._col))
+    # strip family via _PY_SPACE, not trim: Spark trim removes U+0020 only,
+    # pandas removes every Python-isspace character
+    def strip(self):
+        return self._wrap(
+            F.regexp_replace(self._s._col, f"^{_PY_SPACE}+|{_PY_SPACE}+$", "")
+        )
+
+    def lstrip(self):
+        return self._wrap(F.regexp_replace(self._s._col, f"^{_PY_SPACE}+", ""))
+
+    def rstrip(self):
+        return self._wrap(F.regexp_replace(self._s._col, f"{_PY_SPACE}+$", ""))
+
+    def title(self):
+        """Python/pandas title semantics: a cased letter is uppercased when
+        the PREVIOUS character is not cased (start, digit, punctuation, any
+        whitespace), lowercased otherwise — ``'foo-bar'`` → ``'Foo-Bar'``,
+        ``'3rd'`` → ``'3Rd'``. Spark's initcap only breaks on whitespace and
+        leaves mid-word capitals, so it is wrong for both. Per-character
+        transform (interpreted, not codegen) — an API accessor, not a
+        hot-path operator. Known divergence: characters whose Python
+        TITLECASE mapping differs from their uppercase mapping (ß → 'Ss' in
+        Python, 'SS' here; the Lt digraphs ǅ ǈ ǋ ǲ)."""
+        col = self._s._col
+        chars = F.split(col, "")
+        out = F.concat_ws(
+            "",
+            F.transform(
+                chars,
+                lambda ch, i: F.when(~ch.rlike(_CASED), ch)
+                .when(
+                    (i == F.lit(0)) | ~F.get(chars, i - 1).rlike(_CASED),
+                    F.upper(ch),
+                )
+                .otherwise(F.lower(ch)),
+            ),
+        )
+        # concat_ws maps a NULL array to '' — keep pandas' NaN-in NaN-out
+        return self._wrap(F.when(col.isNull(), F.lit(None)).otherwise(out))
 
     def contains(self, pat: str, regex: bool = True):
         col = self._s._col.rlike(pat) if regex else self._s._col.contains(pat)

@@ -137,9 +137,6 @@ def test_aligned_arithmetic_matches_pandas(spark, idx1, idx2, op, data):
             assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
 
 
-# plain ' ' only, not category Zs: pandas .str.strip removes ALL unicode
-# whitespace (NBSP etc.) while Spark's trim removes only ASCII space — a
-# real, documented engine difference this differential is not about.
 # Cap at 0x17F (Latin Extended-A): Latin Extended-B (0x180-0x24F) contains
 # letters whose UPPERCASE mapping was only added in Unicode 16 (e.g. U+019B
 # "ƛ" → U+A7DC), so the JVM (newer tables) and CPython (Unicode 14 in 3.11)
@@ -311,4 +308,52 @@ def test_str_slice_negative_bounds(spark, texts, a, b):
     found by this fuzz)."""
     got = _series(spark, texts).str.slice(a, b).to_pandas().reset_index(drop=True)
     want = pd.Series(texts).str.slice(a, b).reset_index(drop=True)
+    assert got.fillna("\0").tolist() == want.fillna("\0").tolist()
+
+
+# every Python-isspace character (what pandas' strip family removes), far
+# beyond Spark trim's U+0020 and Java \s's ASCII subset
+_PY_WS = (" \t\n\r\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+          "\u2000\u2005\u200a\u2028\u2029\u202f\u205f\u3000")
+
+_ws_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Po"),
+            whitelist_characters=_PY_WS,
+            max_codepoint=0x17F,
+            # Python's titlecase mapping for U+00DF is 'Ss', per-char upper
+            # gives 'SS' — the one documented divergence in str.title
+            blacklist_characters="ß",
+        ),
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_ws_texts)
+@settings(**_SETTINGS)
+def test_str_strip_family_all_python_whitespace(spark, texts):
+    """strip/lstrip/rstrip remove every Python-isspace character, exactly
+    like pandas (Spark's trim removes only U+0020; this fuzz found the
+    divergence and pins the _PY_SPACE regex-class fix)."""
+    s = _series(spark, texts)
+    p = pd.Series(texts)
+    for name in ("strip", "lstrip", "rstrip"):
+        got = getattr(s.str, name)().to_pandas().reset_index(drop=True)
+        want = getattr(p.str, name)().reset_index(drop=True)
+        assert got.fillna("\0").tolist() == want.fillna("\0").tolist(), name
+
+
+@given(texts=_ws_texts)
+@settings(**_SETTINGS)
+def test_str_title_matches_python_semantics(spark, texts):
+    """title breaks words on ANY non-cased character — digits, punctuation,
+    every whitespace — and lowercases the rest of each word, like Python
+    str.title ('foo-bar' -> 'Foo-Bar', '3rd' -> '3Rd'). initcap breaks only
+    on whitespace and keeps mid-word capitals; this fuzz found both."""
+    got = _series(spark, texts).str.title().to_pandas().reset_index(drop=True)
+    want = pd.Series(texts).str.title().reset_index(drop=True)
     assert got.fillna("\0").tolist() == want.fillna("\0").tolist()
