@@ -105,8 +105,20 @@ class StringAccessor:
         ln = F.greatest(e_eff - s_eff, F.lit(0))
         return self._wrap(F.substring(col, s_eff + 1, ln))
 
-    def split(self, pat: str = r"\s+"):
-        return self._wrap(F.split(self._s._col, pat))
+    def split(self, pat: str | None = None):
+        """No-arg form is Python ``str.split()``: split on runs of ANY
+        Python-isspace character with no empty tokens — leading/trailing
+        whitespace is dropped and an empty/whitespace-only string yields []
+        (Spark's regex split instead keeps '' edge tokens). With an explicit
+        ``pat`` the pattern is a Java regex, like pandas' regex=True."""
+        col = self._s._col
+        if pat is None:
+            stripped = F.regexp_replace(col, f"^{_PY_SPACE}+|{_PY_SPACE}+$", "")
+            out = F.when(
+                stripped == "", F.array().cast("array<string>")
+            ).otherwise(F.split(stripped, f"{_PY_SPACE}+"))
+            return self._wrap(out)
+        return self._wrap(F.split(col, pat))
 
     def cat(self, others=None, sep: str = ""):
         """With ``others``: elementwise concat (Series result). Without:

@@ -357,3 +357,15 @@ def test_str_title_matches_python_semantics(spark, texts):
     got = _series(spark, texts).str.title().to_pandas().reset_index(drop=True)
     want = pd.Series(texts).str.title().reset_index(drop=True)
     assert got.fillna("\0").tolist() == want.fillna("\0").tolist()
+
+
+@given(texts=_ws_texts)
+@settings(**_SETTINGS)
+def test_str_split_noarg_matches_python(spark, texts):
+    """No-arg str.split = Python str.split(): whitespace-run delimiter, no
+    empty tokens, [] for empty/whitespace-only input (the regex form keeps
+    '' edge tokens — found by probing, pinned here)."""
+    got = _series(spark, texts).str.split().to_pandas().reset_index(drop=True)
+    want = pd.Series(texts).str.split().reset_index(drop=True)
+    g = [list(x) if x is not None else None for x in got.tolist()]
+    assert g == want.tolist(), (g, want.tolist())
