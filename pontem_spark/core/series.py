@@ -284,7 +284,9 @@ class Series:
         return Series._from_internal(self._internal, F.abs(self._col), self._name)
 
     def round(self, decimals: int = 0) -> "Series":
-        return Series._from_internal(self._internal, F.round(self._col, decimals), self._name)
+        # bround, not round: pandas/numpy round half to EVEN (2.5 -> 2.0),
+        # Spark's round is half-up (2.5 -> 3.0)
+        return Series._from_internal(self._internal, F.bround(self._col, decimals), self._name)
 
     # -- reductions (all Catalyst aggregates, batched where multi-stat) ------
 
@@ -567,12 +569,30 @@ class Series:
         )
 
     def isin(self, values: Iterable) -> "Series":
-        return Series._from_internal(self._internal, self._col.isin(list(values)), self._name)
+        # pandas: missing rows are False (not NULL) unless the value set
+        # itself contains a missing marker, which matches them
+        import math as _math
+
+        vals = list(values)
+        has_missing = any(
+            v is None or (isinstance(v, float) and _math.isnan(v)) for v in vals
+        )
+        concrete = [
+            v
+            for v in vals
+            if not (v is None or (isinstance(v, float) and _math.isnan(v)))
+        ]
+        missing = self._missing_mask(self._col)
+        base = self._col.isin(concrete) if concrete else F.lit(False)
+        col = F.when(missing, F.lit(has_missing)).otherwise(base)
+        return Series._from_internal(self._internal, col, self._name)
 
     def between(self, left, right) -> "Series":
-        return Series._from_internal(
-            self._internal, self._col.between(left, right), self._name
+        # pandas: NaN compares False on both bounds, never NULL
+        col = F.when(self._missing_mask(self._col), F.lit(False)).otherwise(
+            self._col.between(left, right)
         )
+        return Series._from_internal(self._internal, col, self._name)
 
     def clip(self, lower=None, upper=None) -> "Series":
         import math as _math
@@ -665,11 +685,19 @@ class Series:
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
         )
 
-    def value_counts(self, normalize: bool = False, ascending: bool = False) -> "Series":
+    def value_counts(
+        self,
+        normalize: bool = False,
+        ascending: bool = False,
+        dropna: bool = True,
+    ) -> "Series":
         from pyspark.sql import Window
 
+        mat = self._materialized()
+        if dropna:  # pandas default: missing values are not a bucket
+            mat = mat.filter(~self._missing_mask(F.col(_VALUE), mat))
         sdf = (
-            self._materialized()
+            mat
             .groupBy(F.col(_VALUE).alias(INDEX_COL))
             .agg(F.count(F.lit(1)).alias(_VALUE))
         )
@@ -745,9 +773,28 @@ class Series:
     def diff(self, periods: int = 1) -> "Series":
         return self - self.shift(periods)
 
-    def pct_change(self, periods: int = 1) -> "Series":
-        prev = self.shift(periods)
-        return (self - prev) / prev
+    def pct_change(self, periods: int = 1, fill_method: str | None = "pad") -> "Series":
+        # pandas (2.x default) forward-fills non-leading missing values
+        # BEFORE differencing: a NaN row compares against the last real
+        # value (yielding 0.0 if nothing changed), and the next real row
+        # compares against that same carried value. fill_method=None is the
+        # announced future default: no fill, NaN rows poison both
+        # comparisons they take part in.
+        if fill_method is None:
+            prev = self.shift(periods)
+            return (self - prev) / prev
+        from pyspark.sql import Window
+
+        sdf = self._materialized()
+        missing = self._missing_mask(sdf[_VALUE], sdf)
+        clean = F.when(missing, F.lit(None)).otherwise(sdf[_VALUE])
+        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, 0)
+        filled = F.last(clean, ignorenulls=True).over(w)
+        prev = F.lag(filled, periods).over(Window.orderBy(INDEX_COL))
+        col = (filled - prev) / prev
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+        )
 
     def _cum(self, aggfn) -> "Series":
         """Cumulative agg with pandas skipna semantics: missing positions
@@ -879,23 +926,24 @@ class Series:
             self._name,
         )
 
+    def _idx_extreme(self, descending: bool) -> Any:
+        # skipna like pandas: NaN/NULL rows can never be the arg-extreme
+        # (Spark sorts NaN as the LARGEST double, so an unfiltered ascending
+        # order is safe but a descending one would hand idxmax the NaN row;
+        # filter missing outright so both directions share one shape)
+        mat = self._materialized()
+        mat = mat.filter(~self._missing_mask(F.col(_VALUE), mat))
+        order = F.col(_VALUE).desc() if descending else F.col(_VALUE).asc()
+        row = mat.orderBy(order, F.col(INDEX_COL)).select(INDEX_COL).first()
+        if row is None:  # pandas raises on all-missing input
+            raise ValueError("attempt to get argmax of an empty sequence")
+        return row[0]
+
     def idxmax(self):
-        row = (
-            self._materialized()
-            .orderBy(F.col(_VALUE).desc(), F.col(INDEX_COL))
-            .select(INDEX_COL)
-            .first()
-        )
-        return row[0] if row else None
+        return self._idx_extreme(descending=True)
 
     def idxmin(self):
-        row = (
-            self._materialized()
-            .orderBy(F.col(_VALUE).asc(), F.col(INDEX_COL))
-            .select(INDEX_COL)
-            .first()
-        )
-        return row[0] if row else None
+        return self._idx_extreme(descending=False)
 
     def sample(self, frac: float, seed: int | None = None) -> "Series":
         sdf = self._materialized().sample(fraction=frac, seed=seed)

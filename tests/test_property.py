@@ -369,3 +369,50 @@ def test_str_split_noarg_matches_python(spark, texts):
     want = pd.Series(texts).str.split().reset_index(drop=True)
     g = [list(x) if x is not None else None for x in got.tolist()]
     assert g == want.tolist(), (g, want.tolist())
+
+
+@given(data=_vals)
+@settings(**_SETTINGS)
+def test_nan_aware_methods_match_pandas(spark, data):
+    """round (half-even, not Spark's half-up), between/isin (NaN -> False,
+    not NULL), pct_change (pandas pads non-leading NaN before differencing),
+    idxmax/idxmin (NaN can never be the arg-extreme; Spark sorts NaN as the
+    largest double) and value_counts dropna — all found by probing and
+    pinned here."""
+    s = _series(spark, data)
+    p = pd.Series(data)
+
+    def eq_float(got, want):
+        for g, w in zip(got.tolist(), want.tolist()):
+            if w is None or (isinstance(w, float) and math.isnan(w)):
+                assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+            elif isinstance(w, float) and math.isinf(w):
+                assert g == w, (g, w)
+            else:
+                assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w)
+
+    eq_float(s.round(0).to_pandas().reset_index(drop=True), p.round(0))
+    eq_float(
+        s.pct_change().to_pandas().reset_index(drop=True),
+        p.pct_change(fill_method="pad"),
+    )
+    assert (
+        s.between(-10, 10).to_pandas().reset_index(drop=True).tolist()
+        == p.between(-10, 10).tolist()
+    )
+    probe = [v for v in data if not math.isnan(v)][:3]
+    assert (
+        s.isin(probe).to_pandas().reset_index(drop=True).tolist()
+        == p.isin(probe).tolist()
+    )
+    vc_g = s.value_counts().to_pandas().sort_index()
+    vc_w = p.value_counts().sort_index()
+    assert vc_g.to_dict() == vc_w.to_dict()
+    if any(not math.isnan(v) for v in data):
+        assert s.idxmax() == p.idxmax()
+        assert s.idxmin() == p.idxmin()
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            s.idxmax()
