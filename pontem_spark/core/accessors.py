@@ -149,7 +149,21 @@ class StringAccessor:
         )
 
     def zfill(self, width: int):
-        return self._wrap(self._pad_no_truncate(width, "0"))
+        # pandas zfill is sign-aware: '-1'.zfill(4) == '-001', '+2' → '+002'
+        # — the sign char stays first and zeros pad the remainder to
+        # width-1. A plain lpad would give '00-1'. Still never truncates.
+        col = self._s._col
+        signed = F.when(F.length(col) >= width, col).otherwise(
+            F.concat(
+                F.substring(col, 1, 1),
+                F.lpad(F.substring(col, 2, 2147483646), width - 1, "0"),
+            )
+        )
+        return self._wrap(
+            F.when(col.rlike(r"^[+-]"), signed).otherwise(
+                self._pad_no_truncate(width, "0")
+            )
+        )
 
     def pad(self, width: int, fillchar: str = " "):
         return self._wrap(self._pad_no_truncate(width, fillchar))

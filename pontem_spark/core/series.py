@@ -675,9 +675,24 @@ class Series:
 
     # -- dedup / counting ------------------------------------------------------
 
-    def unique(self) -> list:
-        """Distinct values (an action, like pandas returning ndarray)."""
-        return [r[0] for r in self._internal.sdf.select(self._col.alias("v")).distinct().collect()]
+    def unique(self, max_driver_rows: int = 2_000_000) -> list:
+        """Distinct values (an action, like pandas returning ndarray).
+
+        Driver-collected by definition — so, like the similarity family's
+        build-side guard, a billion-distinct column fails LOUDLY (one cheap
+        distinct-count pre-pass) instead of OOMing the driver; stay
+        distributed with :meth:`drop_duplicates` when cardinality is high.
+        """
+        distinct = self._internal.sdf.select(self._col.alias("v")).distinct()
+        n = distinct.count()
+        if n > max_driver_rows:
+            raise ValueError(
+                f"Series.unique(): column has {n} distinct values > "
+                f"max_driver_rows={max_driver_rows}; the result is driver-"
+                "collected. Use drop_duplicates() to stay distributed, or "
+                "raise max_driver_rows explicitly."
+            )
+        return [r[0] for r in distinct.collect()]
 
     def drop_duplicates(self) -> "Series":
         sdf = self._materialized().groupBy(_VALUE).agg(F.min(INDEX_COL).alias(INDEX_COL))

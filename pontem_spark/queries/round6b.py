@@ -186,9 +186,12 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-weighted sampling without replacement, per language: the
     Efraimidis–Spirakis exponential race with a deterministic md5-derived
     uniform, so DuckDB re-runs the identical race and must select the
-    identical winners (operators/sampling.py::weighted_sample). Priorities
-    are rounded before ordering so last-ulp ln() differences can't flip
-    the top-k boundary."""
+    identical winners (operators/sampling.py::weighted_sample).
+    Deterministic across engines because the uniform u is a DISCRETE
+    16-bit md5-derived value — adjacent priority keys differ by far more
+    than the ≤1-ulp skew two engines' ln() could introduce — with doc_id
+    as the total-order tie-break (priorities are NOT rounded; rounding
+    would create ties exactly at the top-k boundary)."""
     from pontem_spark.operators.sampling import weighted_sample
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -295,7 +298,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n,
            ROUND(mi, 6) AS mi_nats,
-           ROUND(mi / sqrt(hx * hy), 6) AS nmi,
+           CASE WHEN hx > 0 AND hy > 0
+                THEN ROUND(mi / sqrt(hx * hy), 6) END AS nmi,
            ROUND(chi2, 6) AS chi2
     FROM agg
     """,

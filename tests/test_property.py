@@ -274,7 +274,11 @@ def test_cumulative_ops_skipna_matches_pandas(spark, data):
         st.text(
             alphabet=st.characters(
                 whitelist_categories=("Lu", "Ll", "Nd"),
-                whitelist_characters=" ",
+                # '+-' so SIGNED strings — the classic zfill input, where
+                # pandas keeps the sign first ('-1'.zfill(4) == '-001') —
+                # are actually drawn (ADVICE r6: the old alphabet masked a
+                # sign-unaware zfill)
+                whitelist_characters=" +-",
                 max_codepoint=0x7F,
             ),
             max_size=15,

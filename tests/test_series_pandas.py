@@ -291,6 +291,15 @@ def test_drop_duplicates(spark):
     assert sorted(s.drop_duplicates().to_pandas().values) == [5, 6, 7]
 
 
+def test_unique_guards_high_cardinality(spark):
+    """unique() is a driver collect — it must fail LOUDLY past the guard,
+    pointing at drop_duplicates(), not OOM the driver (VERDICT r6 #2)."""
+    s = Series([1, 2, 3, 4, 5], spark=spark)
+    with pytest.raises(ValueError, match=r"drop_duplicates\(\)"):
+        s.unique(max_driver_rows=3)
+    assert sorted(s.unique(max_driver_rows=5)) == [1, 2, 3, 4, 5]
+
+
 # --- window-ish -----------------------------------------------------------------
 
 def test_cumsum(ps, pds):
