@@ -19,6 +19,28 @@ SHINGLES_CTE = """
 """
 
 
+# Engine-portable SimHash fingerprints (60-bit, md5 token hashes) —
+# byte-identical to operators/dedup.py::simhash_md5; shared by the
+# fingerprint, pair and survivorship oracles.
+SIMHASH_MD5_FP_CTES = """
+    toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
+    ), votes AS (
+        SELECT doc_id, g.i AS i,
+               SUM(CASE WHEN ((hv >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, generate_series(0, 59) AS g(i)
+        GROUP BY doc_id, g.i
+    ), fp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash60
+        FROM votes GROUP BY doc_id
+    )
+"""
+
+
 def lsh_sig_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
     """DuckDB SQL for the hyperplane sign signature — plane p's component
     for (1-based) dim i: ascii(first hex char of md5('plane{p}d{i-1}'))

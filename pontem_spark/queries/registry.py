@@ -65,11 +65,13 @@ def register(
 #   4. the no-oracle pair pinned last (their rows-only rows never go stale
 #      in a way a re-check would improve).
 
-# Permanently no-oracle by design (approx sketches / xxhash64 SimHash); their
-# rows-only driver rows are their best evidence — never compete for slots.
-NO_ORACLE = frozenset(
-    {"q_dedup_simhash_nearpairs", "q_approx_aggregates", "q_sketch_hll_users"}
-)
+# Permanently no-oracle by design; their rows-only driver rows are their
+# best evidence — never compete for slots. EMPTY since round 7: the former
+# trio (q_dedup_simhash_nearpairs, q_approx_aggregates, q_sketch_hll_users)
+# now emits engine-portable derived outputs — exact twins plus in-plan
+# within-tolerance / merge-consistency booleans the oracle asserts as
+# literals — so every registered query is oracle-checked.
+NO_ORACLE: frozenset[str] = frozenset()
 
 # Queries whose IMPLEMENTATION changed semantics after earning their
 # latest green row — the one thing evidence age cannot see. Maps query →

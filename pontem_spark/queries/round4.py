@@ -50,23 +50,9 @@ def q_dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIMHASH_MD5_FP_CTES = """
-    toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-        FROM documents
-    ), h AS (
-        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks
-    ), votes AS (
-        SELECT doc_id, g.i AS i,
-               SUM(CASE WHEN ((hv >> g.i) & 1) = 1 THEN 1 ELSE -1 END) AS v
-        FROM h, generate_series(0, 59) AS g(i)
-        GROUP BY doc_id, g.i
-    ), fp AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash60
-        FROM votes GROUP BY doc_id
-    )
-"""
+from pontem_spark.queries.oracle_fragments import (
+    SIMHASH_MD5_FP_CTES as _SIMHASH_MD5_FP_CTES,  # shared with queries/dedup.py
+)
 
 
 @register(

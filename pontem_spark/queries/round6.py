@@ -770,28 +770,68 @@ def q_curation_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Mergeable HLL distinct-count sketches (no SQL oracle — approximate by
-# design; bounds + merge-invariance proven in tests/test_operators.py)
+# Mergeable HLL distinct-count sketches — the DataSketches blobs are
+# engine-specific, but the DERIVED claims (estimate within bound of the
+# exact twin; merge tree ≡ direct build) are engine-portable booleans, so
+# the query IS oracle-checked (VERDICT r6 #1).
 
 
 @register(
     "q_sketch_hll_users",
-    oracle=None,
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS est_ok, 1 AS merge_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
     tags=("sketch", "hll", "approx", "incremental"),
 )
 def q_sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type WITHOUT rescanning history: per-day
     HLL sketch states (operators/sketches.py::hll_rollup) union-merged up
     to event_type — the mergeable distinct-count pattern exact
-    COUNT(DISTINCT) cannot express. Approximate by design (±~1.6% at
-    lgk=12), so no hash oracle; the test suite proves the estimates land
-    within bounds of the exact twin AND that merge order doesn't change
-    the state."""
+    COUNT(DISTINCT) cannot express.
+
+    The sketch blob and its estimate are engine-specific, so the emitted
+    columns are the ones any engine must agree on: the exact twin, plus
+    two in-plan booleans — ``est_ok`` (the merged-sketch estimate lands
+    within 3x the published ~1.6% relative error at lgk=12 of the exact
+    count) and ``merge_ok`` (the per-day build→union path estimates
+    EXACTLY what a direct one-pass build estimates: HLL union is the set
+    union, so any merge tree must agree). The oracle computes the exact
+    twin and asserts both booleans as literal 1s — a drifting estimate or
+    a merge-order-sensitive state on either engine hash-mismatches.
+    (The exact twin is the proof harness; production runs only the
+    mergeable sketch path — that is the point.)"""
     from pontem_spark.operators.sketches import estimate, hll_rollup, rollup_over
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     daily = hll_rollup(ev, ["event_type", "day"], "user_id")
-    merged = rollup_over(daily, ["event_type"])
-    return estimate(merged, ["event_type"]).orderBy("event_type")
+    merged = estimate(rollup_over(daily, ["event_type"]), ["event_type"])
+    direct = estimate(hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]).select(
+        "event_type", F.col("n_distinct_est").alias("__direct_est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    tol = 3 * 0.016  # 3x the ~1.6% relative standard error at lgk=12
+    return (
+        merged.join(direct, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("exact_users"))
+                <= tol * F.col("exact_users")
+            )
+            .cast("int")
+            .alias("est_ok"),
+            (F.col("n_distinct_est") == F.col("__direct_est")).cast("int").alias("merge_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -256,19 +256,57 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_aggregates",
-    oracle=None,  # sketch-based results are engine-specific — rows-only check;
-    # the exact twins (q_percentiles, countDistinct in q_events_hourly) ARE oracle-checked
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           1 AS parts_ok, 1 AS supps_ok, 1 AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB workhorses: HLL++ count-distinct
-    (constant memory vs exact's shuffle of every key) and t-digest-style
-    percentile_approx. Checked rows-only: sketches are engine-specific."""
+    (constant memory vs exact's shuffle of every key) and KLL-style
+    percentile_approx.
+
+    The sketch VALUES are engine-specific, but the query emits derived
+    columns any engine must agree on (VERDICT r6 #1): the exact twins
+    themselves, plus in-plan booleans asserting each estimate lands inside
+    its published guarantee — HLL++ within 3x its rsd (default 0.05), and
+    approx median (accuracy 1000 → rank error ≤ 0.1%) between the exact
+    47th and 53rd percentiles. The oracle computes the exact twins and
+    asserts the booleans as literal 1s — an out-of-bounds sketch on EITHER
+    engine hash-mismatches. The booleans are robust to partition-merge
+    order, which the raw estimates are not guaranteed to be.
+    (The exact twins here are the proof harness; at 100 TB you run only
+    the sketch side — the whole point is never shuffling every key.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+        F.percentile("l_extendedprice", F.array(F.lit(0.47), F.lit(0.53))).alias("__p"),
+    )
+    tol = 3 * 0.05  # 3x the default approx_count_distinct rsd
+    ok = lambda est, exact: (  # noqa: E731
+        (F.abs(F.col(est) - F.col(exact)) <= tol * F.col(exact)).cast("int")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        ok("approx_parts", "exact_parts").alias("parts_ok"),
+        ok("approx_supps", "exact_supps").alias("supps_ok"),
+        (
+            (F.col("approx_median") >= F.col("__p")[0])
+            & (F.col("approx_median") <= F.col("__p")[1])
+        )
+        .cast("int")
+        .alias("median_ok"),
     )
 
 
