@@ -206,7 +206,46 @@ def main() -> None:
     failed = sorted(n for n, v in timings.items() if v < 0)
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    regressions = _regressions_vs_baseline(timings, sf_val)
+    candidates = _regressions_vs_baseline(timings, sf_val)
+
+    # Structural de-noising (VERDICT r6 #2): an in-suite median is polluted
+    # by suite context — codegen-compile tails and scheduler contention from
+    # neighboring queries (every r5/r6 flag was adjudicated as exactly this,
+    # by hand, with an isolated warm re-measure). Run that adjudication
+    # automatically: each candidate gets an ISOLATED re-check at the end of
+    # the suite — warm JVM, idle scheduler, 7 runs, same noop-write action —
+    # and only stays a regression if the isolated median STILL clears both
+    # bars. Cleared candidates are recorded under "jitter_cleared" so the
+    # artifact shows what was suspected and why it was dismissed, without
+    # hand-widening any committed spread.
+    regressions, jitter_cleared = [], []
+    recheck_runs = max(3, int(os.environ.get("PONTEM_BENCH_RECHECK_RUNS", "7")))
+    for entry in candidates:
+        name = entry["query"]
+        raw: list[float] = []
+        for _ in range(recheck_runs):
+            t0 = time.perf_counter()
+            try:
+                queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 — already recorded in `failed`
+                raw.append(float("inf"))
+                break
+            raw.append(time.perf_counter() - t0)
+        samples = sorted(raw)
+        iso = samples[len(samples) // 2]
+        entry["isolated_sec"] = round(iso, 3) if iso != float("inf") else -1.0
+        entry["isolated_spread"] = [
+            round(samples[0], 3) if samples[0] != float("inf") else -1.0,
+            round(samples[-1], 3) if samples[-1] != float("inf") else -1.0,
+        ]
+        still_bad = iso > 2.0 * entry["baseline_hi"] and iso - entry["baseline_hi"] > 0.5
+        (regressions if still_bad else jitter_cleared).append(entry)
+        print(
+            f"# recheck {name}: suite {entry['sec']:.3f}s isolated "
+            f"{entry['isolated_sec']:.3f}s -> "
+            f"{'REGRESSION' if still_bad else 'jitter (cleared)'}",
+            file=sys.stderr,
+        )
     # full object with per-query timings; totals at the END of the object so
     # a tail-truncated capture loses query names, not the headline number
     print(
@@ -220,6 +259,7 @@ def main() -> None:
                 "runs": runs,
                 "failed": failed,
                 "regressions": regressions,
+                "jitter_cleared": jitter_cleared,
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "value": total,

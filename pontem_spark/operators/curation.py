@@ -311,6 +311,8 @@ def remove_boilerplate(
     text_col: str = "text",
     window: int = 5,
     max_doc_freq: int = 3,
+    strategy: str = "broadcast",
+    max_broadcast_chunks: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-level boilerplate removal (the RefinedWeb / CCNet frequent-line
     filter): chunk every document into non-overlapping ``window``-word
@@ -325,21 +327,68 @@ def remove_boilerplate(
     construction (each member appears in >``max_doc_freq`` docs, so there
     are at most total_chunks/max_doc_freq of them, and in practice far
     fewer), so it travels as one broadcast array row and pass 2 is a pure
-    map-side rebuild — documents are never shuffled or regrouped. If the
-    frequent set ever outgrew a broadcast, swap pass 2 for
-    explode → broadcast anti-join on md5(chunk) → groupBy(doc) reassembly.
+    map-side rebuild — documents are never shuffled or regrouped.
+
+    ``strategy`` picks pass 2 (VERDICT r6 #4 — the fallback is now code,
+    not a docstring promise):
+
+    - ``"broadcast"`` (default): the frequent set collapses to ONE array
+      row cross-joined in — zero extra shuffles, the whole operator stays
+      a single lazy plan (q_pipeline_corpus_prep plan-asserts this).
+    - ``"antijoin"``: posexplode → anti-join chunks against the frequent
+      set → groupBy(doc) positional reassembly. One extra chunk-level
+      shuffle, but NO driver-sized structure anywhere — the escape hatch
+      for a pathological corpus whose frequent set outgrows a broadcast.
+      Byte-equal to the broadcast path (differential-tested).
+    - ``"auto"``: one cheap count of the frequent set picks a path
+      (``<= max_broadcast_chunks`` → broadcast). Costs one extra job, so
+      it is opt-in rather than the default.
 
     Returns (id, clean_text, n_removed) — clean_text with every frequent
     chunk excised, n_removed = how many chunk occurrences were dropped.
     """
+    if strategy not in ("broadcast", "antijoin", "auto"):
+        raise ValueError(f"remove_boilerplate: unknown strategy {strategy!r}")
     windows = _word_windows(text_col, window)
     chunks = df.select(F.col(id_col), F.explode(windows).alias("__chunk"))
-    frequent = (
+    frequent_set = (
         chunks.groupBy("__chunk")
         .agg(F.count_distinct(id_col).alias("__dfreq"))
         .filter(F.col("__dfreq") > max_doc_freq)
-        .agg(F.array_sort(F.collect_list("__chunk")).alias("__bl"))
+        .select("__chunk")
     )
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if frequent_set.count() <= max_broadcast_chunks else "antijoin"
+        )
+    if strategy == "antijoin":
+        pos = df.select(
+            F.col(id_col), F.posexplode(windows).alias("__pos", "__chunk")
+        )
+        kept = pos.join(frequent_set, "__chunk", "left_anti")
+        rebuilt = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                    lambda s: s["__chunk"],
+                ),
+                " ",
+            ).alias("__clean"),
+            F.count(F.lit(1)).alias("__n_kept"),
+        )
+        totals = df.select(
+            F.col(id_col), F.coalesce(F.size(windows), F.lit(0)).alias("__n_total")
+        )
+        # left join restores docs whose EVERY chunk was frequent (or null
+        # text): they vanish from the groupBy but must come back as ('', n)
+        return totals.join(rebuilt, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias("clean_text"),
+            (F.col("__n_total") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    frequent = frequent_set.agg(F.array_sort(F.collect_list("__chunk")).alias("__bl"))
     # null text → ('', 0): the coalesces make the contract total (and match
     # the oracle, where DuckDB's array_to_string([]) is NULL, not '')
     return (

@@ -70,17 +70,27 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     iterations: int = 3,
+    handle_dangling: bool = True,
 ) -> DataFrame:
     """PageRank by power iteration — the engine's second iterative-algorithm
     pattern beside :func:`connected_components`: a driver-side loop of
     fully distributed join+aggregate steps with ``localCheckpoint``
     truncating the lineage each round.
 
-    ``edges`` are DIRECTED (pass both directions for an undirected graph —
-    that also removes dangling nodes, since every vertex then has
-    out-degree ≥ 1). Uniform 1/N init;
-    ``r' = (1-d)/N + d · Σ_in r/outdeg`` per iteration. N comes from one
-    O(1)-result count job (the same driver-scalar shape GraphX uses).
+    ``edges`` are DIRECTED (pass both directions for an undirected graph).
+    Uniform 1/N init; ``r' = (1-d)/N + d · (Σ_in r/outdeg + S/N)`` per
+    iteration, where ``S`` is the total rank sitting on DANGLING nodes
+    (out-degree 0 — sinks that would otherwise leak their mass out of the
+    distribution every round; VERDICT r6 #5). ``S`` costs one scalar
+    aggregate per iteration — the same driver-probe shape as
+    :func:`connected_components`' convergence check — over a STATIC
+    dangling flag folded into the rank state once, so no per-iteration
+    join. With ``handle_dangling`` the rank vector sums to exactly 1 every
+    iteration (mass conservation, the property a real web/citation graph
+    user relies on); on a symmetrized graph every vertex has out-degree
+    ≥ 1, S ≡ 0.0 and results are bit-identical to the flag being off —
+    which is why the q_graph_pagerank oracle needs no change. N comes from
+    one O(1)-result count job (the same driver-scalar shape GraphX uses).
 
     Scale shape per iteration: one shuffle joining ranks to the
     degree-annotated edge table on the source and one aggregate shuffle on
@@ -95,10 +105,17 @@ def pagerank(
     # is then a single ranks join + one destination aggregate
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
     e = raw.join(deg, "src").localCheckpoint(eager=True)
+    # static dangling flag (node never appears as a src) folded into the
+    # node table once — each iteration reads it for free from the rank state
+    srcs = raw.select(F.col("src").alias("node")).distinct().withColumn(
+        "__has_out", F.lit(True)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .distinct()
+        .join(srcs, "node", "left")
+        .select("node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("__has_out"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
@@ -106,9 +123,15 @@ def pagerank(
         # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
         # from the 1/N literal below
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.select("node", "__has_out", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        dangling_mass = 0.0
+        if handle_dangling:
+            # Σ rank over sinks: one tiny scalar agg (None when no sinks)
+            dangling_mass = (
+                ranks.filter(~F.col("__has_out")).agg(F.sum("rank")).first()[0] or 0.0
+            )
+        base = F.lit((1.0 - damping) / n + damping * dangling_mass / n)
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
@@ -122,10 +145,11 @@ def pagerank(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
+                "__has_out",
                 (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
                     "rank"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks
+    return ranks.select("node", "rank")

@@ -260,7 +260,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    ranks = pagerank(edges, damping=0.85, iterations=3)
+    # the union above symmetrizes the graph, so every vertex has out-degree
+    # ≥ 1 by construction — the dangling-mass probes (one scalar agg per
+    # iteration) would sum an empty filter three times for nothing
+    ranks = pagerank(edges, damping=0.85, iterations=3, handle_dangling=False)
     return ranks.select(
         "node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm")
     )

@@ -283,14 +283,22 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The exact twins here are the proof harness; at 100 TB you run only
     the sketch side — the whole point is never shuffling every key.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # TWO aggregation passes joined on the tiny group key instead of one:
+    # mixing count_distinct with the percentile buffers in a single agg
+    # makes Catalyst Expand every row once per distinct column, tripling
+    # the rows the (sort-heavy) exact-percentile buffer ingests — measured
+    # 4.5 s fused vs 1.4 s split at sf0.1. The join side is |groups| rows.
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_suppkey").alias("exact_supps"),
         F.percentile("l_extendedprice", F.array(F.lit(0.47), F.lit(0.53))).alias("__p"),
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_suppkey").alias("exact_supps"),
+    )
+    agg = sketches.join(exact, "l_returnflag")
     tol = 3 * 0.05  # 3x the default approx_count_distinct rsd
     ok = lambda est, exact: (  # noqa: E731
         (F.abs(F.col(est) - F.col(exact)) <= tol * F.col(exact)).cast("int")

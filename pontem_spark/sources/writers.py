@@ -83,3 +83,92 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+
+def upsert_parquet(
+    spark,
+    df: DataFrame,
+    path: str,
+    key_cols: "str | list[str]",
+    order_cols: "list[str]",
+    partition_by: "list[str] | None" = None,
+    max_touched_partitions: int = 10_000,
+) -> None:
+    """Idempotent MERGE-shaped upsert into a plain-parquet table — the
+    write side of the CDC story whose read side is
+    ``operators/dedup.py::latest_by_key`` (VERDICT r6 #6).
+
+    Semantics: after the call, the table holds exactly
+    ``latest_by_key(old ∪ batch)`` — per key, the record that is
+    lexicographically max over ``order_cols`` (include a unique id last
+    for a total order; re-applying the same batch is a no-op).
+
+    Scale shape: only the partitions the batch TOUCHES are read, merged
+    and rewritten — ``partitionOverwriteMode=dynamic`` leaves every other
+    partition's files physically untouched (asserted by the two-batch
+    test), so a daily CDC batch against a years-deep table costs
+    O(touched partitions), not O(table). The touched-partition values are
+    one bounded driver collect (loudly guarded). The merged working set is
+    staged to a sibling ``__upsert_tmp`` directory first because Spark
+    refuses to overwrite a path it is reading (and a mid-job failure must
+    not corrupt the table); the staging write and the final dynamic
+    overwrite each move only touched-partition bytes.
+
+    Constraint (same as any partition-local upsert without a global
+    index, e.g. Hive ACID minor compaction): a key's ``partition_by``
+    values must be stable across versions — a key that MOVES partitions
+    would leave its old version alive in the untouched partition.
+    """
+    import os
+    import shutil
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    exists = os.path.isdir(path) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    )
+    if not exists:
+        write_parquet(df, path, mode="overwrite", partition_by=partition_by)
+        return
+
+    from pyspark.sql import functions as F
+
+    current = spark.read.parquet(path)
+    if partition_by:
+        touched = df.select(*partition_by).distinct()
+        vals = touched.limit(max_touched_partitions + 1).collect()
+        if len(vals) > max_touched_partitions:
+            raise ValueError(
+                f"upsert_parquet: batch touches > {max_touched_partitions} "
+                "partitions; raise max_touched_partitions or coarsen "
+                "partition_by"
+            )
+        pred = None
+        for r in vals:
+            clause = F.lit(True)
+            for c in partition_by:
+                clause = clause & (F.col(c) == F.lit(r[c]))
+            pred = clause if pred is None else (pred | clause)
+        current = current.filter(pred)  # partition-pruned scan
+    value_cols = order_cols + [
+        c for c in df.columns if c not in keys and c not in order_cols
+    ]
+    merged = (
+        current.select(*df.columns)
+        .unionByName(df)
+        .groupBy(*keys)
+        .agg(F.max(F.struct(*[F.col(c) for c in value_cols])).alias("__l"))
+        .select(*keys, *[F.col(f"__l.{c}").alias(c) for c in value_cols])
+        .select(*df.columns)  # original column order
+    )
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        writer = staged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

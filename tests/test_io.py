@@ -165,3 +165,55 @@ def test_zorder_clusters_both_columns(spark, sf_dir, tmp_path):
     # both dimensions (a random or single-column layout leaves one ~1.0)
     assert stats["span_c"].median() < g["c"] * 0.8
     assert stats["span_p"].median() < g["p"] * 0.8
+
+
+def test_upsert_parquet_two_batches(spark, tmp_path):
+    """MERGE-shaped upsert (VERDICT r6 #6): batch 2 updates a key, adds a
+    key, and opens a new partition; the final table equals latest_by_key
+    over the union of both batches, is idempotent under replay, and the
+    UNtouched partition's files are physically untouched (dynamic
+    partition overwrite)."""
+    import os
+
+    from pontem_spark.sources.writers import upsert_parquet
+
+    path = str(tmp_path / "cdc")
+    schema = "k long, ver long, day string, payload string"
+    b1 = spark.createDataFrame(
+        [(1, 1, "d1", "a1"), (2, 1, "d1", "b1"), (3, 1, "d2", "c1"), (4, 1, "d3", "e1")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(2, 2, "d1", "b2"), (5, 1, "d4", "f1")], schema
+    )
+    upsert_parquet(spark, b1, path, "k", ["ver"], partition_by=["day"])
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = files_of("d2")
+    upsert_parquet(spark, b2, path, "k", ["ver"], partition_by=["day"])
+    got = {
+        r.k: (r.ver, r.day, r.payload)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: (1, "d1", "a1"),
+        2: (2, "d1", "b2"),  # updated in place
+        3: (1, "d2", "c1"),
+        4: (1, "d3", "e1"),
+        5: (1, "d4", "f1"),  # new key, new partition
+    }
+    assert files_of("d2") == untouched_before, "untouched partition rewritten"
+    # idempotent: replaying batch 2 changes nothing
+    upsert_parquet(spark, b2, path, "k", ["ver"], partition_by=["day"])
+    again = {
+        r.k: (r.ver, r.day, r.payload)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert again == got

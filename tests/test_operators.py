@@ -1160,6 +1160,45 @@ def test_pagerank_star_graph(spark):
     assert len({round(ranks[l], 12) for l in leaves}) == 1  # symmetry
 
 
+def test_pagerank_dangling_mass_conserved(spark):
+    """A genuinely DIRECTED graph with a sink: without the dangling term,
+    the sink's rank leaks out of the distribution every iteration. With it
+    (the default), total mass stays exactly 1 and the ranks match a dense
+    NumPy power iteration using the same redistribution rule
+    (VERDICT r6 #5)."""
+    import numpy as np
+
+    from pontem_spark.operators.graph import pagerank
+
+    # 1→3, 2→3, 3 is a pure sink; 4→1, 4→2 feeds the top
+    pairs = [(4, 1), (4, 2), (1, 3), (2, 3)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    d, iters = 0.85, 4
+    got = {r.node: r["rank"] for r in pagerank(edges, damping=d, iterations=iters).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9, "mass not conserved"
+
+    ids = [1, 2, 3, 4]
+    n = len(ids)
+    A = np.zeros((n, n))  # column-stochastic link matrix
+    outdeg = {4: 2, 1: 1, 2: 1}
+    for s, t in pairs:
+        A[ids.index(t), ids.index(s)] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    dangling = np.array([1 if i == 3 else 0 for i in ids], dtype=float)
+    for _ in range(iters):
+        S = float(r @ dangling)
+        r = (1 - d) / n + d * (A @ r + S / n)
+    for i, node in enumerate(ids):
+        assert abs(got[node] - r[i]) < 1e-9, (node, got[node], r[i])
+
+    # the flag off reproduces the old leaky behavior (mass < 1)
+    leaky = {
+        r_.node: r_["rank"]
+        for r_ in pagerank(edges, damping=d, iterations=iters, handle_dangling=False).collect()
+    }
+    assert sum(leaky.values()) < 1.0 - 1e-6
+
+
 def test_categorical_association_known_cases(spark):
     """MI/NMI/chi2 sanity: independent columns give ~0; identical columns
     give NMI 1 with MI = H(X); scipy-free closed-form check."""
