@@ -989,6 +989,64 @@ class Series:
 
         return Rolling(self, window)
 
+    def ewm(
+        self,
+        com: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        alpha: float | None = None,
+        adjust: bool = True,
+        ignore_na: bool = False,
+        min_periods: int = 0,
+    ):
+        from pontem_spark.core.window import Ewm
+
+        return Ewm(self, com, span, halflife, alpha, adjust, ignore_na, min_periods)
+
+    def interpolate(self, method: str = "linear") -> "Series":
+        """pandas-default linear interpolation by POSITION (values treated
+        as equally spaced): each interior missing run is filled linearly
+        between its surrounding valid values, leading missing stay
+        missing, and trailing missing carry the last valid value forward
+        (pandas' ``limit_direction='forward'`` default, which quietly
+        degrades extrapolation to ffill). Two ignore-nulls window scans
+        (last-before + first-after, the operators/timeseries.py gapfill
+        shape) — all Catalyst, no UDF. Result dtype is double, like
+        pandas' float64."""
+        if method != "linear":
+            raise NotImplementedError("interpolate: only method='linear' is implemented")
+        from pyspark.sql import Window
+
+        mat = self._materialized()
+        sdf = mat.select(
+            INDEX_COL,
+            _VALUE,
+            F.row_number().over(Window.orderBy(INDEX_COL)).alias("__pos"),
+        )
+        v = sdf[_VALUE]
+        missing = self._missing_mask(v, sdf)
+        valid_v = F.when(~missing, v.cast("double"))
+        valid_p = F.when(~missing, sdf["__pos"])
+        wb = Window.orderBy("__pos").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = Window.orderBy("__pos").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        prev_v = F.last(valid_v, ignorenulls=True).over(wb)
+        prev_p = F.last(valid_p, ignorenulls=True).over(wb)
+        next_v = F.first(valid_v, ignorenulls=True).over(wf)
+        next_p = F.first(valid_p, ignorenulls=True).over(wf)
+        frac = (sdf["__pos"] - prev_p).cast("double") / (next_p - prev_p).cast("double")
+        col = (
+            F.when(~missing, v.cast("double"))
+            .when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v + (next_v - prev_v) * frac,
+            )
+            .when(prev_v.isNotNull(), prev_v)  # trailing run: ffill
+            # leading run: stays null → NaN in pandas
+        )
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+        )
+
     # accessors ---------------------------------------------------------------
 
     @property

@@ -81,3 +81,60 @@ class GroupedRolling:
     def max(self): return self._apply(F.max)
     def std(self): return self._apply(F.stddev_samp)
     def count(self): return self._apply(F.count)
+
+
+class Ewm:
+    """Exponentially-weighted windows (``s.ewm(alpha=...).mean()`` etc.).
+
+    EWM is inherently SEQUENTIAL — y_t depends on every prior value with
+    exponentially decaying weight, and the ``adjust=True`` normalizer has
+    no overflow-safe prefix-sum form (w^-p explodes past ~1e308 within a
+    few thousand rows). So, like the engine's other inherently-sequential
+    ops (MMR greedy, custom streaming state), it runs as ONE Arrow batch
+    group via applyInPandas, delegating the recurrence to pandas itself —
+    exact parity with every parameter combination by construction. A
+    Series is driver-scale by semantics (its windows are already
+    single-partition); the 100 TB shape is per-KEY ewm over a grouped
+    frame, where each group is bounded — same UDF, partitioned groups.
+    """
+
+    _OPS = ("mean", "sum", "std", "var")
+
+    def __init__(self, s, com, span, halflife, alpha, adjust, ignore_na, min_periods):
+        self._s = s
+        self._params = dict(
+            com=com, span=span, halflife=halflife, alpha=alpha,
+            adjust=adjust, ignore_na=ignore_na, min_periods=min_periods,
+        )
+
+    def _apply(self, op: str):
+        import pandas as pd
+
+        from pontem_spark.core.series import Series
+
+        s = self._s
+        sdf = s._materialized()
+        idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
+        params = self._params
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(INDEX_COL)
+            vals = pd.to_numeric(pdf["__value__"], errors="coerce").astype("float64")
+            out = getattr(vals.ewm(**params), op)()
+            return pd.DataFrame({INDEX_COL: pdf[INDEX_COL], "__value__": out})
+
+        res = (
+            sdf.select(INDEX_COL, F.col("__value__").cast("double").alias("__value__"))
+            .groupBy(F.lit(0).alias("__g"))
+            .applyInPandas(fn, schema=f"{INDEX_COL} {idx_type}, __value__ double")
+        )
+        return Series._from_internal(
+            InternalFrame(res, INDEX_COL, s._internal.index_name),
+            res["__value__"],
+            s._name,
+        )
+
+    def mean(self): return self._apply("mean")
+    def sum(self): return self._apply("sum")
+    def std(self): return self._apply("std")
+    def var(self): return self._apply("var")

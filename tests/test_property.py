@@ -420,3 +420,41 @@ def test_nan_aware_methods_match_pandas(spark, data):
 
         with _pytest.raises(ValueError):
             s.idxmax()
+
+
+@given(data=st.lists(st.one_of(_finite, st.just(float("nan"))), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_interpolate_linear_matches_pandas(spark, data):
+    """Linear interpolate vs pandas under arbitrary NaN runs: interior
+    runs fill linearly, leading stay NaN, trailing degrade to ffill
+    (pandas' limit_direction='forward' default)."""
+    got = _series(spark, data).interpolate().to_pandas().reset_index(drop=True)
+    want = pd.Series(data).interpolate().reset_index(drop=True)
+    for g, w in zip(got.tolist(), want.tolist()):
+        if isinstance(w, float) and math.isnan(w):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+        else:
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w, data)
+
+
+@given(
+    data=st.lists(st.one_of(_finite, st.just(float("nan"))), min_size=1, max_size=16),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+    adjust=st.booleans(),
+    ignore_na=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_ewm_mean_matches_pandas(spark, data, alpha, adjust, ignore_na):
+    got = (
+        _series(spark, data)
+        .ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na)
+        .mean()
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = pd.Series(data).ewm(alpha=alpha, adjust=adjust, ignore_na=ignore_na).mean().reset_index(drop=True)
+    for g, w in zip(got.tolist(), want.tolist()):
+        if isinstance(w, float) and math.isnan(w):
+            assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
+        else:
+            assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w, data)
