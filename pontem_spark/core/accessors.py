@@ -201,7 +201,19 @@ class DatetimeAccessor:
     def date(self): return self._wrap(F.to_date(self._s._col))
 
     def floor(self, freq: str):
-        unit = {"D": "day", "H": "hour", "T": "minute", "min": "minute"}.get(freq, freq)
+        # pandas 2.x freq aliases are lowercase ('h', 'min', 's'; 'H'/'T'
+        # deprecated but still seen) — map BOTH cases onto date_trunc units;
+        # an unknown freq must raise, not silently date_trunc to NULL (the
+        # r7 probe found floor('h') returning all-NaT)
+        unit = {
+            "d": "day", "day": "day",
+            "h": "hour", "hour": "hour",
+            "t": "minute", "min": "minute", "minute": "minute",
+            "s": "second", "second": "second",
+            "w": "week", "week": "week",
+        }.get(freq.lower())
+        if unit is None:
+            raise ValueError(f"dt.floor: unsupported freq {freq!r}")
         return self._wrap(F.date_trunc(unit, self._s._col))
 
     def strftime(self, fmt: str):

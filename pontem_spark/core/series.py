@@ -293,19 +293,38 @@ class Series:
     def _agg(self, col: Column) -> Any:
         return self._internal.sdf.select(col).first()[0]
 
-    def sum(self): return self._agg(F.sum(self._col))
-    def mean(self): return self._agg(F.mean(self._col))
-    def min(self): return self._agg(F.min(self._col))
-    def max(self): return self._agg(F.max(self._col))
-    def count(self): return self._agg(F.count(self._col))  # non-null, like pandas
+    @property
+    def _valid_col(self) -> Column:
+        """The value column with pandas-missing (NULL or float NaN) blanked
+        to NULL — what every skipna reduction must aggregate over. Spark
+        aggregates skip NULL but PROPAGATE NaN (sum/mean/max of anything
+        containing NaN is NaN, count/nunique count it), which is the exact
+        opposite of pandas' skipna=True default (found by the r7 probe:
+        every reduction diverged on a NaN-bearing series)."""
+        return F.when(~self._missing_mask(self._col), self._col)
+
+    @staticmethod
+    def _nan_if_none(v):
+        # pandas returns NaN (not None) when no valid values remain
+        return float("nan") if v is None else v
+
+    def sum(self):
+        # pandas: sum of an empty/all-missing series is 0, not NaN
+        v = self._agg(F.sum(self._valid_col))
+        return 0 if v is None else v
+
+    def mean(self): return self._nan_if_none(self._agg(F.mean(self._valid_col)))
+    def min(self): return self._nan_if_none(self._agg(F.min(self._valid_col)))
+    def max(self): return self._nan_if_none(self._agg(F.max(self._valid_col)))
+    def count(self): return self._agg(F.count(self._valid_col))  # non-missing, like pandas
 
     def std(self, ddof: int = 1):
         if ddof == 1:
-            return self._agg(F.stddev_samp(self._col))
+            return self._nan_if_none(self._agg(F.stddev_samp(self._valid_col)))
         if ddof == 0:
-            return self._agg(F.stddev_pop(self._col))
+            return self._nan_if_none(self._agg(F.stddev_pop(self._valid_col)))
         row = self._internal.sdf.select(
-            F.var_samp(self._col).alias("v"), F.count(self._col).alias("n")
+            F.var_samp(self._valid_col).alias("v"), F.count(self._valid_col).alias("n")
         ).first()
         if row["v"] is None or row["n"] - ddof <= 0:
             return float("nan")
@@ -313,18 +332,30 @@ class Series:
 
     def var(self, ddof: int = 1):
         if ddof == 1:
-            return self._agg(F.var_samp(self._col))
-        return self._agg(F.var_pop(self._col)) if ddof == 0 else self.std(ddof) ** 2
+            return self._nan_if_none(self._agg(F.var_samp(self._valid_col)))
+        return (
+            self._nan_if_none(self._agg(F.var_pop(self._valid_col)))
+            if ddof == 0
+            else self.std(ddof) ** 2
+        )
 
     def median(self):
-        return self._agg(F.percentile(self._col, F.lit(0.5)))
+        return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(0.5))))
 
     def quantile(self, q: float = 0.5):
-        return self._agg(F.percentile(self._col, F.lit(q)))
+        return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(q))))
 
-    def nunique(self): return self._agg(F.count_distinct(self._col))
-    def any(self): return bool(self._agg(F.max(self._col.cast("boolean"))))
-    def all(self): return bool(self._agg(F.min(self._col.cast("boolean"))))
+    def nunique(self): return self._agg(F.count_distinct(self._valid_col))
+
+    def any(self):
+        # skipna like pandas: missing never decides; all-missing → False
+        v = self._agg(F.max(self._valid_col.cast("boolean")))
+        return bool(v) if v is not None else False
+
+    def all(self):
+        # all-missing/empty → True, pandas' vacuous truth
+        v = self._agg(F.min(self._valid_col.cast("boolean")))
+        return bool(v) if v is not None else True
 
     def describe(self):
         """count/mean/std/min/quartiles/max in ONE aggregation pass,
@@ -332,15 +363,16 @@ class Series:
         None, `series.py:152-153`)."""
         import pandas as pd
 
+        v = self._valid_col
         row = self._internal.sdf.select(
-            F.count(self._col).alias("count"),
-            F.mean(self._col).alias("mean"),
-            F.stddev_samp(self._col).alias("std"),
-            F.min(self._col).alias("min"),
-            F.percentile(self._col, F.lit(0.25)).alias("25%"),
-            F.percentile(self._col, F.lit(0.5)).alias("50%"),
-            F.percentile(self._col, F.lit(0.75)).alias("75%"),
-            F.max(self._col).alias("max"),
+            F.count(v).alias("count"),
+            F.mean(v).alias("mean"),
+            F.stddev_samp(v).alias("std"),
+            F.min(v).alias("min"),
+            F.percentile(v, F.lit(0.25)).alias("25%"),
+            F.percentile(v, F.lit(0.5)).alias("50%"),
+            F.percentile(v, F.lit(0.75)).alias("75%"),
+            F.max(v).alias("max"),
         ).first()
         return pd.Series(row.asDict(), name=self._name)
 
@@ -535,12 +567,17 @@ class Series:
     notna = notnull
 
     def fillna(self, value) -> "Series":
+        # pandas-missing = NULL or NaN; a bare coalesce() would leave NaN
+        # rows unfilled (found by the r7 probe)
         return Series._from_internal(
-            self._internal, F.coalesce(self._col, F.lit(value)), self._name
+            self._internal,
+            F.when(self._missing_mask(self._col), F.lit(value)).otherwise(self._col),
+            self._name,
         )
 
     def dropna(self) -> "Series":
-        return self._filter(F.col(_VALUE).isNotNull())
+        mat = self._materialized()
+        return self._filter(~self._missing_mask(F.col(_VALUE), mat))
 
     def replace(self, to_replace, value=None) -> "Series":
         """pandas replace: dict form maps listed values, everything else
@@ -558,15 +595,25 @@ class Series:
             self._internal, col.otherwise(self._col), self._name
         )
 
-    def duplicated(self) -> "Series":
-        """Boolean mask of every occurrence after the first (first = lowest
-        index): one window shuffle on the value."""
+    def duplicated(self, keep: "str | bool" = "first") -> "Series":
+        """Boolean duplicate mask, pandas ``keep`` semantics: 'first' marks
+        every occurrence after the first (first = lowest index), 'last'
+        every one before the last, ``False`` ALL members of any duplicated
+        value. One window shuffle on the value either way."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy(self._col).orderBy(self._internal.index_col)
-        return Series._from_internal(
-            self._internal, F.row_number().over(w) > 1, self._name
-        )
+        if keep is False:
+            w = Window.partitionBy(self._col)
+            col = F.count(F.lit(1)).over(w) > 1
+        elif keep in ("first", "last"):
+            idx = self._internal.index_col
+            w = Window.partitionBy(self._col).orderBy(
+                idx.asc() if keep == "first" else idx.desc()
+            )
+            col = F.row_number().over(w) > 1
+        else:
+            raise ValueError(f"duplicated: keep must be 'first', 'last' or False, got {keep!r}")
+        return Series._from_internal(self._internal, col, self._name)
 
     def isin(self, values: Iterable) -> "Series":
         # pandas: missing rows are False (not NULL) unless the value set
@@ -587,10 +634,14 @@ class Series:
         col = F.when(missing, F.lit(has_missing)).otherwise(base)
         return Series._from_internal(self._internal, col, self._name)
 
-    def between(self, left, right) -> "Series":
+    def between(self, left, right, inclusive: str = "both") -> "Series":
         # pandas: NaN compares False on both bounds, never NULL
+        lo_op = (lambda c: c >= left) if inclusive in ("both", "left") else (lambda c: c > left)
+        hi_op = (lambda c: c <= right) if inclusive in ("both", "right") else (lambda c: c < right)
+        if inclusive not in ("both", "left", "right", "neither"):
+            raise ValueError(f"between: inclusive must be both/left/right/neither, got {inclusive!r}")
         col = F.when(self._missing_mask(self._col), F.lit(False)).otherwise(
-            self._col.between(left, right)
+            lo_op(self._col) & hi_op(self._col)
         )
         return Series._from_internal(self._internal, col, self._name)
 
@@ -876,10 +927,12 @@ class Series:
         row = sdf.agg(F.corr(v, lagged)).first()
         return row[0] if row and row[0] is not None else float("nan")
 
-    def rank(self, method: str = "average", ascending: bool = True) -> "Series":
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Series":
         """pandas rank: 'average' (the pandas default), 'min', 'max',
         'dense', or 'first'; na_option='keep' semantics — null/NaN values
-        rank as null (float64 result, like pandas).
+        rank as null (float64 result, like pandas). ``pct=True`` rescales
+        to (0, 1]: by the non-missing row count, except 'dense' which
+        pandas rescales by the DISTINCT value count.
 
         Scale shape: average/min/max/dense are derived on the
         DISTINCT-VALUE frame — one groupBy shuffle at value_counts
@@ -903,6 +956,9 @@ class Series:
             w = Window.orderBy(F.col("__p").desc(), val_order, F.col(INDEX_COL).asc())
             sdf2 = sdf.withColumn("__p", present)
             col = F.when(F.col("__p"), F.row_number().over(w)).cast("double")
+            if pct:
+                n_valid = F.sum(F.col("__p").cast("long")).over(Window.partitionBy())
+                col = col / n_valid
             return Series._from_internal(
                 InternalFrame(sdf2, INDEX_COL, self._internal.index_name),
                 col,
@@ -931,6 +987,13 @@ class Series:
             r = cum
         else:  # dense
             r = F.row_number().over(Window.orderBy(order))
+        if pct:
+            denom = (
+                F.count(F.lit(1)).over(Window.partitionBy())  # distinct values
+                if method == "dense"
+                else F.sum("__c").over(Window.partitionBy())  # valid rows
+            )
+            r = r.cast("double") / denom
         ranked = per_val.select("__v", r.cast("double").alias("__r"))
         joined = sdf.join(ranked, sdf[_VALUE] == ranked["__v"], "left").select(
             INDEX_COL, F.col("__r")

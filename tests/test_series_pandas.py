@@ -721,3 +721,83 @@ def test_ewm_matches_pandas(spark):
             got = getattr(ps.ewm(**kw), op)().to_pandas().reset_index(drop=True)
             want = getattr(pds.ewm(**kw), op)().reset_index(drop=True)
             pd.testing.assert_series_equal(got, want, check_names=False), (kw, op)
+
+
+# --- r7 probe-then-pin: NaN-skipping reductions + API-gap params -----------------
+
+def test_reductions_skip_nan_like_pandas(spark):
+    """EVERY reduction diverged on a NaN-bearing series before r7: Spark
+    aggregates skip NULL but propagate NaN (sum/mean/max → NaN, count and
+    nunique count it), pandas skipna=True skips both."""
+    data = [3.7, -2.5, float("nan"), 0.0, 12.455]
+    pn, sn = pd.Series(data), Series(data, spark=spark)
+    for m in ("sum", "mean", "std", "var", "median", "min", "max"):
+        g, w = getattr(sn, m)(), getattr(pn, m)()
+        assert math.isclose(g, w, rel_tol=1e-12), (m, g, w)
+    assert sn.count() == pn.count() == 4
+    assert sn.nunique() == pn.nunique() == 4
+    assert math.isclose(sn.quantile(0.3), pn.quantile(0.3), rel_tol=1e-12)
+    got_d, want_d = sn.describe(), pn.describe()
+    for stat in ("count", "mean", "std", "min", "25%", "50%", "75%", "max"):
+        assert math.isclose(got_d[stat], want_d[stat], rel_tol=1e-9), stat
+
+
+def test_reductions_all_missing(spark):
+    all_nan = [float("nan")] * 3
+    pn, sn = pd.Series(all_nan), Series(all_nan, spark=spark)
+    assert sn.sum() == pn.sum() == 0.0
+    assert math.isnan(sn.mean()) and math.isnan(pn.mean())
+    assert math.isnan(sn.median())
+    assert sn.count() == 0
+    assert sn.any() == pn.any() == False  # noqa: E712
+    assert sn.all() == pn.all() == True  # noqa: E712
+
+
+def test_fillna_dropna_cover_nan(spark):
+    data = [1.0, float("nan"), 3.0]
+    pn, sn = pd.Series(data), Series(data, spark=spark)
+    assert sn.fillna(9.5).to_pandas().tolist() == pn.fillna(9.5).tolist()
+    assert sn.dropna().to_pandas().tolist() == pn.dropna().tolist()
+
+
+def test_duplicated_keep_variants(spark):
+    data = [1, 2, 2, 3, 1]
+    pn, sn = pd.Series(data), Series(data, spark=spark)
+    for keep in ("first", "last", False):
+        got = sn.duplicated(keep=keep).to_pandas().reset_index(drop=True)
+        want = pn.duplicated(keep=keep).reset_index(drop=True)
+        assert got.tolist() == want.tolist(), keep
+    with pytest.raises(ValueError, match="keep"):
+        sn.duplicated(keep="bogus")
+
+
+def test_between_inclusive_variants(spark):
+    data = [3.7, -2.5, float("nan"), 0.0, 12.455]
+    pn, sn = pd.Series(data), Series(data, spark=spark)
+    for inc in ("both", "left", "right", "neither"):
+        got = sn.between(-2.5, 3.7, inclusive=inc).to_pandas().reset_index(drop=True)
+        want = pn.between(-2.5, 3.7, inclusive=inc).reset_index(drop=True)
+        assert got.tolist() == want.tolist(), inc
+    with pytest.raises(ValueError, match="inclusive"):
+        sn.between(0, 1, inclusive="bogus")
+
+
+def test_rank_pct(spark):
+    data = [5, 1, 3, 3, 2]
+    pn, sn = pd.Series(data), Series(data, spark=spark)
+    for method in ("average", "min", "max", "dense", "first"):
+        got = sn.rank(method=method, pct=True).to_pandas().reset_index(drop=True)
+        want = pn.rank(method=method, pct=True).reset_index(drop=True)
+        pd.testing.assert_series_equal(got, want, check_names=False), method
+
+
+def test_dt_floor_lowercase_freq(spark):
+    dates = pd.to_datetime(["2023-01-01 10:30:45", "2024-02-29 23:59:59"])
+    sn = Series(list(dates.to_pydatetime()), spark=spark)
+    pn = pd.Series(dates)
+    for freq in ("h", "min", "D"):
+        got = sn.dt.floor(freq).to_pandas().reset_index(drop=True)
+        want = pn.dt.floor(freq).reset_index(drop=True)
+        assert got.tolist() == want.tolist(), freq
+    with pytest.raises(ValueError, match="freq"):
+        sn.dt.floor("2h")
