@@ -473,15 +473,56 @@ class DataFrame:
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
-    def dropna(self, subset: list[str] | None = None) -> "DataFrame":
-        sdf = self._materialized().dropna(subset=subset)
+    def dropna(self, subset: list[str] | None = None, how: str = "any") -> "DataFrame":
+        """pandas-missing aware (NULL or float NaN — Spark's own dropna is
+        NULL-only); how='any' drops a row with any missing cell among the
+        checked columns, 'all' only when every one is missing."""
+        if how not in ("any", "all"):
+            raise ValueError(f"dropna: how must be 'any' or 'all', got {how!r}")
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        keys = subset or list(self._columns)
+        miss = [self._valid_col(k, schema).isNull() for k in keys]
+        from functools import reduce as _reduce
+
+        combined = _reduce((lambda a, b: a | b) if how == "any" else (lambda a, b: a & b), miss)
+        sdf = self._materialized().filter(~combined)
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def fillna(self, value) -> "DataFrame":
+        # NULL or NaN both fill (a bare coalesce is NULL-only — r7 probe).
+        # Only TYPE-COMPATIBLE columns fill: a numeric fill on a string
+        # column would ANSI-throw casting the strings (pandas instead mixes
+        # dtypes in an object column, which a Spark schema cannot express —
+        # documented divergence; those columns pass through untouched).
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+        def fillable(t: str) -> bool:
+            if isinstance(value, bool):
+                return t == "boolean"
+            if isinstance(value, (int, float)):
+                return t in numeric or t.startswith("decimal")
+            if isinstance(value, str):
+                return t == "string"
+            return True
+
         return DataFrame._from_internal(
             self._internal,
-            {k: F.coalesce(v, F.lit(value)) for k, v in self._columns.items()},
+            {
+                k: (
+                    F.coalesce(self._valid_col(k, schema), F.lit(value))
+                    if fillable(schema.get(k, ""))
+                    else self._columns[k]
+                )
+                for k in self._columns
+            },
         )
 
     def agg(self, spec: Mapping[str, str | list[str]]):
@@ -780,20 +821,26 @@ class DataFrame:
         out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
         return out.head(n)
 
-    def duplicated(self, subset: list[str] | None = None) -> Series:
-        """Boolean Series marking every occurrence after the first (pandas
-        keep='first', 'first' = lowest index). One window shuffle on the key
-        columns; the anchor is preserved so ``df[~df.duplicated()]`` is the
-        plain dedup idiom."""
+    def duplicated(self, subset: list[str] | None = None, keep: "str | bool" = "first") -> Series:
+        """Boolean Series marking duplicate rows, pandas ``keep`` semantics
+        ('first' = lowest index survives, 'last' = highest, ``False`` marks
+        all members). One window shuffle on the key columns; the anchor is
+        preserved so ``df[~df.duplicated()]`` is the plain dedup idiom."""
         from pyspark.sql import Window
 
         keys = subset or list(self._columns)
-        w = Window.partitionBy(*[self._columns[k] for k in keys]).orderBy(
-            self._internal.index_col
-        )
-        return Series._from_internal(
-            self._internal, F.row_number().over(w) > 1, None
-        )
+        part = [self._columns[k] for k in keys]
+        if keep is False:
+            col = F.count(F.lit(1)).over(Window.partitionBy(*part)) > 1
+        elif keep in ("first", "last"):
+            idx = self._internal.index_col
+            w = Window.partitionBy(*part).orderBy(
+                idx.asc() if keep == "first" else idx.desc()
+            )
+            col = F.row_number().over(w) > 1
+        else:
+            raise ValueError(f"duplicated: keep must be 'first', 'last' or False, got {keep!r}")
+        return Series._from_internal(self._internal, col, None)
 
     def _pairwise_matrix(self, pair_agg, diag_agg=None, diag_const: float = 1.0):
         """Shared scaffolding for corr/cov: numeric-column selection, ONE
@@ -847,15 +894,41 @@ class DataFrame:
         diag = F.var_samp if ddof == 1 else F.var_pop
         return self._pairwise_matrix(pair, diag_agg=diag, diag_const=0.0)
 
+    def _valid_col(self, name: str, schema: "dict[str, str] | None" = None):
+        """Column with pandas-missing (NULL or float NaN) blanked to NULL —
+        the frame twin of Series._valid_col: Spark aggregates skip NULL but
+        propagate NaN, the opposite of pandas skipna (r7 probe)."""
+        if schema is None:
+            schema = {
+                f.name: f.dataType.simpleString()
+                for f in self._materialized().schema.fields
+            }
+        v = self._columns[name]
+        if schema.get(name) in ("double", "float"):
+            return F.when(F.isnan(v), F.lit(None)).otherwise(v)
+        return v
+
     def _reduce_all(self, how: str):
-        """Per-column reduction → pandas Series, one aggregation pass."""
+        """Per-column reduction → pandas Series, one aggregation pass,
+        pandas skipna (NaN excluded like NULL)."""
         import pandas as pd
 
         from pontem_spark.core.groupby import _AGGS
 
-        exprs = [_AGGS[how](v).alias(k) for k, v in self._columns.items()]
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        # sum/mean on a string column would ANSI-throw casting the values
+        # (pandas numeric_only=True behavior instead — min/max/count stay
+        # all-column, both engines order/count strings fine)
+        cols = self._numeric_cols() if how in ("sum", "mean") else list(self._columns)
+        exprs = [_AGGS[how](self._valid_col(k, schema)).alias(k) for k in cols]
         row = self._internal.sdf.select(*exprs).first()
-        return pd.Series({c: row[c] for c in self._columns})
+        out = pd.Series({c: row[c] for c in cols})
+        if how == "sum":  # pandas: all-missing column sums to 0
+            out = out.fillna(0)
+        return out
 
     def _numeric_cols(self) -> list[str]:
         schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
@@ -874,7 +947,11 @@ class DataFrame:
 
         from pontem_spark.core.series import Series
 
-        cols = [self._columns[c] for c in self._numeric_cols()]
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        cols = [self._valid_col(c, schema) for c in self._numeric_cols()]
         if not cols:
             raise ValueError("no numeric columns for axis=1 reduction")
         if how == "sum":
@@ -941,7 +1018,9 @@ class DataFrame:
             ("max", F.max),
         ]
         exprs = [
-            fn(self._columns[c]).alias(f"{c}__{label}") for c in numeric for label, fn in stats
+            fn(self._valid_col(c, schema)).alias(f"{c}__{label}")
+            for c in numeric
+            for label, fn in stats
         ]
         row = self._internal.sdf.select(*exprs).first()
         data = {

@@ -1066,6 +1066,37 @@ class Series:
 
         return Ewm(self, com, span, halflife, alpha, adjust, ignore_na, min_periods)
 
+    def ffill(self) -> "Series":
+        """Forward-fill missing (NULL or NaN) from the last valid value in
+        index order; leading missing stay missing. One ignore-nulls window
+        scan (the gapfill shape)."""
+        return self._directional_fill(forward=True)
+
+    def bfill(self) -> "Series":
+        """Backward-fill missing from the next valid value; trailing
+        missing stay missing."""
+        return self._directional_fill(forward=False)
+
+    def _directional_fill(self, forward: bool) -> "Series":
+        from pyspark.sql import Window
+
+        sdf = self._materialized()
+        v = sdf[_VALUE]
+        missing = self._missing_mask(v, sdf)
+        if forward:
+            w = Window.orderBy(INDEX_COL).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+            col = F.last(F.when(~missing, v), ignorenulls=True).over(w)
+        else:
+            w = Window.orderBy(INDEX_COL).rowsBetween(
+                Window.currentRow, Window.unboundedFollowing
+            )
+            col = F.first(F.when(~missing, v), ignorenulls=True).over(w)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+        )
+
     def interpolate(self, method: str = "linear") -> "Series":
         """pandas-default linear interpolation by POSITION (values treated
         as equally spaced): each interior missing run is filled linearly

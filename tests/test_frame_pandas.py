@@ -8,7 +8,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from pontem_spark.core import DataFrame
+from pontem_spark.core import DataFrame, Series
 from pontem_spark.core.frame import concat
 
 RAW = {
@@ -771,3 +771,79 @@ def test_cov_matrix(pf, wf):
     np.testing.assert_allclose(got0.values, want0.values, atol=1e-12)
     with pytest.raises(ValueError):
         pf.cov(ddof=2)
+
+
+# --- r7 probe-then-pin: frame NaN-missing parity --------------------------------
+
+def _nan_eq(g, w):
+    import math
+    gn = g is None or (isinstance(g, float) and math.isnan(g))
+    wn = isinstance(w, float) and math.isnan(w)
+    return gn == wn and (wn or g == w or (isinstance(w, float) and abs(g - w) <= 1e-9))
+
+
+def test_frame_reductions_skip_nan(spark):
+    """Frame twin of the Series finding: sum/mean/min/max/count must skip
+    NaN like NULL (pandas skipna), and sum/mean restrict to numeric
+    columns instead of ANSI-throwing on strings."""
+    import pandas as pd
+
+    nan = float("nan")
+    pdf = pd.DataFrame({"a": [1.0, nan, 3.0, nan], "b": [nan, nan, 30.0, 4.0], "c": ["x", "y", None, "x"]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for m in ("sum", "mean"):
+        g, w = getattr(f, m)(), getattr(pdf[["a", "b"]], m)()
+        for c in ("a", "b"):
+            assert _nan_eq(g[c], w[c]), (m, c, g[c], w[c])
+        assert "c" not in g.index  # numeric_only, no ANSI throw
+    g = f.count()
+    w = pdf.count()
+    assert all(g[c] == w[c] for c in ("a", "b", "c"))
+    for m in ("sum", "mean", "min", "max"):
+        gr = getattr(f, m)(axis=1).to_pandas().reset_index(drop=True)
+        wr = getattr(pdf[["a", "b"]], m)(axis=1).reset_index(drop=True)
+        assert all(_nan_eq(a, b) for a, b in zip(gr.tolist(), wr.tolist())), m
+
+
+def test_frame_dropna_fillna_nan_aware(spark):
+    import pandas as pd
+
+    nan = float("nan")
+    pdf = pd.DataFrame({"a": [1.0, nan, 3.0, nan], "b": [nan, nan, 30.0, 4.0], "c": ["x", "y", None, "x"]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    assert len(f.dropna().to_pandas()) == len(pdf.dropna())
+    assert len(f.dropna(how="all", subset=["a", "b"]).to_pandas()) == len(
+        pdf.dropna(how="all", subset=["a", "b"])
+    )
+    with pytest.raises(ValueError, match="how"):
+        f.dropna(how="bogus")
+    g = f.fillna(0.0).to_pandas().reset_index(drop=True)
+    w = pdf.fillna(0.0).reset_index(drop=True)
+    assert g["a"].tolist() == w["a"].tolist()
+    assert g["b"].tolist() == w["b"].tolist()
+    # string column passes through untouched (Spark can't mix dtypes —
+    # documented divergence from pandas' object-column mixing)
+    assert g["c"].tolist()[2] is None
+
+
+def test_frame_duplicated_keep_variants(spark):
+    import pandas as pd
+
+    pdd = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": ["a", "a", "b", "c", "d"]})
+    f = DataFrame(pdd.to_dict("list"), spark=spark)
+    for keep in ("first", "last", False):
+        got = f.duplicated(subset=["k", "v"], keep=keep).to_pandas().reset_index(drop=True)
+        want = pdd.duplicated(subset=["k", "v"], keep=keep).reset_index(drop=True)
+        assert got.tolist() == want.tolist(), keep
+
+
+def test_series_ffill_bfill(spark):
+    import pandas as pd
+
+    nan = float("nan")
+    data = [nan, 1.0, nan, nan, 4.0, nan]
+    sn, pn = Series(data, spark=spark), pd.Series(data)
+    for m in ("ffill", "bfill"):
+        g = getattr(sn, m)().to_pandas().reset_index(drop=True)
+        w = getattr(pn, m)().reset_index(drop=True)
+        assert all(_nan_eq(a, b) for a, b in zip(g.tolist(), w.tolist())), m
