@@ -148,6 +148,141 @@ class StringAccessor:
             F.lpad(col, width, fillchar)
         )
 
+    def capitalize(self):
+        # Python semantics: first char upper, REST lower ('hELLO' → 'Hello').
+        # Divergence: Python TITLEcases the first char ('ß' → 'Ss'); Spark
+        # SQL has no titlecase function, so the JVM uppercase is used
+        # ('ß' → 'SS') — differs only on the handful of chars whose title
+        # and upper forms differ (ß, ǆ-family digraphs)
+        col = self._s._col
+        return self._wrap(
+            F.concat(
+                F.upper(F.substring(col, 1, 1)),
+                F.lower(F.substring(col, 2, 2147483646)),
+            )
+        )
+
+    def count(self, pat: str):
+        """Occurrences of regex ``pat`` per string (pandas counts
+        non-overlapping regex matches)."""
+        return self._wrap(F.regexp_count(self._s._col, F.lit(pat)))
+
+    def find(self, sub: str):
+        """Lowest 0-based index of ``sub``, -1 when absent (instr is
+        1-based with 0-absent, so the -1 shift gives both for free)."""
+        return self._wrap(F.instr(self._s._col, sub) - 1)
+
+    def get(self, i: int):
+        """i-th character (negative from the end); out-of-bounds → missing,
+        like pandas."""
+        col = self._s._col
+        if i >= 0:
+            return self._wrap(
+                F.when(F.length(col) > i, F.substring(col, i + 1, 1))
+            )
+        return self._wrap(
+            F.when(
+                F.length(col) >= -i,
+                col.substr(F.length(col) + i + 1, F.lit(1)),
+            )
+        )
+
+    def repeat(self, n: int):
+        return self._wrap(F.repeat(self._s._col, n))
+
+    def swapcase(self):
+        # no JVM builtin: per-char fold — uppercase letters (char equals its
+        # upper form but not its lower form) go lower, cased lowers go
+        # upper, uncased chars pass through
+        def flip(c):
+            return (
+                F.when((c == F.upper(c)) & (c != F.lower(c)), F.lower(c))
+                .when((c == F.lower(c)) & (c != F.upper(c)), F.upper(c))
+                .otherwise(c)
+            )
+
+        return self._wrap(
+            F.array_join(F.transform(F.split(self._s._col, ""), flip), "")
+        )
+
+    def removeprefix(self, prefix: str):
+        col = self._s._col
+        return self._wrap(
+            F.when(
+                col.startswith(prefix), F.substring(col, len(prefix) + 1, 2147483646)
+            ).otherwise(col)
+        )
+
+    def removesuffix(self, suffix: str):
+        col = self._s._col
+        return self._wrap(
+            F.when(
+                col.endswith(suffix) & (F.length(col) >= len(suffix)),
+                F.substring(col, 1, F.length(col) - len(suffix)),
+            ).otherwise(col)
+        )
+
+    def ljust(self, width: int, fillchar: str = " "):
+        col = self._s._col
+        return self._wrap(
+            F.when(F.length(col) >= width, col).otherwise(F.rpad(col, width, fillchar))
+        )
+
+    def rjust(self, width: int, fillchar: str = " "):
+        return self._wrap(self._pad_no_truncate(width, fillchar))
+
+    def center(self, width: int, fillchar: str = " "):
+        # CPython str.center's exact (and surprising) split: left =
+        # marg//2 + (marg & width & 1) — the odd spare char goes LEFT when
+        # the target width is odd, RIGHT when even (probe-verified against
+        # pandas). lpad/rpad need int widths, so the variable-length pads
+        # are substrings of a width-long fill literal via Column.substr.
+        col = self._s._col
+        pad = F.lit(fillchar * max(width, 1))
+        marg = F.lit(width) - F.length(col)
+        left_n = (F.floor(marg / 2) + (marg % 2) * (width % 2)).cast("int")
+        right_n = (marg - left_n).cast("int")
+        return self._wrap(
+            F.when(F.length(col) >= width, col).otherwise(
+                F.concat(
+                    pad.substr(F.lit(1), left_n), col, pad.substr(F.lit(1), right_n)
+                )
+            )
+        )
+
+    def isdigit(self):
+        return self._wrap(
+            F.when(self._s._col.isNotNull(), self._s._col.rlike(r"^\p{Nd}+$"))
+        )
+
+    def isalpha(self):
+        return self._wrap(
+            F.when(self._s._col.isNotNull(), self._s._col.rlike(r"^\p{L}+$"))
+        )
+
+    def isalnum(self):
+        return self._wrap(
+            F.when(self._s._col.isNotNull(), self._s._col.rlike(r"^[\p{L}\p{Nd}]+$"))
+        )
+
+    def isspace(self):
+        return self._wrap(
+            F.when(self._s._col.isNotNull(), self._s._col.rlike(r"^\s+$"))
+        )
+
+    def islower(self):
+        # Python: ≥1 cased char and every cased char lowercase
+        col = self._s._col
+        return self._wrap(
+            F.when(col.isNotNull(), (col == F.lower(col)) & (col != F.upper(col)))
+        )
+
+    def isupper(self):
+        col = self._s._col
+        return self._wrap(
+            F.when(col.isNotNull(), (col == F.upper(col)) & (col != F.lower(col)))
+        )
+
     def zfill(self, width: int):
         # pandas zfill is sign-aware: '-1'.zfill(4) == '-001', '+2' → '+002'
         # — the sign char stays first and zeros pad the remainder to

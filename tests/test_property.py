@@ -458,3 +458,15 @@ def test_ewm_mean_matches_pandas(spark, data, alpha, adjust, ignore_na):
             assert g is None or (isinstance(g, float) and math.isnan(g)), (g, w)
         else:
             assert abs(g - w) <= 1e-9 * max(1.0, abs(w)), (g, w, data)
+
+
+@given(texts=_texts, w=st.integers(0, 10))
+@settings(**_SETTINGS)
+def test_str_center_just_match_python(spark, texts, w):
+    """CPython center's left-bias formula (marg//2 + (marg & width & 1))
+    and the no-truncate ljust/rjust under arbitrary text and widths."""
+    s = _series(spark, texts)
+    p = pd.Series(texts)
+    assert s.str.center(w, "*").to_pandas().reset_index(drop=True).tolist() == p.str.center(w, "*").tolist()
+    assert s.str.ljust(w, "#").to_pandas().reset_index(drop=True).tolist() == p.str.ljust(w, "#").tolist()
+    assert s.str.rjust(w, "#").to_pandas().reset_index(drop=True).tolist() == p.str.rjust(w, "#").tolist()

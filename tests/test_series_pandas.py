@@ -801,3 +801,37 @@ def test_dt_floor_lowercase_freq(spark):
         assert got.tolist() == want.tolist(), freq
     with pytest.raises(ValueError, match="freq"):
         sn.dt.floor("2h")
+
+
+def test_str_accessor_extended_battery(spark):
+    """r7 str-accessor expansion, probe-verified against pandas: case
+    transforms, search, indexing, padding incl. CPython center's odd
+    left-bias, predicates. ('ß' excluded: Python titlecases capitalize's
+    first char, Spark SQL has no titlecase — documented divergence.)"""
+    texts = ["hELLO wOrld", "", "abc", "ABC", "a1b2", "123", "  ", None,
+             "MiXeD", "xABCx", "·-·", "ábç"]
+    pt, st_ = pd.Series(texts), Series(texts, spark=spark)
+
+    def eq(label, got, want):
+        g = got.to_pandas().reset_index(drop=True).tolist()
+        w = want.reset_index(drop=True).tolist()
+        for a, b in zip(g, w):
+            bn = b is None or (isinstance(b, float) and math.isnan(b))
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            assert bn == an and (bn or a == b), (label, g, w)
+
+    eq("capitalize", st_.str.capitalize(), pt.str.capitalize())
+    eq("count", st_.str.count("[bB]"), pt.str.count("[bB]"))
+    eq("find", st_.str.find("b"), pt.str.find("b"))
+    for i in (0, 2, -1, -5):
+        eq(f"get{i}", st_.str.get(i), pt.str.get(i))
+    eq("repeat", st_.str.repeat(3), pt.str.repeat(3))
+    eq("swapcase", st_.str.swapcase(), pt.str.swapcase())
+    eq("removeprefix", st_.str.removeprefix("a"), pt.str.removeprefix("a"))
+    eq("removesuffix", st_.str.removesuffix("c"), pt.str.removesuffix("c"))
+    eq("ljust", st_.str.ljust(6, "*"), pt.str.ljust(6, "*"))
+    eq("rjust", st_.str.rjust(6, "*"), pt.str.rjust(6, "*"))
+    for w in (0, 5, 6, 7):
+        eq(f"center{w}", st_.str.center(w, "*"), pt.str.center(w, "*"))
+    for pred in ("isdigit", "isalpha", "isalnum", "isspace", "islower", "isupper"):
+        eq(pred, getattr(st_.str, pred)(), getattr(pt.str, pred)())
