@@ -26,6 +26,19 @@ _AGGS: dict[str, Callable] = {
 }
 
 
+def _valid(df, col: str):
+    """Column with pandas-missing (NULL or float NaN) blanked to NULL —
+    grouped twin of Series/DataFrame._valid_col: Spark aggregates and
+    window functions skip NULL but PROPAGATE NaN (a NaN-bearing group's
+    mean/sum/max is NaN, count counts it), the opposite of pandas
+    skipna (r7 probe: grouped transform('mean') returned all-NaN)."""
+    schema = {f.name: f.dataType.simpleString() for f in df._materialized().schema.fields}
+    v = df._columns[col]
+    if schema.get(col) in ("double", "float"):
+        return F.when(F.isnan(v), F.lit(None)).otherwise(v)
+    return v
+
+
 class GroupBy:
     def __init__(self, df, keys: list[str], as_index: bool = True):
         self._df = df
@@ -45,7 +58,7 @@ class GroupBy:
                 if fn is None:
                     raise ValueError(f"unsupported aggregation: {h!r}")
                 out = col if isinstance(how, str) else f"{col}_{h}"
-                exprs.append(fn(self._df._columns[col]).alias(out))
+                exprs.append(fn(_valid(self._df, col)).alias(out))
                 out_names.append(out)
 
         base = self._df._internal.sdf.groupBy(
@@ -124,7 +137,7 @@ class GroupBy:
             fn = _AGGS.get(how)
             if fn is None:
                 raise ValueError(f"unsupported aggregation: {how!r}")
-            cols[col] = fn(self._df._columns[col]).over(w)
+            cols[col] = fn(_valid(self._df, col)).over(w)
         return DataFrame._from_internal(self._df._internal, cols)
 
     def apply_in_pandas(self, func, schema):
@@ -163,16 +176,25 @@ class SeriesGroupBy:
             raise ValueError(f"unsupported aggregation: {how!r}")
         w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
         return Series._from_internal(
-            self._df._internal, fn(self._df._columns[self._col]).over(w), self._col
+            self._df._internal, fn(_valid(self._df, self._col)).over(w), self._col
         )
 
     def agg(self, how: str):
-        return GroupBy(self._df, self._keys).agg({self._col: how})
+        """Single reduction per group → a Series keyed by the group index
+        (pandas shape for df.groupby(k)[col].mean()); a list of hows stays
+        at the frame level via GroupBy.agg."""
+        frame = GroupBy(self._df, self._keys).agg({self._col: how})
+        return frame[self._col]
 
     def rolling(self, window: int):
         from pontem_spark.core.window import GroupedRolling
 
         return GroupedRolling(self._df, self._keys, self._col, window)
+
+    def ewm(self, **kwargs):
+        from pontem_spark.core.window import GroupedEwm
+
+        return GroupedEwm(self._df, self._keys, self._col, kwargs)
 
     def sum(self): return self.agg("sum")
     def mean(self): return self.agg("mean")
@@ -180,3 +202,8 @@ class SeriesGroupBy:
     def max(self): return self.agg("max")
     def count(self): return self.agg("count")
     def nunique(self): return self.agg("nunique")
+    def std(self): return self.agg("std")
+    def var(self): return self.agg("var")
+    def median(self): return self.agg("median")
+    def first(self): return self.agg("first")
+    def last(self): return self.agg("last")

@@ -138,3 +138,57 @@ class Ewm:
     def sum(self): return self._apply("sum")
     def std(self): return self._apply("std")
     def var(self): return self._apply("var")
+
+
+class GroupedEwm:
+    """``df.groupby(k)[col].ewm(...)`` — per-KEY exponentially-weighted
+    windows: the 100 TB shape of :class:`Ewm` (whose single Arrow group is
+    Series/driver-scale by design). Each group is one Arrow batch via
+    applyInPandas — groups run in parallel across executors, the recurrence
+    inside a group is inherently sequential; pandas computes it, so every
+    parameter combination is exact. Result rows are (index, value) per
+    original row, ordered by index within each group."""
+
+    def __init__(self, df, keys: list[str], col: str, params: dict):
+        self._df = df
+        self._keys = keys
+        self._col = col
+        self._params = dict(params)
+
+    def _apply(self, op: str):
+        import pandas as pd
+
+        from pontem_spark.core.series import Series
+
+        df = self._df
+        key_aliases = [f"__k{i}" for i in range(len(self._keys))]
+        sdf = df._internal.sdf.select(
+            df._internal.index_col.alias(INDEX_COL),
+            *[df._columns[k].alias(a) for k, a in zip(self._keys, key_aliases)],
+            df._columns[self._col].cast("double").alias("__v"),
+        )
+        idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
+        if idx_type.startswith("struct"):
+            raise NotImplementedError(
+                "GroupedEwm over a MultiIndex frame: reset_index() first"
+            )
+        params = self._params
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(INDEX_COL)
+            out = getattr(pdf["__v"].ewm(**params), op)()
+            return pd.DataFrame({INDEX_COL: pdf[INDEX_COL], "__value__": out})
+
+        res = sdf.groupBy(*key_aliases).applyInPandas(
+            fn, schema=f"{INDEX_COL} {idx_type}, __value__ double"
+        )
+        return Series._from_internal(
+            InternalFrame(res, INDEX_COL, df._internal.index_name),
+            res["__value__"],
+            self._col,
+        )
+
+    def mean(self): return self._apply("mean")
+    def sum(self): return self._apply("sum")
+    def std(self): return self._apply("std")
+    def var(self): return self._apply("var")

@@ -847,3 +847,49 @@ def test_series_ffill_bfill(spark):
         g = getattr(sn, m)().to_pandas().reset_index(drop=True)
         w = getattr(pn, m)().reset_index(drop=True)
         assert all(_nan_eq(a, b) for a, b in zip(g.tolist(), w.tolist())), m
+
+
+def test_groupby_skipna_and_series_shape(spark):
+    """Grouped aggregates and transform skip NaN like pandas (r7 probe:
+    transform('mean') returned all-NaN on a NaN-bearing group), and
+    df.groupby(k)[col].<agg>() returns a SERIES keyed by the group — the
+    pandas shape."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({"k": ["a", "a", "b", "b", "b"], "v": [1.0, nan, 3.0, nan, 5.0]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for how in ("sum", "mean", "min", "max", "count", "std", "var", "median"):
+        got = getattr(f.groupby("k")["v"], how)().to_pandas().sort_index()
+        want = getattr(pdf.groupby("k")["v"], how)().sort_index()
+        assert isinstance(got, pd.Series)
+        for k in want.index:
+            a, b = got[k], want[k]
+            bn = isinstance(b, float) and math.isnan(b)
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            assert bn == an and (bn or abs(a - b) <= 1e-9), (how, k, a, b)
+    got_t = f.groupby("k")["v"].transform("mean").to_pandas().reset_index(drop=True)
+    want_t = pdf.groupby("k")["v"].transform("mean").reset_index(drop=True)
+    assert all(abs(a - b) <= 1e-9 for a, b in zip(got_t.tolist(), want_t.tolist()))
+
+
+def test_grouped_ewm_matches_pandas(spark):
+    """Per-key EWM (the bounded-group 100 TB shape of Series.ewm): exact
+    pandas parity per group, NaN handling included."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b"], "v": [1.0, nan, 3.0, 10.0, 20.0]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for kw in (dict(alpha=0.4), dict(span=3, adjust=False), dict(com=1.0, ignore_na=True)):
+        for op in ("mean", "std"):
+            got = getattr(f.groupby("k")["v"].ewm(**kw), op)().to_pandas().sort_index()
+            want = (
+                getattr(pdf.groupby("k")["v"].ewm(**kw), op)()
+                .reset_index(level=0, drop=True)
+                .sort_index()
+            )
+            for a, b in zip(got.tolist(), want.tolist()):
+                bn = isinstance(b, float) and math.isnan(b)
+                an = a is None or (isinstance(a, float) and math.isnan(a))
+                assert bn == an and (bn or abs(a - b) <= 1e-12), (kw, op)
