@@ -1,0 +1,198 @@
+"""Round-8 query candidates, written and locally oracle-proven in round 7.
+
+NOT registered: the r7 driver window is budgeted exactly (3 never-green
+derived-output queries + the 47 r4-stale queries = 50 slots), and a new
+registration sorts FIRST and would evict an r4 query from its freshness
+re-check (registry.py evidence-age ordering). Round 8 flips these on by
+wrapping each (fn, oracle) pair with ``registry.register`` — the pairs
+are already exercised against DuckDB by tests/test_pending_queries.py, so
+they arrive green.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.sources.tables import load_table
+
+# (name, fn, oracle) triples for round-8 registration.
+PENDING: "list[tuple[str, object, str]]" = []
+
+
+def _pending(name: str, oracle: str):
+    def deco(fn):
+        from pontem_spark.functions.compat import portable_round_sql
+
+        PENDING.append((name, fn, portable_round_sql(oracle)))
+        return fn
+
+    return deco
+
+
+@_pending(
+    "q_api_interpolate_ffill",
+    oracle="""
+    WITH seq AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS DOUBLE) END AS v,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos
+        FROM orders WHERE o_orderkey <= 2000
+    ), scan AS (
+        SELECT o_orderkey, v, pos,
+               last_value(v IGNORE NULLS) OVER (ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+               first_value(v IGNORE NULLS) OVER (ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+                   OVER (ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        FROM seq
+    )
+    SELECT o_orderkey,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (pos - pp) / CAST(np - pp AS DOUBLE)
+             WHEN pv IS NOT NULL THEN pv
+           END, 4) AS interpolated,
+           ROUND(pv, 4) AS ffilled
+    FROM scan
+    """,
+)
+def q_api_interpolate_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.interpolate (positional linear, trailing ffill per pandas'
+    limit_direction='forward') and Series.ffill over a deterministic
+    missing pattern (every 7th orderkey nulled) — the oracle replays the
+    identical two ignore-nulls window scans in SQL."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice").cast("double"))
+            .alias("v"),
+        )
+    )
+    s = from_spark(base, index_col="o_orderkey")["v"]  # no driver collect
+    interp = s.interpolate().to_spark(value_name="interpolated")
+    ff = s.ffill().to_spark(value_name="ffilled")
+    iname = interp.columns[0]
+    return (
+        interp.join(ff.withColumnRenamed(ff.columns[0], iname), iname)
+        .select(
+            F.col(iname).alias("o_orderkey"),
+            rnd(F.col("interpolated"), 4).alias("interpolated"),
+            rnd(F.col("ffilled"), 4).alias("ffilled"),
+        )
+    )
+
+
+@_pending(
+    "q_api_ewm_mean",
+    oracle="""
+    WITH seq AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS i
+        FROM orders WHERE o_orderkey <= 800
+    )
+    SELECT o_orderkey,
+           ROUND(
+             SUM(v * pow(0.9, -i)) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / SUM(pow(0.9, -i)) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           , 4) AS ewm_mean
+    FROM seq
+    """,
+)
+def q_api_ewm_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.ewm(alpha=0.1, adjust=True).mean() vs the closed-form SQL
+    twin: with adjust, y_t = Σ w^(t-i)·x_i / Σ w^(t-i) = (Σ x_i·w^-i) /
+    (Σ w^-i) — two prefix sums. The SQL form overflows for long series
+    (w^-i explodes), which is exactly why the engine implementation is an
+    Arrow group instead; the bounded 800-row window keeps the oracle in
+    double range (0.9^-800 ≈ 3e36) while proving the recurrence."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 800)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("v"))
+    )
+    s = from_spark(base, index_col="o_orderkey")["v"]  # no driver collect
+    out = s.ewm(alpha=0.1).mean().to_spark(value_name="ewm_mean")
+    iname = out.columns[0]
+    return out.select(
+        F.col(iname).alias("o_orderkey"), rnd(F.col("ewm_mean"), 4).alias("ewm_mean")
+    )
+
+
+def _pagerank_dangling_oracle(damping: float = 0.85, iterations: int = 3) -> str:
+    """Unrolled-CTE oracle for DIRECTED pagerank with the dangling-mass
+    redistribution term (operators/graph.py::pagerank handle_dangling)."""
+    prev = "r0"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""d{i} AS (
+        SELECT SUM(rank) AS dm FROM {prev} WHERE NOT has_out
+    ), r{i} AS (
+        SELECT n.node, n.has_out,
+               (1 - {damping}) / (SELECT n FROM cnt)
+               + {damping} * (SELECT dm FROM d{i}) / (SELECT n FROM cnt)
+               + {damping} * COALESCE(c.contrib, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / e.outdeg) AS contrib
+            FROM edges e JOIN {prev} p ON p.node = e.src
+            GROUP BY e.dst
+        ) c ON c.node = n.node
+    )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH raw AS (
+        SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+               'p' || CAST(l_partkey AS VARCHAR) AS dst
+        FROM lineitem
+    ), deg AS (
+        SELECT src, COUNT(*) AS outdeg FROM raw GROUP BY src
+    ), edges AS (
+        SELECT raw.src, raw.dst, deg.outdeg FROM raw JOIN deg ON raw.src = deg.src
+    ), nodes AS (
+        SELECT node, MAX(has_out) AS has_out FROM (
+            SELECT src AS node, TRUE AS has_out FROM raw
+            UNION ALL
+            SELECT dst AS node, FALSE AS has_out FROM raw
+        ) GROUP BY node
+    ), cnt AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node, has_out, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes
+    ),
+    {chain}
+    SELECT node, ROUND(rank * 1e6, 6) AS rank_ppm FROM {prev}
+    """
+
+
+@_pending("q_graph_pagerank_dangling", _pagerank_dangling_oracle())
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the genuinely DIRECTED supplier→part graph: every
+    part vertex is a sink (out-degree 0), so without the per-iteration
+    dangling-mass term (d·S/N) the distribution would leak most of its
+    mass. The oracle unrolls the same three iterations WITH the term;
+    rank mass conservation means ppm values sum to ~1e6."""
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    ranks = pagerank(edges, damping=0.85, iterations=3, handle_dangling=True)
+    return ranks.select("node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm"))
