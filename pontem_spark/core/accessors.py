@@ -335,6 +335,75 @@ class DatetimeAccessor:
     @property
     def date(self): return self._wrap(F.to_date(self._s._col))
 
+    @property
+    def weekday(self):  # pandas alias of dayofweek, Monday=0
+        return self.dayofweek
+
+    @property
+    def week(self):  # ISO week number, pandas .dt.isocalendar().week twin
+        return self._wrap(F.weekofyear(self._s._col))
+
+    @property
+    def days_in_month(self):
+        return self._wrap(F.dayofmonth(F.last_day(self._s._col)))
+
+    @property
+    def is_month_start(self):
+        return self._wrap(F.dayofmonth(self._s._col) == 1)
+
+    @property
+    def is_month_end(self):
+        return self._wrap(F.to_date(self._s._col) == F.last_day(self._s._col))
+
+    @property
+    def is_year_start(self):
+        return self._wrap(F.dayofyear(self._s._col) == 1)
+
+    @property
+    def is_year_end(self):
+        return self._wrap((F.month(self._s._col) == 12) & (F.dayofmonth(self._s._col) == 31))
+
+    @property
+    def is_quarter_start(self):
+        return self._wrap(
+            (F.dayofmonth(self._s._col) == 1) & (F.month(self._s._col) % 3 == 1)
+        )
+
+    @property
+    def is_quarter_end(self):
+        return self._wrap(
+            (F.to_date(self._s._col) == F.last_day(self._s._col))
+            & (F.month(self._s._col) % 3 == 0)
+        )
+
+    def day_name(self):
+        # Java 'EEEE' pattern — English locale, matching pandas' default
+        return self._wrap(F.date_format(self._s._col, "EEEE"))
+
+    def month_name(self):
+        return self._wrap(F.date_format(self._s._col, "MMMM"))
+
+    _FREQ_SECONDS = {"d": 86400, "h": 3600, "t": 60, "min": 60, "s": 1}
+
+    def _freq_seconds(self, freq: str) -> int:
+        u = self._FREQ_SECONDS.get(freq.lower())
+        if u is None:
+            raise ValueError(f"dt: unsupported freq {freq!r}")
+        return u
+
+    def ceil(self, freq: str):
+        """Round UP to the unit boundary (whole-second units)."""
+        u = self._freq_seconds(freq)
+        secs = F.unix_timestamp(self._s._col)
+        return self._wrap(F.timestamp_seconds(F.ceil(secs / u).cast("long") * u))
+
+    def round(self, freq: str):
+        """Round to the nearest unit boundary — pandas rounds HALF-EVEN
+        (banker's) at exact midpoints, which bround reproduces."""
+        u = self._freq_seconds(freq)
+        secs = F.unix_timestamp(self._s._col)
+        return self._wrap(F.timestamp_seconds(F.bround(secs / u, 0).cast("long") * u))
+
     def floor(self, freq: str):
         # pandas 2.x freq aliases are lowercase ('h', 'min', 's'; 'H'/'T'
         # deprecated but still seen) — map BOTH cases onto date_trunc units;

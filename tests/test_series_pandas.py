@@ -835,3 +835,34 @@ def test_str_accessor_extended_battery(spark):
         eq(f"center{w}", st_.str.center(w, "*"), pt.str.center(w, "*"))
     for pred in ("isdigit", "isalpha", "isalnum", "isspace", "islower", "isupper"):
         eq(pred, getattr(st_.str, pred)(), getattr(pt.str, pred)())
+
+
+def test_dt_accessor_extended_battery(spark):
+    """r7 dt expansion, probe-verified vs pandas: calendar predicates,
+    names, week, days_in_month, and ceil/round — pandas rounds HALF-EVEN
+    at exact midpoints (13:29:30.round('min') vs 13:30:30 differ), which
+    bround reproduces."""
+    dates = pd.to_datetime([
+        "2023-01-01 10:30:45", "2024-02-29 23:59:59", "2022-12-31 00:00:00",
+        "2023-06-15 12:30:00", "2023-03-31 23:30:00", "2023-04-01 00:00:00",
+        "2023-07-01 12:00:00", "2020-02-29 01:59:30", "2023-01-15 13:29:30",
+        "2023-01-15 13:30:30",
+    ])
+    pdts, sdts = pd.Series(dates), Series(list(dates.to_pydatetime()), spark=spark)
+
+    def eq(label, got, want):
+        assert got.to_pandas().reset_index(drop=True).tolist() == list(want), label
+
+    eq("weekday", sdts.dt.weekday, pdts.dt.weekday.tolist())
+    eq("week", sdts.dt.week, pdts.dt.isocalendar().week.astype("int64").tolist())
+    eq("days_in_month", sdts.dt.days_in_month, pdts.dt.days_in_month.tolist())
+    for p in ("is_month_start", "is_month_end", "is_year_start", "is_year_end",
+              "is_quarter_start", "is_quarter_end"):
+        eq(p, getattr(sdts.dt, p), getattr(pdts.dt, p).tolist())
+    eq("day_name", sdts.dt.day_name(), pdts.dt.day_name().tolist())
+    eq("month_name", sdts.dt.month_name(), pdts.dt.month_name().tolist())
+    for freq in ("h", "min", "s", "D"):
+        eq(f"ceil_{freq}", sdts.dt.ceil(freq), pdts.dt.ceil(freq).tolist())
+        eq(f"round_{freq}", sdts.dt.round(freq), pdts.dt.round(freq).tolist())
+    with pytest.raises(ValueError, match="freq"):
+        sdts.dt.ceil("2h")
