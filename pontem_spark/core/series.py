@@ -241,8 +241,24 @@ class Series:
     def _floordiv_cols(a: Column, b: Column) -> Column:
         # pandas floordiv is FLOOR division (the reference truncated via
         # cast('integer'), wrong for negatives — series.py:203-209);
-        # zero divisor → same IEEE values as truediv (floor(±inf) = ±inf)
-        return F.when(b == 0, Series._zero_div_value(a, b)).otherwise(F.floor(a / b))
+        # zero divisor → same IEEE values as truediv (floor(±inf) = ±inf).
+        # A NaN quotient must be guarded: Spark's floor(NaN) silently
+        # returns 0, not NaN (r7 probe — NaN // 10 came back 0.0)
+        q = a / b
+        return F.when(b == 0, Series._zero_div_value(a, b)).otherwise(
+            F.when(F.isnan(q), F.lit(float("nan"))).otherwise(F.floor(q))
+        )
+
+    @staticmethod
+    def _pow_cols(a: Column, b: Column) -> Column:
+        # numpy/pandas: 1 ** x == 1 and x ** 0 == 1 even when x is
+        # missing (pd 1.0**NaN = 1.0, NaN**0 = 1.0); Spark pow propagates
+        # the null/NaN instead (r7 probe)
+        return (
+            F.when(a == 1, F.lit(1.0))
+            .when(b == 0, F.lit(1.0))
+            .otherwise(F.pow(a, b))
+        )
 
     @staticmethod
     def _mod_cols(a: Column, b: Column) -> Column:
@@ -262,15 +278,15 @@ class Series:
     def __rfloordiv__(self, o): return self._binop(o, self._floordiv_cols, reflected=True)
     def __mod__(self, o): return self._binop(o, self._mod_cols)
     def __rmod__(self, o): return self._binop(o, self._mod_cols, reflected=True)
-    def __pow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b))
-    def __rpow__(self, o): return self._binop(o, lambda a, b: F.pow(a, b), reflected=True)
+    def __pow__(self, o): return self._binop(o, self._pow_cols)
+    def __rpow__(self, o): return self._binop(o, self._pow_cols, reflected=True)
 
-    def __eq__(self, o): return self._binop(o, operator.eq)  # type: ignore[override]
-    def __ne__(self, o): return self._binop(o, operator.ne)  # type: ignore[override]
-    def __lt__(self, o): return self._binop(o, operator.lt)
-    def __le__(self, o): return self._binop(o, operator.le)
-    def __gt__(self, o): return self._binop(o, operator.gt)
-    def __ge__(self, o): return self._binop(o, operator.ge)
+    def __eq__(self, o): return self._cmp_binop(o, operator.eq)  # type: ignore[override]
+    def __ne__(self, o): return self._cmp_binop(o, operator.ne, missing_result=True)  # type: ignore[override]
+    def __lt__(self, o): return self._cmp_binop(o, operator.lt)
+    def __le__(self, o): return self._cmp_binop(o, operator.le)
+    def __gt__(self, o): return self._cmp_binop(o, operator.gt)
+    def __ge__(self, o): return self._cmp_binop(o, operator.ge)
 
     def __and__(self, o): return self._binop(o, operator.and_)
     def __or__(self, o): return self._binop(o, operator.or_)
@@ -279,6 +295,111 @@ class Series:
 
     def __hash__(self):  # __eq__ returns Series; keep hashable by identity
         return id(self)
+
+    # -- mask-aware binop plumbing -------------------------------------------
+
+    def _masked_binop(self, other, fn, reflected: bool = False) -> "Series":
+        """Like :meth:`_binop`, but ``fn(l, r, lm, rm)`` also receives the
+        pandas-missing masks of both operands (NULL-or-NaN, dtype-aware via
+        _missing_mask — note ``x != x`` CANNOT detect NaN here because
+        Spark defines NaN = NaN as TRUE, unlike IEEE; r7 probe)."""
+        import math as _math
+
+        if isinstance(other, Series):
+            if other._internal.sdf is self._internal.sdf:
+                lm0 = self._missing_mask(self._col)
+                rm0 = other._missing_mask(other._col)
+                l, r, lm, rm = (
+                    (other._col, self._col, rm0, lm0)
+                    if reflected
+                    else (self._col, other._col, lm0, rm0)
+                )
+                name = self._name if self._name == other._name else None
+                return Series._from_internal(self._internal, fn(l, r, lm, rm), name)
+            a = self._materialized("__a__")
+            b = other._materialized("__b__")
+            joined = a.alias("l").join(
+                b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
+            )
+            sdf = joined.select(
+                F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
+                F.col("l.__a__").alias("__a__"),
+                F.col("r.__b__").alias("__b__"),
+            )
+            index_name = (
+                self._internal.index_name
+                if self._internal.index_name == other._internal.index_name
+                else None
+            )
+            internal = InternalFrame(sdf, INDEX_COL, index_name)
+            am = self._missing_mask(sdf["__a__"], sdf)
+            bm = other._missing_mask(sdf["__b__"], sdf)
+            l, r, lm, rm = (
+                (sdf["__b__"], sdf["__a__"], bm, am)
+                if reflected
+                else (sdf["__a__"], sdf["__b__"], am, bm)
+            )
+            name = self._name if self._name == other._name else None
+            return Series._from_internal(internal, fn(l, r, lm, rm), name)
+        lit = F.lit(other)
+        om = F.lit(
+            other is None or (isinstance(other, float) and _math.isnan(other))
+        )
+        sm = self._missing_mask(self._col)
+        l, r, lm, rm = (
+            (lit, self._col, om, sm) if reflected else (self._col, lit, sm, om)
+        )
+        return Series._from_internal(self._internal, fn(l, r, lm, rm), self._name)
+
+    def _cmp_binop(self, other, op, missing_result: bool = False) -> "Series":
+        """pandas comparison semantics for missing operands: every
+        comparison against NaN/NULL is False — except ``ne``, which is
+        True. Spark instead orders NaN ABOVE every value (NaN >= x is
+        TRUE) and nulls propagate, so the mask decides first."""
+        return self._masked_binop(
+            other,
+            lambda l, r, lm, rm: F.when(lm | rm, F.lit(missing_result)).otherwise(
+                op(l, r)
+            ),
+        )
+
+    # -- named arithmetic (pandas s.add(other, fill_value=...) family) --------
+
+    def _named_binop(self, other, op, fill_value, reflected: bool = False) -> "Series":
+        if fill_value is None:
+            return self._binop(other, op, reflected)
+
+        def filled(l: Column, r: Column, lm: Column, rm: Column) -> Column:
+            lf = F.when(~lm, l).otherwise(F.lit(fill_value))
+            rf = F.when(~rm, r).otherwise(F.lit(fill_value))
+            # pandas: one side missing → fill and compute; BOTH missing → NaN
+            return F.when(lm & rm, F.lit(None)).otherwise(op(lf, rf))
+
+        return self._masked_binop(other, filled, reflected)
+
+    def add(self, other, fill_value=None): return self._named_binop(other, operator.add, fill_value)
+    def radd(self, other, fill_value=None): return self._named_binop(other, operator.add, fill_value, reflected=True)
+    def sub(self, other, fill_value=None): return self._named_binop(other, operator.sub, fill_value)
+    def rsub(self, other, fill_value=None): return self._named_binop(other, operator.sub, fill_value, reflected=True)
+    def mul(self, other, fill_value=None): return self._named_binop(other, operator.mul, fill_value)
+    def rmul(self, other, fill_value=None): return self._named_binop(other, operator.mul, fill_value, reflected=True)
+    def div(self, other, fill_value=None): return self._named_binop(other, self._truediv_cols, fill_value)
+    truediv = div
+    def rdiv(self, other, fill_value=None): return self._named_binop(other, self._truediv_cols, fill_value, reflected=True)
+    rtruediv = rdiv
+    def floordiv(self, other, fill_value=None): return self._named_binop(other, self._floordiv_cols, fill_value)
+    def rfloordiv(self, other, fill_value=None): return self._named_binop(other, self._floordiv_cols, fill_value, reflected=True)
+    def mod(self, other, fill_value=None): return self._named_binop(other, self._mod_cols, fill_value)
+    def rmod(self, other, fill_value=None): return self._named_binop(other, self._mod_cols, fill_value, reflected=True)
+    def pow(self, other, fill_value=None): return self._named_binop(other, self._pow_cols, fill_value)
+    def rpow(self, other, fill_value=None): return self._named_binop(other, self._pow_cols, fill_value, reflected=True)
+
+    def eq(self, other): return self._cmp_binop(other, operator.eq)
+    def ne(self, other): return self._cmp_binop(other, operator.ne, missing_result=True)
+    def lt(self, other): return self._cmp_binop(other, operator.lt)
+    def le(self, other): return self._cmp_binop(other, operator.le)
+    def gt(self, other): return self._cmp_binop(other, operator.gt)
+    def ge(self, other): return self._cmp_binop(other, operator.ge)
 
     def abs(self) -> "Series":
         return Series._from_internal(self._internal, F.abs(self._col), self._name)

@@ -866,3 +866,54 @@ def test_dt_accessor_extended_battery(spark):
         eq(f"round_{freq}", sdts.dt.round(freq), pdts.dt.round(freq).tolist())
     with pytest.raises(ValueError, match="freq"):
         sdts.dt.ceil("2h")
+
+
+def test_named_arithmetic_with_fill_value(spark):
+    """pandas named-op family (add/sub/mul/div/floordiv/mod/pow + r*)
+    with fill_value: one side missing fills before computing, BOTH sides
+    missing stays NaN — across aligned Series and scalars. Also pins two
+    Spark traps the probe found: floor(NaN) silently returns 0 (NaN // x
+    came back 0.0), and Spark pow propagates missing where numpy defines
+    1**missing == missing**0 == 1."""
+    nan = float("nan")
+    a = pd.Series([1.0, nan, 3.0], index=[0, 1, 2])
+    b = pd.Series([10.0, 20.0, nan], index=[1, 2, 3])
+    sa = Series([1.0, nan, 3.0], index=[0, 1, 2], spark=spark)
+    sb = Series([10.0, 20.0, nan], index=[1, 2, 3], spark=spark)
+
+    def nan_eq(x, y):
+        xn = x is None or (isinstance(x, float) and math.isnan(x))
+        yn = isinstance(y, float) and math.isnan(y)
+        if xn or yn:
+            return xn == yn
+        if isinstance(y, float) and math.isinf(y):
+            return x == y
+        return abs(x - y) <= 1e-9 * max(1, abs(y))
+
+    for m in ("add", "sub", "mul", "div", "floordiv", "mod", "pow", "radd", "rsub", "rpow"):
+        for fv in (None, 0.0, 5.0):
+            got = getattr(sa, m)(sb, fill_value=fv).to_pandas().sort_index().tolist()
+            want = getattr(a, m)(b, fill_value=fv).sort_index().tolist()
+            assert all(nan_eq(x, y) for x, y in zip(got, want)), (m, fv, got, want)
+    got = sa.add(2.0, fill_value=0.0).to_pandas().sort_index().tolist()
+    want = a.add(2.0, fill_value=0.0).sort_index().tolist()
+    assert all(nan_eq(x, y) for x, y in zip(got, want))
+
+
+def test_comparisons_missing_is_false(spark):
+    """pandas: every comparison against NaN/NULL is False except ne
+    (True). Spark orders NaN ABOVE all values (NaN >= x is TRUE) and
+    propagates nulls — the r7 probe caught s.ge() returning True on the
+    NaN row. Covers dunders, named methods, scalar and aligned forms."""
+    nan = float("nan")
+    a = pd.Series([1.0, nan, 3.0], index=[0, 1, 2])
+    b = pd.Series([10.0, 20.0, nan], index=[1, 2, 3])
+    sa = Series([1.0, nan, 3.0], index=[0, 1, 2], spark=spark)
+    sb = Series([10.0, 20.0, nan], index=[1, 2, 3], spark=spark)
+    for m in ("eq", "ne", "lt", "le", "gt", "ge"):
+        assert getattr(sa, m)(1.0).to_pandas().tolist() == getattr(a, m)(1.0).tolist(), m
+        got = getattr(sa, m)(sb).to_pandas().sort_index().tolist()
+        want = getattr(a, m)(b).sort_index().tolist()
+        assert got == want, (m, got, want)
+    assert (sa >= 1.0).to_pandas().tolist() == (a >= 1.0).tolist()
+    assert (sa != 1.0).to_pandas().tolist() == (a != 1.0).tolist()
