@@ -355,13 +355,21 @@ class Series:
         """pandas comparison semantics for missing operands: every
         comparison against NaN/NULL is False — except ``ne``, which is
         True. Spark instead orders NaN ABOVE every value (NaN >= x is
-        TRUE) and nulls propagate, so the mask decides first."""
-        return self._masked_binop(
-            other,
-            lambda l, r, lm, rm: F.when(lm | rm, F.lit(missing_result)).otherwise(
-                op(l, r)
-            ),
-        )
+        TRUE) and nulls propagate. Expressed as a CONJUNCTION of the raw
+        comparison with the not-missing terms (not a when/otherwise wrap):
+        Catalyst pushes conjuncts to the scan independently, so the mask
+        idiom s[s > x] keeps its PushedFilters (a when() wrapper killed
+        pushdown — caught by test_api_wrapper_emits_plain_plan). Three-
+        valued logic makes it exact: NULL AND FALSE = FALSE, so a missing
+        operand's NULL comparison collapses to False (or True through the
+        OR form for ne)."""
+
+        def cmp(l: Column, r: Column, lm: Column, rm: Column) -> Column:
+            if missing_result:  # ne: missing → True
+                return op(l, r) | lm | rm
+            return op(l, r) & ~lm & ~rm
+
+        return self._masked_binop(other, cmp)
 
     # -- named arithmetic (pandas s.add(other, fill_value=...) family) --------
 
@@ -507,11 +515,22 @@ class Series:
             self._name,
         )
 
-    def sort_values(self, ascending: bool = True) -> "Series":
-        # lazy: only the order SPEC changes; the sort runs at materialization
+    def sort_values(self, ascending: bool = True, na_position: str = "last") -> "Series":
+        # lazy: only the order SPEC changes; the sort runs at materialization.
+        # pandas keeps missing at the chosen END regardless of direction;
+        # Spark orders NaN as the LARGEST value, which silently puts NaN
+        # FIRST on a descending sort — so missing-ness leads the order spec.
+        if na_position not in ("last", "first"):
+            raise ValueError(f"sort_values: na_position must be 'first' or 'last', got {na_position!r}")
         sdf = self._materialized()
+        miss = self._missing_mask(F.col(_VALUE), sdf)
+        sdf = sdf.withColumn("__miss__", miss)
         internal = InternalFrame(
-            sdf, INDEX_COL, self._internal.index_name, ((_VALUE, ascending), (INDEX_COL, True))
+            sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            # ascending=True sorts False(valid) before True(missing) → "last"
+            (("__miss__", na_position == "last"), (_VALUE, ascending), (INDEX_COL, True)),
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
@@ -521,14 +540,27 @@ class Series:
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def nlargest(self, n: int = 5) -> "Series":
-        # TakeOrderedAndProject: k rows per partition move, no global sort
-        sdf = self._materialized().orderBy(F.col(_VALUE).desc(), F.col(INDEX_COL)).limit(n)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((_VALUE, False), (INDEX_COL, True)))
-        return Series._from_internal(internal, sdf[_VALUE], self._name)
+        # TakeOrderedAndProject: k rows per partition move, no global sort.
+        # pandas ranks only VALID values (Spark's NaN-is-largest would put
+        # NaN at rank 1 of nlargest); missing rows fill the tail when n
+        # exceeds the valid count, which is also what pandas does.
+        return self._n_extreme(n, largest=True)
 
     def nsmallest(self, n: int = 5) -> "Series":
-        sdf = self._materialized().orderBy(F.col(_VALUE).asc(), F.col(INDEX_COL)).limit(n)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((_VALUE, True), (INDEX_COL, True)))
+        return self._n_extreme(n, largest=False)
+
+    def _n_extreme(self, n: int, largest: bool) -> "Series":
+        mat = self._materialized()
+        miss = self._missing_mask(F.col(_VALUE), mat)
+        sdf = mat.withColumn("__miss__", miss)
+        val_order = F.col(_VALUE).desc() if largest else F.col(_VALUE).asc()
+        sdf = sdf.orderBy(F.col("__miss__").asc(), val_order, F.col(INDEX_COL)).limit(n)
+        internal = InternalFrame(
+            sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            (("__miss__", True), (_VALUE, not largest), (INDEX_COL, True)),
+        )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def _filter(self, cond: Column) -> "Series":
@@ -978,7 +1010,9 @@ class Series:
         w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, 0)
         filled = F.last(clean, ignorenulls=True).over(w)
         prev = F.lag(filled, periods).over(Window.orderBy(INDEX_COL))
-        col = (filled - prev) / prev
+        # guarded division: a zero previous value must yield pandas' ±inf/
+        # NaN, not Spark 4's ANSI DIVIDE_BY_ZERO throw (fuzz: [0.0, 0.0])
+        col = self._truediv_cols(filled - prev, prev)
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
         )
@@ -1144,8 +1178,29 @@ class Series:
     def idxmin(self):
         return self._idx_extreme(descending=False)
 
-    def sample(self, frac: float, seed: int | None = None) -> "Series":
-        sdf = self._materialized().sample(fraction=frac, seed=seed)
+    def sample(
+        self,
+        frac: float | None = None,
+        n: int | None = None,
+        seed: int | None = None,
+        random_state: int | None = None,
+    ) -> "Series":
+        """pandas-shaped sampling: ``frac`` maps to Spark's Bernoulli
+        sample (approximate row count, exact at scale); ``n`` draws an
+        EXACT count deterministically by rank of md5(index, seed) — the
+        engine's content-deterministic sampling idiom, reproducible across
+        cluster sizes, one TakeOrderedAndProject."""
+        seed = random_state if random_state is not None else seed
+        if (frac is None) == (n is None):
+            raise ValueError("sample: pass exactly one of frac= or n=")
+        if frac is not None:
+            sdf = self._materialized().sample(fraction=frac, seed=seed)
+            return Series._from_internal(
+                InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            )
+        mat = self._materialized()
+        key = F.md5(F.concat_ws("\x1f", F.col(INDEX_COL).cast("string"), F.lit(str(seed))))
+        sdf = mat.orderBy(key).limit(n)
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
         )
@@ -1163,8 +1218,9 @@ class Series:
             "median": lambda c: F.percentile(c, F.lit(0.5)),
             "nunique": F.count_distinct,
         }
+        v = self._valid_col  # pandas skipna, same as the named reductions
         row = self._internal.sdf.select(
-            *[mapping[n](self._col).alias(n) for n in names]
+            *[mapping[n](v).alias(n) for n in names]
         ).first()
         return row[0] if single else pd.Series({n: row[n] for n in names}, name=self._name)
 

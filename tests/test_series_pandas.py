@@ -917,3 +917,42 @@ def test_comparisons_missing_is_false(spark):
         assert got == want, (m, got, want)
     assert (sa >= 1.0).to_pandas().tolist() == (a >= 1.0).tolist()
     assert (sa != 1.0).to_pandas().tolist() == (a != 1.0).tolist()
+
+
+def test_sort_nlargest_sample_agg_nan_semantics(spark):
+    """r7 probe round 5: sort_values keeps missing at the chosen END in
+    BOTH directions (Spark's NaN-is-largest would lead a descending
+    sort); nlargest ranks only valid values (NaN would otherwise be rank
+    1); missing rows pad the tail when n exceeds the valid count, like
+    pandas; agg() skips NaN; sample grows the pandas n=/random_state=
+    surface with exact deterministic counts."""
+    nan = float("nan")
+    sv = Series([3.0, nan, 1.0, 2.0], spark=spark)
+    pv = pd.Series([3.0, nan, 1.0, 2.0])
+
+    def nan_list_eq(g, w):
+        assert len(g) == len(w), (g, w)
+        for x, y in zip(g, w):
+            yn = isinstance(y, float) and math.isnan(y)
+            xn = x is None or (isinstance(x, float) and math.isnan(x))
+            assert xn == yn and (yn or x == y), (g, w)
+
+    for asc in (True, False):
+        for na in ("last", "first"):
+            nan_list_eq(
+                sv.sort_values(ascending=asc, na_position=na).to_pandas().tolist(),
+                pv.sort_values(ascending=asc, na_position=na).tolist(),
+            )
+    with pytest.raises(ValueError, match="na_position"):
+        sv.sort_values(na_position="bogus")
+    nan_list_eq(sv.nlargest(3).to_pandas().tolist(), pv.nlargest(3).tolist())
+    nan_list_eq(sv.nsmallest(4).to_pandas().tolist(), pv.nsmallest(4).tolist())
+    got = sv.agg(["sum", "mean"])
+    want = pv.agg(["sum", "mean"])
+    assert abs(got["sum"] - want["sum"]) < 1e-9 and abs(got["mean"] - want["mean"]) < 1e-9
+    s100 = Series(list(range(100)), spark=spark)
+    a1 = s100.sample(n=10, random_state=42).to_pandas().tolist()
+    a2 = s100.sample(n=10, random_state=42).to_pandas().tolist()
+    assert a1 == a2 and len(a1) == 10
+    with pytest.raises(ValueError, match="exactly one"):
+        s100.sample()
