@@ -97,17 +97,36 @@ class DataFrame:
     # -- materialization ------------------------------------------------------
 
     def _materialized(self) -> SparkDataFrame:
+        # order-spec helper columns (e.g. sort_values' __miss_*__ missing
+        # flags) must SURVIVE materialization: downstream consumers
+        # (reset_index boundary sampling, positional ops) reference spec
+        # names against this projection. They are excluded again at the
+        # user-facing edges (to_pandas/to_spark/__repr__).
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n != INDEX_COL and n not in self._columns and n in self._internal.sdf.columns
+        ]
+        extras = list(dict.fromkeys(extras))
         return self._internal.sdf.select(
             self._internal.index_col.alias(INDEX_COL),
             *[expr.alias(name) for name, expr in self._columns.items()],
+            *[F.col(n) for n in extras],
         )
+
+    def _materialized_user(self) -> SparkDataFrame:
+        """Exactly INDEX + user columns — for edges and frame COMBINERS
+        (merge/concat) where an order-spec helper column leaking through
+        would either surface as a user column or break unionByName on
+        frames with different specs."""
+        return self._materialized().select(INDEX_COL, *self._columns)
 
     def to_spark(self, index_col: str | None = None) -> SparkDataFrame:
         """Escape hatch to the raw Spark DataFrame. By default the index
         travels under the internal ``__index__`` name; pass ``index_col``
         to expose it under a caller-chosen name instead (the
         pyspark.pandas ``to_spark(index_col=...)`` convention)."""
-        sdf = self._materialized()
+        sdf = self._materialized_user()
         if index_col is not None:
             sdf = sdf.withColumnRenamed(INDEX_COL, index_col)
         return sdf
@@ -119,6 +138,7 @@ class DataFrame:
         import pandas as pd
 
         pdf = self._ordered(self._materialized()).toPandas()
+        pdf = pdf[[INDEX_COL, *self._columns]]  # drop order-spec helpers
         name = self._internal.index_name
         if isinstance(name, tuple):  # struct-backed MultiIndex
             if len(pdf) == 0:
@@ -137,6 +157,7 @@ class DataFrame:
 
     def __repr__(self) -> str:
         preview = self._ordered(self._materialized()).limit(6).toPandas()
+        preview = preview[[INDEX_COL, *self._columns]]
         body = preview.iloc[:5].set_index(INDEX_COL).to_string()
         more = "\n..." if len(preview) > 5 else ""
         return f"{body}{more}\n[pontem_spark.DataFrame: {len(self._columns)} columns, lazy]"
@@ -296,8 +317,8 @@ class DataFrame:
             on = [c for c in self.columns if c in right.columns]
         keys = [on] if isinstance(on, str) else list(on)
 
-        l = self._materialized().drop(INDEX_COL)
-        r = right._materialized().drop(INDEX_COL)
+        l = self._materialized_user().drop(INDEX_COL)
+        r = right._materialized_user().drop(INDEX_COL)
         overlap = (set(l.columns) & set(r.columns)) - set(keys)
         for c in overlap:
             l = l.withColumnRenamed(c, f"{c}{suffixes[0]}")
@@ -321,8 +342,8 @@ class DataFrame:
         from pontem_spark.operators.asof import asof_join
 
         joined = asof_join(
-            self._materialized().drop(INDEX_COL),
-            right._materialized().drop(INDEX_COL),
+            self._materialized_user().drop(INDEX_COL),
+            right._materialized_user().drop(INDEX_COL),
             on=on,
             by=by,
             tolerance_seconds=tolerance_seconds,
@@ -456,11 +477,42 @@ class DataFrame:
 
     # -- ordering / cleaning ------------------------------------------------------
 
-    def sort_values(self, by: str | list[str], ascending: bool = True) -> "DataFrame":
-        by = [by] if isinstance(by, str) else by
-        sdf = self._materialized()
-        spec = tuple((c, ascending) for c in by) + ((INDEX_COL, True),)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
+    def sort_values(
+        self,
+        by: str | list[str],
+        ascending: "bool | list[bool]" = True,
+        na_position: str = "last",
+    ) -> "DataFrame":
+        """Lazy order spec; ``ascending`` may be per-column. Missing cells
+        (NULL or NaN) stay at the chosen END in both directions — Spark
+        orders NaN as the largest value, which would lead a descending
+        sort (same fix as Series.sort_values, r7)."""
+        if na_position not in ("last", "first"):
+            raise ValueError(f"sort_values: na_position must be 'first' or 'last', got {na_position!r}")
+        by = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(by) if isinstance(ascending, bool) else list(ascending)
+        if len(asc) != len(by):
+            raise ValueError("sort_values: ascending list must match by list")
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        mat = self._materialized()
+        spec = []
+        miss_cols = {}
+        for c in by:
+            if schema.get(c) in ("double", "float"):
+                miss_cols[f"__miss_{c}__"] = F.col(c).isNull() | F.isnan(F.col(c))
+            else:
+                miss_cols[f"__miss_{c}__"] = F.col(c).isNull()
+        sdf = mat
+        for name, expr in miss_cols.items():
+            sdf = sdf.withColumn(name, expr)
+        for c, a in zip(by, asc):
+            spec.append((f"__miss_{c}__", na_position == "last"))
+            spec.append((c, a))
+        spec.append((INDEX_COL, True))
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, tuple(spec))
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def head(self, n: int = 5) -> "DataFrame":
@@ -468,10 +520,45 @@ class DataFrame:
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
-    def drop_duplicates(self, subset: list[str] | None = None) -> "DataFrame":
-        sdf = self._materialized().dropDuplicates(subset or list(self._columns))
+    def drop_duplicates(self, subset: list[str] | None = None, keep: "str | bool" = "first") -> "DataFrame":
+        """pandas semantics: the SURVIVOR of each duplicate group is chosen
+        by index ('first' = lowest, 'last' = highest; False drops whole
+        groups) — Spark's own dropDuplicates keeps an ARBITRARY row
+        (whichever partition wins), which is nondeterministic across runs
+        and cluster sizes. One window shuffle on the keys either way (the
+        dup flag is materialized as a column first — Spark forbids window
+        functions directly inside WHERE)."""
+        from pyspark.sql import Window
+
+        keys = subset or list(self._columns)
+        mat = self._materialized()
+        if keep is False:
+            dup = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys])) > 1
+        elif keep in ("first", "last"):
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+                F.col(INDEX_COL).asc() if keep == "first" else F.col(INDEX_COL).desc()
+            )
+            dup = F.row_number().over(w) > 1
+        else:
+            raise ValueError(f"drop_duplicates: keep must be 'first', 'last' or False, got {keep!r}")
+        sdf = mat.withColumn("__dup__", dup).filter(~F.col("__dup__")).drop("__dup__")
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def astype(self, dtype) -> "DataFrame":
+        """Per-column casts: a single dtype for every column, or a
+        {column: dtype} mapping (pandas shape). Pure Projection — no job,
+        no shuffle; dtype resolution shares Series.astype's table."""
+        from pontem_spark.core.internal import to_spark_type
+
+        mapping = dtype if isinstance(dtype, dict) else {c: dtype for c in self._columns}
+        unknown = [c for c in mapping if c not in self._columns]
+        if unknown:
+            raise KeyError(unknown)
+        cols = dict(self._columns)
+        for c, t in mapping.items():
+            cols[c] = cols[c].cast(to_spark_type(t))
+        return DataFrame._from_internal(self._internal, cols)
 
     def dropna(self, subset: list[str] | None = None, how: str = "any") -> "DataFrame":
         """pandas-missing aware (NULL or float NaN — Spark's own dropna is
@@ -524,6 +611,280 @@ class DataFrame:
                 for k in self._columns
             },
         )
+
+    # -- elementwise / window parity (r7 frame batch) -------------------------
+
+    def isna(self) -> "DataFrame":
+        """Per-cell pandas-missing mask (NULL or float NaN) — pure
+        projection, no job."""
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        return DataFrame._from_internal(
+            self._internal,
+            {k: self._valid_col(k, schema).isNull() for k in self._columns},
+        )
+
+    def notna(self) -> "DataFrame":
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        return DataFrame._from_internal(
+            self._internal,
+            {k: self._valid_col(k, schema).isNotNull() for k in self._columns},
+        )
+
+    isnull = isna
+    notnull = notna
+
+    def abs(self) -> "DataFrame":
+        """pandas raises TypeError when any column is non-numeric; so do we
+        (silently passing strings through would hide the error until an
+        ANSI cast throw deep in a later job)."""
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"abs: non-numeric columns {bad}")
+        return DataFrame._from_internal(
+            self._internal, {k: F.abs(v) for k, v in self._columns.items()}
+        )
+
+    def round(self, decimals: "int | Mapping[str, int]" = 0) -> "DataFrame":
+        """bround (half-to-even), matching pandas/numpy — Spark's round is
+        half-up (the Series.round lesson). Non-numeric columns pass through
+        untouched like pandas; a dict restricts which columns round."""
+        numeric = set(self._numeric_cols())
+        mapping = (
+            {c: int(d) for c, d in decimals.items() if c in numeric}
+            if isinstance(decimals, Mapping)
+            else {c: int(decimals) for c in numeric}
+        )
+        cols = dict(self._columns)
+        for c, d in mapping.items():
+            cols[c] = F.bround(cols[c], d)
+        return DataFrame._from_internal(self._internal, cols)
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        """Numeric columns clipped; non-numeric pass through (pandas with
+        numeric_only behavior). Same guards as Series.clip: NaN bounds are
+        no-ops, inverted bounds swap, missing cells STAY missing (Spark's
+        greatest/least would otherwise skip the null / let NaN swallow the
+        lower bound and be swallowed by the upper one)."""
+        import math as _math
+
+        if isinstance(lower, float) and _math.isnan(lower):
+            lower = None
+        if isinstance(upper, float) and _math.isnan(upper):
+            upper = None
+        if lower is not None and upper is not None and lower > upper:
+            lower, upper = upper, lower
+        if lower is None and upper is None:
+            return self
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        cols = dict(self._columns)
+        for c in self._numeric_cols():
+            clipped = self._columns[c]
+            if lower is not None:
+                clipped = F.greatest(clipped, F.lit(lower))
+            if upper is not None:
+                clipped = F.least(clipped, F.lit(upper))
+            cols[c] = F.when(self._valid_col(c, schema).isNotNull(), clipped)
+        return DataFrame._from_internal(self._internal, cols)
+
+    def _order_window(self):
+        """Unpartitioned window over the frame's VISIBLE order (the order
+        spec — a sorted frame shifts/diffs in sorted order like pandas).
+        Driver-scale shape by construction: one global sort, the same
+        caveat as Series.shift / _positional_slice; the partitioned 100 TB
+        form is groupby(...).shift()/diff() via grouped transforms."""
+        from pyspark.sql import Window
+
+        return Window.orderBy(*self._internal.order_columns(INDEX_COL))
+
+    def shift(self, periods: int = 1) -> "DataFrame":
+        """Every column shifted along the visible order. One shared window
+        → Catalyst plans a single sort for ALL columns."""
+        w = self._order_window()
+        sdf = self._materialized()
+        mk = (
+            (lambda c: F.lag(c, periods).over(w))
+            if periods >= 0
+            else (lambda c: F.lead(c, -periods).over(w))
+        )
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, {c: mk(sdf[c]) for c in self._columns})
+
+    def diff(self, periods: int = 1) -> "DataFrame":
+        """value − shift(periods) per numeric column (pandas raises on
+        non-numeric frames; so do we). Single shared window sort."""
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"diff: non-numeric columns {bad}")
+        w = self._order_window()
+        sdf = self._materialized()
+        mk = (
+            (lambda c: F.lag(c, periods).over(w))
+            if periods >= 0
+            else (lambda c: F.lead(c, -periods).over(w))
+        )
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(
+            internal, {c: sdf[c] - mk(sdf[c]) for c in self._columns}
+        )
+
+    def pct_change(self, periods: int = 1, fill_method: str | None = "pad") -> "DataFrame":
+        """Series.pct_change semantics per numeric column (pandas 2.x 'pad'
+        default: missing cells forward-fill before differencing; None is
+        the announced future default). One shared window sort; division is
+        /0-guarded for Spark 4's ANSI mode."""
+        from pontem_spark.core.series import Series
+
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"pct_change: non-numeric columns {bad}")
+        if fill_method not in (None, "pad", "ffill"):
+            raise ValueError(f"pct_change: fill_method {fill_method!r}")
+        from pyspark.sql import Window
+
+        w_order = self._order_window()
+        w_fill = w_order.rowsBetween(Window.unboundedPreceding, 0)
+        sdf = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        cols = {}
+        for c in self._columns:
+            v = sdf[c]
+            if schema.get(c) in ("double", "float"):
+                clean = F.when(F.isnan(v), F.lit(None)).otherwise(v)
+            else:
+                clean = v
+            cur = (
+                F.last(clean, ignorenulls=True).over(w_fill)
+                if fill_method is not None
+                else v
+            )
+            prev = (
+                F.lag(cur, periods).over(w_order)
+                if periods >= 0
+                else F.lead(cur, -periods).over(w_order)
+            )
+            cols[c] = Series._truediv_cols(cur - prev, prev)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, cols)
+
+    def _cum(self, aggfn) -> "DataFrame":
+        """Cumulative agg per numeric column, pandas skipna: missing cells
+        stay missing and never enter the running state. One shared window."""
+        from pyspark.sql import Window
+
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"cumulative op: non-numeric columns {bad}")
+        w = self._order_window().rowsBetween(Window.unboundedPreceding, 0)
+        sdf = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        cols = {}
+        for c in self._columns:
+            v = sdf[c]
+            missing = v.isNull()
+            if schema.get(c) in ("double", "float"):
+                missing = missing | F.isnan(v)
+            cols[c] = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, cols)
+
+    def cumsum(self) -> "DataFrame":
+        return self._cum(F.sum)
+
+    def cummax(self) -> "DataFrame":
+        return self._cum(F.max)
+
+    def cummin(self) -> "DataFrame":
+        return self._cum(F.min)
+
+    def rank(
+        self, method: str = "average", ascending: bool = True, pct: bool = False
+    ) -> "DataFrame":
+        """pandas frame.rank(axis=0): each numeric column ranked
+        independently, na_option='keep' (missing ranks as missing, float64
+        result). Plan shape: one global window PER COLUMN (each needs its
+        own ordering) — k sequential sorts, inherently; average/min/max
+        derive from rank() + a value-partition count so no per-column
+        distinct-frame join is needed."""
+        from pyspark.sql import Window
+
+        if method not in ("average", "min", "max", "dense", "first"):
+            raise ValueError(f"rank method {method!r}")
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"rank: non-numeric columns {bad}")
+        sdf = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        cols = {}
+        for c in self._columns:
+            v = sdf[c]
+            missing = v.isNull()
+            if schema.get(c) in ("double", "float"):
+                missing = missing | F.isnan(v)
+            present = ~missing
+            # present rows sort FIRST so excluded missing rows can't
+            # inflate ranks (the Series.rank 'first' trick); among present
+            # rows the value order is exact.
+            val = F.when(present, v)
+            order = [present.desc(), val.asc() if ascending else val.desc()]
+            if method == "first":
+                r = F.row_number().over(Window.orderBy(*order, F.col(INDEX_COL).asc()))
+            elif method == "dense":
+                r = F.dense_rank().over(Window.orderBy(*order))
+                # the missing bucket sorts last, so present dense ranks
+                # are already 1..K with no offset
+            else:
+                lo = F.rank().over(Window.orderBy(*order))
+                cnt = F.count(F.when(present, F.lit(1))).over(Window.partitionBy(val))
+                if method == "min":
+                    r = lo
+                elif method == "max":
+                    r = lo + cnt - 1
+                else:  # average
+                    r = (lo.cast("double") + (lo + cnt - 1)) / 2.0
+            r = r.cast("double")
+            if pct:
+                if method == "dense":
+                    # distinct window aggregates are unsupported; K (the
+                    # distinct present-value count) via the two-direction
+                    # dense_rank identity: dr_asc + dr_desc − 1 = K on
+                    # every present row (the missing bucket sorts LAST in
+                    # both directions, so it never inflates present ranks)
+                    rev = [present.desc(), val.desc() if ascending else val.asc()]
+                    denom = (
+                        F.dense_rank().over(Window.orderBy(*order))
+                        + F.dense_rank().over(Window.orderBy(*rev))
+                        - 1
+                    )
+                else:
+                    denom = F.sum(present.cast("long")).over(Window.partitionBy())
+                r = r / denom
+            cols[c] = F.when(present, r)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, cols)
 
     def agg(self, spec: Mapping[str, str | list[str]]):
         """{'col': 'sum'} / {'col': ['sum','mean']} → pandas DataFrame of
@@ -999,6 +1360,93 @@ class DataFrame:
     def count(self):
         return self._reduce_all("count")
 
+    def median(self):
+        return self.quantile(0.5)
+
+    def quantile(self, q: float = 0.5):
+        """Exact percentile per numeric column → pandas Series, ONE
+        aggregation pass (the k percentile buffers run side by side)."""
+        import pandas as pd
+
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        cols = self._numeric_cols()
+        exprs = [
+            F.percentile(self._valid_col(c, schema), F.lit(q)).alias(c) for c in cols
+        ]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series({c: row[c] for c in cols}, dtype="float64")
+
+    def std(self, ddof: int = 1):
+        return self._spread("std", ddof)
+
+    def var(self, ddof: int = 1):
+        return self._spread("var", ddof)
+
+    def _spread(self, kind: str, ddof: int):
+        """std/var per numeric column, arbitrary ddof derived from
+        (var_samp, count) — one aggregation pass for every column."""
+        import pandas as pd
+
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        cols = self._numeric_cols()
+        exprs = []
+        for c in cols:
+            v = self._valid_col(c, schema)
+            exprs += [F.var_samp(v).alias(f"{c}__v"), F.count(v).alias(f"{c}__n")]
+        row = self._internal.sdf.select(*exprs).first()
+        out = {}
+        for c in cols:
+            v, n = row[f"{c}__v"], row[f"{c}__n"]
+            if v is None or n - ddof <= 0:
+                out[c] = float("nan")
+            else:
+                var = v * (n - 1) / (n - ddof)
+                out[c] = var**0.5 if kind == "std" else var
+        return pd.Series(out, dtype="float64")
+
+    def idxmax(self):
+        return self._idx_extreme(descending=True)
+
+    def idxmin(self):
+        return self._idx_extreme(descending=False)
+
+    def _idx_extreme(self, descending: bool):
+        """Per numeric column, the index label of the extreme value with
+        pandas' FIRST-occurrence tie-break — TWO aggregation passes total
+        for all columns (pass 1: the extreme values; pass 2: min index
+        among the rows attaining them), never a per-column sort job."""
+        import pandas as pd
+
+        mat = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in mat.schema.fields}
+        cols = self._numeric_cols()
+        agg = F.max if descending else F.min
+
+        def valid(c):
+            v = mat[c]
+            if schema.get(c) in ("double", "float"):
+                return F.when(F.isnan(v), F.lit(None)).otherwise(v)
+            return v
+
+        row = mat.select(*[agg(valid(c)).alias(c) for c in cols]).first()
+        extremes = {c: row[c] for c in cols}
+        bad = [c for c, v in extremes.items() if v is None]
+        if bad:  # pandas raises on an all-missing column
+            raise ValueError(f"attempt to get arg-extreme of all-missing columns {bad}")
+        row2 = mat.select(
+            *[
+                F.min(F.when(valid(c) == F.lit(extremes[c]), mat[INDEX_COL])).alias(c)
+                for c in cols
+            ]
+        ).first()
+        return pd.Series({c: row2[c] for c in cols})
+
     def describe(self):
         """count/mean/std/min/quartiles/max for every numeric column —
         ONE aggregation pass total (pandas layout)."""
@@ -1096,8 +1544,8 @@ def concat(frames: list[DataFrame]) -> DataFrame:
     """pandas.concat(axis=0) == unionByName over materialized frames."""
     if not frames:
         raise ValueError("concat of empty list")
-    sdf = frames[0]._materialized()
+    sdf = frames[0]._materialized_user()
     for f in frames[1:]:
-        sdf = sdf.unionByName(f._materialized())
+        sdf = sdf.unionByName(f._materialized_user())
     internal = InternalFrame(sdf, INDEX_COL, frames[0]._internal.index_name)
     return DataFrame._from_internal(internal, {c: sdf[c] for c in frames[0]._columns})

@@ -122,8 +122,20 @@ class Series:
         )
 
     def _materialized(self, value_alias: str = _VALUE) -> SparkDataFrame:
+        # order-spec helper columns (sort_values' __miss__ flag) survive
+        # materialization so downstream positional ops can reference the
+        # spec; user-facing edges never show them (they select by name)
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n not in (INDEX_COL, _VALUE, value_alias)
+            and n in self._internal.sdf.columns
+        ]
+        extras = list(dict.fromkeys(extras))
         return self._internal.sdf.select(
-            self._internal.index_col.alias(INDEX_COL), self._col.alias(value_alias)
+            self._internal.index_col.alias(INDEX_COL),
+            self._col.alias(value_alias),
+            *[F.col(n) for n in extras],
         )
 
     def _ordered(self, sdf):

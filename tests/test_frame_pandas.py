@@ -549,11 +549,13 @@ def test_reset_index_boundary_paths_at_size(spark):
 
 
 def test_reset_index_nulls_and_desc(spark):
-    """Null keys under every direction (review r5): desc places nulls LAST
-    (Spark desc_nulls_last = pandas na_position='last'), multi-column sorts
-    with nulls in a non-first key neither crash the driver-side boundary
-    sort nor mis-bucket, and repeated materializations of one lazy
-    reset_index result agree (content-hash tie-break)."""
+    """Null keys under every direction: missing goes LAST in BOTH
+    directions (pandas na_position='last' default — until r7 the asc path
+    leaked Spark's native nulls-FIRST placement, which this test had
+    codified), multi-column sorts with nulls in a non-first key neither
+    crash the driver-side boundary sort nor mis-bucket, and repeated
+    materializations of one lazy reset_index result agree (content-hash
+    tie-break)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -576,7 +578,7 @@ def test_reset_index_nulls_and_desc(spark):
 
     multi = big.sort_values(["g", "v"]).reset_index(drop=True).to_pandas()
     mo = multi.sort_index()[["g", "v"]].reset_index(drop=True)
-    want = mo.sort_values(["g", "v"], kind="stable", na_position="first").reset_index(drop=True)
+    want = mo.sort_values(["g", "v"], kind="stable", na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(mo, want)
 
     # lazy-plan stability: same row -> same index on every materialization
@@ -893,3 +895,174 @@ def test_grouped_ewm_matches_pandas(spark):
                 bn = isinstance(b, float) and math.isnan(b)
                 an = a is None or (isinstance(a, float) and math.isnan(a))
                 assert bn == an and (bn or abs(a - b) <= 1e-12), (kw, op)
+
+
+def test_frame_sort_dropdup_astype_parity(spark):
+    """r7 frame probe round: sort_values grows per-column ascending +
+    na_position (missing stays at the chosen end in BOTH directions);
+    drop_duplicates picks its survivor BY INDEX like pandas ('first' /
+    'last' / False) instead of Spark dropDuplicates' arbitrary
+    partition-race winner; astype takes a single dtype or per-column
+    mapping as a pure Projection."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({"a": [3.0, nan, 1.0, 2.0, 1.0], "b": ["x", "y", "z", "x", "z"]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for asc in (True, False):
+        for na in ("last", "first"):
+            got = f.sort_values("a", ascending=asc, na_position=na).to_pandas()["a"].tolist()
+            want = pdf.sort_values("a", ascending=asc, na_position=na)["a"].tolist()
+            assert all(
+                (isinstance(x, float) and math.isnan(x) and isinstance(y, float) and math.isnan(y))
+                or x == y
+                for x, y in zip(got, want)
+            ), (asc, na)
+    got = f.sort_values(["b", "a"], ascending=[True, False]).to_pandas()["b"].tolist()
+    want = pdf.sort_values(["b", "a"], ascending=[True, False])["b"].tolist()
+    assert got == want
+    with pytest.raises(ValueError, match="na_position"):
+        f.sort_values("a", na_position="bogus")
+
+    pdd = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [10, 11, 20, 20, 30]})
+    fd = DataFrame(pdd.to_dict("list"), spark=spark)
+    for keep in ("first", "last", False):
+        got = fd.drop_duplicates(subset=["k"], keep=keep).to_pandas().sort_index()["v"].tolist()
+        want = pdd.drop_duplicates(subset=["k"], keep=keep)["v"].tolist()
+        assert got == want, keep
+
+    assert fd.astype({"k": "float64"}).dtypes.tolist()[0] == "double"
+    assert fd.astype("str").to_pandas()["v"].tolist() == pdd.astype("str")["v"].tolist()
+    with pytest.raises(KeyError):
+        fd.astype({"zzz": "int"})
+
+
+def _assert_frame_close(got, want, msg=""):
+    import math
+
+    assert list(got.columns) == list(want.columns), (msg, got.columns, want.columns)
+    assert len(got) == len(want), (msg, len(got), len(want))
+    for c in want.columns:
+        for g, w in zip(got[c].tolist(), want[c].tolist()):
+            gn = g is None or (isinstance(g, float) and math.isnan(g))
+            wn = w is None or (isinstance(w, float) and math.isnan(w))
+            assert gn == wn, (msg, c, g, w)
+            if not wn:
+                if isinstance(w, float):
+                    assert g == w or abs(g - w) <= 1e-9, (msg, c, g, w)
+                else:
+                    assert g == w, (msg, c, g, w)
+
+
+def test_frame_elementwise_parity(spark):
+    """r7 batch: isna/notna (NULL or NaN both missing), abs/round
+    (half-to-even like numpy), clip (NaN bounds no-op, missing stays
+    missing) — all pure projections against pandas."""
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {"a": [1.5, -2.5, nan, 0.5], "b": [-3.0, 4.0, 5.0, nan], "s": ["x", None, "y", "z"]}
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+
+    _assert_frame_close(f.isna().to_pandas(), pdf.isna(), "isna")
+    _assert_frame_close(f.notna().to_pandas(), pdf.notna(), "notna")
+
+    num = pdf[["a", "b"]]
+    fn = DataFrame(num.to_dict("list"), spark=spark)
+    _assert_frame_close(fn.abs().to_pandas(), num.abs(), "abs")
+    with pytest.raises(TypeError):
+        f.abs()
+
+    _assert_frame_close(f.round().to_pandas(), pdf.round(), "round half-even")
+    _assert_frame_close(f.round({"a": 0}).to_pandas(), pdf.round({"a": 0}), "round dict")
+
+    _assert_frame_close(f.clip(-1, 2).to_pandas()[["a", "b"]], num.clip(-1, 2), "clip")
+    _assert_frame_close(f.clip(lower=nan, upper=2).to_pandas()[["a", "b"]], num.clip(upper=2), "clip nan bound")
+    _assert_frame_close(f.clip(2, -1).to_pandas()[["a", "b"]], num.clip(-1, 2), "clip inverted")
+
+
+def test_frame_window_parity(spark):
+    """r7 batch: shift/diff/pct_change/cumsum/cummax/cummin over the visible
+    order, incl. after sort_values (pandas shifts in DISPLAYED order)."""
+    nan = float("nan")
+    pdf = pd.DataFrame({"a": [3.0, nan, 1.0, 4.0, 1.0], "b": [1.0, 2.0, nan, 0.0, 5.0]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+
+    for p in (1, 2, -1):
+        _assert_frame_close(f.shift(p).to_pandas(), pdf.shift(p), f"shift {p}")
+        _assert_frame_close(f.diff(p).to_pandas(), pdf.diff(p), f"diff {p}")
+    _assert_frame_close(f.pct_change().to_pandas(), pdf.pct_change(), "pct_change pad")
+    _assert_frame_close(
+        f.pct_change(fill_method=None).to_pandas(),
+        pdf.pct_change(fill_method=None),
+        "pct_change none",
+    )
+    _assert_frame_close(f.cumsum().to_pandas(), pdf.cumsum(), "cumsum")
+    _assert_frame_close(f.cummax().to_pandas(), pdf.cummax(), "cummax")
+    _assert_frame_close(f.cummin().to_pandas(), pdf.cummin(), "cummin")
+
+    # visible order: shift after sort_values follows the SORTED order
+    fs = f.sort_values("b")
+    ps = pdf.sort_values("b", na_position="last")
+    _assert_frame_close(fs.shift().to_pandas(), ps.shift(), "shift sorted")
+
+    with pytest.raises(TypeError):
+        DataFrame({"s": ["x", "y"]}, spark=spark).diff()
+
+
+def test_frame_rank_parity(spark):
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {"a": [3.0, 1.0, 1.0, nan, 2.0, 3.0], "b": [10.0, 10.0, 5.0, 7.0, nan, 7.0]}
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for method in ("average", "min", "max", "dense", "first"):
+        for asc in (True, False):
+            for pct in (False, True):
+                got = f.rank(method=method, ascending=asc, pct=pct).to_pandas()
+                want = pdf.rank(method=method, ascending=asc, pct=pct)
+                _assert_frame_close(got, want, f"rank {method} asc={asc} pct={pct}")
+    with pytest.raises(ValueError):
+        f.rank(method="bogus")
+
+
+def test_frame_reduction_parity(spark):
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {"a": [3.0, 1.0, nan, 2.0, 2.0], "b": [1.0, 5.0, 4.0, nan, 0.0], "s": list("vwxyz")}
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    num = pdf[["a", "b"]]
+
+    for q in (0.25, 0.5, 0.9):
+        got, want = f.quantile(q), num.quantile(q)
+        assert all(abs(got[c] - want[c]) <= 1e-9 for c in ("a", "b")), q
+    assert all(abs(f.median()[c] - num.median()[c]) <= 1e-9 for c in ("a", "b"))
+    for ddof in (0, 1, 2):
+        gs, ws = f.std(ddof=ddof), num.std(ddof=ddof)
+        gv, wv = f.var(ddof=ddof), num.var(ddof=ddof)
+        assert all(abs(gs[c] - ws[c]) <= 1e-9 for c in ("a", "b")), ddof
+        assert all(abs(gv[c] - wv[c]) <= 1e-9 for c in ("a", "b")), ddof
+
+    assert f.idxmax().to_dict() == num.idxmax().to_dict()
+    assert f.idxmin().to_dict() == num.idxmin().to_dict()
+    with pytest.raises(ValueError):
+        DataFrame({"a": [nan, nan]}, spark=spark).idxmax()
+
+
+def test_concat_and_merge_after_sort(spark):
+    """Combiners must not leak sort helper columns (__miss_*__): concat of
+    a sorted and an unsorted frame unions cleanly; merge of sorted frames
+    exposes only user columns."""
+    pdf1 = pd.DataFrame({"k": [1, 2, 3], "v": [10.0, 30.0, 20.0]})
+    pdf2 = pd.DataFrame({"k": [4, 5], "v": [50.0, 40.0]})
+    f1 = DataFrame(pdf1.to_dict("list"), spark=spark).sort_values("v")
+    f2 = DataFrame(pdf2.to_dict("list"), spark=spark)
+    out = concat([f1, f2]).to_pandas()
+    assert sorted(out.columns) == ["k", "v"]
+    assert sorted(out["k"].tolist()) == [1, 2, 3, 4, 5]
+
+    m = f1.merge(f2.sort_values("k"), on="k", how="outer").to_pandas()
+    assert sorted(m.columns) == ["k", "v_x", "v_y"]
+    assert len(m) == 5
+    assert f1.dtypes.index.tolist() == ["k", "v"]
