@@ -16,8 +16,8 @@ built), re-architected:
 """
 
 from pontem_spark.core.series import Series
-from pontem_spark.core.frame import DataFrame, concat
+from pontem_spark.core.frame import DataFrame, concat, get_dummies
 from pontem_spark.core.io import from_spark, read_parquet
 from pontem_spark.core.sql import sql
 
-__all__ = ["Series", "DataFrame", "concat", "from_spark", "read_parquet", "sql"]
+__all__ = ["Series", "DataFrame", "concat", "get_dummies", "from_spark", "read_parquet", "sql"]

@@ -1549,3 +1549,54 @@ def concat(frames: list[DataFrame]) -> DataFrame:
         sdf = sdf.unionByName(f._materialized_user())
     internal = InternalFrame(sdf, INDEX_COL, frames[0]._internal.index_name)
     return DataFrame._from_internal(internal, {c: sdf[c] for c in frames[0]._columns})
+
+
+def get_dummies(
+    df: DataFrame,
+    columns: "list[str] | str",
+    prefix_sep: str = "_",
+    dtype: str = "int",
+    max_categories: int = 256,
+) -> DataFrame:
+    """pandas.get_dummies over the named columns: one indicator column per
+    distinct value, named ``{col}{prefix_sep}{value}`` in sorted value
+    order (pandas' layout); the source columns are replaced, other columns
+    pass through. A missing cell gets 0 in every indicator
+    (dummy_na=False).
+
+    Scale shape: the distinct sets are DRIVER-side by necessity (they
+    become the schema — a schema cannot be lazy), so one loudly-guarded
+    distinct aggregate per column caps the collect at ``max_categories``;
+    the indicators themselves are a pure map-side projection. One-hot at
+    100 TB cardinality belongs in an array/embedding column, not 10^6
+    schema fields — the guard message says so."""
+    columns = [columns] if isinstance(columns, str) else list(columns)
+    unknown = [c for c in columns if c not in df._columns]
+    if unknown:
+        raise KeyError(unknown)
+    cols: dict[str, Column] = {}
+    mat = df._materialized()
+    for name in df._columns:
+        if name not in columns:
+            cols[name] = df._columns[name]
+            continue
+        distinct = (
+            mat.select(F.col(name).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .distinct()
+            .limit(max_categories + 1)
+            .collect()
+        )
+        if len(distinct) > max_categories:
+            raise ValueError(
+                f"get_dummies: {name!r} has more than {max_categories} distinct "
+                "values — one-hot would explode the schema; encode as an array "
+                "or embedding column instead (or raise max_categories)"
+            )
+        for val in sorted(r["__v"] for r in distinct):
+            # a NULL cell must read 0 in every indicator (pandas
+            # dummy_na=False), not NULL — coalesce the tri-state equality
+            cols[f"{name}{prefix_sep}{val}"] = F.coalesce(
+                df._columns[name] == F.lit(val), F.lit(False)
+            ).cast(dtype)
+    return DataFrame._from_internal(df._internal, cols)

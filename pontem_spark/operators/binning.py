@@ -154,3 +154,67 @@ def grouped_quantile_bins_oracle_sql(
     cte = f"bnds AS (SELECT {group_col}, [{items}] AS b FROM {table} GROUP BY {group_col})"
     bucket = f"CAST(len(list_filter(bnds.b, x -> CAST({col} AS DOUBLE) > x)) AS INTEGER)"
     return cte, bucket
+
+def equal_width_bins(
+    df: DataFrame,
+    col: str,
+    bins: "int | list[float]" = 10,
+    bucket_name: str = "bucket",
+    round_digits: int = 6,
+) -> DataFrame:
+    """pandas ``cut(labels=False, right=True)``: equal-width bucket ids in
+    ``[0, bins)`` for ``col``, or explicit ascending edges.
+
+    Same scale shape as :func:`quantile_bins`: for integer ``bins`` ONE
+    min/max aggregate broadcast as a single row, then a map-side fold —
+    bucket = count of INTERNAL edges strictly below the value (right-
+    inclusive, values equal to an edge fall in the LOWER bin, pandas'
+    right=True). Explicit edges skip the aggregate entirely (pure
+    projection) and out-of-range values get a NULL bucket like pandas'
+    NaN. Edges are rounded so two engines bucket from identical doubles."""
+    s = 10.0 ** round_digits
+    v = F.col(col).cast("double")
+    missing = v.isNull() | F.isnan(v)
+    if isinstance(bins, int):
+        if bins < 1:
+            raise ValueError(f"equal_width_bins: bins must be >= 1, got {bins}")
+        if bins == 1:  # sequence(1, 0) would DESCEND in Spark, not be empty
+            return df.withColumn(bucket_name, F.when(~missing, F.lit(0)))
+        edges = df.agg(
+            F.expr(
+                f"transform(sequence(1, {bins - 1}), "
+                f"i -> floor((min(CAST({col} AS DOUBLE)) + i * "
+                f"(max(CAST({col} AS DOUBLE)) - min(CAST({col} AS DOUBLE))) / {bins}) "
+                f"* {s!r} + 0.5) / {s!r})"
+            ).alias("__edges")
+        )
+        bucket = F.expr(f"size(filter(__edges, e -> CAST({col} AS DOUBLE) > e))")
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .withColumn(bucket_name, F.when(~missing, bucket))
+            .drop("__edges")
+        )
+    edges = sorted(float(b) for b in bins)
+    if len(edges) < 2:
+        raise ValueError("equal_width_bins: explicit edges need >= 2 values")
+    inner = ", ".join(repr(e) for e in edges[1:-1])
+    in_range = (v > F.lit(edges[0])) & (v <= F.lit(edges[-1]))
+    bucket = F.expr(f"size(filter(array({inner}), e -> CAST({col} AS DOUBLE) > e))") if inner else F.lit(0)
+    return df.withColumn(bucket_name, F.when(~missing & in_range, bucket))
+
+
+def equal_width_bins_oracle_sql(
+    table: str, col: str, bins: int = 10, round_digits: int = 6
+) -> "tuple[str, str]":
+    """DuckDB twin of integer-``bins`` :func:`equal_width_bins` (CTE +
+    bucket expression; caller cross-joins the one-row CTE)."""
+    s = 10.0 ** round_digits
+    items = ", ".join(
+        f"FLOOR((MIN(CAST({col} AS DOUBLE)) + {i} * "
+        f"(MAX(CAST({col} AS DOUBLE)) - MIN(CAST({col} AS DOUBLE))) / {bins}) "
+        f"* {s!r} + 0.5) / {s!r}"
+        for i in range(1, bins)
+    )
+    cte = f"edges AS (SELECT [{items}] AS e FROM {table})"
+    bucket = f"CAST(len(list_filter(edges.e, x -> CAST({col} AS DOUBLE) > x)) AS INTEGER)"
+    return cte, bucket

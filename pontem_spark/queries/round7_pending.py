@@ -179,6 +179,57 @@ def _pagerank_dangling_oracle(damping: float = 0.85, iterations: int = 3) -> str
     """
 
 
+def _cut_oracle() -> str:
+    from pontem_spark.operators.binning import equal_width_bins_oracle_sql
+
+    cte, bucket = equal_width_bins_oracle_sql("orders", "o_totalprice", bins=8)
+    return f"WITH {cte} SELECT o_orderkey, {bucket} AS bucket FROM orders, edges"
+
+
+@_pending("q_api_cut", _cut_oracle())
+def q_api_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas.cut(bins=8, labels=False, right=True) over order totals —
+    ONE min/max aggregate broadcast as a single row of edges, then a pure
+    map-side fold counting internal edges below the value (no window, no
+    shuffle of the fact rows). Edges rounded to 1e-6 so both engines
+    bucket from identical doubles (operators/binning.py::equal_width_bins)."""
+    from pontem_spark.operators.binning import equal_width_bins
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return equal_width_bins(orders, "o_totalprice", bins=8).select(
+        "o_orderkey", F.col("bucket").cast("int").alias("bucket")
+    )
+
+
+@_pending(
+    "q_api_get_dummies",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderstatus = 'F' AS INTEGER) AS status_F,
+           CAST(o_orderstatus = 'O' AS INTEGER) AS status_O,
+           CAST(o_orderstatus = 'P' AS INTEGER) AS status_P
+    FROM orders
+    """,
+)
+def q_api_get_dummies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas.get_dummies over o_orderstatus: one loudly-guarded distinct
+    collect (the indicators BECOME the schema, which cannot be lazy), then
+    a pure map-side projection — no shuffle at any scale
+    (core/frame.py::get_dummies)."""
+    from pontem_spark.core import from_spark, get_dummies
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    f = from_spark(orders, index_col="o_orderkey")
+    f = f.rename(columns={"o_orderstatus": "status"})
+    out = get_dummies(f, "status").to_spark()
+    return out.select(
+        F.col(out.columns[0]).alias("o_orderkey"),
+        F.col("status_F").cast("int").alias("status_F"),
+        F.col("status_O").cast("int").alias("status_O"),
+        F.col("status_P").cast("int").alias("status_P"),
+    )
+
+
 @_pending("q_graph_pagerank_dangling", _pagerank_dangling_oracle())
 def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the genuinely DIRECTED supplier→part graph: every

@@ -1066,3 +1066,97 @@ def test_concat_and_merge_after_sort(spark):
     assert sorted(m.columns) == ["k", "v_x", "v_y"]
     assert len(m) == 5
     assert f1.dtypes.index.tolist() == ["k", "v"]
+
+
+def test_cut_equal_width_parity(spark):
+    """equal_width_bins == pandas.cut(labels=False, right=True) for integer
+    bins (edges from min/max) and explicit edges (out-of-range → missing)."""
+    import numpy as np
+
+    from pontem_spark.operators.binning import equal_width_bins
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.uniform(-50, 150, 400), 3).tolist() + [float("nan"), -50.0, 150.0]
+    pdf = pd.DataFrame({"v": vals})
+    sdf = spark.createDataFrame(pdf)
+
+    for bins in (1, 4, 10):
+        got = (
+            equal_width_bins(sdf, "v", bins=bins)
+            .toPandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        want = pdf.sort_values("v").reset_index(drop=True)
+        want["bucket"] = pd.cut(want["v"], bins=bins, labels=False, right=True)
+        got_b = got["bucket"].astype("float64")
+        want_b = want["bucket"].astype("float64")
+        assert got_b.fillna(-1).tolist() == want_b.fillna(-1).tolist(), bins
+
+    edges = [0.0, 25.0, 50.0, 100.0]
+    got = (
+        equal_width_bins(sdf, "v", bins=edges)
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values("v").reset_index(drop=True)
+    want["bucket"] = pd.cut(want["v"], bins=edges, labels=False, right=True)
+    assert (
+        got["bucket"].astype("float64").fillna(-1).tolist()
+        == want["bucket"].astype("float64").fillna(-1).tolist()
+    )
+
+    with pytest.raises(ValueError):
+        equal_width_bins(sdf, "v", bins=0)
+    with pytest.raises(ValueError):
+        equal_width_bins(sdf, "v", bins=[1.0])
+
+
+def test_cut_oracle_twin(spark, duck):
+    """Spark equal_width_bins hash-matches its DuckDB oracle twin at the
+    smoke SF (the pending-query discipline: oracle proven before any
+    registration)."""
+    from pontem_spark.operators.binning import equal_width_bins, equal_width_bins_oracle_sql
+    from pontem_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    got = (
+        equal_width_bins(orders.select("o_orderkey", "o_totalprice"), "o_totalprice", bins=8)
+        .select("o_orderkey", "bucket")
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    cte, bucket = equal_width_bins_oracle_sql("orders", "o_totalprice", bins=8)
+    want = duck.execute(
+        f"WITH {cte} SELECT o_orderkey, {bucket} AS bucket FROM orders, edges ORDER BY o_orderkey"
+    ).fetchdf()
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+
+
+def test_get_dummies_parity(spark):
+    from pontem_spark.core import get_dummies
+
+    pdf = pd.DataFrame(
+        {"k": [1, 2, 3, 4], "cat": ["b", "a", None, "b"], "oth": ["x", "y", "x", "z"]}
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    got = get_dummies(f, "cat").to_pandas()
+    want = pd.get_dummies(pdf, columns=["cat"], prefix_sep="_", dtype="int64")
+    # pandas appends dummy columns at the end; ours replace in place — compare by name
+    assert sorted(got.columns) == sorted(want.columns)
+    for c in want.columns:
+        assert got[c].tolist() == want[c].tolist(), c
+
+    both = get_dummies(f, ["cat", "oth"]).to_pandas()
+    wboth = pd.get_dummies(pdf, columns=["cat", "oth"], prefix_sep="_", dtype="int64")
+    assert sorted(both.columns) == sorted(wboth.columns)
+    for c in wboth.columns:
+        assert both[c].tolist() == wboth[c].tolist(), c
+
+    with pytest.raises(KeyError):
+        get_dummies(f, "zzz")
+    with pytest.raises(ValueError, match="distinct"):
+        get_dummies(f, "k", max_categories=2)
