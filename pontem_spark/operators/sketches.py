@@ -195,3 +195,80 @@ def histogram_quantiles_sql(
         )
     items.append(f"CAST({n_expr} AS BIGINT) AS n")
     return items
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable FREQUENCY sketch (heavy hitters).
+#
+# Exact per-key counts need a groupBy over every key — unbounded state when
+# keys are high-cardinality (URLs, n-grams, user ids). A count-min sketch
+# keeps a fixed depth x width counter grid: add is k hash increments, merge
+# is element-wise addition (a monoid, like the histogram state above), and
+# estimate(key) = min over the k rows — an OVERESTIMATE, never under:
+# est >= true always, est <= true + eps*N with probability 1-delta
+# (eps = e/width, delta = e^-depth). State is depth*width rows regardless
+# of data size; merges shuffle the grid, never raw keys.
+
+
+def cms_state(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Build the (seed, bucket, cnt) counter grid of ``col``'s values.
+    One explode(depth) + one hash aggregation; map-side partial counting
+    bounds the shuffle at ~depth*width rows per partition."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.seed").alias("seed"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise addition of two counter grids — associative and
+    commutative, so a merge tree over daily states equals a direct build
+    over the union (asserted bit-identical in tests)."""
+    return (
+        a.unionByName(b).groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    state: DataFrame, keys: DataFrame, col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """Estimated count for each distinct value in ``keys[col]``: join the
+    k (seed, bucket) coordinates against the grid, take the min. The grid
+    is depth*width rows — always broadcast; missing cells count 0."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seed"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = (
+        keys.select(col).distinct().select(col, F.explode(pairs).alias("p"))
+    )
+    joined = probes.join(
+        F.broadcast(state),
+        on=(probes["p.seed"] == state["seed"])
+        & (probes["p.bucket"] == state["bucket"]),
+        how="left",
+    )
+    return joined.groupBy(col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cnt_est")
+    )

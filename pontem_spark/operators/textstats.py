@@ -90,3 +90,69 @@ def ngram_counts(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= min_count)
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pointwise mutual information of adjacent word pairs — the
+    collocation detector ("New York" vs incidental adjacency):
+    pmi = ln( (c_ab / N_bigrams) / ((c_a / N_tokens) * (c_b / N_tokens)) ).
+
+    Three integer count tables (bigrams, unigrams, two 1-row totals), all
+    partial-agg combinable; the unigram table joins in twice. ``min_count``
+    prunes rare bigrams inside the aggregation, which both bounds the
+    result and keeps PMI's low-count noise out. The unigram join keys are
+    vocabulary-sized (Zipf: millions, not billions) — at 100 TB these are
+    two ordinary hash joins on words, never a document-body shuffle; the
+    totals ride along as broadcast 1-row aggregates.
+    """
+    toks = ensure_parallelism(df).select(T.tokens(text_col).alias("__toks"))
+    unigrams = (
+        toks.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bigrams = (
+        toks.select(F.explode_outer(T.shingles("__toks", 2)).alias("ab"))
+        .filter(F.col("ab").isNotNull())
+        .groupBy("ab")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_tokens = unigrams.agg(F.sum("c_w").alias("__nt"))
+    n_bigrams = (
+        toks.select(
+            F.greatest(F.size("__toks") - 1, F.lit(0)).alias("__nb_doc")
+        ).agg(F.sum("__nb_doc").alias("__nb"))
+    )
+    ua = unigrams.select(F.col("w").alias("__wa"), F.col("c_w").alias("c_a"))
+    ub = unigrams.select(F.col("w").alias("__wb"), F.col("c_w").alias("c_b"))
+    split = F.split(F.col("ab"), " ", 2)
+    return (
+        bigrams.withColumn("__wa", split.getItem(0))
+        .withColumn("__wb", split.getItem(1))
+        .join(ua, "__wa")
+        .join(ub, "__wb")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(
+            "ab",
+            "c_ab",
+            "c_a",
+            "c_b",
+            rnd(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("__nb"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("__nt"))
+                        * (F.col("c_b").cast("double") / F.col("__nt"))
+                    )
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
+    )

@@ -230,6 +230,114 @@ def q_api_get_dummies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_pending(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: build a 2^17-bit filter from the BUILDING
+    customers (explode + bit_or aggregation, bounded broadcast literal),
+    drop non-matching orders MAP-SIDE before any exchange, then an exact
+    semi-join removes the false positives — so the oracle is the plain
+    semi-join itself: the pre-filter is proven lossless
+    (operators/bloom.py::bloom_semi_join)."""
+    from pontem_spark.operators.bloom import bloom_semi_join
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_semi_join(orders, cust, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@_pending(
+    "q_sketch_cms_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt_exact,
+           TRUE AS over_ok,
+           TRUE AS bound_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates with derived deterministic
+    outputs (the q_sketch_hll_users pattern): the estimate itself is
+    xxhash64-bucketed and so engine-specific, but the CMS guarantees —
+    est >= exact always, est <= exact + eps*N (eps = e/width) — are
+    computed IN-PLAN as booleans the oracle can hash-match. The state is
+    built in two halves and merged, so the green row also certifies merge
+    associativity (operators/sketches.py::cms_state/cms_merge/cms_estimate)."""
+    from pontem_spark.operators.sketches import cms_estimate, cms_merge, cms_state
+
+    ev = load_table(spark, sf_dir, "events")
+    a = cms_state(ev.filter(F.col("event_id") % 2 == 0), "event_type")
+    b = cms_state(ev.filter(F.col("event_id") % 2 == 1), "event_type")
+    state = cms_merge(a, b)
+    est = cms_estimate(state, ev, "event_type")
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt_exact"))
+    n_total = ev.agg(F.count(F.lit(1)).alias("__n"))
+    eps = 2.718281828459045 / 1024
+    return (
+        exact.join(est, "event_type")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "event_type",
+            "cnt_exact",
+            (F.col("cnt_est") >= F.col("cnt_exact")).alias("over_ok"),
+            (
+                F.col("cnt_est")
+                <= F.col("cnt_exact") + F.floor(F.lit(eps) * F.col("__n"))
+            ).alias("bound_ok"),
+        )
+    )
+
+
+@_pending(
+    "q_text_bigram_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS ts FROM documents
+    ), uni AS (
+        SELECT unnest(ts) AS w FROM t
+    ), cw AS (
+        SELECT w, COUNT(*) AS c_w FROM uni GROUP BY w
+    ), big AS (
+        SELECT unnest(CASE WHEN len(ts) >= 2
+                           THEN list_transform(generate_series(1, len(ts) - 1),
+                                               i -> ts[i] || ' ' || ts[i+1])
+                           ELSE [] END) AS ab
+        FROM t
+    ), cab AS (
+        SELECT ab, COUNT(*) AS c_ab FROM big GROUP BY ab HAVING COUNT(*) >= 5
+    ), nt AS (SELECT SUM(c_w) AS n FROM cw),
+    nb AS (SELECT COUNT(*) AS n FROM big)
+    SELECT cab.ab, cab.c_ab, a.c_w AS c_a, b.c_w AS c_b,
+           ROUND(ln((CAST(cab.c_ab AS DOUBLE) / nb.n) /
+                    ((CAST(a.c_w AS DOUBLE) / nt.n) * (CAST(b.c_w AS DOUBLE) / nt.n))), 4) AS pmi
+    FROM cab
+    JOIN cw a ON a.w = string_split(cab.ab, ' ')[1]
+    JOIN cw b ON b.w = string_split(cab.ab, ' ')[2]
+    CROSS JOIN nt CROSS JOIN nb
+    """,
+)
+def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection: pointwise mutual information of adjacent
+    word pairs, three integer count tables + two broadcast 1-row totals
+    (operators/textstats.py::bigram_pmi). The oracle replays the identical
+    count tables and float expression order; PMI rounds at 4 digits like
+    the long-green tfidf query."""
+    from pontem_spark.operators.textstats import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_pmi(docs, "text", min_count=5, round_digits=4)
+
+
 @_pending("q_graph_pagerank_dangling", _pagerank_dangling_oracle())
 def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the genuinely DIRECTED supplier→part graph: every

@@ -1309,3 +1309,97 @@ def test_categorical_association_constant_column_nmi_null(spark):
     r = categorical_association(df, "c", "d").collect()[0]
     assert r.nmi is None  # 0/0 is a defined NULL, not NaN
     assert r.mi_nats == 0.0
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    """The Bloom pre-filter composed with the verify join is bit-identical
+    to the plain semi-join (no false negatives, positives removed), and
+    the pre-filter alone never drops a true match."""
+    from pontem_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_semi_join,
+    )
+    from pontem_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    got = sorted(
+        bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    want = sorted(
+        orders.join(
+            cust.select("c_custkey"),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .toPandas()["o_orderkey"]
+    )
+    assert got == want and len(got) > 0
+
+    # no false negatives from the pre-filter alone (tiny filter → many
+    # false positives, still a superset of the true matches)
+    words = bloom_build(cust, "c_custkey", num_bits=4096)
+    pre = set(
+        orders.filter(bloom_might_contain(words, F.col("o_custkey")))
+        .select("o_custkey")
+        .toPandas()["o_custkey"]
+    )
+    true_keys = set(cust.select("c_custkey").toPandas()["c_custkey"]) & set(
+        orders.select("o_custkey").toPandas()["o_custkey"]
+    )
+    assert true_keys <= pre
+
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(cust, "c_custkey", num_bits=100)
+    with pytest.raises(ValueError, match="cap"):
+        bloom_build(cust, "c_custkey", num_bits=1 << 30)
+
+
+def test_cms_merge_invariance_and_overestimate(spark):
+    """A merge tree of count-min states equals the direct build
+    bit-for-bit, and estimates never undercount (the CMS guarantee)."""
+    from pontem_spark.operators.sketches import cms_estimate, cms_merge, cms_state
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(500)], "id long, k string"
+    )
+    direct = cms_state(df, "k", width=64, depth=3)
+    halves = cms_merge(
+        cms_state(df.filter(F.col("id") % 2 == 0), "k", width=64, depth=3),
+        cms_state(df.filter(F.col("id") % 2 == 1), "k", width=64, depth=3),
+    )
+    d = sorted(map(tuple, direct.collect()))
+    m = sorted(map(tuple, halves.collect()))
+    assert d == m
+
+    est = cms_estimate(direct, df, "k", width=64, depth=3).toPandas()
+    exact = df.groupBy("k").count().toPandas()
+    joined = est.merge(exact, on="k")
+    assert (joined["cnt_est"] >= joined["count"]).all()
+    # width 64 >> 7 keys: the narrow grid still bounds total overcount
+    assert (joined["cnt_est"] - joined["count"]).sum() <= 500
+
+
+def test_bigram_pmi_counts_consistent(spark):
+    """PMI columns agree with independent count queries and the ln()
+    arithmetic on a corpus small enough to check by hand."""
+    import math
+
+    from pontem_spark.operators.textstats import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [("a b a b",), ("a b c",), ("c c a b",)], "text string"
+    )
+    out = {r["ab"]: r for r in bigram_pmi(docs, "text", min_count=1).collect()}
+    # corpus: tokens = 11, bigrams = 8; "a b" appears 4x; c_a=4, c_b=4
+    r = out["a b"]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (4, 4, 4)
+    want = math.log((4 / 8) / ((4 / 11) * (4 / 11)))
+    assert abs(r["pmi"] - round(want, 4)) < 1e-9
