@@ -234,3 +234,52 @@ def embedding_dimension_profile(
         rnd(F.col("__lo"), round_digits).alias("lo"),
         rnd(F.col("__hi"), round_digits).alias("hi"),
     )
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    x: str,
+    y: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key OLS line fit (slope / intercept / r²) — the drift-trend
+    companion to :func:`psi_drift`: "is this segment's metric moving, and
+    how fast?".
+
+    ONE sufficient-statistics aggregation (n, Σx, Σy, Σxy, Σx², Σy² — all
+    map-side combinable) then closed-form algebra on the six numbers; no
+    window, no second pass, shuffle = |keys| rows. The engine-native
+    regr_slope/regr_r2 aggregates are avoided deliberately: their internal
+    accumulation orders differ across engines, while the explicit-sums
+    form is the portable one (the stddev lesson). Degenerate groups
+    (constant x, or constant y for r²) yield NULL, not a division error.
+    """
+    xv = F.col(x).cast("double")
+    yv = F.col(y).cast("double")
+    agged = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(xv).alias("__sx"),
+        F.sum(yv).alias("__sy"),
+        F.sum(xv * yv).alias("__sxy"),
+        F.sum(xv * xv).alias("__sxx"),
+        F.sum(yv * yv).alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return agged.select(
+        *keys,
+        F.col("__n").cast("long").alias("n"),
+        rnd(F.when(var_x != 0, slope), round_digits).alias("slope"),
+        rnd(F.when(var_x != 0, (sy - slope * sx) / n), round_digits).alias(
+            "intercept"
+        ),
+        rnd(
+            F.when(var_x * var_y != 0, (cov_n * cov_n) / (var_x * var_y)),
+            round_digits,
+        ).alias("r2"),
+    )

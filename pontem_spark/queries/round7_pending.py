@@ -338,6 +338,55 @@ def q_text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(docs, "text", min_count=5, round_digits=4)
 
 
+@_pending(
+    "q_profile_trend_fit",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    ), s AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(CAST(day AS DOUBLE)) AS sx,
+               SUM(CAST(n_orders AS DOUBLE)) AS sy,
+               SUM(CAST(day AS DOUBLE) * CAST(n_orders AS DOUBLE)) AS sxy,
+               SUM(CAST(day AS DOUBLE) * CAST(day AS DOUBLE)) AS sxx,
+               SUM(CAST(n_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)) AS syy
+        FROM daily GROUP BY 1
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n * sxx - sx * sx <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+           ROUND(CASE WHEN n * sxx - sx * sx <> 0
+                      THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
+           ROUND(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0
+                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+    FROM s
+    """,
+)
+def q_profile_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of daily order volume — ONE
+    sufficient-statistics aggregation then closed-form algebra
+    (operators/profile.py::grouped_linear_trend). Day index and daily
+    count are integers, so every sum is exactly representable and the
+    mirrored float expression order makes both engines bit-agree before
+    rounding."""
+    from pontem_spark.operators.profile import grouped_linear_trend
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return grouped_linear_trend(daily, ["o_orderpriority"], "day", "n_orders")
+
+
 @_pending("q_graph_pagerank_dangling", _pagerank_dangling_oracle())
 def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the genuinely DIRECTED supplier→part graph: every

@@ -1403,3 +1403,22 @@ def test_bigram_pmi_counts_consistent(spark):
     assert (r["c_ab"], r["c_a"], r["c_b"]) == (4, 4, 4)
     want = math.log((4 / 8) / ((4 / 11) * (4 / 11)))
     assert abs(r["pmi"] - round(want, 4)) < 1e-9
+
+
+def test_grouped_linear_trend_matches_numpy(spark):
+    import numpy as np
+
+    from pontem_spark.operators.profile import grouped_linear_trend
+
+    xs = np.arange(50)
+    ys = 2.0 * xs + 1 + (xs % 3)
+    rows = [("a", float(x), float(y)) for x, y in zip(xs, ys)]
+    rows += [("c", 1.0, 3.0), ("c", 1.0, 4.0)]  # constant x → NULL fit
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r["k"]: r for r in grouped_linear_trend(df, ["k"], "x", "y").collect()}
+    s, i = np.polyfit(xs, ys, 1)
+    r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+    assert out["a"]["slope"] == round(float(s), 6)
+    assert out["a"]["intercept"] == round(float(i), 6)
+    assert out["a"]["r2"] == round(float(r2), 6)
+    assert out["c"]["slope"] is None and out["c"]["r2"] is None
