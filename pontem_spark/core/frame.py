@@ -913,8 +913,11 @@ class DataFrame:
     ) -> "DataFrame":
         """pandas melt (wide → long) == a ``stack`` Generate: each input row
         fans out to one row per value column, entirely map-side — no shuffle,
-        no UDF. The anchor index duplicates across a row's melted values,
-        matching pandas' repeated-index behavior."""
+        no UDF. Row order is pandas' column-major layout (all of the first
+        value column, then the next — r7 probe; carried as a lazy order
+        spec, so nothing sorts until a materialization point). The anchor
+        index duplicates across a row's melted values (pandas
+        ``ignore_index=False``)."""
         id_vars = [id_vars] if isinstance(id_vars, str) else list(id_vars)
         value_vars = value_vars or [c for c in self._columns if c not in id_vars]
         # stack() requires one common type; mirror pandas' coercion — numeric
@@ -922,13 +925,22 @@ class DataFrame:
         numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
         schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
         common = "double" if all(schema[c] in numeric for c in value_vars) else "string"
-        args = ", ".join(f"'{c}', CAST(`{c}` AS {common})" for c in value_vars)
+        args = ", ".join(
+            f"{i}, '{c}', CAST(`{c}` AS {common})" for i, c in enumerate(value_vars)
+        )
         sdf = self._materialized().select(
             INDEX_COL,
             *id_vars,
-            F.expr(f"stack({len(value_vars)}, {args}) AS (`{var_name}`, `{value_name}`)"),
+            F.expr(
+                f"stack({len(value_vars)}, {args}) AS (`__varpos__`, `{var_name}`, `{value_name}`)"
+            ),
         )
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        internal = InternalFrame(
+            sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            (("__varpos__", True), (INDEX_COL, True)),
+        )
         keep = id_vars + [var_name, value_name]
         return DataFrame._from_internal(internal, {c: sdf[c] for c in keep})
 
@@ -1150,8 +1162,27 @@ class DataFrame:
     def query(self, expr: str) -> "DataFrame":
         """Filter rows with a SQL boolean expression over the frame's
         columns (``df.query("a > 3 and seg == 'x'")``). The predicate goes
-        straight into the plan, so Catalyst pushes it into the scan."""
-        sdf = self._materialized().filter(F.expr(expr))
+        straight into the plan, so Catalyst pushes it into the scan.
+
+        pandas comparisons treat NaN as missing (``f > 0`` drops a NaN
+        row) while Spark orders NaN ABOVE everything (``NaN > 0`` is
+        TRUE — r7 probe). The predicate therefore evaluates over
+        NaN-blanked shadows of the float columns; originals are restored
+        afterwards. All pure projections around one filter — still
+        map-side, still scan-adjacent."""
+        sdf = self._materialized()
+        floats = [c for c, t in sdf.dtypes if t in ("double", "float") and c in self._columns]
+        if floats:
+            backup = sdf.withColumns({f"__q_{c}": F.col(c) for c in floats})
+            blanked = backup.withColumns(
+                {c: F.when(~F.isnan(F.col(c)), F.col(c)) for c in floats}
+            )
+            filtered = blanked.filter(F.expr(expr))
+            sdf = filtered.withColumns(
+                {c: F.col(f"__q_{c}") for c in floats}
+            ).drop(*[f"__q_{c}" for c in floats])
+        else:
+            sdf = sdf.filter(F.expr(expr))
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 

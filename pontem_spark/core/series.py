@@ -483,8 +483,40 @@ class Series:
     def median(self):
         return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(0.5))))
 
-    def quantile(self, q: float = 0.5):
-        return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(q))))
+    def quantile(self, q: float = 0.5, interpolation: str = "linear"):
+        """Exact quantile of the non-missing values. ``linear`` is ONE
+        percentile aggregate; the order-statistic methods (lower/higher/
+        nearest/midpoint) select exact elements via TakeOrdered
+        offset+limit — no interpolation arithmetic to diverge by an ulp."""
+        if interpolation == "linear":
+            return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(q))))
+        if interpolation not in ("lower", "higher", "nearest", "midpoint"):
+            raise ValueError(f"unsupported interpolation {interpolation!r}")
+        import math
+
+        n = self.count()
+        if n == 0:
+            return float("nan")
+        h = (n - 1) * q
+        lo, hi = math.floor(h), math.ceil(h)
+        if interpolation == "lower":
+            picks = [lo]
+        elif interpolation == "higher":
+            picks = [hi]
+        elif interpolation == "nearest":
+            picks = [round(h)]  # numpy rounds half-to-even here, like round()
+        else:
+            picks = [lo, hi] if lo != hi else [lo]
+        vals = [
+            self._internal.sdf.select(self._valid_col.alias("__q"))
+            .where(F.col("__q").isNotNull())
+            .orderBy(F.col("__q").asc())
+            .offset(k)
+            .limit(1)
+            .first()["__q"]
+            for k in picks
+        ]
+        return float(sum(vals) / len(vals)) if len(vals) > 1 else vals[0]
 
     def nunique(self): return self._agg(F.count_distinct(self._valid_col))
 
@@ -946,14 +978,18 @@ class Series:
     def cumsum(self) -> "Series":
         return self._cum(F.sum)
 
-    def shift(self, periods: int = 1) -> "Series":
+    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+        """``fill_value`` fills the vacated edge positions (pandas keeps
+        the column's dtype then instead of upcasting to float)."""
         from pyspark.sql import Window
 
         w = Window.orderBy(INDEX_COL)
         sdf = self._materialized()
-        col = F.lag(sdf[_VALUE], periods).over(w) if periods >= 0 else F.lead(
-            sdf[_VALUE], -periods
-        ).over(w)
+        col = (
+            F.lag(sdf[_VALUE], periods, fill_value).over(w)
+            if periods >= 0
+            else F.lead(sdf[_VALUE], -periods, fill_value).over(w)
+        )
         return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
 
     def where(self, cond: "Series", other=None) -> "Series":
@@ -1236,10 +1272,10 @@ class Series:
         ).first()
         return row[0] if single else pd.Series({n: row[n] for n in names}, name=self._name)
 
-    def rolling(self, window: int):
+    def rolling(self, window: int, min_periods: "int | None" = None):
         from pontem_spark.core.window import Rolling
 
-        return Rolling(self, window)
+        return Rolling(self, window, min_periods)
 
     def ewm(
         self,

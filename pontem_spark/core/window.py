@@ -9,9 +9,21 @@ from pontem_spark.core.internal import INDEX_COL, InternalFrame
 
 
 class Rolling:
-    def __init__(self, s, window: int):
+    def __init__(self, s, window: int, min_periods: "int | None" = None):
         self._s = s
         self._n = window
+        # pandas default: a full window is required
+        self._minp = window if min_periods is None else min_periods
+
+    def _valid(self, sdf):
+        """__value__ with pandas-missing (NULL or float NaN) blanked to
+        NULL, so window counts see NaN as missing — pandas' rule, and the
+        opposite of Spark's count() (which counts NaN) (r7 probe:
+        min_periods over a NaN-bearing series diverged)."""
+        v = sdf["__value__"]
+        if dict(sdf.dtypes).get("__value__") in ("double", "float"):
+            return F.when(~F.isnan(v), v)
+        return v
 
     def _apply(self, aggfn):
         from pontem_spark.core.series import Series
@@ -19,10 +31,12 @@ class Rolling:
         s = self._s
         sdf = s._materialized()
         w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
-        cnt = F.count(sdf["__value__"]).over(w)
-        val = aggfn(sdf["__value__"]).over(w)
-        # pandas yields NaN until the window has `window` observations
-        col = F.when(cnt >= self._n, val)
+        valid = self._valid(sdf)
+        cnt = F.count(valid).over(w)
+        val = aggfn(valid).over(w)
+        # NaN until the window holds min_periods observations (default:
+        # the full window)
+        col = F.when(cnt >= self._minp, val)
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
         )
@@ -33,15 +47,19 @@ class Rolling:
     def max(self): return self._apply(F.max)
     def std(self): return self._apply(F.stddev_samp)
     def count(self):
+        """Unlike every other rolling agg, pandas gates count on the ROW
+        count in the window reaching min_periods, not the non-missing
+        count (a 3-row window with 2 NaNs still counts 1) — r7 probe."""
         from pontem_spark.core.series import Series
 
         s = self._s
         sdf = s._materialized()
         w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        rows = F.count(F.lit(1)).over(w)
+        val = F.count(self._valid(sdf)).over(w)
+        col = F.when(rows >= self._minp, val)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, s._internal.index_name),
-            F.count(sdf["__value__"]).over(w),
-            s._name,
+            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
         )
 
 

@@ -1160,3 +1160,62 @@ def test_get_dummies_parity(spark):
         get_dummies(f, "zzz")
     with pytest.raises(ValueError, match="distinct"):
         get_dummies(f, "k", max_categories=2)
+
+
+def test_probe_pins_round7c(spark):
+    """r7 probe batch: shift fill_value, quantile interpolation methods,
+    rolling min_periods (NaN = missing), rolling count row-gate, query NaN
+    comparisons, melt column-major order."""
+    import math
+
+    import numpy as np
+
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {
+            "f": [1.5, nan, -2.25, 0.0, 7.5, nan, 3.125, -0.5],
+            "i": [3, 1, 4, 1, 5, 9, 2, 6],
+            "s": ["b", None, "a", "b", "c", None, "a", "b"],
+        }
+    )
+    d = DataFrame(pdf.to_dict("list"), spark=spark)
+
+    def same(mine, want):
+        m = mine.to_pandas().tolist()
+        w = want.tolist()
+        assert len(m) == len(w)
+        for x, y in zip(m, w):
+            x_nan = x is None or (isinstance(x, float) and math.isnan(x))
+            y_nan = y is None or (isinstance(y, float) and math.isnan(y))
+            assert x_nan == y_nan and (x_nan or x == y), (m, w)
+
+    same(d["i"].shift(1, fill_value=0), pdf["i"].shift(1, fill_value=0))
+    same(d["i"].shift(-2, fill_value=-1), pdf["i"].shift(-2, fill_value=-1))
+
+    for interp in ("lower", "higher", "nearest", "midpoint", "linear"):
+        for q in (0.0, 0.25, 0.3, 0.5, 0.77, 1.0):
+            a = d["f"].quantile(q, interpolation=interp)
+            b = pdf["f"].quantile(q, interpolation=interp)
+            assert abs(float(a) - float(b)) < 1e-9, (interp, q, a, b)
+    with pytest.raises(ValueError):
+        d["f"].quantile(0.5, interpolation="bogus")
+
+    same(d["f"].rolling(3, min_periods=1).sum(), pdf["f"].rolling(3, min_periods=1).sum())
+    same(d["f"].rolling(3, min_periods=2).mean(), pdf["f"].rolling(3, min_periods=2).mean())
+    same(d["f"].rolling(3).count(), pdf["f"].rolling(3).count())
+    same(d["f"].rolling(3, min_periods=1).count(), pdf["f"].rolling(3, min_periods=1).count())
+
+    # Spark orders NaN above everything; pandas query drops NaN rows on >
+    got = d.query("f > 0 and i > 2").to_pandas().reset_index(drop=True)
+    want = pdf.query("f > 0 and i > 2").reset_index(drop=True)
+    assert got["i"].tolist() == want["i"].tolist()
+    # ...and surviving rows keep their original NaN values in other columns
+    gf = d.query("i > 2").to_pandas()["f"]
+    wf = pdf.query("i > 2")["f"]
+    assert np.isnan(gf.values).tolist() == np.isnan(wf.values).tolist()
+
+    gm = d.melt(id_vars=["s"], value_vars=["f", "i"]).to_pandas().reset_index(drop=True)
+    wm = pdf.melt(id_vars=["s"], value_vars=["f", "i"]).reset_index(drop=True)
+    assert gm["variable"].tolist() == wm["variable"].tolist()
+    for x, y in zip(gm["value"], wm["value"]):
+        assert (isinstance(x, float) and math.isnan(x) and math.isnan(y)) or x == y
