@@ -317,16 +317,37 @@ class DataFrame:
             on = [c for c in self.columns if c in right.columns]
         keys = [on] if isinstance(on, str) else list(on)
 
-        l = self._materialized_user().drop(INDEX_COL)
-        r = right._materialized_user().drop(INDEX_COL)
+        l = self._materialized_user().withColumnRenamed(INDEX_COL, "__lidx__")
+        r = right._materialized_user().withColumnRenamed(INDEX_COL, "__ridx__")
         overlap = (set(l.columns) & set(r.columns)) - set(keys)
         for c in overlap:
             l = l.withColumnRenamed(c, f"{c}{suffixes[0]}")
             r = r.withColumnRenamed(c, f"{c}{suffixes[1]}")
         joined = l.join(r, keys, how)
-        sdf = joined.withColumn(_ROWID, F.monotonically_increasing_id())
-        internal = InternalFrame(sdf, _ROWID, None)
-        cols = {c: sdf[c] for c in joined.columns}
+        user_cols = [c for c in joined.columns if c not in ("__lidx__", "__ridx__")]
+        # pandas row order: left/inner/outer follow the LEFT frame's row
+        # order (matches in right-row order within a left row, unmatched
+        # right rows last); right joins follow the right frame. A join's
+        # physical order is strategy luck, so carry both source indexes as
+        # a lazy order spec — boolean is-null flags give nulls-LAST within
+        # the (name, ascending)-pair vocabulary (r7 probe).
+        sdf = (
+            joined.withColumn(_ROWID, F.monotonically_increasing_id())
+            .withColumn("__lmiss__", F.col("__lidx__").isNull())
+            .withColumn("__rmiss__", F.col("__ridx__").isNull())
+        )
+        first, second = ("__r", "__l") if how == "right" else ("__l", "__r")
+        spec = (
+            (f"{first}miss__", True),
+            (f"{first}idx__", True),
+            (f"{second}miss__", True),
+            (f"{second}idx__", True),
+        )
+        if how in ("outer", "full"):
+            # pandas sorts an outer merge by the union of keys first
+            spec = tuple((k, True) for k in keys) + spec
+        internal = InternalFrame(sdf, _ROWID, None, spec)
+        cols = {c: sdf[c] for c in user_cols}
         return DataFrame._from_internal(internal, cols)
 
     def merge_asof(
@@ -375,8 +396,8 @@ class DataFrame:
     def pivot_table(
         self,
         index: str,
-        columns: str,
-        values: str,
+        columns: str | None = None,
+        values: str = None,
         aggfunc: str = "mean",
         column_values: list | None = None,
         fill_value=None,
@@ -401,6 +422,12 @@ class DataFrame:
         """
         from pontem_spark.core.groupby import _AGGS
 
+        if columns is None:
+            # pandas allows an index-only pivot_table: a plain grouped
+            # aggregation keyed by the index (r7 probe)
+            if margins:
+                raise ValueError("margins requires a columns argument")
+            return self.groupby(index).agg({values: aggfunc})
         agg = _AGGS[aggfunc]
         base = self._materialized()
         grouped = base.groupBy(index)

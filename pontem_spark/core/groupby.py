@@ -51,14 +51,25 @@ class GroupBy:
 
         exprs = []
         out_names = []
+        idx = self._df._internal.index_col
         for col, how in spec.items():
             hows = [how] if isinstance(how, str) else list(how)
             for h in hows:
-                fn = _AGGS.get(h)
-                if fn is None:
-                    raise ValueError(f"unsupported aggregation: {h!r}")
                 out = col if isinstance(how, str) else f"{col}_{h}"
-                exprs.append(fn(_valid(self._df, col)).alias(out))
+                v = _valid(self._df, col)
+                if h in ("first", "last"):
+                    # pandas first/last SKIP missing and follow row order;
+                    # bare F.first in a groupBy is order-nondeterministic
+                    # AND NaN-blind (r7 probe). min_by/max_by ignore rows
+                    # whose ordering key is NULL, so gating the key on
+                    # validity gives the first/last NON-MISSING value.
+                    pick = F.min_by if h == "first" else F.max_by
+                    exprs.append(pick(v, F.when(v.isNotNull(), idx)).alias(out))
+                else:
+                    fn = _AGGS.get(h)
+                    if fn is None:
+                        raise ValueError(f"unsupported aggregation: {h!r}")
+                    exprs.append(fn(v).alias(out))
                 out_names.append(out)
 
         base = self._df._internal.sdf.groupBy(
@@ -121,6 +132,83 @@ class GroupBy:
             raise KeyError(col)
         return SeriesGroupBy(self._df, self._keys, col)
 
+    def cumcount(self):
+        """0-based position of each row within its group, original index
+        preserved — one partitioned window, no shuffle beyond the group
+        keys (r7 probe)."""
+        from pyspark.sql import Window
+
+        from pontem_spark.core.series import Series
+
+        w = Window.partitionBy(
+            *[self._df._columns[k] for k in self._keys]
+        ).orderBy(F.col(self._df._internal.index_spark_col).asc())
+        return Series._from_internal(
+            self._df._internal, (F.row_number().over(w) - 1).cast("long"), None
+        )
+
+    def _positional(self, pred) -> "DataFrame":
+        """Filter rows by a predicate over their within-group positions
+        (1-based from the front, and from the back for tail/negative nth)."""
+        from pyspark.sql import Window
+
+        from pontem_spark.core.frame import DataFrame
+
+        idx = self._df._internal.index_spark_col
+        sdf = self._df._materialized()
+        fwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).asc())
+        bwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).desc())
+        out = (
+            sdf.withColumn("__rn", F.row_number().over(fwd))
+            .withColumn("__rb", F.row_number().over(bwd))
+            .filter(pred(F.col("__rn"), F.col("__rb")))
+            .drop("__rn", "__rb")
+        )
+        internal = InternalFrame(out, idx, self._df._internal.index_name)
+        return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
+
+    def head(self, n: int = 5) -> "DataFrame":
+        return self._positional(lambda rn, rb: rn <= n)
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return self._positional(lambda rn, rb: rb <= n)
+
+    def nth(self, n: int) -> "DataFrame":
+        if n >= 0:
+            return self._positional(lambda rn, rb: rn == n + 1)
+        return self._positional(lambda rn, rb: rb == -n)
+
+    def filter(self, func) -> "DataFrame":
+        """pandas groupby().filter: keep the rows of groups where ``func``
+        (a Python callable over the group's pandas sub-frame) is truthy.
+
+        The callable forces Python execution by definition, so this is an
+        Arrow applyInPandas emitting one keep/drop row PER GROUP (never per
+        row), then a broadcast semi-join — the Python boundary sees each
+        group once, the data rows never leave the JVM. For aggregate
+        predicates (count/sum thresholds) prefer ``transform`` + a mask:
+        pure Catalyst, no Python at all."""
+        from pontem_spark.core.frame import DataFrame
+
+        idx = self._df._internal.index_spark_col
+        sdf = self._df._materialized()
+        keys = self._keys
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in sdf.schema.fields
+            if f.name in keys
+        )
+        user_cols = [c for c in self._df._columns]
+
+        def _keep(pdf):
+            sub = pdf[user_cols]
+            return pdf[keys].head(1) if func(sub) else pdf[keys].head(0)
+
+        kept = sdf.groupBy(*keys).applyInPandas(_keep, schema)
+        out = sdf.join(F.broadcast(kept), on=keys, how="left_semi")
+        internal = InternalFrame(out, idx, self._df._internal.index_name)
+        return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
+
     def transform(self, spec: Mapping[str, str]) -> "DataFrame":
         """pandas groupby().transform: per-group statistics broadcast back to
         EVERY row, index preserved. One unordered window per distinct key
@@ -179,12 +267,163 @@ class SeriesGroupBy:
             self._df._internal, fn(_valid(self._df, self._col)).over(w), self._col
         )
 
-    def agg(self, how: str):
+    def agg(self, how):
         """Single reduction per group → a Series keyed by the group index
-        (pandas shape for df.groupby(k)[col].mean()); a list of hows stays
-        at the frame level via GroupBy.agg."""
+        (pandas shape for df.groupby(k)[col].mean()); a LIST of hows → a
+        DataFrame with one column per statistic, named after the
+        statistic like pandas (r7 probe) — still one aggregation pass."""
+        if isinstance(how, (list, tuple)):
+            frame = GroupBy(self._df, self._keys).agg({self._col: list(how)})
+            return frame.rename(columns={f"{self._col}_{h}": h for h in how})
         frame = GroupBy(self._df, self._keys).agg({self._col: how})
         return frame[self._col]
+
+    # ordered per-group window transforms (r7 probe) --------------------
+    # Each is one partitioned window over the group keys ordered by the
+    # index — a single shuffle on the keys, result shares the parent
+    # anchor (assigning back stays one growing plan).
+
+    def _wins(self):
+        from pyspark.sql import Window
+
+        idx = F.col(self._df._internal.index_spark_col)
+        part = [self._df._columns[k] for k in self._keys]
+        w = Window.partitionBy(*part).orderBy(idx.asc())
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return w, wcum
+
+    def shift(self, periods: int = 1, fill_value=None):
+        from pontem_spark.core.series import Series
+
+        w, _ = self._wins()
+        raw = self._df._columns[self._col]
+        col = (
+            F.lag(raw, periods, fill_value).over(w)
+            if periods >= 0
+            else F.lead(raw, -periods, fill_value).over(w)
+        )
+        return Series._from_internal(self._df._internal, col, self._col)
+
+    def diff(self, periods: int = 1):
+        from pontem_spark.core.series import Series
+
+        w, _ = self._wins()
+        v = _valid(self._df, self._col)
+        prev = F.lag(v, periods).over(w) if periods >= 0 else F.lead(v, -periods).over(w)
+        return Series._from_internal(self._df._internal, v - prev, self._col)
+
+    def pct_change(self, periods: int = 1):
+        """Pandas 2.x semantics: non-leading missing values pad forward
+        WITHIN the group before differencing; /0 yields ±inf/NaN (the
+        Series.pct_change guard), never an ANSI throw."""
+        from pontem_spark.core.series import Series
+
+        w, wcum = self._wins()
+        v = _valid(self._df, self._col)
+        filled = F.last(v, ignorenulls=True).over(wcum)
+        prev = F.lag(filled, periods).over(w)
+        s = self._df[self._col]
+        # pandas computes v/prev - 1 (not (v-prev)/prev) — same algebra,
+        # different last-ulp floats; mirror its operation order exactly
+        col = s._truediv_cols(filled, prev) - 1
+        return Series._from_internal(self._df._internal, col, self._col)
+
+    def _cum(self, aggfn):
+        from pontem_spark.core.series import Series
+
+        _, wcum = self._wins()
+        v = _valid(self._df, self._col)
+        # missing slots stay missing; missing values never enter the
+        # running state (the Series._cum rule, partitioned)
+        col = F.when(v.isNotNull(), aggfn(v).over(wcum))
+        return Series._from_internal(self._df._internal, col, self._col)
+
+    def cumsum(self): return self._cum(F.sum)
+    def cummax(self): return self._cum(F.max)
+    def cummin(self): return self._cum(F.min)
+
+    def cumcount(self):
+        return GroupBy(self._df, self._keys).cumcount()
+
+    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False):
+        """Series.rank partitioned by the group keys — missing keeps NULL,
+        pct divides by the group's non-missing count ('dense': its
+        distinct count via the two-direction dense_rank identity)."""
+        from pyspark.sql import Window
+
+        from pontem_spark.core.series import Series
+
+        if method not in ("average", "min", "max", "dense", "first"):
+            raise ValueError(f"unsupported rank method {method!r}")
+        idx = F.col(self._df._internal.index_spark_col)
+        part = [self._df._columns[k] for k in self._keys]
+        v = _valid(self._df, self._col)
+        present = v.isNotNull()
+        order = [present.desc(), v.asc() if ascending else v.desc()]
+        if method == "first":
+            r = F.row_number().over(
+                Window.partitionBy(*part).orderBy(*order, idx.asc())
+            ).cast("double")
+        elif method == "dense":
+            r = F.dense_rank().over(Window.partitionBy(*part).orderBy(*order)).cast("double")
+        else:
+            lo = F.rank().over(Window.partitionBy(*part).orderBy(*order))
+            cnt = F.count(F.when(present, F.lit(1))).over(
+                Window.partitionBy(*part, v)
+            )
+            if method == "min":
+                r = lo.cast("double")
+            elif method == "max":
+                r = (lo + cnt - 1).cast("double")
+            else:
+                r = (lo.cast("double") + (lo + cnt - 1)) / 2.0
+        if pct:
+            if method == "dense":
+                rev = [present.desc(), v.desc() if ascending else v.asc()]
+                denom = (
+                    F.dense_rank().over(Window.partitionBy(*part).orderBy(*order))
+                    + F.dense_rank().over(Window.partitionBy(*part).orderBy(*rev))
+                    - 1
+                )
+            else:
+                denom = F.sum(present.cast("long")).over(Window.partitionBy(*part))
+            r = r / denom
+        return Series._from_internal(
+            self._df._internal, F.when(present, r), self._col
+        )
+
+    def _idx_of(self, best_first_order):
+        from pyspark.sql import Window
+
+        from pontem_spark.core.series import Series
+
+        idx = self._df._internal.index_spark_col
+        sdf = self._df._materialized()
+        v = sdf[self._col]
+        if dict(sdf.dtypes).get(self._col) in ("double", "float"):
+            v = F.when(~F.isnan(v), v)
+        w = Window.partitionBy(*self._keys).orderBy(
+            *best_first_order(v), F.col(idx).asc()
+        )
+        picked = (
+            sdf.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & v.isNotNull())
+            .select(*self._keys, F.col(idx).alias("__value__"))
+        )
+        if len(self._keys) == 1:
+            internal = InternalFrame(picked, self._keys[0], self._keys[0])
+            return Series._from_internal(internal, picked["__value__"], self._col)
+        out = picked.withColumn("__midx__", F.struct(*[F.col(k) for k in self._keys]))
+        internal = InternalFrame(out, "__midx__", tuple(self._keys))
+        return Series._from_internal(internal, out["__value__"], self._col)
+
+    def idxmax(self):
+        """Index of the group's first maximal non-missing value (pandas
+        tie rule) — one partitioned window + filter, no join-back."""
+        return self._idx_of(lambda v: [v.desc_nulls_last()])
+
+    def idxmin(self):
+        return self._idx_of(lambda v: [v.asc_nulls_last()])
 
     def rolling(self, window: int):
         from pontem_spark.core.window import GroupedRolling

@@ -1059,8 +1059,10 @@ class Series:
         filled = F.last(clean, ignorenulls=True).over(w)
         prev = F.lag(filled, periods).over(Window.orderBy(INDEX_COL))
         # guarded division: a zero previous value must yield pandas' ±inf/
-        # NaN, not Spark 4's ANSI DIVIDE_BY_ZERO throw (fuzz: [0.0, 0.0])
-        col = self._truediv_cols(filled - prev, prev)
+        # NaN, not Spark 4's ANSI DIVIDE_BY_ZERO throw (fuzz: [0.0, 0.0]).
+        # pandas computes v/prev - 1, not (v-prev)/prev — same algebra but
+        # different last-ulp floats, so mirror its operation order
+        col = self._truediv_cols(filled, prev) - 1
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
         )

@@ -1219,3 +1219,93 @@ def test_probe_pins_round7c(spark):
     assert gm["variable"].tolist() == wm["variable"].tolist()
     for x, y in zip(gm["value"], wm["value"]):
         assert (isinstance(x, float) and math.isnan(x) and math.isnan(y)) or x == y
+
+
+def test_probe_pins_round7d_groupby(spark):
+    """r7 probe: grouped transform family (cumcount/shift/rank/cumsum/
+    diff/pct_change/head/nth/filter/idxmax/agg-list), skipna first/last,
+    index-only pivot_table."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "b", "a", "c", "c", "a"],
+            "f": [1.5, nan, -2.25, 0.0, 7.5, nan, 3.125, -0.5],
+            "i": [3, 1, 4, 1, 5, 9, 2, 6],
+        }
+    )
+    d = DataFrame(pdf.to_dict("list"), spark=spark)
+    g = pdf.groupby("k")
+
+    def same_vals(mine, want):
+        m = mine.to_pandas().tolist()
+        w = list(want)
+        assert len(m) == len(w), (m, w)
+        for x, y in zip(m, w):
+            x_nan = x is None or (isinstance(x, float) and math.isnan(x))
+            y_nan = y is None or (isinstance(y, float) and math.isnan(y))
+            assert x_nan == y_nan and (x_nan or x == y), (m, w)
+
+    same_vals(d.groupby("k").cumcount(), pdf.groupby("k").cumcount())
+    same_vals(d.groupby("k")["f"].shift(1), g["f"].shift(1))
+    same_vals(d.groupby("k")["i"].shift(-1, fill_value=0), g["i"].shift(-1, fill_value=0))
+    same_vals(d.groupby("k")["f"].cumsum(), g["f"].cumsum())
+    same_vals(d.groupby("k")["f"].diff(), g["f"].diff())
+    same_vals(d.groupby("k")["i"].pct_change(), g["i"].pct_change())
+    for method in ("average", "min", "max", "dense", "first"):
+        same_vals(d.groupby("k")["f"].rank(method=method), g["f"].rank(method=method))
+    same_vals(d.groupby("k")["f"].rank(pct=True), g["f"].rank(pct=True))
+    # skipna first/last + idxmax/idxmin (sorted by group key)
+    same_vals(d.groupby("k")["f"].first(), g["f"].first().sort_index())
+    same_vals(d.groupby("k")["f"].last(), g["f"].last().sort_index())
+    same_vals(d.groupby("k")["f"].idxmax(), g["f"].idxmax().sort_index())
+    same_vals(d.groupby("k")["f"].idxmin(), g["f"].idxmin().sort_index())
+    # positional subsets keep original row order
+    assert d.groupby("k").head(2).to_pandas()["i"].tolist() == pdf.groupby("k").head(2)["i"].tolist()
+    assert d.groupby("k").nth(1).to_pandas()["i"].tolist() == pdf.groupby("k").nth(1)["i"].tolist()
+    assert d.groupby("k").tail(1).to_pandas()["i"].tolist() == pdf.groupby("k").tail(1)["i"].tolist()
+    got = d.groupby("k").filter(lambda x: len(x) > 2).to_pandas()
+    want = pdf.groupby("k").filter(lambda x: len(x) > 2)
+    assert got["i"].tolist() == want["i"].tolist()
+    # agg list → statistic-named columns
+    ga = d.groupby("k")["f"].agg(["sum", "mean"]).to_pandas()
+    wa = g["f"].agg(["sum", "mean"]).sort_index()
+    assert list(ga.columns) == ["sum", "mean"]
+    assert ga["sum"].tolist() == wa["sum"].tolist()
+    # index-only pivot_table
+    pm = d.pivot_table(index="k", values="f", aggfunc="mean").to_pandas()
+    wm = pdf.pivot_table(index="k", values="f", aggfunc="mean")
+    assert pm["f"].tolist() == wm["f"].tolist()
+
+
+def test_probe_pins_round7d_merge_order(spark):
+    """r7 probe: merge row order is pandas' — left/inner/right follow the
+    driving frame's row order with right matches in right-row order;
+    outer sorts by the key union."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "b", "a", "c", "c", "a"],
+            "f": [1.5, nan, -2.25, 0.0, 7.5, nan, 3.125, -0.5],
+            "i": [3, 1, 4, 1, 5, 9, 2, 6],
+        }
+    )
+    o = pd.DataFrame({"k": ["a", "b", "d"], "v": [10.0, 20.0, 30.0]})
+    d = DataFrame(pdf.to_dict("list"), spark=spark)
+    od = DataFrame(o.to_dict("list"), spark=spark)
+    for how in ("inner", "left", "right", "outer"):
+        mine = d.merge(od, on="k", how=how).to_pandas().reset_index(drop=True)
+        want = pdf.merge(o, on="k", how=how).reset_index(drop=True)
+        assert list(mine.columns) == list(want.columns), how
+        for c in want.columns:
+            for x, y in zip(mine[c], want[c]):
+                x_nan = isinstance(x, float) and math.isnan(x)
+                y_nan = isinstance(y, float) and math.isnan(y)
+                assert x_nan == y_nan and (x_nan or x == y), (how, c)
+    # self-merge: right matches enumerate in right-row order
+    mine = d.merge(d, on="k", suffixes=("_l", "_r")).to_pandas()
+    want = pdf.merge(pdf, on="k", suffixes=("_l", "_r"))
+    assert mine["i_r"].tolist() == want["i_r"].tolist()
