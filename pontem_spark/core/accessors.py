@@ -222,6 +222,75 @@ class StringAccessor:
             ).otherwise(col)
         )
 
+    def extract(self, pat: str, expand: bool = False):
+        """Regex group extraction. One group → Series (NULL on no-match,
+        where Spark's regexp_extract would give ''); several groups → a
+        DataFrame with one column per group (named groups keep their
+        names, else '0','1',...), all from the SAME anchor — pure
+        projections, zero jobs."""
+        import re
+
+        compiled = re.compile(pat)
+        col = self._s._col
+        matched = col.rlike(pat)
+
+        def grp(i: int):
+            return F.when(matched, F.regexp_extract(col, pat, i))
+
+        if compiled.groups <= 1 and not expand:
+            return self._wrap(grp(1 if compiled.groups else 0))
+        from pontem_spark.core.frame import DataFrame
+
+        by_pos = {v: k for k, v in compiled.groupindex.items()}
+        names = [by_pos.get(i + 1, str(i)) for i in range(compiled.groups)]
+        return DataFrame._from_internal(
+            self._s._internal, {n: grp(i + 1) for i, n in enumerate(names)}
+        )
+
+    def findall(self, pat: str):
+        """All matches per row as an array (python re.findall: with one
+        group, the group's text; several groups are tuples, which have no
+        columnar shape — raise)."""
+        import re
+
+        groups = re.compile(pat).groups
+        if groups > 1:
+            raise ValueError(
+                "findall with multiple groups returns tuples — use extract"
+            )
+        return self._wrap(
+            F.regexp_extract_all(self._s._col, F.lit(pat), F.lit(1 if groups else 0))
+        )
+
+    def casefold(self):
+        """Aggressive lowercase for caseless matching. JVM exposes no true
+        casefold table, so this is lower() — identical on every cased
+        script, divergent only on the handful of expanding foldings
+        (ß→ss, ﬁ→fi)."""
+        return self._wrap(F.lower(self._s._col))
+
+    def partition(self, sep: str = " "):
+        """3-column DataFrame (before, sep, after) split at the FIRST
+        occurrence; no occurrence → (whole, '', ''). Columns named
+        '0','1','2' (pandas uses int labels); same anchor, zero jobs."""
+        from pontem_spark.core.frame import DataFrame
+
+        col = self._s._col
+        pos = F.instr(col, sep)
+        hit = pos > 0
+        present = col.isNotNull()
+        cols = {
+            "0": F.when(present, F.when(hit, col.substr(F.lit(1), pos - 1)).otherwise(col)),
+            "1": F.when(present, F.when(hit, F.lit(sep)).otherwise(F.lit(""))),
+            "2": F.when(
+                present,
+                F.when(
+                    hit, col.substr(pos + len(sep), F.length(col))
+                ).otherwise(F.lit("")),
+            ),
+        }
+        return DataFrame._from_internal(self._s._internal, cols)
+
     def ljust(self, width: int, fillchar: str = " "):
         col = self._s._col
         return self._wrap(
@@ -419,6 +488,19 @@ class DatetimeAccessor:
         if unit is None:
             raise ValueError(f"dt.floor: unsupported freq {freq!r}")
         return self._wrap(F.date_trunc(unit, self._s._col))
+
+    def normalize(self):
+        """Midnight of each timestamp's day (pandas dt.normalize) — keeps
+        the timestamp type, unlike ``date``."""
+        return self._wrap(F.date_trunc("day", self._s._col))
+
+    @property
+    def days(self):
+        """Whole-day component of a timedelta Series (timestamp
+        subtraction yields Spark's day-time interval): floored like
+        pandas' Timedelta.days, so -1 second → -1 days."""
+        secs = self._s._col.cast("long")  # day-time interval → total seconds
+        return self._wrap(F.floor(secs / F.lit(86400.0)).cast("long"))
 
     def strftime(self, fmt: str):
         # translate the common strftime directives to Spark's pattern letters

@@ -1092,6 +1092,81 @@ class Series:
     def cummin(self) -> "Series":
         return self._cum(F.min)
 
+    def cumprod(self) -> "Series":
+        return self._cum(F.product)
+
+    def prod(self):
+        """Product of non-missing values; empty/all-missing → 1.0 (pandas
+        min_count=0 identity)."""
+        v = self._agg(F.product(self._valid_col))
+        return 1.0 if v is None else v
+
+    def sem(self, ddof: int = 1):
+        """Standard error of the mean: std(ddof)/sqrt(n) in ONE pass."""
+        import math
+
+        row = self._internal.sdf.select(
+            (F.stddev_samp(self._valid_col) if ddof == 1 else F.stddev_pop(self._valid_col)).alias("s"),
+            F.count(self._valid_col).alias("n"),
+        ).first()
+        if row["s"] is None or row["n"] == 0:
+            return float("nan")
+        return row["s"] / math.sqrt(row["n"])
+
+    def skew(self):
+        """pandas adjusted Fisher-Pearson skewness G1 = g1·√(n(n−1))/(n−2),
+        with g1 Spark's population skewness — one aggregation pass; n<3 →
+        NaN like pandas."""
+        import math
+
+        row = self._internal.sdf.select(
+            F.skewness(self._valid_col).alias("g"),
+            F.count(self._valid_col).alias("n"),
+        ).first()
+        n = row["n"]
+        if n < 3 or row["g"] is None:
+            return float("nan")
+        return row["g"] * math.sqrt(n * (n - 1)) / (n - 2)
+
+    def kurt(self):
+        """pandas adjusted excess kurtosis G2 = (n−1)/((n−2)(n−3)) ·
+        ((n+1)·g2 + 6), with g2 Spark's excess kurtosis; n<4 → NaN."""
+        row = self._internal.sdf.select(
+            F.kurtosis(self._valid_col).alias("g"),
+            F.count(self._valid_col).alias("n"),
+        ).first()
+        n = row["n"]
+        if n < 4 or row["g"] is None:
+            return float("nan")
+        return (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * row["g"] + 6)
+
+    kurtosis = kurt
+
+    def combine_first(self, other: "Series") -> "Series":
+        """self's non-missing values, holes filled from ``other``; index =
+        union of both (the _aligned_binop outer join, one shuffle)."""
+        a = self._materialized("__a__")
+        b = other._materialized("__b__")
+        joined = a.alias("l").join(
+            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
+        )
+        sdf = joined.select(
+            F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
+            F.col("l.__a__").alias("__a__"),
+            F.col("r.__b__").alias("__b__"),
+        )
+        va = sdf["__a__"]
+        blanked = F.when(~self._missing_mask(va, sdf), va)
+        index_name = (
+            self._internal.index_name
+            if self._internal.index_name == other._internal.index_name
+            else None
+        )
+        internal = InternalFrame(sdf, INDEX_COL, index_name)
+        return Series._from_internal(
+            internal, F.coalesce(blanked, sdf["__b__"]), self._name
+        )
+
     def mode(self) -> "Series":
         """Most frequent value(s), sorted ascending with a fresh 0..k-1
         index like pandas (ties all returned). One value-level aggregate +

@@ -956,3 +956,73 @@ def test_sort_nlargest_sample_agg_nan_semantics(spark):
     assert a1 == a2 and len(a1) == 10
     with pytest.raises(ValueError, match="exactly one"):
         s100.sample()
+
+
+def test_probe_pins_round7e(spark):
+    """r7 probe: cumprod/prod/sem/skew/kurt/combine_first, str
+    extract/findall/casefold/partition, dt normalize and timedelta days."""
+    import math
+
+    import pandas as pd
+
+    from pontem_spark.core import DataFrame
+
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {
+            "f": [1.5, nan, -2.25, 0.0, 7.5, nan, 3.125, -0.5],
+            "s": ["b-1", None, "a b c", " x ", "Hello World", None, "a,b", "zz"],
+            "t": pd.to_datetime(
+                ["2024-01-15 10:30:00", "2024-02-29 23:59:59", "2023-12-31 00:00:01",
+                 "2024-07-04 12:00:00", "2024-01-01 00:00:00", "2024-03-10 06:45:30",
+                 "2025-06-15 18:20:10", "2024-11-30 09:05:55"]
+            ),
+        }
+    )
+    d = DataFrame({"f": pdf["f"].tolist(), "s": pdf["s"].tolist(), "t": pdf["t"]}, spark=spark)
+
+    def same(mine, want):
+        m = mine.to_pandas().tolist() if hasattr(mine, "to_pandas") else mine
+        w = want.tolist() if hasattr(want, "tolist") else want
+        if isinstance(m, float):
+            assert (math.isnan(m) and math.isnan(w)) or abs(m - w) < 1e-12, (m, w)
+            return
+        assert len(m) == len(w)
+        for x, y in zip(m, w):
+            x_nan = x is None or (isinstance(x, float) and math.isnan(x))
+            y_nan = y is None or (isinstance(y, float) and math.isnan(y))
+            assert x_nan == y_nan and (x_nan or x == y), (m, w)
+
+    same(d["f"].cumprod(), pdf["f"].cumprod())
+    same(d["f"].prod(), pdf["f"].prod())
+    same(d["f"].sem(), pdf["f"].sem())
+    same(d["f"].skew(), pdf["f"].skew())
+    same(d["f"].kurt(), pdf["f"].kurt())
+    same(d["f"].combine_first(d["f"].shift(1)), pdf["f"].combine_first(pdf["f"].shift(1)))
+
+    same(d["s"].str.extract(r"([a-z])-\d"), pdf["s"].str.extract(r"([a-z])-\d", expand=False))
+    em = d["s"].str.extract(r"([a-z])-(\d)").to_pandas()
+    ew = pdf["s"].str.extract(r"([a-z])-(\d)")
+    for i in (0, 1):
+        for x, y in zip(em[str(i)], ew[i]):
+            x_nan = x is None
+            y_nan = isinstance(y, float) and math.isnan(y)
+            assert x_nan == y_nan and (x_nan or x == y)
+    fm = d["s"].str.findall(r"[a-z]+").to_pandas().tolist()
+    fw = pdf["s"].str.findall(r"[a-z]+").tolist()
+    for a, b in zip(fm, fw):
+        assert (a is None and not isinstance(b, list)) or list(a) == list(b)
+    with pytest.raises(ValueError):
+        d["s"].str.findall(r"(a)(b)")
+    same(d["s"].str.casefold(), pdf["s"].str.casefold())
+    pm = d["s"].str.partition(" ").to_pandas()
+    pw = pdf["s"].str.partition(" ")
+    for i in range(3):
+        same_list = pm[str(i)].tolist()
+        for x, y in zip(same_list, pw[i]):
+            x_nan = x is None
+            y_nan = y is None or (isinstance(y, float) and math.isnan(y))
+            assert x_nan == y_nan and (x_nan or x == y)
+
+    same(d["t"].dt.normalize(), pdf["t"].dt.normalize())
+    same((d["t"] - d["t"].shift(2)).dt.days, (pdf["t"] - pdf["t"].shift(2)).dt.days)
