@@ -410,3 +410,57 @@ def remove_boilerplate(
             ).alias("n_removed"),
         )
     )
+
+
+def dup_ngram_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Duplicated-n-gram repetition signals as a PURE PROJECTION — the
+    Gopher "rep-n" family member :func:`repetition_metrics` lacks, computed
+    without its doc×gram shuffle.
+
+    Per document (docs with >= ``n`` tokens): ``n_grams`` (total n-grams),
+    ``n_distinct``, ``top_share`` (most frequent n-gram's share) and
+    ``dup_frac`` (fraction of n-gram occurrences whose gram appears more
+    than once — the repeated-n-gram signal Gopher applies at n=5..10).
+
+    Run-length form (the q_text_entropy generalization, SCALE.md): sort the
+    gram array once, find run boundaries, derive every distinct gram's
+    count from consecutive boundary positions — O(m log m) per row versus
+    O(m x distinct) filter-per-distinct, and zero Exchanges versus the
+    explode + two-level groupBy pipeline. All statistics here are integer
+    counts and maxima (order-independent), divided once at the end, so no
+    float-summation-order caveat applies and a DuckDB unnest/group-by
+    oracle hashes identically.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    # 0-based positions where a run of equal grams ends in the sorted
+    # array; try_element_at is NULL past the end so the final run closes
+    # via coalesce(..., true) without an ANSI out-of-bounds error
+    ends = (
+        "filter(sequence(0, size(__s) - 1), "
+        "i -> coalesce(try_element_at(__s, i + 2) != element_at(__s, i + 1), true))"
+    )
+    cnts = (
+        "transform(__ends, (e, j) -> "
+        "CAST(e - if(j = 0, -1, element_at(__ends, j)) AS BIGINT))"
+    )
+    dup = "aggregate(__cnts, CAST(0 AS BIGINT), (acc, c) -> acc + if(c > 1, c, CAST(0 AS BIGINT)))"
+    return (
+        df.select(F.col(id_col), T.tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .withColumn("__s", F.array_sort(T.shingles("__toks", n)))
+        .withColumn("__ends", F.expr(ends))
+        .withColumn("__cnts", F.expr(cnts))
+        .select(
+            id_col,
+            F.size("__s").cast("bigint").alias("n_grams"),
+            F.size("__ends").cast("bigint").alias("n_distinct"),
+            rnd(F.expr("array_max(__cnts)") / F.size("__s"), 6).alias("top_share"),
+            rnd(F.expr(dup) / F.size("__s"), 6).alias("dup_frac"),
+        )
+    )

@@ -192,3 +192,85 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str) -> str:
     """DuckDB twin of :func:`weighted_sample`'s priority."""
     u = f"(({hash_value16_sql(id_expr)} + 1) / 65537.0)"
     return f"(ln({u}) / ({weight_expr}))"
+
+
+def mix_sources(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+) -> DataFrame:
+    """Rebalance a corpus to an EXPLICIT target mix (e.g. 50% code, 30%
+    web, 20% books) by deterministic downsampling — the complement of
+    :func:`temperature_resample`, which derives its mix from counts.
+
+    The largest feasible corpus honoring the mix keeps every row of the
+    binding stratum (the one with the smallest ``count/weight`` ratio) and
+    downsamples the rest to proportion: ``rate_s = min_t(cnt_t/w_t) * w_s /
+    cnt_s``. Strata absent from ``weights`` are dropped (weight 0).
+
+    Keep decisions come from :func:`hash_value16` (content-independent
+    md5), so selection is reproducible across engines and retries and an
+    oracle can re-derive the surviving rows exactly. Cost: one count
+    aggregate over the stratum column (tiny), a broadcast threshold join,
+    and a map-side filter — two scans, no RNG, no driver-side rate math, so
+    the same plan runs unchanged on a 100 TB corpus.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    w: Column = F.lit(None).cast("double")
+    for value, wt in weights.items():
+        w = F.when(F.col(stratum_col) == value, F.lit(float(wt))).otherwise(w)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .withColumn("__w", w)
+        .filter(F.col("__w").isNotNull())
+    )
+    binding = counts.agg(F.min(F.col("__cnt") / F.col("__w")).alias("__mr"))
+    thr = (
+        counts.crossJoin(F.broadcast(binding))
+        .withColumn(
+            "__thr",
+            F.floor(
+                F.col("__mr") * F.col("__w") / F.col("__cnt") * F.lit(65536.0)
+            ).cast("bigint"),
+        )
+        .select(stratum_col, "__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), on=stratum_col, how="inner")
+        .filter(hash_value16(id_col) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def mix_sources_sql(
+    table: str,
+    stratum_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+) -> str:
+    """DuckDB twin of :func:`mix_sources` — identical double-division
+    order (``min(cnt/w) * w / cnt``) so thresholds agree bit-for-bit."""
+    cases = " ".join(
+        f"WHEN '{v}' THEN CAST({float(wt)} AS DOUBLE)" for v, wt in weights.items()
+    )
+    return f"""(
+    WITH __c AS (
+        SELECT {stratum_col},
+               CAST(COUNT(*) AS DOUBLE) AS __cnt,
+               CASE {stratum_col} {cases} END AS __w
+        FROM {table} GROUP BY {stratum_col}
+    ), __r AS (
+        SELECT {stratum_col},
+               CAST(FLOOR(MIN(__cnt / __w) OVER () * __w / __cnt * 65536.0)
+                    AS BIGINT) AS __thr
+        FROM __c WHERE __w IS NOT NULL
+    )
+    SELECT t.* FROM {table} t
+    JOIN __r USING ({stratum_col})
+    WHERE {hash_value16_sql(f't.{id_col}')} < __thr
+    )"""

@@ -404,3 +404,128 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     ranks = pagerank(edges, damping=0.85, iterations=3, handle_dangling=True)
     return ranks.select("node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm"))
+
+
+@_pending(
+    "q_chunk_rag_windows",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t
+    ), g AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(0, greatest(n - 1, 0), 24)) AS start
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INTEGER) AS chunk_id,
+           array_to_string(toks[start + 1 : least(start + 32, n)], ' ')
+               AS chunk_text,
+           CAST(least(start + 32, n) - start AS BIGINT) AS n_tokens
+    FROM g
+    """,
+)
+def q_chunk_rag_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingestion chunking: 32-token windows with 8-token overlap over
+    every document — Project → Generate(posexplode) → Project, zero
+    shuffles/UDFs (operators/chunking.py). The oracle replays the
+    identical window arithmetic with generate_series + list slicing."""
+    from pontem_spark.operators.chunking import chunk_by_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_by_tokens(docs, "doc_id", "text", size=32, overlap=8)
+
+
+@_pending(
+    "q_sample_source_mix",
+    oracle="""
+    WITH __c AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS __cnt,
+               CASE source WHEN 'src0' THEN CAST(4.0 AS DOUBLE)
+                           WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+                           WHEN 'src2' THEN CAST(1.0 AS DOUBLE)
+                           WHEN 'src3' THEN CAST(1.0 AS DOUBLE) END AS __w
+        FROM documents GROUP BY source
+    ), __r AS (
+        SELECT source,
+               CAST(FLOOR(MIN(__cnt / __w) OVER () * __w / __cnt * 65536.0)
+                    AS BIGINT) AS __thr
+        FROM __c WHERE __w IS NOT NULL
+    ), kept AS (
+        SELECT t.* FROM documents t
+        JOIN __r USING (source)
+        WHERE (ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 48
+               - 39 * CAST(ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) >= 97 AS INTEGER)) * 4096
+            + (ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 2, 1)) - 48
+               - 39 * CAST(ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 2, 1)) >= 97 AS INTEGER)) * 256
+            + (ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 3, 1)) - 48
+               - 39 * CAST(ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 3, 1)) >= 97 AS INTEGER)) * 16
+            + (ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 4, 1)) - 48
+               - 39 * CAST(ascii(substr(md5(CAST(t.doc_id AS VARCHAR)), 4, 1)) >= 97 AS INTEGER))
+            < __thr
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS kept_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM kept GROUP BY source
+    """,
+)
+def q_sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit target-mix corpus rebalancing (4:2:1:1 over four sources,
+    other sources dropped) via deterministic md5 thresholds — one tiny
+    count aggregate, a broadcast threshold join and a map-side filter
+    (operators/sampling.py::mix_sources). The oracle re-derives the exact
+    surviving rows from the identical double-division threshold chain."""
+    from pontem_spark.operators.sampling import mix_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mix_sources(
+        docs, "source", "doc_id",
+        {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0},
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+
+
+@_pending(
+    "q_quality_dup_ngrams",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), f AS (
+        SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) >= 3
+    ), g AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, nt - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS gram
+        FROM f
+    ), c AS (
+        SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+               AS top_share,
+           ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 6) AS dup_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_quality_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-trigram repetition signals as a pure projection — the
+    run-length generalization of q_text_entropy applied to the Gopher
+    rep-n family (operators/curation.py::dup_ngram_signals): zero
+    Exchanges versus the oracle's doc×gram group-by, identical integer
+    counts so the hash matches exactly."""
+    from pontem_spark.operators.curation import dup_ngram_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_signals(docs, "doc_id", "text", n=3)

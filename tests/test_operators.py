@@ -1422,3 +1422,65 @@ def test_grouped_linear_trend_matches_numpy(spark):
     assert out["a"]["intercept"] == round(float(i), 6)
     assert out["a"]["r2"] == round(float(r2), 6)
     assert out["c"]["slope"] is None and out["c"]["r2"] is None
+
+
+def test_chunk_by_tokens_edges(spark):
+    import pytest
+
+    from pontem_spark.operators.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, None)], ["id", "text"]
+    )
+    out = chunk_by_tokens(df, "id", "text", size=3, overlap=1).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    # starts 0,2,4,6 -> windows of 3 tokens, last a 1-token suffix
+    assert by_id[1] == [(0, "a b c", 3), (1, "c d e", 3), (2, "e f g", 3), (3, "g", 1)]
+    assert by_id[2] == [(0, "x", 1)]
+    assert 3 not in by_id  # NULL text dropped like SQL unnest
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "id", "text", size=3, overlap=3)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "id", "text", size=0)
+    # plan shape: projection + generate only — no Exchange
+    plan = chunk_by_tokens(df, "id", "text", 4, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mix_sources_feasible_mix(spark):
+    import pytest
+
+    from pontem_spark.operators.sampling import mix_sources
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    kept = mix_sources(df, "src", "id", {"a": 2.0, "b": 1.0}).groupBy("src").count()
+    counts = {r["src"]: r["count"] for r in kept.collect()}
+    # c dropped entirely; binding stratum a keeps ~all, b ~half of a's rate
+    assert "c" not in counts
+    assert counts["a"] == 200  # rate 1.0 -> every row survives
+    assert abs(counts["b"] - 100) < 25  # md5 realization of rate 0.5
+    with pytest.raises(ValueError):
+        mix_sources(df, "src", "id", {})
+    with pytest.raises(ValueError):
+        mix_sources(df, "src", "id", {"a": -1.0})
+
+
+def test_dup_ngram_signals_known_values(spark):
+    from pontem_spark.operators.curation import dup_ngram_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "q w e r t y"), (3, "x y")], ["id", "text"]
+    )
+    out = {r["id"]: r for r in dup_ngram_signals(df, "id", "text", n=2).collect()}
+    # doc 1 bigrams: ab ba ab ba ab -> 5 grams, 2 distinct, top 3/5, all dup
+    assert out[1]["n_grams"] == 5 and out[1]["n_distinct"] == 2
+    assert out[1]["top_share"] == 0.6 and out[1]["dup_frac"] == 1.0
+    # doc 2: all unique
+    assert out[2]["dup_frac"] == 0.0 and out[2]["top_share"] == 0.2
+    # doc 3 has exactly n tokens -> 1 gram; shorter docs are filtered
+    assert out[3]["n_grams"] == 1
+    plan = dup_ngram_signals(df, "id", "text", 2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
