@@ -529,3 +529,50 @@ def q_quality_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dup_ngram_signals(docs, "doc_id", "text", n=3)
+
+
+@_pending(
+    "q_embedding_pca_whiten",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(64 AS INTEGER) AS dim,
+           TRUE AS var_ok,
+           TRUE AS offdiag_ok
+    FROM embeddings
+    """,
+)
+def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding corpus, checked by the sketch-family
+    derived-output pattern: the whitened covariance is recomputed with a
+    second moments pass and reduced to in-plan booleans (every diagonal
+    within 2% of 1, max off-diagonal < 0.02) that the oracle asserts as
+    literals — a broken eigensolve/projection flips the hash. Both passes
+    are per-partition numpy GEMMs; nothing row-scaled reaches the driver
+    (operators/pca.py)."""
+    import numpy as np
+
+    from pontem_spark.operators.pca import (
+        apply_whitening,
+        embedding_moments,
+        fit_whitening,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, W = fit_whitening(emb, "embedding", eps=1e-9)
+    n, wmean, wss = embedding_moments(
+        apply_whitening(emb, "embedding", mean, W), "whitened"
+    )
+    cov = (wss - n * np.outer(wmean, wmean)) / (n - 1)
+    diag = np.diag(cov)
+    off = cov - np.diag(diag)
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                int(len(diag)),
+                bool(np.abs(diag - 1.0).max() < 0.02),
+                bool(np.abs(off).max() < 0.02),
+            )
+        ],
+        "n bigint, dim int, var_ok boolean, offdiag_ok boolean",
+    )

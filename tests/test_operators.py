@@ -1484,3 +1484,38 @@ def test_dup_ngram_signals_known_values(spark):
     assert out[3]["n_grams"] == 1
     plan = dup_ngram_signals(df, "id", "text", 2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pca_whitening_identity_covariance(spark):
+    import numpy as np
+
+    from pontem_spark.operators.pca import (
+        apply_whitening,
+        embedding_moments,
+        fit_whitening,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    A = rng.normal(size=(d, d))
+    X = rng.normal(size=(2000, d)) @ A  # strongly correlated dims
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)], ["id", "vec"]
+    ).repartition(6)
+
+    mean, W = fit_whitening(df, "vec", eps=1e-9)
+    out = apply_whitening(df, "vec", mean, W)
+    Y = np.stack([r["whitened"] for r in out.orderBy("id").collect()])
+    cov = np.cov(Y, rowvar=False, ddof=1)
+    assert np.allclose(np.diag(cov), 1.0, atol=0.05)
+    off = cov - np.diag(np.diag(cov))
+    assert np.abs(off).max() < 0.05
+    # moments are partition-count invariant (up to FP reassociation)
+    n1, m1, s1 = embedding_moments(df.repartition(2), "vec")
+    n2, m2, s2 = embedding_moments(df.repartition(13), "vec")
+    assert n1 == n2 == 2000
+    assert np.allclose(m1, m2) and np.allclose(s1, s2)
+    # PCA (rotating) form also whitens
+    mean_p, Wp = fit_whitening(df, "vec", eps=1e-9, zca=False)
+    Yp = (X - mean_p) @ Wp.T
+    assert np.allclose(np.cov(Yp, rowvar=False), np.eye(d), atol=0.05)
