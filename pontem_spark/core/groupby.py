@@ -39,6 +39,30 @@ def _valid(df, col: str):
     return v
 
 
+def _keys_valid_sdf(sdf, keys: list[str]):
+    """:func:`_keys_valid` over a MATERIALIZED Spark frame (plain column
+    names) for operators that window/filter the sdf directly."""
+    types = dict(sdf.dtypes)
+    cond = F.lit(True)
+    for k in keys:
+        c = F.col(k)
+        cond = cond & c.isNotNull()
+        if types.get(k) in ("double", "float"):
+            cond = cond & ~F.isnan(c)
+    return cond
+
+
+def _keys_valid(df, keys: list[str]):
+    """TRUE when every group key is non-missing — pandas' dropna=True
+    (the default) excludes a group whose key tuple contains ANY missing
+    level from aggregates, and returns missing for those rows in every
+    row-aligned grouped op (transform/shift/rank/cumcount — r7 probe)."""
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & _valid(df, k).isNotNull()
+    return cond
+
+
 class GroupBy:
     def __init__(self, df, keys: list[str], as_index: bool = True):
         self._df = df
@@ -72,9 +96,11 @@ class GroupBy:
                     exprs.append(fn(v).alias(out))
                 out_names.append(out)
 
-        base = self._df._internal.sdf.groupBy(
-            *[self._df._columns[k].alias(k) for k in self._keys]
-        ).agg(*exprs)
+        base = (
+            self._df._internal.sdf.filter(_keys_valid(self._df, self._keys))
+            .groupBy(*[self._df._columns[k].alias(k) for k in self._keys])
+            .agg(*exprs)
+        )
 
         if self._as_index and len(self._keys) == 1:
             internal = InternalFrame(base, self._keys[0], self._keys[0])
@@ -111,15 +137,97 @@ class GroupBy:
     def max(self): return self._all_numeric("max")
     def count(self): return self._all_numeric("count")
     def std(self): return self._all_numeric("std")
+    def median(self): return self._all_numeric("median")
+    def var(self): return self._all_numeric("var")
+
+    def ngroup(self):
+        """0-based group number in GROUP SORT ORDER (pandas sort=True).
+
+        Scale shape: the dense numbering is a window over the DISTINCT key
+        set (|groups| rows, never the data), broadcast-joined back — no
+        global sort of the rows. Rows whose every key is NULL get NULL
+        (pandas dropna=True gives them NaN)."""
+        from pyspark.sql import Window
+
+        from pontem_spark.core.series import Series
+
+        df = self._df
+        sdf = df._internal.sdf
+        idx = F.col(df._internal.index_spark_col)
+        knames = [f"__k{i}__" for i in range(len(self._keys))]
+        keyed = sdf.select(
+            idx.alias("__gidx__"),
+            # _valid so a float-NaN key becomes NULL and the equi-join
+            # below misses (Spark joins treat NaN = NaN as TRUE)
+            *[_valid(df, k).alias(n) for k, n in zip(self._keys, knames)],
+        )
+        groups = keyed.select(*knames).distinct().na.drop(how="any")
+        w = Window.orderBy(*[F.col(k).asc() for k in knames])
+        numbered = groups.withColumn(
+            "__ng__", (F.row_number().over(w) - 1).cast("long")
+        )
+        joined = keyed.join(F.broadcast(numbered), on=knames, how="left")
+        internal = InternalFrame(
+            joined.withColumnRenamed("__gidx__", df._internal.index_spark_col),
+            df._internal.index_spark_col,
+            df._internal.index_name,
+        )
+        return Series._from_internal(internal, F.col("__ng__"), None)
+
+    def describe(self):
+        """count/mean/std/min/25%/50%/75%/max of every numeric column in
+        ONE aggregation pass; columns flattened to ``{col}_{stat}`` (this
+        build has no MultiIndex columns)."""
+        from pontem_spark.core.frame import DataFrame
+
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._df._materialized().schema.fields
+        }
+        numeric = [
+            c
+            for c in self._df.columns
+            if c not in self._keys
+            and schema[c] in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        ]
+        exprs, names = [], []
+        for c in numeric:
+            v = _valid(self._df, c)
+            for stat, e in (
+                ("count", F.count(v)),
+                ("mean", F.mean(v)),
+                ("std", F.stddev_samp(v)),
+                ("min", F.min(v)),
+                ("25%", F.percentile(v, F.lit(0.25))),
+                ("50%", F.percentile(v, F.lit(0.5))),
+                ("75%", F.percentile(v, F.lit(0.75))),
+                ("max", F.max(v)),
+            ):
+                n = f"{c}_{stat}"
+                exprs.append(e.alias(n))
+                names.append(n)
+        base = (
+            self._df._internal.sdf.filter(_keys_valid(self._df, self._keys))
+            .groupBy(*[self._df._columns[k].alias(k) for k in self._keys])
+            .agg(*exprs)
+        )
+        if len(self._keys) == 1:
+            internal = InternalFrame(base, self._keys[0], self._keys[0])
+            return DataFrame._from_internal(internal, {c: base[c] for c in names})
+        sdf = base.withColumn("__midx__", F.struct(*[F.col(k) for k in self._keys]))
+        internal = InternalFrame(sdf, "__midx__", tuple(self._keys))
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in names})
 
     def size(self):
         """Group sizes as a Series (counts rows incl. nulls, like pandas);
         multiple keys yield a MultiIndexed Series."""
         from pontem_spark.core.series import Series
 
-        base = self._df._internal.sdf.groupBy(
-            *[self._df._columns[k].alias(k) for k in self._keys]
-        ).agg(F.count(F.lit(1)).alias("__value__"))
+        base = (
+            self._df._internal.sdf.filter(_keys_valid(self._df, self._keys))
+            .groupBy(*[self._df._columns[k].alias(k) for k in self._keys])
+            .agg(F.count(F.lit(1)).alias("__value__"))
+        )
         if len(self._keys) == 1:
             internal = InternalFrame(base, self._keys[0], self._keys[0])
             return Series._from_internal(internal, base["__value__"], None)
@@ -143,9 +251,11 @@ class GroupBy:
         w = Window.partitionBy(
             *[self._df._columns[k] for k in self._keys]
         ).orderBy(F.col(self._df._internal.index_spark_col).asc())
-        return Series._from_internal(
-            self._df._internal, (F.row_number().over(w) - 1).cast("long"), None
+        col = F.when(
+            _keys_valid(self._df, self._keys),
+            (F.row_number().over(w) - 1).cast("long"),
         )
+        return Series._from_internal(self._df._internal, col, None)
 
     def _positional(self, pred) -> "DataFrame":
         """Filter rows by a predicate over their within-group positions
@@ -154,12 +264,13 @@ class GroupBy:
 
         from pontem_spark.core.frame import DataFrame
 
-        idx = self._df._internal.index_spark_col
+        idx = INDEX_COL  # _materialized() travels the index under INDEX_COL
         sdf = self._df._materialized()
         fwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).asc())
         bwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).desc())
         out = (
-            sdf.withColumn("__rn", F.row_number().over(fwd))
+            sdf.filter(_keys_valid_sdf(sdf, self._keys))
+            .withColumn("__rn", F.row_number().over(fwd))
             .withColumn("__rb", F.row_number().over(bwd))
             .filter(pred(F.col("__rn"), F.col("__rb")))
             .drop("__rn", "__rb")
@@ -190,7 +301,7 @@ class GroupBy:
         pure Catalyst, no Python at all."""
         from pontem_spark.core.frame import DataFrame
 
-        idx = self._df._internal.index_spark_col
+        idx = INDEX_COL  # _materialized() travels the index under INDEX_COL
         sdf = self._df._materialized()
         keys = self._keys
         schema = ", ".join(
@@ -204,6 +315,7 @@ class GroupBy:
             sub = pdf[user_cols]
             return pdf[keys].head(1) if func(sub) else pdf[keys].head(0)
 
+        sdf = sdf.filter(_keys_valid_sdf(sdf, keys))
         kept = sdf.groupBy(*keys).applyInPandas(_keep, schema)
         out = sdf.join(F.broadcast(kept), on=keys, how="left_semi")
         internal = InternalFrame(out, idx, self._df._internal.index_name)
@@ -225,7 +337,10 @@ class GroupBy:
             fn = _AGGS.get(how)
             if fn is None:
                 raise ValueError(f"unsupported aggregation: {how!r}")
-            cols[col] = fn(_valid(self._df, col)).over(w)
+            cols[col] = F.when(
+                _keys_valid(self._df, self._keys),
+                fn(_valid(self._df, col)).over(w),
+            )
         return DataFrame._from_internal(self._df._internal, cols)
 
     def apply_in_pandas(self, func, schema):
@@ -263,9 +378,11 @@ class SeriesGroupBy:
         if fn is None:
             raise ValueError(f"unsupported aggregation: {how!r}")
         w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
-        return Series._from_internal(
-            self._df._internal, fn(_valid(self._df, self._col)).over(w), self._col
+        col = F.when(
+            _keys_valid(self._df, self._keys),
+            fn(_valid(self._df, self._col)).over(w),
         )
+        return Series._from_internal(self._df._internal, col, self._col)
 
     def agg(self, how):
         """Single reduction per group → a Series keyed by the group index
@@ -302,6 +419,7 @@ class SeriesGroupBy:
             if periods >= 0
             else F.lead(raw, -periods, fill_value).over(w)
         )
+        col = F.when(_keys_valid(self._df, self._keys), col)
         return Series._from_internal(self._df._internal, col, self._col)
 
     def diff(self, periods: int = 1):
@@ -310,7 +428,8 @@ class SeriesGroupBy:
         w, _ = self._wins()
         v = _valid(self._df, self._col)
         prev = F.lag(v, periods).over(w) if periods >= 0 else F.lead(v, -periods).over(w)
-        return Series._from_internal(self._df._internal, v - prev, self._col)
+        col = F.when(_keys_valid(self._df, self._keys), v - prev)
+        return Series._from_internal(self._df._internal, col, self._col)
 
     def pct_change(self, periods: int = 1):
         """Pandas 2.x semantics: non-leading missing values pad forward
@@ -325,7 +444,9 @@ class SeriesGroupBy:
         s = self._df[self._col]
         # pandas computes v/prev - 1 (not (v-prev)/prev) — same algebra,
         # different last-ulp floats; mirror its operation order exactly
-        col = s._truediv_cols(filled, prev) - 1
+        col = F.when(
+            _keys_valid(self._df, self._keys), s._truediv_cols(filled, prev) - 1
+        )
         return Series._from_internal(self._df._internal, col, self._col)
 
     def _cum(self, aggfn):
@@ -335,7 +456,9 @@ class SeriesGroupBy:
         v = _valid(self._df, self._col)
         # missing slots stay missing; missing values never enter the
         # running state (the Series._cum rule, partitioned)
-        col = F.when(v.isNotNull(), aggfn(v).over(wcum))
+        col = F.when(
+            v.isNotNull() & _keys_valid(self._df, self._keys), aggfn(v).over(wcum)
+        )
         return Series._from_internal(self._df._internal, col, self._col)
 
     def cumsum(self): return self._cum(F.sum)
@@ -389,7 +512,9 @@ class SeriesGroupBy:
                 denom = F.sum(present.cast("long")).over(Window.partitionBy(*part))
             r = r / denom
         return Series._from_internal(
-            self._df._internal, F.when(present, r), self._col
+            self._df._internal,
+            F.when(present & _keys_valid(self._df, self._keys), r),
+            self._col,
         )
 
     def _idx_of(self, best_first_order):
@@ -397,7 +522,7 @@ class SeriesGroupBy:
 
         from pontem_spark.core.series import Series
 
-        idx = self._df._internal.index_spark_col
+        idx = INDEX_COL  # _materialized() travels the index under INDEX_COL
         sdf = self._df._materialized()
         v = sdf[self._col]
         if dict(sdf.dtypes).get(self._col) in ("double", "float"):
@@ -406,7 +531,8 @@ class SeriesGroupBy:
             *best_first_order(v), F.col(idx).asc()
         )
         picked = (
-            sdf.withColumn("__rn", F.row_number().over(w))
+            sdf.filter(_keys_valid_sdf(sdf, self._keys))
+            .withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & v.isNotNull())
             .select(*self._keys, F.col(idx).alias("__value__"))
         )
@@ -430,6 +556,42 @@ class SeriesGroupBy:
 
         return GroupedRolling(self._df, self._keys, self._col, window)
 
+    def expanding(self, min_periods: int = 1):
+        from pontem_spark.core.window import GroupedExpanding
+
+        return GroupedExpanding(self._df, self._keys, self._col, min_periods)
+
+    def value_counts(self, ascending: bool = False):
+        """Counts per (group, value) as a MultiIndexed Series, ordered
+        like pandas: group keys ascending, then count (descending by
+        default), value ascending as the tie-break — recorded as a LAZY
+        order_spec (nothing sorts until materialization). Missing values
+        are dropped like pandas' default."""
+        from pontem_spark.core.series import Series
+
+        df = self._df
+        knames = list(self._keys)
+        v = _valid(df, self._col)
+        base = (
+            df._internal.sdf.filter(v.isNotNull() & _keys_valid(df, knames))
+            .groupBy(
+                *[df._columns[k].alias(k) for k in knames],
+                v.alias(self._col),
+            )
+            .agg(F.count(F.lit(1)).alias("__value__"))
+        )
+        sdf = base.withColumn(
+            "__midx__", F.struct(*[F.col(k) for k in knames + [self._col]])
+        )
+        spec = tuple([(k, True) for k in knames]) + (
+            ("__value__", ascending),
+            (self._col, True),
+        )
+        internal = InternalFrame(
+            sdf, "__midx__", tuple(knames + [self._col]), order_spec=spec
+        )
+        return Series._from_internal(internal, sdf["__value__"], self._col)
+
     def ewm(self, **kwargs):
         from pontem_spark.core.window import GroupedEwm
 
@@ -446,3 +608,4 @@ class SeriesGroupBy:
     def median(self): return self.agg("median")
     def first(self): return self.agg("first")
     def last(self): return self.agg("last")
+

@@ -69,8 +69,9 @@ class GroupedRolling:
     Unlike the Series-level :class:`Rolling` (which orders globally — a
     single-partition window, fine for driver-scale series, wrong for big
     frames), this partitions by the group keys, so at scale it is one
-    ordinary hash-partitioned window pass. Result keeps the parent anchor
-    (no join-back), like ``groupby().transform``."""
+    ordinary hash-partitioned window pass; NaN-key groups are omitted
+    from the result entirely (pandas dropna), so the output index is the
+    surviving subset of the parent's."""
 
     def __init__(self, df, keys: list[str], col: str, window: int):
         self._df = df
@@ -78,27 +79,59 @@ class GroupedRolling:
         self._col = col
         self._n = window
 
+    def _base(self):
+        """Materialized frame with NaN-or-NULL-key rows DROPPED — pandas
+        groupby().rolling()/expanding() omit NaN-key groups from the
+        result entirely (unlike transform, which keeps the rows as NaN)."""
+        from pontem_spark.core.groupby import _keys_valid_sdf
+
+        base = self._df._materialized()
+        return base.filter(_keys_valid_sdf(base, self._keys))
+
+    def _valid_value(self, sdf):
+        v = sdf[self._col]
+        if dict(sdf.dtypes).get(self._col) in ("double", "float"):
+            return F.when(~F.isnan(v), v)
+        return v
+
+    def _win(self, sdf, lo):
+        # _materialized() travels the index under INDEX_COL
+        return (
+            Window.partitionBy(*self._keys)
+            .orderBy(F.col(INDEX_COL).asc())
+            .rowsBetween(lo, Window.currentRow)
+        )
+
     def _apply(self, aggfn):
         from pontem_spark.core.series import Series
 
-        df = self._df
-        expr = df._columns[self._col]
-        w = (
-            Window.partitionBy(*[df._columns[k] for k in self._keys])
-            .orderBy(df._internal.index_col)
-            .rowsBetween(-(self._n - 1), Window.currentRow)
-        )
-        cnt = F.count(expr).over(w)
-        # pandas yields NaN until the window has `window` observations
-        col = F.when(cnt >= self._n, aggfn(expr).over(w))
-        return Series._from_internal(df._internal, col, self._col)
+        sdf = self._base()
+        v = self._valid_value(sdf)
+        w = self._win(sdf, -(self._n - 1))
+        cnt = F.count(v).over(w)
+        # pandas yields NaN until the window holds `window` observations
+        col = F.when(cnt >= self._n, aggfn(v).over(w))
+        internal = InternalFrame(sdf, INDEX_COL, self._df._internal.index_name)
+        return Series._from_internal(internal, col, self._col)
 
     def sum(self): return self._apply(F.sum)
     def mean(self): return self._apply(F.mean)
     def min(self): return self._apply(F.min)
     def max(self): return self._apply(F.max)
     def std(self): return self._apply(F.stddev_samp)
-    def count(self): return self._apply(F.count)
+
+    def count(self):
+        """Gates on the ROW count reaching the window size, not the
+        non-missing count — the Rolling.count asymmetry, grouped."""
+        from pontem_spark.core.series import Series
+
+        sdf = self._base()
+        v = self._valid_value(sdf)
+        w = self._win(sdf, -(self._n - 1))
+        rows = F.count(F.lit(1)).over(w)
+        col = F.when(rows >= self._n, F.count(v).over(w))
+        internal = InternalFrame(sdf, INDEX_COL, self._df._internal.index_name)
+        return Series._from_internal(internal, col, self._col)
 
 
 class Ewm:
@@ -185,6 +218,10 @@ class GroupedEwm:
             *[df._columns[k].alias(a) for k, a in zip(self._keys, key_aliases)],
             df._columns[self._col].cast("double").alias("__v"),
         )
+        from pontem_spark.core.groupby import _keys_valid_sdf
+
+        # pandas omits NaN-key groups from the result entirely
+        sdf = sdf.filter(_keys_valid_sdf(sdf, key_aliases))
         idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
         if idx_type.startswith("struct"):
             raise NotImplementedError(
@@ -210,3 +247,46 @@ class GroupedEwm:
     def sum(self): return self._apply("sum")
     def std(self): return self._apply("std")
     def var(self): return self._apply("var")
+
+
+class GroupedExpanding:
+    """``df.groupby(k)[col].expanding()`` — running windows WITHIN each
+    group: one hash-partitioned window pass (unboundedPreceding →
+    currentRow); NaN-key groups are omitted like GroupedRolling, and NaN
+    is blanked to NULL first so window counts follow pandas' missing
+    rule."""
+
+    def __init__(self, df, keys: list[str], col: str, min_periods: int = 1):
+        self._df = df
+        self._keys = keys
+        self._col = col
+        self._minp = min_periods
+
+    def _apply(self, aggfn):
+        from pontem_spark.core.groupby import _keys_valid_sdf
+        from pontem_spark.core.series import Series
+
+        df = self._df
+        base = df._materialized()
+        # pandas omits NaN-key groups from the result entirely
+        sdf = base.filter(_keys_valid_sdf(base, self._keys))
+        expr = sdf[self._col]
+        if dict(sdf.dtypes).get(self._col) in ("double", "float"):
+            expr = F.when(~F.isnan(expr), expr)
+        w = (
+            Window.partitionBy(*self._keys)
+            .orderBy(F.col(INDEX_COL).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cnt = F.count(expr).over(w)
+        col = F.when(cnt >= self._minp, aggfn(expr).over(w))
+        internal = InternalFrame(sdf, INDEX_COL, df._internal.index_name)
+        return Series._from_internal(internal, col, self._col)
+
+    def sum(self): return self._apply(F.sum)
+    def mean(self): return self._apply(F.mean)
+    def min(self): return self._apply(F.min)
+    def max(self): return self._apply(F.max)
+    def std(self): return self._apply(F.stddev_samp)
+    def var(self): return self._apply(F.var_samp)
+    def count(self): return self._apply(F.count)
