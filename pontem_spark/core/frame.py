@@ -1534,6 +1534,125 @@ class DataFrame:
         }
         return pd.DataFrame(data, index=[label for label, _ in stats])
 
+    def _truthy(self, col: str, schema) -> Column:
+        """pandas truthiness per dtype (0/''/False are falsy), missing →
+        NULL so skipna aggregation can skip it."""
+        v = self._valid_col(col, schema)
+        t = schema[col]
+        if t == "boolean":
+            return v
+        if t == "string":
+            return F.when(v.isNotNull(), F.length(v) > 0)
+        return F.when(v.isNotNull(), v != F.lit(0).cast(t if t != "void" else "int"))
+
+    def any(self):
+        """Per-column pandas ``any`` (skipna): one aggregation pass →
+        eager pandas Series like the other axis-0 reductions."""
+        import pandas as pd
+
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        exprs = [
+            F.coalesce(F.max(self._truthy(c, schema)), F.lit(False)).alias(c)
+            for c in self._columns
+        ]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series({c: bool(row[c]) for c in self._columns})
+
+    def all(self):
+        """Per-column pandas ``all`` (skipna; empty/all-missing → True)."""
+        import pandas as pd
+
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        exprs = [
+            F.coalesce(F.min(self._truthy(c, schema)), F.lit(True)).alias(c)
+            for c in self._columns
+        ]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series({c: bool(row[c]) for c in self._columns})
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        """Zero-job column relabel (metadata only)."""
+        return DataFrame._from_internal(
+            self._internal, {f"{prefix}{c}": e for c, e in self._columns.items()}
+        )
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return DataFrame._from_internal(
+            self._internal, {f"{c}{suffix}": e for c, e in self._columns.items()}
+        )
+
+    def squeeze(self):
+        """Single-column frame → that column as a Series (pandas squeeze
+        along columns; row squeezing would need a count job, so a
+        single-ROW frame is returned unchanged)."""
+        if len(self._columns) == 1:
+            return self[next(iter(self._columns))]
+        return self
+
+    def stack(self):
+        """Wide → long: one output row per (row, column), MultiIndexed
+        (index, column label), missing values DROPPED (classic pandas
+        stack). A map-side Generate over an inline struct array — zero
+        shuffles; columns must share a numeric (→ double) or string
+        family, mirroring pandas' object-upcast rule."""
+        from pontem_spark.core.series import Series
+
+        schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
+        numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        kinds = {schema[c] for c in self._columns}
+        if kinds <= set(numeric):
+            cast = "double"
+        elif kinds == {"string"}:
+            cast = "string"
+        else:
+            raise TypeError(
+                f"stack needs a common column family, got {sorted(kinds)}"
+            )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("__lbl__"),
+                    self._valid_col(c, schema).cast(cast).alias("__v__"),
+                )
+                for c in self._columns
+            ]
+        )
+        sdf = (
+            self._internal.sdf.select(
+                self._internal.index_col.alias(INDEX_COL), pairs.alias("__p__")
+            )
+            .select(INDEX_COL, F.explode("__p__").alias("__e__"))
+            .filter(F.col("__e__.__v__").isNotNull())
+            .select(
+                F.struct(
+                    F.col(INDEX_COL).alias("__l0__"),
+                    F.col("__e__.__lbl__").alias("__l1__"),
+                ).alias("__midx__"),
+                F.col("__e__.__v__").alias("__value__"),
+            )
+        )
+        internal = InternalFrame(
+            sdf, "__midx__", (self._internal.index_name, None)
+        )
+        return Series._from_internal(internal, sdf["__value__"], None)
+
+    @property
+    def T(self) -> "DataFrame":
+        """Eager transpose — inherently driver-scale (row labels become
+        columns), so it collects through the Series.unique()-style loud
+        guard (max 1000 rows) and rebuilds a frame from the transposed
+        pandas object."""
+        n = self._internal.sdf.limit(1001).count()
+        if n > 1000:
+            raise ValueError(
+                "T would create >1000 columns; transpose is a driver-scale "
+                "operation — aggregate or filter first"
+            )
+        pdf = self.to_pandas().T
+        pdf.columns = [str(c) for c in pdf.columns]
+        spark = self._internal.sdf.sparkSession
+        return DataFrame(pdf, spark=spark)
+
 
 class _FrameILocIndexer:
     """``df.iloc[rows]`` / ``df.iloc[rows, cols]`` — positional over the

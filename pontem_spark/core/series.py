@@ -1167,6 +1167,121 @@ class Series:
             internal, F.coalesce(blanked, sdf["__b__"]), self._name
         )
 
+    def unstack(self):
+        """2-level MultiIndexed Series (struct index, e.g. from a
+        two-key groupby) → DataFrame: first level becomes the index,
+        second level's values become columns — ``groupBy(l0).pivot(l1)``
+        (pivot runs one small distinct job to discover the columns)."""
+        from pontem_spark.core.frame import DataFrame
+
+        sdf = self._materialized()
+        idx_type = dict(sdf.dtypes)[INDEX_COL]
+        if not idx_type.startswith("struct"):
+            raise ValueError("unstack needs a 2-level MultiIndexed Series")
+        fields = sdf.select(f"{INDEX_COL}.*").columns
+        if len(fields) != 2:
+            raise ValueError(
+                f"unstack supports exactly 2 index levels, got {len(fields)}"
+            )
+        l0, l1 = fields
+        flat = sdf.select(
+            F.col(f"{INDEX_COL}.{l0}").alias("__l0__"),
+            F.col(f"{INDEX_COL}.{l1}").alias("__l1__"),
+            F.col(_VALUE).alias("__v__"),
+        )
+        wide = flat.groupBy("__l0__").pivot("__l1__").agg(F.first("__v__"))
+        cols = [c for c in wide.columns if c != "__l0__"]
+        names = self._internal.index_name
+        iname = names[0] if isinstance(names, tuple) else None
+        internal = InternalFrame(
+            wide.withColumnRenamed("__l0__", "__index__"), "__index__", iname
+        )
+        return DataFrame._from_internal(internal, {c: wide[c] for c in cols})
+
+    def searchsorted(self, value, side: str = "left") -> int:
+        """Insertion position keeping the VALUES sorted — a count
+        aggregate (elements strictly below for 'left', ≤ for 'right'),
+        never a sort."""
+        if side not in ("left", "right"):
+            raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+        v = self._valid_col
+        pred = (v < F.lit(value)) if side == "left" else (v <= F.lit(value))
+        row = self._internal.sdf.select(
+            F.count(F.when(pred, 1)).alias("n")
+        ).first()
+        return int(row["n"])
+
+    def repeat(self, repeats: int) -> "Series":
+        """Each element ``repeats`` times, index labels duplicated
+        adjacently like pandas — a map-side Generate (explode of
+        array_repeat), zero shuffles."""
+        if repeats < 0:
+            raise ValueError("repeats must be non-negative")
+        sdf = self._materialized().select(
+            INDEX_COL, F.explode(F.array_repeat(F.col(_VALUE), repeats)).alias(_VALUE)
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def explode(self) -> "Series":
+        """Array-valued Series → one row per element with the index label
+        duplicated; empty/NULL arrays keep one missing row
+        (explode_outer — pandas' rule)."""
+        sdf = self._materialized().select(
+            INDEX_COL, F.explode_outer(F.col(_VALUE)).alias(_VALUE)
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        return Series._from_internal(internal, sdf[_VALUE], self._name)
+
+    def _pairwise(self, other: "Series"):
+        """Outer-align two series on the index (the combine_first join)
+        and return the joined frame with both value columns NaN-blanked —
+        the pairwise-complete base for corr/cov/dot."""
+        a = self._materialized("__a__")
+        b = other._materialized("__b__")
+        joined = a.alias("l").join(
+            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
+        )
+        sdf = joined.select(
+            F.col("l.__a__").alias("__a__"), F.col("r.__b__").alias("__b__")
+        )
+        va = F.when(~self._missing_mask(sdf["__a__"], sdf), sdf["__a__"])
+        vb = F.when(~other._missing_mask(sdf["__b__"], sdf), sdf["__b__"])
+        return sdf, va, vb
+
+    def corr(self, other: "Series") -> float:
+        """Pearson correlation over pairwise-complete observations (both
+        non-missing) — one join + one aggregate."""
+        sdf, va, vb = self._pairwise(other)
+        both = va.isNotNull() & vb.isNotNull()
+        row = sdf.select(
+            F.corr(F.when(both, va), F.when(both, vb)).alias("c")
+        ).first()
+        return float("nan") if row["c"] is None else row["c"]
+
+    def cov(self, other: "Series", ddof: int = 1) -> float:
+        """Covariance over pairwise-complete observations."""
+        sdf, va, vb = self._pairwise(other)
+        both = va.isNotNull() & vb.isNotNull()
+        fn = F.covar_samp if ddof == 1 else F.covar_pop
+        if ddof not in (0, 1):
+            raise ValueError("ddof must be 0 or 1")
+        row = sdf.select(fn(F.when(both, va), F.when(both, vb)).alias("c")).first()
+        return float("nan") if row["c"] is None else row["c"]
+
+    def dot(self, other: "Series") -> float:
+        """Σ aᵢ·bᵢ over index-aligned pairs; any missing value poisons the
+        result to NaN (pandas NaN arithmetic)."""
+        sdf, va, vb = self._pairwise(other)
+        row = sdf.select(
+            F.sum(va * vb).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(va.isNotNull() & vb.isNotNull(), 1)).alias("k"),
+        ).first()
+        if row["n"] != row["k"] or row["s"] is None:
+            return float("nan")
+        return row["s"]
+
     def mode(self) -> "Series":
         """Most frequent value(s), sorted ascending with a fresh 0..k-1
         index like pandas (ties all returned). One value-level aggregate +

@@ -1410,3 +1410,71 @@ def test_groupby_ops_with_named_index(spark):
     assert df.groupby("user_id").filter(lambda g: len(g) > 0).to_pandas().shape == (50, 2)
     assert df.groupby("user_id")["value"].rolling(2).mean().to_pandas().shape == (50,)
     assert df.groupby("user_id")["value"].expanding().sum().to_pandas().shape == (50,)
+
+
+def test_probe_pins_round7g_frame_series_tail(spark):
+    """r7 probe batch: frame any/all/add_prefix/add_suffix/squeeze/stack/T,
+    Series unstack/searchsorted/repeat/explode/corr/cov/dot."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pontem_spark.core import DataFrame
+
+    nan = float("nan")
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "b", "a", "c", "b", "a"],
+            "v": [3.0, 1.0, nan, 1.0, 5.0, 9.0],
+            "w": [1, 2, 3, 4, 5, 6],
+            "s": ["x", "", "y", None, "z", "q"],
+        }
+    )
+    d = DataFrame(
+        {"k": pdf.k.tolist(), "v": pdf.v.tolist(), "w": pdf.w.tolist(), "s": pdf.s.tolist()},
+        spark=spark,
+    )
+
+    assert d.any().to_dict() == pdf.any().to_dict()
+    assert d.all().to_dict() == pdf.all().to_dict()
+    assert d.add_prefix("x_").columns == ["x_k", "x_v", "x_w", "x_s"]
+    assert d.add_suffix("_y").columns == ["k_y", "v_y", "w_y", "s_y"]
+    assert d[["v"]].squeeze().to_pandas().fillna(-1).tolist() == pdf["v"].fillna(-1).tolist()
+
+    ms, ps = d[["v", "w"]].stack().to_pandas(), pdf[["v", "w"]].stack()
+    assert ms.tolist() == ps.tolist()
+    assert [tuple(x) for x in ms.index] == [tuple(x) for x in ps.index]
+
+    mt, pt = d[["v", "w"]].T.to_pandas(), pdf[["v", "w"]].T
+    assert np.allclose(mt.values.astype(float), pt.values, equal_nan=True)
+    assert list(mt.index) == list(pt.index)
+
+    mu = d.groupby(["k", "s"])["w"].agg("sum").unstack().to_pandas().sort_index()
+    pu = pdf.groupby(["k", "s"])["w"].sum().unstack().sort_index()
+    assert np.allclose(
+        mu.reindex(columns=sorted(mu.columns)).fillna(-9).values.astype(float),
+        pu.reindex(columns=sorted(pu.columns)).fillna(-9).values,
+        equal_nan=True,
+    )
+
+    sv = sorted(pdf["w"])
+    assert d["w"].searchsorted(3) == int(np.searchsorted(sv, 3, side="left"))
+    assert d["w"].searchsorted(3, "right") == int(np.searchsorted(sv, 3, side="right"))
+
+    mr, pr = d["w"].repeat(2).to_pandas(), pdf["w"].repeat(2)
+    assert mr.tolist() == pr.tolist() and mr.index.tolist() == pr.index.tolist()
+
+    e = DataFrame({"a": [[1, 2], [], None, [3]]}, spark=spark)
+    me = e["a"].explode().to_pandas()
+    ppe = pd.DataFrame({"a": [[1, 2], [], None, [3]]})["a"].explode()
+    assert len(me) == len(ppe) and me.index.tolist() == ppe.index.tolist()
+    for a, b in zip(me.tolist(), ppe.tolist()):
+        an = a is None or (isinstance(a, float) and math.isnan(a))
+        bn = b is None or (isinstance(b, float) and math.isnan(b))
+        assert an == bn and (an or a == b)
+
+    assert abs(d["v"].corr(d["w"]) - pdf["v"].corr(pdf["w"])) < 1e-12
+    assert abs(d["v"].cov(d["w"]) - pdf["v"].cov(pdf["w"])) < 1e-12
+    assert math.isnan(d["v"].dot(d["w"]))
+    assert abs(d["w"].dot(d["w"]) - float(pdf["w"].dot(pdf["w"]))) < 1e-9
