@@ -153,3 +153,74 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """Total triangle count of an undirected graph via the
+    compact-forward (degree-orientation) algorithm.
+
+    Naive triangle counting self-joins the edge list twice with no bound
+    on the intermediate (a hub of degree d contributes d² wedge rows).
+    Orienting every edge from the LOWER-degree endpoint to the higher
+    (ties by id) first makes the oriented out-degree O(√|E|) for any
+    graph, so the wedge join is bounded — the standard trick that makes
+    triangle counting feasible at scale.
+
+    Cost: one degree aggregate (shuffle ~|V|), one broadcast-free
+    orientation pass, then wedge join + closing semi-join (two shuffles on
+    edge keys). Returns a 1-row DataFrame ``(triangles bigint)``; each
+    triangle is counted exactly once (its vertices appear in one canonical
+    degree-order).
+
+    Input may list each undirected edge in either or both directions;
+    self-loops and duplicates are dropped.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    # undirected canonical form + dedup
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    # degrees over the undirected edge set
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv")
+    # orient from lower-degree endpoint (ties: lower id) to higher
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    # wedges: two oriented edges out of the same vertex…
+    w1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y1"))
+    w2 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y2"))
+    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
+    # …closed by an oriented edge between the two endpoints. The wedge
+    # pair is canonicalized by ID, but the closing edge is oriented by
+    # DEGREE — probe both directions (each unordered pair appears in
+    # exactly one)
+    closing = oriented.select(F.col("s").alias("y1"), F.col("t").alias("y2")).unionAll(
+        oriented.select(F.col("t").alias("y1"), F.col("s").alias("y2"))
+    )
+    tri = wedges.join(closing, ["y1", "y2"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))

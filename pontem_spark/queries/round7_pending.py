@@ -576,3 +576,47 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n bigint, dim int, var_ok boolean, offdiag_ok boolean",
     )
+
+
+@_pending(
+    "q_graph_triangles",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS u,
+               GREATEST(a.l_suppkey, b.l_suppkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST((
+               SELECT COUNT(*)
+               FROM pairs e1
+               JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+               JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+           ) AS BIGINT) AS triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the supplier co-supply graph (suppliers sharing
+    an order) via degree-oriented compact-forward counting
+    (operators/graph.py::triangle_count) — the oriented out-degree is
+    O(sqrt(E)) so the wedge join is bounded; the oracle counts the same
+    triangles with the canonical three-way a<b<c join."""
+    from pontem_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    tri = triangle_count(pairs)
+    edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return edges.crossJoin(tri)

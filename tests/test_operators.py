@@ -1519,3 +1519,40 @@ def test_pca_whitening_identity_covariance(spark):
     mean_p, Wp = fit_whitening(df, "vec", eps=1e-9, zca=False)
     Yp = (X - mean_p) @ Wp.T
     assert np.allclose(np.cov(Yp, rowvar=False), np.eye(d), atol=0.05)
+
+
+def test_triangle_count_known_graphs(spark):
+    """Known-value graphs: K4 (4 triangles), a square + diagonal (2),
+    a hub star (0), and a randomized Erdos-Renyi graph checked against a
+    brute-force itertools count."""
+    import itertools
+    import random
+
+    from pontem_spark.operators.graph import triangle_count
+
+    def count(edges):
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return triangle_count(df).first()["triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    square_diag = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    assert count(square_diag) == 2
+    star = [(0, i) for i in range(1, 8)]
+    assert count(star) == 0
+    # duplicate + reversed + self-loop edges are cleaned
+    assert count(k4 + [(b, a) for a, b in k4] + [(1, 1), (0, 1)]) == 4
+
+    rng = random.Random(11)
+    nodes = list(range(24))
+    edges = [(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.25]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert count(edges) == brute
