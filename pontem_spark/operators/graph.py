@@ -224,3 +224,58 @@ def triangle_count(
     )
     tri = wedges.join(closing, ["y1", "y2"], "left_semi")
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 6,
+) -> DataFrame:
+    """Vertices of the k-core (maximal subgraph with min degree ≥ k) by
+    iterative peeling, bounded at ``max_iterations`` rounds.
+
+    Each round: one degree aggregate over the surviving undirected edge
+    set (shuffle ~|V| count rows), then two semi-joins filtering edges to
+    kept endpoints — peeling is MONOTONE and IDEMPOTENT at the fixpoint,
+    so running extra rounds past convergence is a no-op. That idempotence
+    is what makes a fixed-round unrolled-CTE oracle exact: both engines do
+    ``max_iterations`` rounds; as long as the data converges within the
+    bound they agree bit-for-bit. Real graphs peel in a handful of rounds
+    (degeneracy ordering); adversarial long chains need the cap raised.
+
+    lineage is truncated per round (localCheckpoint) — the same growing-
+    plan guard as connected_components/pagerank above. Returns
+    ``(node, degree)`` for surviving vertices with their in-core degree.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        deg = (
+            und.select(F.col("u").alias("n"))
+            .unionAll(und.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=True)
+        und = (
+            und.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

@@ -156,3 +156,78 @@ def bigram_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: "list[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms.
+
+    Ranked retrieval over the same inverted-index shape as TF-IDF
+    (reference has no retrieval surface; this is the §2.G corpus family).
+    idf is the Lucene-style non-negative form ln(1 + (N - df + 0.5)/(df +
+    0.5)); the length normalization uses whitespace token counts.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so only
+    postings of the |terms| query terms are ever shuffled — corpus size
+    contributes one map-side projection (per-doc length) and the
+    broadcast 1-row (N, avgdl) aggregate, never a document-body shuffle.
+    The final top-k is a single TakeOrderedAndProject on (rounded score
+    DESC, id ASC) — rounding absorbs cross-engine last-ulp ln()/summation
+    skew, the id tie-break makes equal rounded scores deterministic.
+    """
+    lengths = ensure_parallelism(df).select(
+        F.col(id_col), T.n_tokens(text_col).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+    )
+    tf = (
+        ensure_parallelism(df)
+        .select(id_col, F.explode(T.tokens(text_col)).alias("term"))
+        .filter(F.col("term").isin(list(terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("dfreq") + F.lit(0.5))
+                    / (F.col("dfreq") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b) * F.col("dl").cast("double") / F.col("__avgdl")
+                    )
+                )
+            ).alias("__c"),
+        )
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            rnd(F.sum("__c"), round_digits).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

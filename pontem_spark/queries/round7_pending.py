@@ -620,3 +620,106 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = triangle_count(pairs)
     edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return edges.crossJoin(tri)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    # Each round references the previous edge CTE several times; without
+    # MATERIALIZED DuckDB inlines the chain multiplicatively (observed:
+    # "Too many open files" from hundreds of re-opened parquet scans).
+    steps = []
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    d{r} AS MATERIALIZED (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM {prev} UNION ALL SELECT v AS n FROM {prev}
+      ) GROUP BY 1
+    ),
+    k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      WHERE u IN (SELECT n FROM k{r}) AND v IN (SELECT n FROM k{r})
+    )""")
+        prev = f"e{r}"
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS u,
+                      's' || CAST(l_suppkey AS VARCHAR) AS v
+      FROM lineitem WHERE l_quantity >= 48
+    ),{",".join(steps)}
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+    GROUP BY 1 HAVING COUNT(*) >= {k}
+    """
+
+
+@_pending("q_graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the sparsified (l_quantity >= 48) part↔supplier graph by
+    bounded-round iterative peeling (operators/graph.py::k_core). Peeling
+    is monotone and idempotent at the fixpoint, so both engines running
+    exactly 6 rounds agree whether or not the data converged earlier
+    (probed: fixpoint in 2 rounds at sf0.001 and sf0.01); the oracle
+    unrolls the identical 6 degree→filter rounds as CTEs."""
+    from pontem_spark.operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    return k_core(edges, k=3, max_iterations=6)
+
+
+@_pending(
+    "q_text_bm25_topk",
+    oracle="""
+    WITH lengths AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lengths
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT t.doc_id,
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n - d.dfreq + CAST(0.5 AS DOUBLE))
+                  / (d.dfreq + CAST(0.5 AS DOUBLE)))
+             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(t.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS c
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN lengths l USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, ROUND(SUM(c), 4) AS bm25,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM contrib GROUP BY 1
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for the query {spark, join, vector}
+    (operators/textstats.py::bm25_topk, k1=1.2 b=0.75): the term filter
+    lands before the tf aggregation so only query-term postings shuffle;
+    the oracle replays idf/tf/length normalization with every literal cast
+    to DOUBLE (the decimal-literal division trap) and ranks on the rounded
+    score with doc_id tie-break."""
+    from pontem_spark.operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "join", "vector"], k=10)

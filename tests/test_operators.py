@@ -1556,3 +1556,81 @@ def test_triangle_count_known_graphs(spark):
         if b in adj[a] and c in adj[a] and c in adj[b]
     )
     assert count(edges) == brute
+
+
+def test_k_core_peeling(spark):
+    """Known fixture: triangle + pendant chain — the 2-core is exactly the
+    triangle (peeling cascades down the chain); plus an Erdos-Renyi graph
+    checked against a python peel, and idempotence past the fixpoint."""
+    import collections
+    import random
+
+    from pontem_spark.operators.graph import k_core
+
+    tri_chain = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(tri_chain, ["src", "dst"])
+    got = {(r["node"], r["degree"]) for r in k_core(df, 2).collect()}
+    assert got == {(0, 2), (1, 2), (2, 2)}
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = [(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.12]
+
+    def py_core(E, k):
+        E = set(E)
+        while True:
+            deg = collections.Counter()
+            for u, v in E:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            E2 = {(u, v) for u, v in E if u in keep and v in keep}
+            if E2 == E:
+                return deg if all(d >= k for d in deg.values()) else py_core(E2, k)
+            E = E2
+
+    for k in (2, 3):
+        want = {(n, d) for n, d in py_core(edges, k).items() if d >= k}
+        df = spark.createDataFrame(edges or [(0, 1)], ["src", "dst"])
+        got = {(r["node"], r["degree"]) for r in k_core(df, k, max_iterations=12).collect()}
+        assert got == want, k
+
+
+def test_bm25_topk_manual(spark):
+    """Four tiny docs scored by hand with the Lucene idf form: the term
+    filter, length normalization, and tie-break ordering all verified
+    against an explicit python computation."""
+    import math
+
+    from pontem_spark.operators.textstats import bm25_topk
+
+    docs = [
+        (1, "apple banana apple"),
+        (2, "apple cherry cherry cherry"),
+        (3, "banana banana banana banana"),
+        (4, "date fig grape"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = bm25_topk(df, "doc_id", "text", ["apple", "banana"], k=4).collect()
+
+    toks = {i: t.split() for i, t in docs}
+    n, avgdl = 4.0, sum(len(t) for t in toks.values()) / 4.0
+    dfreq = {"apple": 2, "banana": 2}
+    k1, b = 1.2, 0.75
+
+    def score(i):
+        s = 0.0
+        for term, dfr in dfreq.items():
+            tf = toks[i].count(term)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - dfr + 0.5) / (dfr + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(toks[i]) / avgdl))
+        return math.floor(s * 1e4 + 0.5) / 1e4
+
+    want = {i: score(i) for i in (1, 2, 3)}
+    assert {r["doc_id"] for r in got} == {1, 2, 3}  # doc 4 hits no term
+    for r in got:
+        assert r["bm25"] == want[r["doc_id"]], r
+    # ordering: rounded score desc, id asc
+    assert [r["doc_id"] for r in got] == sorted(want, key=lambda i: (-want[i], i))
