@@ -581,11 +581,11 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_pending(
     "q_graph_triangles",
     oracle="""
-    WITH pairs AS (
-        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS u,
-               GREATEST(a.l_suppkey, b.l_suppkey) AS v
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+               GREATEST(a.l_partkey, b.l_partkey) AS v
         FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     )
     SELECT CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
            CAST((
@@ -597,23 +597,25 @@ def q_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count of the supplier co-supply graph (suppliers sharing
-    an order) via degree-oriented compact-forward counting
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order — non-complete with real community structure at every SF,
+    unlike the supplier graph, which is K_n at small SFs) via
+    degree-oriented compact-forward counting
     (operators/graph.py::triangle_count) — the oriented out-degree is
     O(sqrt(E)) so the wedge join is bounded; the oracle counts the same
     triangles with the canonical three-way a<b<c join."""
     from pontem_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
         li.alias("a")
         .join(
             li.alias("b"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
-            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
     )
