@@ -274,3 +274,35 @@ def mix_sources_sql(
     JOIN __r USING ({stratum_col})
     WHERE {hash_value16_sql(f't.{id_col}')} < __thr
     )"""
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    splits: "Mapping[str, int]",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP lands
+    in the same split, decided by the group key's hash bucket.
+
+    Row-hash splits (train_test_split) leak when rows are correlated —
+    near-identical documents from one source, chunks of one parent doc,
+    events of one user — because siblings straddle the boundary and the
+    eval set rehearses the training set. Splitting on the group key is
+    the GroupShuffleSplit shape: ``splits`` maps label → percent, summed
+    ≤ 100 in iteration order (the remainder falls into the LAST label).
+
+    Pure map-side projection — the md5 bucket is computed per row from
+    the group column already present, no shuffle, no group materialization;
+    at 100 TB this is a free column. Deterministic across engines via the
+    ascii-arithmetic bucket (hash_bucket above).
+    """
+    bucket = hash_bucket(group_col, 100)
+    labels = list(splits.items())
+    cases, hi = [], 0
+    for label, pct in labels[:-1]:
+        hi += pct
+        cases.append((hi, label))
+    expr: Column = F.lit(labels[-1][0])
+    for threshold, label in reversed(cases):
+        expr = F.when(bucket < threshold, F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -725,3 +725,73 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, "doc_id", "text", ["spark", "join", "vector"], k=10)
+
+
+@_pending(
+    "q_sample_group_split",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type,
+             ((ascii(substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) * 256 + ascii(substr(md5(CAST(user_id AS VARCHAR)), 2, 1))) % 100) AS bucket
+      FROM events
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM b GROUP BY 1
+    """,
+)
+def q_sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe 80/10/10 split of events by USER (every row of a user
+    lands in one split — row-hash splits would let one user's correlated
+    events straddle train/test; operators/sampling.py::group_split, a pure
+    map-side projection of the md5 ascii-arithmetic bucket). The oracle
+    replays the bucket thresholds; n_users per split also proves no user
+    appears twice (sum of per-split distinct users = total users)."""
+    from pontem_spark.operators.sampling import group_split
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return (
+        group_split(ev, "user_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@_pending(
+    "q_ts_time_decay",
+    oracle="""
+    WITH ref AS MATERIALIZED (
+      SELECT user_id, MAX(epoch_us(ts)) AS ref_us FROM events GROUP BY 1
+    ),
+    wt AS (
+      SELECT e.user_id,
+             pow(CAST(2.0 AS DOUBLE),
+                 -(CAST(r.ref_us - epoch_us(e.ts) AS DOUBLE) / 1e6)
+                  / CAST(86400.0 AS DOUBLE)) AS w,
+             e.value AS v
+      FROM events e JOIN ref r USING (user_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(w * v), 4) AS decayed_total,
+           ROUND(SUM(w * v) / SUM(w), 4) AS decayed_mean
+    FROM wt GROUP BY 1
+    """,
+)
+def q_ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential time-decay aggregate (halflife 1 day, aged
+    from each user's own latest event — operators/timeseries.py::
+    time_decay_agg): the irregular-timestamp complement of ewm, two
+    map-side-combinable aggregates and no window/sort. Weights computed in
+    double space from unix_micros ages; oracle replays with epoch_us and
+    every literal cast to DOUBLE."""
+    from pontem_spark.operators.timeseries import time_decay_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return time_decay_agg(ev, "user_id", "ts", "value", halflife_s=86400.0)

@@ -1634,3 +1634,48 @@ def test_bm25_topk_manual(spark):
         assert r["bm25"] == want[r["doc_id"]], r
     # ordering: rounded score desc, id asc
     assert [r["doc_id"] for r in got] == sorted(want, key=lambda i: (-want[i], i))
+
+
+def test_group_split_leakage_safe(spark):
+    """Every group lands wholly in one split; labels exhaust the rows and
+    follow the cumulative bucket thresholds."""
+    from pontem_spark.operators.sampling import group_split
+
+    rows = [(f"g{i % 37}", i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    out = group_split(df, "grp", {"train": 80, "val": 10, "test": 10})
+    per_group = (
+        out.groupBy("grp")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_group)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    labels = {r["split"] for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    assert out.count() == 500
+
+
+def test_time_decay_agg_manual(spark):
+    """Three events for one key, hand-computed half-life weights (ages 0,
+    1 and 2 halflives -> weights 1, 0.5, 0.25)."""
+    import datetime as dt
+
+    from pontem_spark.operators.timeseries import time_decay_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 8.0),
+        ("u", t0 + dt.timedelta(seconds=3600), 4.0),
+        ("u", t0 + dt.timedelta(seconds=7200), 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = time_decay_agg(df, "k", "ts", "v", halflife_s=3600.0).first()
+    # aged from the LATEST event: weights 0.25, 0.5, 1.0
+    total = 0.25 * 8 + 0.5 * 4 + 1.0 * 2
+    mean = total / (0.25 + 0.5 + 1.0)
+    assert got["n_events"] == 3
+    import math
+
+    assert got["decayed_total"] == math.floor(total * 1e4 + 0.5) / 1e4
+    assert got["decayed_mean"] == math.floor(mean * 1e4 + 0.5) / 1e4
