@@ -420,3 +420,49 @@ def mmr_rerank(
     return cands.groupBy("query_id").applyInPandas(
         greedy, "query_id long, neighbor_id long, mmr_rank int, score double"
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of N candidate rankings: score(d) =
+    Σ_lists 1/(k0 + rank_d) over the lists that retrieved d.
+
+    THE hybrid-retrieval combiner (Cormack et al.; the standard way RAG
+    stacks merge a lexical BM25 list with an embedding-cosine list): rank
+    positions, not raw scores, so the lists need no score calibration.
+    Each input must carry (id_col, rank_col) with rank 1-based.
+
+    Scale shape: a unionAll of the candidate lists (already top-n sized,
+    tiny relative to the corpus) + one hash aggregate on the id + one
+    TakeOrderedAndProject — the fusion never touches the corpus, only the
+    retrieved candidates. Deterministic: the reciprocal contributions are
+    exact rationals in double space; the fused score is rounded before
+    ranking and ties break on id.
+    """
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col).cast("double"))).alias(
+                "__rrf"
+            ),
+        )
+        for r in rankings
+    ]
+    u = reduce(DataFrame.unionAll, contribs)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            rnd(F.sum("__rrf"), round_digits).alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

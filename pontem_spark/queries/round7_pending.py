@@ -11,7 +11,7 @@ they arrive green.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from pontem_spark.sources.tables import load_table
 
@@ -795,3 +795,92 @@ def q_ts_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return time_decay_agg(ev, "user_id", "ts", "value", halflife_s=86400.0)
+
+
+def _rrf_oracle() -> str:
+    from pontem_spark.queries.similarity import _COS_SQL
+
+    cos = _COS_SQL.format(a="e.embedding", b="p.pe")
+    return f"""
+    WITH lengths AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM lengths
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents
+      ) WHERE term IN ('spark', 'join', 'vector')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT t.doc_id,
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n - d.dfreq + CAST(0.5 AS DOUBLE))
+                  / (d.dfreq + CAST(0.5 AS DOUBLE)))
+             * (CAST(t.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(t.tf AS DOUBLE)
+                + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS c
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN lengths l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    bm AS (SELECT doc_id, ROUND(SUM(c), 4) AS s FROM contrib GROUP BY 1),
+    bmrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM bm QUALIFY r <= 50
+    ),
+    probe AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 0),
+    cosscore AS (
+      SELECT e.vec_id AS doc_id, ROUND({cos}, 6) AS s
+      FROM embeddings e, probe p WHERE e.vec_id <> 0
+    ),
+    cosrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+      FROM cosscore QUALIFY r <= 50
+    ),
+    unioned AS (
+      SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c FROM bmrank
+      UNION ALL
+      SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + r) AS c FROM cosrank
+    )
+    SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM unioned GROUP BY 1
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """
+
+
+@_pending("q_ann_rrf_fusion", _rrf_oracle())
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-50 for {spark, join, vector} fused with
+    the embedding-cosine top-50 around doc 0's vector by Reciprocal Rank
+    Fusion (operators/similarity.py::rrf_fuse, k0=60) — rank positions
+    only, so the lexical and vector scores need no calibration. The
+    fusion aggregates only the retrieved candidates (never the corpus);
+    the oracle replays both rankings (QUALIFY top-50, id tie-breaks on
+    the rounded scores) and the reciprocal sum."""
+    from pontem_spark.operators.similarity import brute_force_topk, rrf_fuse
+    from pontem_spark.operators.textstats import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    bm = bm25_topk(docs, "doc_id", "text", ["spark", "join", "vector"], k=50)
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm_ranked = bm.withColumn("rank", F.row_number().over(w)).select("doc_id", "rank")
+
+    cos_ranked = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=50, dim=64
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+    return rrf_fuse([bm_ranked, cos_ranked], "doc_id", "rank", k0=60, k=10)

@@ -1679,3 +1679,25 @@ def test_time_decay_agg_manual(spark):
 
     assert got["decayed_total"] == math.floor(total * 1e4 + 0.5) / 1e4
     assert got["decayed_mean"] == math.floor(mean * 1e4 + 0.5) / 1e4
+
+
+def test_rrf_fuse_manual(spark):
+    """Two hand-made rankings: fused score = sum of 1/(60+rank) over the
+    lists that retrieved the doc; ordering on rounded score, id ties."""
+    import math
+
+    from pontem_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], ["doc_id", "rank"])
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in rrf_fuse([a, b], k=4).collect()}
+
+    def s(*ranks):
+        return math.floor(sum(1.0 / (60 + r) for r in ranks) * 1e6 + 0.5) / 1e6
+
+    assert got == {
+        1: (s(1, 2), 2),
+        3: (s(3, 1), 2),
+        2: (s(2), 1),
+        4: (s(3), 1),
+    }
