@@ -279,3 +279,50 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
     return deg.filter(F.col("degree") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Community detection by synchronous label propagation, fixed rounds.
+
+    Each round every vertex adopts the most frequent label among its
+    neighbors (ties: the LARGEST label, giving a total order both engines
+    compute identically — max count, then max label, via one struct-max
+    aggregate). Synchronous fixed-round LPA is deterministic even where
+    the algorithm would oscillate, so an unrolled-CTE oracle replays it
+    exactly — no convergence argument needed (unlike k_core, whose oracle
+    leans on idempotence).
+
+    Per round: one |E| join (labels onto edge targets) + two hash
+    aggregates ((node, label) counts, then per-node struct-max) — all
+    map-side combinable, lineage truncated per round. Rank state is |V|
+    rows. Returns (node, community).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select("u", "label")
+        counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("u")
+            .agg(F.max(F.struct(F.col("c"), F.col("label"))).alias("m"))
+            .select(F.col("u").alias("node"), F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

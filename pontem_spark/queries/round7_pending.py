@@ -884,3 +884,67 @@ def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("neighbor_id").alias("doc_id"), "rank")
 
     return rrf_fuse([bm_ranked, cos_ranked], "doc_id", "rank", k0=60, k=10)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    steps = []
+    prev = "l0"
+    for r in range(1, iterations + 1):
+        steps.append(f"""
+    l{r} AS MATERIALIZED (
+      SELECT u AS node, label FROM (
+        SELECT e.u, p.label, COUNT(*) AS c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.u ORDER BY COUNT(*) DESC, p.label DESC
+               ) AS rn
+        FROM sym e JOIN {prev} p ON p.node = e.v
+        GROUP BY e.u, p.label
+      ) WHERE rn = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH und AS MATERIALIZED (
+      SELECT DISTINCT LEAST('p' || CAST(a.l_partkey AS VARCHAR),
+                            'p' || CAST(b.l_partkey AS VARCHAR)) AS u,
+                      GREATEST('p' || CAST(a.l_partkey AS VARCHAR),
+                               'p' || CAST(b.l_partkey AS VARCHAR)) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 44 AND b.l_quantity >= 44
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM und UNION SELECT v, u FROM und
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),{",".join(steps)}
+    SELECT node, label AS community FROM {prev}
+    """
+
+
+@_pending("q_graph_communities", _lpa_oracle())
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities (3 synchronous rounds) on the
+    sparsified part co-purchase graph (operators/graph.py::
+    label_propagation). Fixed-round synchronous LPA is deterministic even
+    where the algorithm oscillates — each round is one |E| join + two
+    map-side-combinable aggregates with a struct-max (max count, then max
+    label) adoption rule the oracle replays with a windowed
+    (COUNT DESC, label DESC) pick."""
+    from pontem_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 44)
+    pairs = (
+        li.alias("a")
+        .join(
+            li.select(
+                F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("bp")
+            ).alias("b"),
+            (F.col("a.l_orderkey") == F.col("bo"))
+            & (F.col("a.l_partkey") < F.col("bp")),
+        )
+        .select(
+            F.concat(F.lit("p"), F.col("a.l_partkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("bp").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, iterations=3)

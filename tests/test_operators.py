@@ -1701,3 +1701,19 @@ def test_rrf_fuse_manual(spark):
         2: (s(2), 1),
         4: (s(3), 1),
     }
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA settles each clique
+    onto one community, and the two communities differ."""
+    from pontem_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    c2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    edges = c1 + c2 + [("d", "w")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["community"] for r in label_propagation(df, iterations=4).collect()}
+    assert len(got) == 8
+    left = {got[n] for n in "abc"}
+    right = {got[n] for n in "xyz"}
+    assert len(left) == 1 and len(right) == 1 and left != right
