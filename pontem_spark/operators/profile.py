@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pontem_spark.functions.compat import rnd
 
@@ -282,4 +282,49 @@ def grouped_linear_trend(
             F.when(var_x * var_y != 0, (cov_n * cov_n) / (var_x * var_y)),
             round_digits,
         ).alias("r2"),
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Heavy-key diagnosis for a prospective join/aggregation key: the
+    top-N keys by row count with their share and cumulative share of the
+    table, plus the distinct-key count.
+
+    The "do I need salting?" pre-check (compare with the salted two-phase
+    join in queries/round6b.py): a key whose share approaches 1/partitions
+    will bottleneck one task at scale. One map-side-combinable count
+    aggregate (shuffle ~|keys| partials), a broadcast 1-row total, and a
+    TakeOrderedAndProject for the top-N — the cumulative window runs over
+    the N surviving rows only, never |keys|.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct_keys"),
+    )
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("key").asc()))
+        .alias("rank"),
+        "key",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        rnd(F.col("cnt") / F.col("__total"), round_digits).alias("share"),
+        rnd(F.sum("cnt").over(w) / F.col("__total"), round_digits).alias("cum_share"),
+        F.col("__distinct_keys").cast("bigint").alias("distinct_keys"),
     )

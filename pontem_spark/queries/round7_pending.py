@@ -948,3 +948,40 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(pairs, iterations=3)
+
+
+@_pending(
+    "q_profile_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(l_suppkey AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1
+    ),
+    totals AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             COUNT(*) AS distinct_keys
+      FROM counts
+    ),
+    top AS (
+      SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rank
+      FROM counts QUALIFY rank <= 10
+    )
+    SELECT t.rank, t.key, CAST(t.cnt AS BIGINT) AS cnt,
+           ROUND(t.cnt / s.total, 6) AS share,
+           ROUND(SUM(t.cnt) OVER (ORDER BY t.rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / s.total,
+                 6) AS cum_share,
+           CAST(s.distinct_keys AS BIGINT) AS distinct_keys
+    FROM top t CROSS JOIN totals s
+    """,
+)
+def q_profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key report for lineitem's supplier key — the 'do I need
+    salting?' pre-check (operators/profile.py::skew_report): one
+    map-side-combinable count aggregate, broadcast totals, TakeOrdered
+    top-10 with share and cumulative share; the cumulative window runs
+    over the 10 surviving rows, never |keys|."""
+    from pontem_spark.operators.profile import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return skew_report(li, "l_suppkey", top_n=10)

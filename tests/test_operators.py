@@ -1717,3 +1717,17 @@ def test_label_propagation_two_cliques(spark):
     left = {got[n] for n in "abc"}
     right = {got[n] for n in "xyz"}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_skew_report_known_distribution(spark):
+    """Hand-built skew: key 'a' x6, 'b' x3, 'c' x1 — shares, cumulative
+    shares, ranks and the distinct-key count all verified exactly."""
+    from pontem_spark.operators.profile import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["rank"]: r for r in skew_report(df, "k", top_n=2).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["key"], got[1]["cnt"], got[1]["share"], got[1]["cum_share"]) == ("a", 6, 0.6, 0.6)
+    assert (got[2]["key"], got[2]["cnt"], got[2]["share"], got[2]["cum_share"]) == ("b", 3, 0.3, 0.9)
+    assert got[1]["distinct_keys"] == 3
