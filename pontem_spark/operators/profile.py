@@ -328,3 +328,42 @@ def skew_report(
         rnd(F.sum("cnt").over(w) / F.col("__total"), round_digits).alias("cum_share"),
         F.col("__distinct_keys").cast("bigint").alias("distinct_keys"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    val_col: str,
+    threshold: float = 3.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Robust per-group outliers by median absolute deviation: flag rows
+    with |0.6745·(x − median)| / MAD > threshold (the Iglewicz–Hoaglin
+    modified z-score).
+
+    The z-score gate (zscore_outliers above) breaks down exactly when you
+    need it — heavy tails inflate the stddev and hide the outliers; the
+    median/MAD pair has a 50% breakdown point. Cost: two exact-percentile
+    aggregates per group (median, then median of deviations) joined back
+    by the group key — groups are few, so both joins broadcast; no window,
+    no global sort. Degenerate groups (MAD = 0, over half the values
+    identical) are excluded rather than dividing by zero (ANSI-safe).
+    """
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(val_col).cast("double"), F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col(val_col).cast("double") - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("__dev"), F.lit(0.5)).alias("__mad")
+    )
+    z = F.lit(0.6745) * (F.col(val_col).cast("double") - F.col("__med")) / F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("__mad") > 0)
+        .withColumn("robust_z", rnd(z, round_digits))
+        .filter(F.abs(F.col("robust_z")) > threshold)
+        .select(group_col, id_col, F.col(val_col).cast("double").alias("value"), "robust_z")
+    )

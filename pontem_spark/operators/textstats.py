@@ -231,3 +231,47 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ctfidf_top_terms(
+    df: DataFrame,
+    class_col: str,
+    text_col: str,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic c-TF-IDF form): terms that
+    characterize a CLASS of documents (a source, a language, a cluster)
+    rather than a single document — score = (tf_c / w_c) · ln(1 + A/f_t)
+    with tf_c the term count in the class, w_c the class token count, f_t
+    the corpus term count, and A the average class token count.
+
+    Same two-hash-shuffle shape as tfidf_top_terms: the (class, term)
+    aggregation then a term-keyed one; classes are few so the per-class
+    top-k window partitions stay tiny, and w_c/A reach rows via broadcast
+    joins. Ranking is on the rounded score with (tf DESC, term ASC) ties.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(class_col).alias("cls"), F.explode(T.tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
+    wc = tf.groupBy("cls").agg(F.sum("tf").alias("wc"))
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("ft"))
+    avg_wc = wc.agg(F.avg(F.col("wc").cast("double")).alias("__a"))
+    score = (F.col("tf").cast("double") / F.col("wc")) * F.log(
+        F.lit(1.0) + F.col("__a") / F.col("ft")
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(wc), "cls")
+        .join(ft, "term")
+        .crossJoin(F.broadcast(avg_wc))
+        .withColumn("score", rnd(score, round_digits))
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("cls").alias(class_col), "term", "tf", "ft", "score", "term_rank"
+        )
+    )

@@ -985,3 +985,77 @@ def q_profile_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
     return skew_report(li, "l_suppkey", top_n=10)
+
+
+@_pending(
+    "q_profile_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, CAST(e.value AS DOUBLE) AS value,
+             ABS(CAST(e.value AS DOUBLE) - m.med) AS d, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.event_id, d.value,
+           ROUND(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / a.mad, 4) AS robust_z
+    FROM dev d JOIN mad a USING (event_type)
+    WHERE a.mad > 0
+      AND ABS(ROUND(CAST(0.6745 AS DOUBLE) * (d.value - d.med) / a.mad, 4))
+          > CAST(3.5 AS DOUBLE)
+    """,
+)
+def q_profile_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers per event type by median absolute deviation
+    (operators/profile.py::mad_outliers, modified z > 3.5): two exact-
+    percentile aggregates + broadcast joins — no window, no global sort;
+    the stddev-based gate hides heavy-tail outliers exactly where this
+    doesn't (50% breakdown point). Spark percentile == DuckDB
+    quantile_cont (the established exact-interpolation pair)."""
+    from pontem_spark.operators.profile import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    return mad_outliers(ev, "event_type", "event_id", "value", threshold=3.5)
+
+
+@_pending(
+    "q_text_ctfidf_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS cls,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT cls, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    wc AS (SELECT cls, CAST(SUM(tf) AS BIGINT) AS wc FROM tf GROUP BY 1),
+    ft AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ft FROM tf GROUP BY 1),
+    a AS (SELECT AVG(CAST(wc AS DOUBLE)) AS a FROM wc),
+    scored AS (
+      SELECT t.cls, t.term, t.tf, f.ft,
+             ROUND((CAST(t.tf AS DOUBLE) / w.wc)
+                   * ln(CAST(1.0 AS DOUBLE) + a.a / f.ft), 4) AS score
+      FROM tf t JOIN wc w USING (cls) JOIN ft f USING (term) CROSS JOIN a
+    )
+    SELECT cls AS source, term, tf, ft, score, term_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cls ORDER BY score DESC, tf DESC, term ASC
+      ) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= 5
+    """,
+)
+def q_text_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per SOURCE by class-based TF-IDF
+    (operators/textstats.py::ctfidf_top_terms, the BERTopic c-TF-IDF
+    form) — per-class profiling of a training mix, two hash shuffles
+    ((class, term) then term), broadcast class totals, tiny per-class
+    top-k windows."""
+    from pontem_spark.operators.textstats import ctfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return ctfidf_top_terms(docs, "source", "text", k=5)

@@ -1731,3 +1731,31 @@ def test_skew_report_known_distribution(spark):
     assert (got[1]["key"], got[1]["cnt"], got[1]["share"], got[1]["cum_share"]) == ("a", 6, 0.6, 0.6)
     assert (got[2]["key"], got[2]["cnt"], got[2]["share"], got[2]["cum_share"]) == ("b", 3, 0.3, 0.9)
     assert got[1]["distinct_keys"] == 3
+
+
+def test_mad_outliers_known(spark):
+    """One group with a planted spike: median/MAD computed by hand; the
+    spike (and only the spike) crosses the 3.5 modified-z gate. A
+    constant group (MAD=0) is excluded, not a divide-by-zero."""
+    from pontem_spark.operators.profile import mad_outliers
+
+    rows = [("g", i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 100])]
+    rows += [("c", 100 + i, 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["grp", "id", "v"])
+    got = mad_outliers(df, "grp", "id", "v", threshold=3.5).collect()
+    # group g: median 12.5, deviations [2.5,1.5,.5,.5,1.5,87.5] -> MAD 1.5
+    # spike z = .6745*87.5/1.5 = 39.3458; next largest = .6745*2.5/1.5 = 1.12
+    assert [(r["grp"], r["id"], r["robust_z"]) for r in got] == [("g", 5, 39.3458)]
+
+
+def test_ctfidf_separates_class_vocab(spark):
+    """Two classes with disjoint signature words among shared filler: each
+    class's top term is its signature word."""
+    from pontem_spark.operators.textstats import ctfidf_top_terms
+
+    rows = [("A", "alpha common filler " * 5), ("A", "alpha common stuff"),
+            ("B", "beta common filler " * 5), ("B", "beta common stuff")]
+    df = spark.createDataFrame(rows, ["cls", "text"])
+    got = ctfidf_top_terms(df, "cls", "text", k=1).collect()
+    top = {r["cls"]: r["term"] for r in got}
+    assert top == {"A": "alpha", "B": "beta"}
