@@ -151,3 +151,50 @@ def time_decay_agg(
             rnd(F.sum(w * v) / F.sum(w), round_digits).alias("decayed_mean"),
         )
     )
+
+
+def rfm_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    n_tiles: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """RFM feature extraction per key: recency (days since the key's last
+    event, against the corpus max), frequency (event count), monetary
+    (value sum), each with an ntile quantile score — the classic
+    behavioral feature block emitted by one aggregate pass.
+
+    One groupBy carries all three base features (map-side combinable,
+    shuffle ~|keys|); the corpus reference time is a broadcast 1-row max.
+    The three ntile windows run over the |keys|-row AGGREGATE, not the
+    events, with total orders (feature, key) so the tile boundaries are
+    engine-deterministic. Recency scores ascend (recent = tile 1);
+    frequency/monetary descend (heaviest = tile 1).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per_key = df.groupBy(key_col).agg(
+        F.max(us).alias("__last_us"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        rnd(F.sum(F.col(val_col).cast("double")), round_digits).alias("monetary"),
+    )
+    ref = df.agg(F.max(us).alias("__ref_us"))
+    base = per_key.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.floor((F.col("__ref_us") - F.col("__last_us")) / F.lit(86400000000)).cast(
+            "bigint"
+        ),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col(key_col).asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col(key_col).asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col(key_col).asc())
+    return base.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(r_w).alias("r_score"),
+        F.ntile(n_tiles).over(f_w).alias("f_score"),
+        F.ntile(n_tiles).over(m_w).alias("m_score"),
+    )

@@ -1059,3 +1059,39 @@ def q_text_ctfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return ctfidf_top_terms(docs, "source", "text", k=5)
+
+
+@_pending(
+    "q_events_rfm",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(CAST(value AS DOUBLE)), 4) AS monetary
+      FROM events GROUP BY 1
+    ),
+    ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events)
+    SELECT user_id,
+           CAST(FLOOR((r.ref_us - p.last_us) / 86400000000) AS BIGINT)
+             AS recency_days,
+           frequency, monetary,
+           NTILE(5) OVER (ORDER BY
+             FLOOR((r.ref_us - p.last_us) / 86400000000) ASC, user_id ASC)
+             AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m_score
+    FROM per_key p CROSS JOIN ref r
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM behavioral features with quintile scores
+    (operators/timeseries.py::rfm_features): one map-side-combinable
+    aggregate carries recency/frequency/monetary, the reference time is a
+    broadcast 1-row max, and the three ntile windows run over the
+    |users|-row aggregate (total orders with user_id ties, so tile
+    boundaries are engine-deterministic) — never over the events."""
+    from pontem_spark.operators.timeseries import rfm_features
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return rfm_features(ev, "user_id", "ts", "value", n_tiles=5)

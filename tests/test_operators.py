@@ -1759,3 +1759,26 @@ def test_ctfidf_separates_class_vocab(spark):
     got = ctfidf_top_terms(df, "cls", "text", k=1).collect()
     top = {r["cls"]: r["term"] for r in got}
     assert top == {"A": "alpha", "B": "beta"}
+
+
+def test_rfm_features_manual(spark):
+    """Two users, hand-computed recency/frequency/monetary and 2-tile
+    scores."""
+    import datetime as dt
+
+    from pontem_spark.operators.timeseries import rfm_features
+
+    t0 = dt.datetime(2024, 1, 10)
+    rows = [
+        ("u1", t0, 10.0),
+        ("u1", t0 - dt.timedelta(days=1), 5.0),
+        ("u1", t0 - dt.timedelta(days=2), 5.0),
+        ("u2", t0 - dt.timedelta(days=4), 100.0),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "v"])
+    got = {r["u"]: r for r in rfm_features(df, "u", "ts", "v", n_tiles=2).collect()}
+    assert (got["u1"]["recency_days"], got["u1"]["frequency"], got["u1"]["monetary"]) == (0, 3, 20.0)
+    assert (got["u2"]["recency_days"], got["u2"]["frequency"], got["u2"]["monetary"]) == (4, 1, 100.0)
+    # u1 is most recent & most frequent (tile 1); u2 has the money
+    assert (got["u1"]["r_score"], got["u1"]["f_score"], got["u1"]["m_score"]) == (1, 1, 2)
+    assert (got["u2"]["r_score"], got["u2"]["f_score"], got["u2"]["m_score"]) == (2, 2, 1)
