@@ -306,3 +306,55 @@ def group_split(
     for threshold, label in reversed(cases):
         expr = F.when(bucket < threshold, F.lit(label)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def negative_samples(df: DataFrame, id_col: str, k: int = 2) -> DataFrame:
+    """Deterministic negative pairing for contrastive training: each
+    anchor id gets ``k`` negatives at fixed ring offsets — the doc at
+    position ``(pos + i·step) mod n`` for slot i, step = ``n // (k+1)``.
+
+    Positions come from the engine's DISTRIBUTED enumeration
+    (core reset_index: literal range boundaries + per-bucket counts +
+    partitioned windows — no single-partition Exchange), ordered by the
+    id, so the pairing is reproducible run-to-run and engine-to-engine.
+    Ring offsets spread each anchor's negatives uniformly across the
+    id-ordered corpus — id order is unrelated to content, which is
+    exactly what "random" negatives need — and ``step ≥ 1`` (guarded)
+    means a negative can never equal its anchor. The pairing is one
+    explode(k) + one equi-join on the computed position: shuffles scale
+    with k·n rows of (id, position) pairs, never document bodies.
+    """
+    from pontem_spark.core import from_spark
+
+    pos = (
+        from_spark(df.select(id_col), index_col=id_col)
+        .reset_index()
+        .to_spark()
+    )
+    idx_name = [c for c in pos.columns if c != id_col][0]
+    pos = pos.select(F.col(id_col), F.col(idx_name).alias("__pos"))
+    n_total = pos.agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    anchors = (
+        pos.crossJoin(F.broadcast(n_total))
+        .filter(F.col("__n") > k)  # loud no-op guard: too few docs
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("__pos"),
+            F.col("__n"),
+            F.explode(
+                F.sequence(F.lit(1), F.lit(k))
+            ).alias("slot"),
+        )
+        .withColumn("__step", F.floor(F.col("__n") / F.lit(k + 1.0)).cast("bigint"))
+        .withColumn(
+            "__neg_pos",
+            (F.col("__pos") + F.col("slot") * F.greatest(F.col("__step"), F.lit(1)))
+            % F.col("__n"),
+        )
+    )
+    negs = pos.select(F.col(id_col).alias("negative_id"), F.col("__pos").alias("__neg_pos"))
+    return anchors.join(negs, "__neg_pos").select(
+        "anchor_id", "slot", "negative_id"
+    )

@@ -1095,3 +1095,38 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
     return rfm_features(ev, "user_id", "ts", "value", n_tiles=5)
+
+
+@_pending(
+    "q_sample_negatives",
+    oracle="""
+    WITH pos AS MATERIALIZED (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS p
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n FROM pos),
+    anchors AS (
+      SELECT p.doc_id AS anchor_id, s.slot,
+             (p.p + s.slot
+              * GREATEST(CAST(FLOOR(n.n / (3 + 1.0)) AS BIGINT), 1)) % n.n AS np
+      FROM pos p CROSS JOIN n
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS slot) s
+      WHERE n.n > 3
+    )
+    SELECT a.anchor_id, CAST(a.slot AS INTEGER) AS slot,
+           q.doc_id AS negative_id
+    FROM anchors a JOIN pos q ON q.p = a.np
+    """,
+)
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 3 ring-offset negatives per
+    document (operators/sampling.py::negative_samples) — positions from
+    the engine's distributed enumeration, negatives at (pos + slot·step)
+    mod n, so the pairing is reproducible across engines and retries and
+    a negative can never equal its anchor. Cast trap pinned in both
+    directions: step uses explicit FLOOR because Spark's double→bigint
+    cast truncates while DuckDB's ROUNDS."""
+    from pontem_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(docs, "doc_id", k=3)

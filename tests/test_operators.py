@@ -1782,3 +1782,20 @@ def test_rfm_features_manual(spark):
     # u1 is most recent & most frequent (tile 1); u2 has the money
     assert (got["u1"]["r_score"], got["u1"]["f_score"], got["u1"]["m_score"]) == (1, 1, 2)
     assert (got["u2"]["r_score"], got["u2"]["f_score"], got["u2"]["m_score"]) == (2, 2, 1)
+
+
+def test_negative_samples_ring(spark):
+    """10 ids, k=2 -> step=3: negatives are exactly (pos+3, pos+6) mod 10
+    in id order; no anchor is its own negative; every anchor gets k."""
+    from pontem_spark.operators.sampling import negative_samples
+
+    ids = [(i * 10,) for i in range(10)]  # non-dense ids on purpose
+    df = spark.createDataFrame(ids, ["id"])
+    got = negative_samples(df, "id", k=2).collect()
+    assert len(got) == 20
+    order = sorted(i for (i,) in ids)
+    pos = {v: i for i, v in enumerate(order)}
+    for r in got:
+        expect = order[(pos[r["anchor_id"]] + r["slot"] * 3) % 10]
+        assert r["negative_id"] == expect
+        assert r["negative_id"] != r["anchor_id"]
