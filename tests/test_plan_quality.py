@@ -254,3 +254,78 @@ def test_filtered_ann_pushes_label_predicate(q):
     subset, not the corpus."""
     pushed = " ".join(pushed_filters(q("q_ann_filtered_topk")))
     assert "label" in pushed, pushed
+
+
+# ---- round-7 operator plan shapes ----------------------------------------
+
+
+def test_group_split_no_exchange(spark, sf_dir):
+    """group_split is a pure map-side projection: zero shuffles."""
+    from pontem_spark.operators.sampling import group_split
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    out = group_split(ev, "user_id", {"train": 80, "val": 10, "test": 10})
+    assert count_exchanges(out) == 0
+
+
+def test_bm25_filters_before_aggregation(spark, sf_dir):
+    """The query-term filter must sit below the tf aggregate so only
+    query-term postings shuffle, and the top-k must be a
+    TakeOrderedAndProject, never a global Sort."""
+    from pontem_spark.operators.textstats import bm25_topk
+    from pontem_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "join", "vector"], k=10)
+    plan = physical_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the term filter is a Filter on the exploded term, below the first agg
+    agg_pos = plan.index("HashAggregate")
+    assert "Filter" in plan[agg_pos:], "term filter not below the aggregate"
+
+
+def test_skew_report_takeordered(spark, sf_dir):
+    """Top-N heavy keys via TakeOrderedAndProject (per-partition top-k +
+    k-row merge), never a global sort of |keys|."""
+    from pontem_spark.operators.profile import skew_report
+    from pontem_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    plan = physical_plan(skew_report(li, "l_suppkey", top_n=10))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_time_decay_two_aggregates_no_window(spark, sf_dir):
+    """time_decay_agg is two groupBys joined — no Window node anywhere
+    (a window form would sort every key's events)."""
+    from pontem_spark.operators.timeseries import time_decay_agg
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    plan = physical_plan(time_decay_agg(ev, "user_id", "ts", "value", 86400.0))
+    assert "Window" not in plan, plan
+
+
+def test_rrf_never_scans_corpus(spark):
+    """rrf_fuse touches only the candidate lists: its plan is union + one
+    aggregate + TakeOrderedAndProject over the inputs it was given."""
+    from pontem_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (3, 2)], ["doc_id", "rank"])
+    plan = physical_plan(rrf_fuse([a, b]))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Union" in plan, plan
+
+
+def test_mad_outliers_broadcast_stats(spark, sf_dir):
+    """Per-group median/MAD tables join back via broadcast — no sort-merge
+    join of the events against the stats."""
+    from pontem_spark.operators.profile import mad_outliers
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    plan = physical_plan(mad_outliers(ev, "event_type", "event_id", "value"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
