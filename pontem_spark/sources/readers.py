@@ -52,3 +52,26 @@ def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -
     if columns:
         df = df.select(*columns)
     return df
+
+
+def read_parquet_evolved(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a parquet dataset whose files were written under DRIFTING
+    schemas (columns added over time — the normal life of a long-lived
+    ingest directory).
+
+    ``mergeSchema`` unions the per-file footers at planning time, so files
+    written before a column existed surface it as null — no backfill
+    rewrite of petabytes of history. The merge reads FOOTERS, not data
+    (one metadata pass over the file listing); scans stay prunable and
+    filters still push down. Type CONFLICTS (same name, incompatible
+    types) fail the read loudly — that is schema corruption, not drift,
+    and masking it with a cast would silently null out history.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -217,3 +217,31 @@ def test_upsert_parquet_two_batches(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def test_parquet_schema_drift_merge(spark, tmp_path):
+    """Two file generations — v2 adds a column. The evolved read unions
+    the schemas, nulls the missing column for old files, keeps pushdown
+    on the shared columns, and the plain read of either generation is
+    unaffected."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.sources.readers import read_parquet_evolved
+
+    base = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.parquet(
+        base + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], ["id", "name", "score"]
+    ).write.parquet(base + "/gen=2")
+
+    df = read_parquet_evolved(spark, base)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.select("id", "name", "score").collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5), 4: ("d", 0.9)}
+    # pushdown on a shared column still reaches the scan
+    from pontem_spark.plans import pushed_filters
+
+    filtered = df.filter(F.col("id") > 2).select("id")
+    assert any("id" in p for p in pushed_filters(filtered))
