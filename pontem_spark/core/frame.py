@@ -1654,6 +1654,288 @@ class DataFrame:
         return DataFrame(pdf, spark=spark)
 
 
+    # -- scalar elementwise arithmetic / comparisons ----------------------
+
+    def _missing_mask(self, name: str, schema) -> Column:
+        v = self._columns[name]
+        if schema.get(name) in ("double", "float"):
+            return v.isNull() | F.isnan(v)
+        return v.isNull()
+
+    def _elementwise_scalar(
+        self, op, other, comparison: bool = False,
+        missing_result: bool = False, reflected: bool = False,
+    ) -> "DataFrame":
+        """Frame ⊕ scalar per numeric column. pandas raises on non-numeric
+        columns (mixed-frame arithmetic with a scalar), so we do too —
+        silently skipping strings would hide the error until an ANSI cast
+        throw. Comparisons get the Series missing semantics (NaN/NULL
+        compares False, ne True) via the same pushdown-preserving
+        conjunction form as Series._cmp_binop."""
+        if not isinstance(other, (int, float, bool)):
+            raise TypeError(f"frame scalar op needs a numeric scalar, got {type(other).__name__}")
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"non-numeric columns {bad}")
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        out: dict[str, Column] = {}
+        for k, v in self._columns.items():
+            l, r = (F.lit(other), v) if reflected else (v, F.lit(other))
+            if comparison:
+                m = self._missing_mask(k, schema)
+                out[k] = (op(l, r) | m) if missing_result else (op(l, r) & ~m)
+            else:
+                out[k] = op(l, r)
+        return DataFrame._from_internal(self._internal, out)
+
+    def __add__(self, o): import operator; return self._elementwise_scalar(operator.add, o)
+    def __radd__(self, o): import operator; return self._elementwise_scalar(operator.add, o, reflected=True)
+    def __sub__(self, o): import operator; return self._elementwise_scalar(operator.sub, o)
+    def __rsub__(self, o): import operator; return self._elementwise_scalar(operator.sub, o, reflected=True)
+    def __mul__(self, o): import operator; return self._elementwise_scalar(operator.mul, o)
+    def __rmul__(self, o): import operator; return self._elementwise_scalar(operator.mul, o, reflected=True)
+    def __truediv__(self, o): import operator; return self._elementwise_scalar(operator.truediv, o)
+    def __rtruediv__(self, o): import operator; return self._elementwise_scalar(operator.truediv, o, reflected=True)
+
+    def add(self, other): return self + other
+    def radd(self, other): return other + self
+    def sub(self, other): return self - other
+    def rsub(self, other): return self.__rsub__(other)
+    def mul(self, other): return self * other
+    def rmul(self, other): return self.__rmul__(other)
+    def div(self, other): return self / other
+    def rdiv(self, other): return self.__rtruediv__(other)
+    truediv = div
+    rtruediv = rdiv
+    multiply = mul
+    subtract = sub
+
+    def __gt__(self, o): import operator; return self._elementwise_scalar(operator.gt, o, comparison=True)
+    def __ge__(self, o): import operator; return self._elementwise_scalar(operator.ge, o, comparison=True)
+    def __lt__(self, o): import operator; return self._elementwise_scalar(operator.lt, o, comparison=True)
+    def __le__(self, o): import operator; return self._elementwise_scalar(operator.le, o, comparison=True)
+
+    def eq(self, o): import operator; return self._elementwise_scalar(operator.eq, o, comparison=True)
+    def ne(self, o): import operator; return self._elementwise_scalar(operator.ne, o, comparison=True, missing_result=True)
+    def lt(self, o): return self < o
+    def le(self, o): return self <= o
+    def gt(self, o): return self > o
+    def ge(self, o): return self >= o
+
+    # -- conditional replacement -----------------------------------------
+
+    def _where_mask(self, cond: "DataFrame", other, invert: bool) -> "DataFrame":
+        """Shared where/mask core. ``cond`` must be built from the SAME
+        anchor (the common ``df.where(df > 0)`` idiom) — a foreign-anchor
+        cond needs index alignment, which is a merge the caller should do
+        explicitly; we raise rather than silently join."""
+        if not isinstance(cond, DataFrame) or cond._internal is not self._internal:
+            raise ValueError(
+                "where/mask cond must be derived from the same frame "
+                "(e.g. df.where(df > 0)); align foreign frames with merge first"
+            )
+        missing = set(self._columns) - set(cond._columns)
+        if missing:
+            raise ValueError(f"cond lacks columns {sorted(missing)}")
+        out: dict[str, Column] = {}
+        for k, v in self._columns.items():
+            c = cond._columns[k].cast("boolean")
+            keep = ~c if invert else c
+            # pandas: missing cond counts as False (replaced in where)
+            out[k] = F.when(keep.isNotNull() & keep, v).otherwise(
+                F.lit(other) if other is not None else F.lit(None)
+            )
+        return DataFrame._from_internal(self._internal, out)
+
+    def where(self, cond: "DataFrame", other=None) -> "DataFrame":
+        """Keep cells where cond holds, replace the rest (pandas NaN
+        default). Pure projection — zero jobs, no shuffle."""
+        return self._where_mask(cond, other, invert=False)
+
+    def mask(self, cond: "DataFrame", other=None) -> "DataFrame":
+        """Replace cells where cond holds (the inverse of where)."""
+        return self._where_mask(cond, other, invert=True)
+
+    # -- fills along the visible order ------------------------------------
+
+    def ffill(self) -> "DataFrame":
+        """Forward-fill every column along the visible order (one shared
+        window sort for all columns, like shift). NaN cells count as
+        missing (pandas), so they fill too."""
+        return self._directional_fill(forward=True)
+
+    def bfill(self) -> "DataFrame":
+        return self._directional_fill(forward=False)
+
+    def _directional_fill(self, forward: bool) -> "DataFrame":
+        from pyspark.sql import Window
+
+        base = self._order_window()
+        w = (
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            if forward
+            else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        pick = F.last if forward else F.first
+        out = {
+            k: pick(self._valid_col(k, schema), ignorenulls=True).over(w)
+            for k in self._columns
+        }
+        return DataFrame._from_internal(self._internal, out)
+
+    pad = ffill
+    backfill = bfill
+
+    # -- misc pandas conveniences -----------------------------------------
+
+    def sort_index(self, ascending: bool = True) -> "DataFrame":
+        """Reorder the VISIBLE order back to the index — zero-job metadata
+        (order_spec rewrite), the inverse of sort_values."""
+        internal = InternalFrame(
+            self._internal.sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            ((INDEX_COL, ascending),),
+        )
+        return DataFrame._from_internal(internal, dict(self._columns))
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def equals(self, other: "DataFrame") -> bool:
+        """Exact equality: same columns, same index→row mapping, missing
+        cells equal each other (pandas). One distributed anti-join-style
+        comparison per call — no row collect."""
+        if not isinstance(other, DataFrame) or list(self._columns) != list(other._columns):
+            return False
+        a = self.to_spark(index_col="__idx")
+        b = other.to_spark(index_col="__idx")
+        if len(a.columns) != len(b.columns):
+            return False
+        j = a.alias("a").join(b.alias("b"), "__idx", "full_outer")
+        neq = [
+            ~(F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")))
+            for c in self._columns
+        ]
+        import functools as _ft
+
+        bad = j.filter(_ft.reduce(lambda x, y: x | y, neq)).limit(1).count()
+        return bad == 0 and a.count() == b.count()
+
+    def take(self, positions: list) -> "DataFrame":
+        """Positional row selection (iloc with a list)."""
+        return self._positional_take(list(positions))
+
+    def isin(self, values) -> "DataFrame":
+        """Boolean mask per cell. ``values``: list (all columns) or dict
+        {column: list} (unlisted columns all-False). Missing cells are
+        False (pandas)."""
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        out: dict[str, Column] = {}
+        for k, v in self._columns.items():
+            vals = values.get(k, []) if isinstance(values, Mapping) else list(values)
+            if not vals:
+                out[k] = F.lit(False)
+            else:
+                m = self._missing_mask(k, schema)
+                out[k] = v.isin(vals) & ~m
+        return DataFrame._from_internal(self._internal, out)
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        """Scalar or dict replacement per cell ({old: new} applies to all
+        columns). Pure projection. NaN targets are not supported here —
+        use fillna, which already handles pandas-missing."""
+        mapping = to_replace if isinstance(to_replace, Mapping) else {to_replace: value}
+        schema = {
+            f.name: f.dataType.simpleString().split("(")[0]
+            for f in self._materialized().schema.fields
+        }
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+        def applies(col_type: str | None, old) -> bool:
+            # pandas replace skips type-mismatched columns; comparing an int
+            # literal against a string column would ANSI-throw instead
+            if isinstance(old, bool):
+                return col_type == "boolean"
+            if isinstance(old, (int, float)):
+                return col_type in numeric
+            if isinstance(old, str):
+                return col_type == "string"
+            return False
+
+        out: dict[str, Column] = {}
+        for k, v in self._columns.items():
+            expr = v
+            for old, new in mapping.items():
+                if applies(schema.get(k), old):
+                    expr = F.when(v == F.lit(old), F.lit(new)).otherwise(expr)
+            out[k] = expr
+        return DataFrame._from_internal(self._internal, out)
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        """Column subset by Spark simpleString dtype families: 'number',
+        'integer', 'float', 'string', 'bool'."""
+        fam = {
+            "number": {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"},
+            "integer": {"tinyint", "smallint", "int", "bigint"},
+            "float": {"float", "double"},
+            "string": {"string"},
+            "bool": {"boolean"},
+        }
+
+        def expand(spec):
+            if spec is None:
+                return None
+            names: set[str] = set()
+            for s in [spec] if isinstance(spec, str) else list(spec):
+                names |= fam.get(s, {s})
+            return names
+
+        inc, exc = expand(include), expand(exclude)
+        schema = {
+            f.name: f.dataType.simpleString().split("(")[0]
+            for f in self._materialized().schema.fields
+        }
+        keep = [
+            c
+            for c in self._columns
+            if (inc is None or schema.get(c) in inc)
+            and (exc is None or schema.get(c) not in exc)
+        ]
+        return self[keep]
+
+    def items(self):
+        for c in self._columns:
+            yield c, self[c]
+
+    def keys(self):
+        return list(self._columns)
+
+    def join(self, other: "DataFrame", how: str = "left", lsuffix: str = "", rsuffix: str = "") -> "DataFrame":
+        """Index-on-index join (the pandas df.join default) — a merge on
+        the index columns."""
+        left = self.reset_index()
+        right = other.reset_index()
+        overlap = set(self._columns) & set(other._columns)
+        if overlap and not (lsuffix or rsuffix):
+            raise ValueError(f"columns overlap: {sorted(overlap)}; pass lsuffix/rsuffix")
+        lr = left.rename(columns={c: c + lsuffix for c in overlap}) if lsuffix else left
+        rr = right.rename(columns={c: c + rsuffix for c in overlap}) if rsuffix else right
+        on = [c for c in lr.columns if c in rr.columns and c not in self._columns]
+        return lr.merge(rr, on=on, how=how)
+
+
 class _FrameILocIndexer:
     """``df.iloc[rows]`` / ``df.iloc[rows, cols]`` — positional over the
     frame's visible order (rows) and registration order (columns).

@@ -1478,3 +1478,114 @@ def test_probe_pins_round7g_frame_series_tail(spark):
     assert abs(d["v"].cov(d["w"]) - pdf["v"].cov(pdf["w"])) < 1e-12
     assert math.isnan(d["v"].dot(d["w"]))
     assert abs(d["w"].dot(d["w"]) - float(pdf["w"].dot(pdf["w"]))) < 1e-9
+
+
+# ---- round-7 frame-method batch (scalar ops, where/mask, fills, misc) ----
+
+
+NUM_RAW = {"a": [1.0, 2.0, np.nan, 4.0, 5.0], "b": [10.0, np.nan, 30.0, 40.0, 50.0]}
+
+
+@pytest.fixture()
+def npf(spark):
+    return DataFrame(NUM_RAW, spark=spark)
+
+
+@pytest.fixture()
+def nwf():
+    return pd.DataFrame(NUM_RAW)
+
+
+def _eq_frames(got: "DataFrame", want: pd.DataFrame):
+    g = got.to_pandas()[list(want.columns)]
+    pd.testing.assert_frame_equal(
+        g.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+
+def test_frame_scalar_arithmetic(npf, nwf):
+    _eq_frames(npf + 2, nwf + 2)
+    _eq_frames(npf - 1, nwf - 1)
+    _eq_frames(npf * 3, nwf * 3)
+    _eq_frames(npf / 2, nwf / 2)
+    _eq_frames(2 + npf, 2 + nwf)
+    _eq_frames(npf.add(5), nwf.add(5))
+    _eq_frames(npf.rsub(100), nwf.rsub(100))
+
+
+def test_frame_scalar_comparisons_nan_false(npf, nwf):
+    _eq_frames(npf > 3, nwf > 3)
+    _eq_frames(npf.le(30), nwf.le(30))
+    _eq_frames(npf.eq(4.0), nwf.eq(4.0))
+    _eq_frames(npf.ne(4.0), nwf.ne(4.0))
+
+
+def test_frame_arithmetic_rejects_strings(pf):
+    with pytest.raises(TypeError):
+        pf + 1
+
+
+def test_frame_where_mask(npf, nwf):
+    _eq_frames(npf.where(npf > 2), nwf.where(nwf > 2))
+    _eq_frames(npf.where(npf > 2, -1), nwf.where(nwf > 2, -1))
+    _eq_frames(npf.mask(npf > 2, 0), nwf.mask(nwf > 2, 0))
+
+
+def test_frame_where_rejects_foreign_cond(spark, npf):
+    other = DataFrame(NUM_RAW, spark=spark)
+    with pytest.raises(ValueError):
+        npf.where(other > 2)
+
+
+def test_frame_ffill_bfill(npf, nwf):
+    _eq_frames(npf.ffill(), nwf.ffill())
+    _eq_frames(npf.bfill(), nwf.bfill())
+
+
+def test_frame_sort_index_roundtrip(pf, wf):
+    got = pf.sort_values("b", ascending=False).sort_index()
+    want = wf.sort_values("b", ascending=False).sort_index()
+    _eq_frames(got, want)
+
+
+def test_frame_pipe_equals_take(pf, wf):
+    assert pf.pipe(lambda d: d.shape) == wf.pipe(lambda d: d.shape)
+    assert pf.equals(pf)
+    assert not pf.equals(pf.head(3))
+    _eq_frames(pf.take([0, 2, 4]), wf.take([0, 2, 4]))
+
+
+def test_frame_isin(pf, wf):
+    _eq_frames(pf.isin({"a": [1, 3], "seg": ["x"]}), wf.isin({"a": [1, 3], "seg": ["x"]}))
+    _eq_frames(pf[["a"]].isin([2, 5]), wf[["a"]].isin([2, 5]))
+
+
+def test_frame_replace(pf, wf):
+    _eq_frames(pf.replace({"x": "z", 1: 100}), wf.replace({"x": "z", 1: 100}))
+
+
+def test_frame_select_dtypes(pf, wf):
+    assert pf.select_dtypes(include="number").columns == list(
+        wf.select_dtypes(include="number").columns
+    )
+    assert pf.select_dtypes(exclude="number").columns == list(
+        wf.select_dtypes(exclude="number").columns
+    )
+
+
+def test_frame_items_keys(pf, wf):
+    assert pf.keys() == list(wf.keys())
+    names = [k for k, _ in pf.items()]
+    assert names == list(wf.columns)
+
+
+def test_frame_join_on_index(spark):
+    left = DataFrame({"a": [1, 2, 3]}, spark=spark)
+    right = DataFrame({"b": [10.0, 20.0, 30.0]}, spark=spark)
+    got = left.join(right).to_pandas().sort_values("a").reset_index(drop=True)
+    want = (
+        pd.DataFrame({"a": [1, 2, 3]})
+        .join(pd.DataFrame({"b": [10.0, 20.0, 30.0]}))
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
