@@ -1558,6 +1558,264 @@ class Series:
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
         )
 
+    # everyday pandas conveniences (r7 batch) ---------------------------------
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    @property
+    def is_unique(self) -> bool:
+        """One aggregate job: count == count_distinct (pandas counts
+        missing as a value here, so no _valid_col blanking)."""
+        sdf = self._materialized()
+        row = sdf.select(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.when(~self._missing_mask(F.col(_VALUE), sdf), F.col(_VALUE))
+            ).alias("d"),
+            F.sum(self._missing_mask(F.col(_VALUE), sdf).cast("int")).alias("m"),
+        ).first()
+        # distinct ignores NULL; >1 missing rows break uniqueness
+        return row["n"] == (row["d"] or 0) + (1 if (row["m"] or 0) == 1 else 0) and (row["m"] or 0) <= 1
+
+    @property
+    def hasnans(self) -> bool:
+        return (
+            self._materialized()
+            .filter(self._missing_mask(self._col))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _monotonic(self, increasing: bool) -> bool:
+        """lag over the visible order (single window, same driver-scale
+        shape as shift) — any out-of-order adjacent pair disproves
+        monotonicity; missing values make the answer False (pandas)."""
+        from pyspark.sql import Window
+
+        sdf = self._materialized()
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+        prev = F.lag(F.col(_VALUE)).over(w)
+        pairs = sdf.select(F.col(_VALUE), prev.alias("__p"))
+        cmp = (
+            F.col(_VALUE) >= F.col("__p")
+            if increasing
+            else F.col(_VALUE) <= F.col("__p")
+        )
+        bad = pairs.filter(F.col("__p").isNotNull() & ~cmp).limit(1).count()
+        has_missing = (
+            sdf.filter(self._missing_mask(F.col(_VALUE), sdf)).limit(1).count() > 0
+        )
+        return bad == 0 and not has_missing
+
+    @property
+    def is_monotonic_increasing(self) -> bool:
+        return self._monotonic(True)
+
+    @property
+    def is_monotonic_decreasing(self) -> bool:
+        return self._monotonic(False)
+
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def equals(self, other: "Series") -> bool:
+        """Exact index→value equality incl. missing==missing; distributed
+        full-outer comparison, no row collect."""
+        if not isinstance(other, Series):
+            return False
+        a = self._materialized().select(INDEX_COL, F.col(_VALUE).alias("__a"))
+        b = other._materialized().select(INDEX_COL, F.col(_VALUE).alias("__b"))
+        j = a.join(b, INDEX_COL, "full_outer")
+        bad = j.filter(~F.col("__a").eqNullSafe(F.col("__b"))).limit(1).count()
+        return bad == 0 and a.count() == b.count()
+
+    def take(self, positions: list) -> "Series":
+        return self.iloc[list(positions)]
+
+    def get(self, key, default=None):
+        """Label lookup returning ``default`` when absent (never raising —
+        the dict-like accessor)."""
+        rows = (
+            self._materialized()
+            .filter(F.col(INDEX_COL) == F.lit(key))
+            .select(_VALUE)
+            .limit(2)
+            .collect()
+        )
+        if not rows:
+            return default
+        if len(rows) > 1:
+            return self[key]
+        return rows[0][_VALUE]
+
+    def item(self):
+        """The single value of a length-1 Series (pandas raises otherwise)."""
+        rows = self._materialized().select(_VALUE).limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError("can only convert an array of size 1 to a Python scalar")
+        return rows[0][_VALUE]
+
+    def tolist(self) -> list:
+        return list(self.to_pandas())
+
+    to_list = tolist
+
+    def to_dict(self) -> dict:
+        return self.to_pandas().to_dict()
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def items(self):
+        s = self.to_pandas()
+        return iter(s.items())
+
+    def keys(self):
+        return self.index
+
+    def argmax(self) -> int:
+        """POSITION of the max (pandas: -1 for all-missing, position of
+        first max in visible order). One ordered limit-1 job."""
+        return self._arg_extreme(descending=True)
+
+    def argmin(self) -> int:
+        return self._arg_extreme(descending=False)
+
+    def _arg_extreme(self, descending: bool) -> int:
+        from pyspark.sql import Window
+
+        sdf = self._materialized()
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+        pos = F.row_number().over(w) - 1
+        valid = sdf.select(F.col(_VALUE), pos.alias("__pos")).filter(
+            ~self._missing_mask(F.col(_VALUE), sdf)
+        )
+        order = [
+            F.col(_VALUE).desc() if descending else F.col(_VALUE).asc(),
+            F.col("__pos").asc(),
+        ]
+        rows = valid.orderBy(*order).select("__pos").limit(1).collect()
+        return int(rows[0]["__pos"]) if rows else -1
+
+    def first_valid_index(self):
+        """Index label of the first non-missing value in visible order
+        (None when all-missing)."""
+        return self._valid_edge(first=True)
+
+    def last_valid_index(self):
+        return self._valid_edge(first=False)
+
+    def _valid_edge(self, first: bool):
+        sdf = self._materialized()
+        valid = sdf.filter(~self._missing_mask(F.col(_VALUE), sdf))
+        # order_columns returns SortOrder exprs; invert from the SPEC for
+        # the "last" direction (calling .desc() on a SortOrder nests two
+        # sort orders -> Spark codegen INTERNAL_ERROR, caught by test)
+        spec = self._internal.order_spec or ((INDEX_COL, True),)
+        order = [
+            F.col(c).asc() if (asc if first else not asc) else F.col(c).desc()
+            for c, asc in spec
+        ]
+        rows = valid.orderBy(*order).select(INDEX_COL).limit(1).collect()
+        return rows[0][INDEX_COL] if rows else None
+
+    def drop(self, labels) -> "Series":
+        """Drop rows by index label(s) — the filter complement of
+        ``self[labels]``; pure filter, pushdown-friendly."""
+        labels = labels if isinstance(labels, (list, tuple, set)) else [labels]
+        return Series._from_internal(
+            InternalFrame(
+                self._materialized().filter(~F.col(INDEX_COL).isin(list(labels))),
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+            ),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def filter(self, items=None, like: str | None = None, regex: str | None = None) -> "Series":
+        """Subset rows by INDEX label (pandas Series.filter semantics —
+        items / substring / regex against the label)."""
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError("specify exactly one of items, like, regex")
+        idx = F.col(INDEX_COL)
+        if items is not None:
+            cond = idx.isin(list(items))
+        elif like is not None:
+            cond = idx.cast("string").contains(like)
+        else:
+            cond = idx.cast("string").rlike(regex)
+        return Series._from_internal(
+            InternalFrame(
+                self._materialized().filter(cond),
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+            ),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def truncate(self, before=None, after=None) -> "Series":
+        """Rows with index label in [before, after] — pure range filter on
+        the index (pushdown-friendly; pandas requires a sorted index for
+        the same reason)."""
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (F.col(INDEX_COL) >= F.lit(before))
+        if after is not None:
+            cond = cond & (F.col(INDEX_COL) <= F.lit(after))
+        return Series._from_internal(
+            InternalFrame(
+                self._materialized().filter(cond),
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+            ),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def case_when(self, caselist) -> "Series":
+        """pandas 2.2 Series.case_when: ``[(cond_series, value), ...]``
+        applied in order, falling back to self. Conditions must share this
+        Series' anchor (the df-derived idiom); pure projection."""
+        expr = None
+        for cond, value in caselist:
+            if not isinstance(cond, Series) or cond._internal is not self._internal:
+                raise ValueError("case_when conditions must derive from the same frame")
+            v = value._col if isinstance(value, Series) else F.lit(value)
+            c = cond._col.cast("boolean")
+            branch = F.when(c.isNotNull() & c, v)
+            expr = branch if expr is None else expr.when(c.isNotNull() & c, v)
+        out = expr.otherwise(self._col) if expr is not None else self._col
+        return Series._from_internal(self._internal, out, self._name)
+
+    def compare(self, other: "Series"):
+        """Rows where the two series differ (missing==missing is equal),
+        as a two-column frame (self, other) indexed like pandas. Same
+        full-outer shape as equals()."""
+        from pontem_spark.core.frame import DataFrame as PFrame
+
+        a = self._materialized().select(INDEX_COL, F.col(_VALUE).alias("self"))
+        b = other._materialized().select(INDEX_COL, F.col(_VALUE).alias("other"))
+        j = (
+            a.join(b, INDEX_COL, "full_outer")
+            .filter(~F.col("self").eqNullSafe(F.col("other")))
+        )
+        internal = InternalFrame(j, INDEX_COL, self._internal.index_name, None)
+        return PFrame._from_internal(
+            internal, {"self": F.col("self"), "other": F.col("other")}
+        )
+
     # accessors ---------------------------------------------------------------
 
     @property

@@ -1026,3 +1026,107 @@ def test_probe_pins_round7e(spark):
 
     same(d["t"].dt.normalize(), pdf["t"].dt.normalize())
     same((d["t"] - d["t"].shift(2)).dt.days, (pdf["t"] - pdf["t"].shift(2)).dt.days)
+
+
+# ---- round-7 series-method batch ------------------------------------------
+
+
+def test_series_introspection_props(spark):
+    import pandas as pd
+
+    for data in ([1, 2, 3], [1.0, float("nan")], [2, 2], [float("nan")] * 2):
+        ps = Series(data, spark=spark)
+        ws = pd.Series(data)
+        assert ps.ndim == ws.ndim
+        assert ps.size == ws.size
+        assert ps.is_unique == ws.is_unique, data
+        assert ps.hasnans == ws.hasnans, data
+
+
+def test_series_monotonic(spark):
+    import pandas as pd
+
+    for data in ([1, 2, 3], [3, 2, 2], [1, 3, 2], [1.0, float("nan"), 3.0]):
+        ps = Series(data, spark=spark)
+        ws = pd.Series(data)
+        assert ps.is_monotonic_increasing == ws.is_monotonic_increasing, data
+        assert ps.is_monotonic_decreasing == ws.is_monotonic_decreasing, data
+
+
+def test_series_pipe_equals_take_get_item(spark):
+    import pandas as pd
+
+    ps = Series([10, 20, 30], spark=spark)
+    ws = pd.Series([10, 20, 30])
+    assert ps.pipe(lambda s: s.sum()) == ws.pipe(lambda s: s.sum())
+    assert ps.equals(Series([10, 20, 30], spark=spark))
+    assert not ps.equals(Series([10, 20, 31], spark=spark))
+    assert list(ps.take([0, 2]).to_pandas()) == list(ws.take([0, 2]))
+    assert ps.get(1) == ws.get(1)
+    assert ps.get(99, "dflt") == ws.get(99, "dflt")
+    assert Series([7], spark=spark).item() == pd.Series([7]).item()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ps.item()
+
+
+def test_series_list_dict_numpy_items(spark):
+    import numpy as np
+    import pandas as pd
+
+    ps = Series([1, 2, 3], spark=spark)
+    ws = pd.Series([1, 2, 3])
+    assert ps.tolist() == ws.tolist()
+    assert ps.to_dict() == ws.to_dict()
+    np.testing.assert_array_equal(ps.to_numpy(), ws.to_numpy())
+    assert list(ps.items()) == list(ws.items())
+
+
+def test_series_argmax_argmin_valid_index(spark):
+    import pandas as pd
+
+    data = [3.0, float("nan"), 7.0, 1.0]
+    ps = Series(data, spark=spark)
+    ws = pd.Series(data)
+    assert ps.argmax() == ws.argmax()
+    assert ps.argmin() == ws.argmin()
+    assert ps.first_valid_index() == ws.first_valid_index()
+    assert ps.last_valid_index() == ws.last_valid_index()
+    allnan = [float("nan")] * 3
+    assert Series(allnan, spark=spark).first_valid_index() is None
+    assert pd.Series(allnan).first_valid_index() is None
+
+
+def test_series_drop_filter_truncate(spark):
+    import pandas as pd
+
+    data = {"v": [1, 2, 3, 4, 5]}
+    idx = [10, 11, 20, 21, 30]
+    ps = Series(data["v"], index=idx, spark=spark)
+    ws = pd.Series(data["v"], index=idx)
+    assert ps.drop([11, 30]).to_pandas().equals(ws.drop([11, 30]))
+    assert ps.filter(items=[10, 20]).to_pandas().equals(ws.filter(items=[10, 20]))
+    assert ps.filter(like="1").to_pandas().equals(ws.filter(like="1"))
+    assert ps.filter(regex="^2").to_pandas().equals(ws.filter(regex="^2"))
+    assert ps.truncate(before=11, after=21).to_pandas().equals(ws.truncate(before=11, after=21))
+
+
+def test_series_case_when_compare(spark):
+    import pandas as pd
+
+    from pontem_spark.core import from_spark
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(6)], ["idx", "v"])
+    s = from_spark(base, index_col="idx")["v"]
+    got = s.case_when([(s < 2, -1.0), (s > 4, 99.0)]).to_pandas()
+    ws = pd.Series([float(i) for i in range(6)], index=range(6))
+    want = ws.case_when([(ws < 2, -1.0), (ws > 4, 99.0)])
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+    a = Series([1, 2, 3], spark=spark)
+    b = Series([1, 9, 3], spark=spark)
+    cmp = a.compare(b).to_pandas().sort_index()
+    wcmp = pd.Series([1, 2, 3]).compare(pd.Series([1, 9, 3]))
+    assert cmp["self"].tolist() == wcmp["self"].tolist()
+    assert cmp["other"].tolist() == wcmp["other"].tolist()
