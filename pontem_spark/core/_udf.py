@@ -14,3 +14,15 @@ def make_scalar_udf(func, return_type):
         return s.map(func)
 
     return u
+
+
+def make_row_udf(func, return_type):
+    """Arrow-vectorized ROW-wise UDF: the struct column arrives as a
+    pandas DataFrame batch; ``func`` sees each row as a pandas Series
+    (the df.apply(axis=1) contract)."""
+
+    @pandas_udf(return_type)
+    def u(pdf: pd.DataFrame) -> pd.Series:
+        return pdf.apply(func, axis=1)
+
+    return u

@@ -1654,6 +1654,118 @@ class DataFrame:
         return DataFrame(pdf, spark=spark)
 
 
+    # -- label indexing, elementwise map, row-wise apply -------------------
+
+    @property
+    def loc(self):
+        return _FrameLocIndexer(self)
+
+    def map(self, func, na_action: str | None = None) -> "DataFrame":
+        """Elementwise callable over every cell (pandas DataFrame.map /
+        legacy applymap) — each column routes through Series.map's Arrow
+        path on the SHARED anchor, so the result is still one frame, one
+        plan, no joins."""
+        return DataFrame._from_internal(
+            self._internal,
+            {k: self[k].map(func, na_action=na_action)._col for k in self._columns},
+        )
+
+    applymap = map
+
+    def apply(self, func, axis: int = 0, dtype: str = "double"):
+        """axis=0: func over each COLUMN as a Series — scalars come back
+        as a pandas Series (the reduction shape), Series come back as a
+        rebuilt frame. axis=1: func over each ROW via one Arrow
+        pandas_udf on a struct of the columns (batched, never per-row
+        Python) returning a Series of ``dtype``."""
+        if axis == 0:
+            results = {c: func(self[c]) for c in self._columns}
+            if all(isinstance(v, Series) for v in results.values()):
+                return DataFrame._from_internal(
+                    self._internal, {k: v._col for k, v in results.items()}
+                )
+            import pandas as pd
+
+            return pd.Series(results)
+        from pontem_spark.core._udf import make_row_udf
+
+        names = list(self._columns)
+        struct = F.struct(*[self._columns[c].alias(c) for c in names])
+        return Series._from_internal(self._internal, make_row_udf(func, dtype)(struct), None)
+
+    def mode(self):
+        """Per-column modes, ragged-padded with NaN like pandas — an eager
+        driver terminal built from Series.mode (each column's mode set is
+        tiny by construction)."""
+        import pandas as pd
+
+        return pd.concat(
+            {c: self[c].mode().to_pandas().reset_index(drop=True) for c in self._columns},
+            axis=1,
+        ).set_axis(list(self._columns), axis=1)
+
+    def cumprod(self) -> "DataFrame":
+        """Per-column cumprod with pandas skipna (the shared _cum window)."""
+        return self._cum(F.product)
+
+    def prod(self):
+        import pandas as pd
+
+        return pd.Series({c: self[c].prod() for c in self._numeric_cols()})
+
+    product = prod
+
+    def sem(self, ddof: int = 1):
+        import pandas as pd
+
+        return pd.Series({c: self[c].sem(ddof=ddof) for c in self._numeric_cols()})
+
+    def skew(self):
+        import pandas as pd
+
+        return pd.Series({c: self[c].skew() for c in self._numeric_cols()})
+
+    def kurt(self):
+        import pandas as pd
+
+        return pd.Series({c: self[c].kurt() for c in self._numeric_cols()})
+
+    kurtosis = kurt
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """Patch missing cells from ``other``, aligned on the index (the
+        pandas CDC idiom) — one full-outer join on the index, per-column
+        coalesce with pandas-missing semantics (NaN counts as missing)."""
+        a = self.to_spark(index_col="__idx")
+        b = other.to_spark(index_col="__idx")
+        sa = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+        sb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+
+        def blank(col: Column, t: str | None) -> Column:
+            if t in ("double", "float"):
+                return F.when(F.isnan(col), F.lit(None)).otherwise(col)
+            return col
+
+        j = a.alias("a").join(b.alias("b"), "__idx", "full_outer")
+        cols: dict[str, Column] = {}
+        for c in list(self._columns) + [c for c in other._columns if c not in self._columns]:
+            left = blank(F.col(f"a.{c}"), sa.get(c)) if c in self._columns else F.lit(None)
+            right = blank(F.col(f"b.{c}"), sb.get(c)) if c in other._columns else F.lit(None)
+            cols[c] = F.coalesce(left, right)
+        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        return DataFrame._from_internal(internal, cols)
+
+    def reindex(self, labels: "list") -> "DataFrame":
+        """Conform to a new index label list: present labels keep their
+        row, absent labels become all-missing rows (pandas). One left join
+        from the (tiny, broadcastable) label frame."""
+        spark = self._internal.sdf.sparkSession
+        lab = spark.createDataFrame([(l,) for l in labels], ["__idx"])
+        data = self.to_spark(index_col="__idx")
+        j = lab.join(data, "__idx", "left")
+        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
+
     # -- scalar elementwise arithmetic / comparisons ----------------------
 
     def _missing_mask(self, name: str, schema) -> Column:
@@ -1934,6 +2046,84 @@ class DataFrame:
         rr = right.rename(columns={c: c + rsuffix for c in overlap}) if rsuffix else right
         on = [c for c in lr.columns if c in rr.columns and c not in self._columns]
         return lr.merge(rr, on=on, how=how)
+
+
+class _FrameLocIndexer:
+    """``df.loc[rows]`` / ``df.loc[rows, cols]`` — LABEL-based selection.
+
+    Row keys: boolean Series mask (the pushdown-friendly idiom), a single
+    label (returns that row as a pandas Series, like iloc[int]), a label
+    list (KeyError on absent labels, pandas parity — one membership-count
+    job), or a label slice (INCLUSIVE both ends, pandas label-slicing).
+    Results keep frame order (this engine's documented sort contract).
+    Column keys: name / list of names."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            rows, cols = key
+            base = self._df[cols] if isinstance(cols, list) else self._df[[cols]]
+        else:
+            rows, base = key, self._df
+        if isinstance(rows, Series):
+            out = base[rows]
+        elif isinstance(rows, slice):
+            if rows.step is not None:
+                raise TypeError("label slices do not support a step")
+            sdf = base._materialized()
+            cond = F.lit(True)
+            if rows.start is not None:
+                cond = cond & (F.col(INDEX_COL) >= F.lit(rows.start))
+            if rows.stop is not None:
+                cond = cond & (F.col(INDEX_COL) <= F.lit(rows.stop))
+            matched = sdf.filter(cond)
+            internal = InternalFrame(
+                matched, INDEX_COL, base._internal.index_name,
+                base._internal.order_spec,
+            )
+            out = DataFrame._from_internal(
+                internal, {c: matched[c] for c in base._columns}
+            )
+        elif isinstance(rows, list):
+            sdf = base._materialized()
+            matched = sdf.filter(F.col(INDEX_COL).isin(rows))
+            found = {
+                r[INDEX_COL]
+                for r in matched.select(INDEX_COL).distinct().collect()
+            }
+            missing = [l for l in rows if l not in found]
+            if missing:
+                raise KeyError(missing)
+            internal = InternalFrame(
+                matched, INDEX_COL, base._internal.index_name,
+                base._internal.order_spec,
+            )
+            out = DataFrame._from_internal(
+                internal, {c: matched[c] for c in base._columns}
+            )
+        else:  # single label -> that row as a pandas Series
+            msdf = base._materialized().filter(F.col(INDEX_COL) == F.lit(rows))
+            pdf = msdf.select(*list(base._columns)).toPandas()
+            if len(pdf) == 0:
+                raise KeyError(rows)
+            if len(pdf) > 1:  # duplicate labels: pandas returns a frame
+                internal = InternalFrame(
+                    msdf, INDEX_COL, base._internal.index_name,
+                    base._internal.order_spec,
+                )
+                return DataFrame._from_internal(
+                    internal, {c: msdf[c] for c in base._columns}
+                )
+            row = pdf.iloc[0]
+            row.name = rows
+            if isinstance(key, tuple) and not isinstance(key[1], list):
+                return row.iloc[0]  # df.loc[label, col] -> scalar
+            return row
+        if isinstance(key, tuple) and not isinstance(key[1], list):
+            return out[key[1]]
+        return out
 
 
 class _FrameILocIndexer:

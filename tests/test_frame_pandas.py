@@ -1589,3 +1589,74 @@ def test_frame_join_on_index(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["a", "b"]], want, check_dtype=False)
+
+
+# ---- round-7 batch 2: loc, map, apply, mode, cumprod, combine_first, reindex
+
+
+def test_frame_loc_variants(pf, wf):
+    # mask
+    _eq_frames(pf.loc[pf["a"] > 2], wf.loc[wf["a"] > 2])
+    # label list
+    _eq_frames(pf.loc[[0, 2]], wf.loc[[0, 2]])
+    with pytest.raises(KeyError):
+        pf.loc[[0, 99]]
+    # label slice is inclusive
+    _eq_frames(pf.loc[1:3], wf.loc[1:3])
+    # single label -> pandas Series row
+    prow, wrow = pf.loc[2], wf.loc[2]
+    assert list(prow.index) == list(wrow.index)
+    assert prow["a"] == wrow["a"] and prow["seg"] == wrow["seg"]
+    # scalar cell
+    assert pf.loc[2, "a"] == wf.loc[2, "a"]
+    # rows + column list
+    _eq_frames(pf.loc[[0, 1], ["a", "b"]], wf.loc[[0, 1], ["a", "b"]])
+
+
+def test_frame_map_applymap(npf, nwf):
+    f = lambda x: x if x != x else x * 2  # keep NaN, double the rest
+    _eq_frames(npf.map(f), nwf.map(f))
+
+
+def test_frame_apply_axis0_and_axis1(pf, wf, npf, nwf):
+    got = npf.apply(lambda s: s.sum())
+    want = nwf.apply(lambda s: s.sum())
+    assert dict(got) == pytest.approx(dict(want))
+    got1 = npf.apply(lambda r: r["a"] + r["b"], axis=1).to_pandas()
+    want1 = nwf.apply(lambda r: r["a"] + r["b"], axis=1)
+    np.testing.assert_allclose(
+        sorted(got1.fillna(-9).values), sorted(want1.fillna(-9).values)
+    )
+
+
+def test_frame_mode_cumprod(spark):
+    raw = {"x": [1.0, 1.0, 2.0], "y": [5.0, 6.0, 7.0]}
+    pfm = DataFrame(raw, spark=spark)
+    wfm = pd.DataFrame(raw)
+    pd.testing.assert_frame_equal(pfm.mode(), wfm.mode(), check_dtype=False)
+    _eq_frames(pfm.cumprod(), wfm.cumprod())
+
+
+def test_frame_prod_sem_skew_kurt(npf, nwf):
+    for m in ("prod", "sem", "skew", "kurt"):
+        got = getattr(npf, m)()
+        want = getattr(nwf, m)()
+        for c in want.index:
+            assert got[c] == pytest.approx(want[c], nan_ok=True), (m, c)
+
+
+def test_frame_combine_first(spark):
+    a = DataFrame({"v": [1.0, np.nan, 3.0]}, spark=spark)
+    b = DataFrame({"v": [9.0, 2.0, 9.0], "w": [7.0, 7.0, 7.0]}, spark=spark)
+    got = a.combine_first(b).to_pandas().sort_index()
+    want = pd.DataFrame({"v": [1.0, np.nan, 3.0]}).combine_first(
+        pd.DataFrame({"v": [9.0, 2.0, 9.0], "w": [7.0, 7.0, 7.0]})
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_frame_reindex(spark):
+    a = DataFrame({"v": [1.0, 2.0, 3.0]}, spark=spark)
+    got = a.reindex([0, 2, 5]).to_pandas().sort_index()
+    want = pd.DataFrame({"v": [1.0, 2.0, 3.0]}).reindex([0, 2, 5])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
