@@ -1816,6 +1816,152 @@ class Series:
             internal, {"self": F.col("self"), "other": F.col("other")}
         )
 
+    # alignment family (r7 batch 2) -------------------------------------------
+
+    def reindex(self, labels) -> "Series":
+        """Conform to a new label list: absent labels become missing rows
+        (pandas). One left join from the (tiny, broadcastable) label
+        frame."""
+        spark = self._internal.sdf.sparkSession
+        lab = spark.createDataFrame([(l,) for l in labels], [INDEX_COL])
+        data = self._materialized()
+        j = lab.join(data, INDEX_COL, "left")
+        return Series._from_internal(
+            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def update(self, other: "Series") -> "Series":
+        """Overwrite with ``other``'s non-missing values on matching
+        labels; self's index is kept (pandas — but returned, not in-place:
+        a distributed frame has no mutable cells). Left join + per-cell
+        coalesce."""
+        a = self._materialized()
+        b = other._materialized("__u__").select(INDEX_COL, "__u__")
+        j = a.join(b, INDEX_COL, "left")
+        u = F.col("__u__")
+        if j.schema["__u__"].dataType.simpleString() in ("double", "float"):
+            u = F.when(F.isnan(u), F.lit(None)).otherwise(u)
+        return Series._from_internal(
+            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            F.coalesce(u, F.col(_VALUE)),
+            self._name,
+        )
+
+    def align(self, other: "Series", join: str = "outer") -> "tuple[Series, Series]":
+        """Index-align two series; both results share ONE joined anchor
+        (so downstream binops between them are join-free)."""
+        how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
+        a = self._materialized().select(INDEX_COL, _VALUE)
+        b = other._materialized("__v2__").select(INDEX_COL, "__v2__")
+        j = a.join(b, INDEX_COL, how)
+        internal = InternalFrame(j, INDEX_COL, self._internal.index_name)
+        return (
+            Series._from_internal(internal, F.col(_VALUE), self._name),
+            Series._from_internal(internal, F.col("__v2__"), other._name),
+        )
+
+    def combine(self, other: "Series", func, fill_value=None) -> "Series":
+        """Elementwise ``func(l, r)`` over the outer-aligned pair — one
+        Arrow row UDF over the joined struct (batched, never per-row
+        Python jobs). Return dtype inferred from a 1-row sample like
+        Series.apply."""
+        from pontem_spark.core._udf import make_row_udf
+
+        a = self._materialized().select(INDEX_COL, F.col(_VALUE).alias("__l"))
+        b = other._materialized("__r").select(INDEX_COL, "__r")
+        j = a.join(b, INDEX_COL, "full_outer")
+        l = F.coalesce(F.col("__l"), F.lit(fill_value)) if fill_value is not None else F.col("__l")
+        r = F.coalesce(F.col("__r"), F.lit(fill_value)) if fill_value is not None else F.col("__r")
+        sample = j.select(l.alias("l"), r.alias("r")).first()
+        out = func(sample["l"], sample["r"]) if sample is not None else None
+        rtype = {bool: "boolean", int: "bigint", float: "double", str: "string"}.get(
+            type(out), "double"
+        )
+        u = make_row_udf(lambda row: func(row["l"], row["r"]), rtype)
+        return Series._from_internal(
+            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            u(F.struct(l.alias("l"), r.alias("r"))),
+            self._name,
+        )
+
+    def divmod(self, other) -> "tuple[Series, Series]":
+        return self // other, self % other
+
+    def rdivmod(self, other) -> "tuple[Series, Series]":
+        return self.__rfloordiv__(other), self.__rmod__(other)
+
+    def rename_axis(self, name) -> "Series":
+        """Rename the INDEX (zero-job metadata, like rename for values)."""
+        return Series._from_internal(
+            InternalFrame(
+                self._internal.sdf,
+                self._internal.index_spark_col,
+                name,
+                self._internal.order_spec,
+            ),
+            self._col,
+            self._name,
+        )
+
+    def factorize(self):
+        """(codes, uniques) — ndarray results are driver-sized by
+        definition (pandas contract), so this is an eager terminal like
+        tolist()."""
+        return self.to_pandas().factorize()
+
+    # MultiIndex level plumbing ------------------------------------------------
+
+    def _level_names(self) -> list:
+        name = self._internal.index_name
+        if not isinstance(name, tuple):
+            raise TypeError("not a MultiIndex")
+        return list(name)
+
+    def _rebuild_index(self, keep: "list[str]") -> "Series":
+        m = self._materialized()
+        if len(keep) == 1:
+            sdf = m.withColumn("__idx2__", F.col(f"{INDEX_COL}.{keep[0]}"))
+            internal = InternalFrame(sdf, "__idx2__", keep[0])
+        else:
+            sdf = m.withColumn(
+                "__idx2__",
+                F.struct(*[F.col(f"{INDEX_COL}.{n}").alias(n) for n in keep]),
+            )
+            internal = InternalFrame(sdf, "__idx2__", tuple(keep))
+        return Series._from_internal(internal, F.col(_VALUE), self._name)
+
+    def droplevel(self, level) -> "Series":
+        names = self._level_names()
+        drop = names[level] if isinstance(level, int) else level
+        return self._rebuild_index([n for n in names if n != drop])
+
+    def swaplevel(self, i: int = -2, j: int = -1) -> "Series":
+        names = self._level_names()
+        names[i], names[j] = names[j], names[i]
+        return self._rebuild_index(names)
+
+    def xs(self, key, level=0) -> "Series":
+        """Cross-section: rows where the given index LEVEL equals key,
+        that level dropped — a pure pushdown-friendly filter plus the
+        droplevel rebuild."""
+        names = self._level_names()
+        lvl = names[level] if isinstance(level, int) else level
+        m = self._materialized()
+        filtered = m.filter(F.col(f"{INDEX_COL}.{lvl}") == F.lit(key))
+        keep = [n for n in names if n != lvl]
+        if len(keep) == 1:
+            sdf = filtered.withColumn("__idx2__", F.col(f"{INDEX_COL}.{keep[0]}"))
+            internal = InternalFrame(sdf, "__idx2__", keep[0])
+        else:
+            sdf = filtered.withColumn(
+                "__idx2__",
+                F.struct(*[F.col(f"{INDEX_COL}.{n}").alias(n) for n in keep]),
+            )
+            internal = InternalFrame(sdf, "__idx2__", tuple(keep))
+        return Series._from_internal(internal, F.col(_VALUE), self._name)
+
     # accessors ---------------------------------------------------------------
 
     @property

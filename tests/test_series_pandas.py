@@ -1130,3 +1130,76 @@ def test_series_case_when_compare(spark):
     wcmp = pd.Series([1, 2, 3]).compare(pd.Series([1, 9, 3]))
     assert cmp["self"].tolist() == wcmp["self"].tolist()
     assert cmp["other"].tolist() == wcmp["other"].tolist()
+
+
+# ---- round-7 series batch 2: alignment + MultiIndex levels ----------------
+
+
+def test_series_reindex_update(spark):
+    import pandas as pd
+
+    ps = Series([1.0, 2.0, 3.0], index=[0, 1, 2], spark=spark)
+    ws = pd.Series([1.0, 2.0, 3.0], index=[0, 1, 2])
+    assert ps.reindex([0, 2, 5]).to_pandas().sort_index().equals(
+        ws.reindex([0, 2, 5]).sort_index()
+    )
+    other = Series([9.0, float("nan")], index=[1, 2], spark=spark)
+    wother = pd.Series([9.0, float("nan")], index=[1, 2])
+    wupd = ws.copy()
+    wupd.update(wother)
+    assert ps.update(other).to_pandas().sort_index().equals(wupd.sort_index())
+
+
+def test_series_align_combine_divmod(spark):
+    import pandas as pd
+
+    a = Series([1.0, 2.0], index=[0, 1], spark=spark)
+    b = Series([10.0, 20.0], index=[1, 2], spark=spark)
+    wa = pd.Series([1.0, 2.0], index=[0, 1])
+    wb = pd.Series([10.0, 20.0], index=[1, 2])
+    la, lb = a.align(b)
+    wla, wlb = wa.align(wb)
+    assert la.to_pandas().sort_index().equals(wla.sort_index())
+    assert lb.to_pandas().sort_index().equals(wlb.sort_index())
+
+    got = a.combine(b, max, fill_value=0.0).to_pandas().sort_index()
+    want = wa.combine(wb, max, fill_value=0.0).sort_index()
+    assert got.equals(want)
+
+    q, r = Series([7, 8], spark=spark).divmod(3)
+    wq, wr = pd.Series([7, 8]).divmod(3)
+    assert q.to_pandas().tolist() == wq.tolist()
+    assert r.to_pandas().tolist() == wr.tolist()
+
+
+def test_series_rename_axis_factorize(spark):
+    import numpy as np
+    import pandas as pd
+
+    ps = Series(["a", "b", "a"], spark=spark).rename_axis("rows")
+    assert ps.to_pandas().index.name == "rows"
+    codes, uniq = Series(["a", "b", "a"], spark=spark).factorize()
+    wcodes, wuniq = pd.Series(["a", "b", "a"]).factorize()
+    np.testing.assert_array_equal(codes, wcodes)
+    assert list(uniq) == list(wuniq)
+
+
+def test_series_multiindex_levels(spark):
+    import pandas as pd
+
+    from pontem_spark.core import DataFrame as PFrame
+
+    raw = {"g": ["x", "x", "y"], "h": [1, 2, 1], "v": [10.0, 20.0, 30.0]}
+    s = PFrame(raw, spark=spark).set_index(["g", "h"])["v"]
+    ws = pd.DataFrame(raw).set_index(["g", "h"])["v"]
+
+    assert s.droplevel("g").to_pandas().sort_index().equals(
+        ws.droplevel("g").sort_index()
+    )
+    assert s.swaplevel().to_pandas().sort_index().equals(ws.swaplevel().sort_index())
+    assert s.xs("x", level="g").to_pandas().sort_index().equals(
+        ws.xs("x", level="g").sort_index()
+    )
+    assert s.xs(1, level="h").to_pandas().sort_index().equals(
+        ws.xs(1, level="h").sort_index()
+    )
