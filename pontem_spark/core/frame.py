@@ -1766,6 +1766,60 @@ class DataFrame:
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
 
+    def rolling(self, window: int, min_periods: "int | None" = None):
+        """Per-column rolling aggregates sharing ONE window sort."""
+        from pontem_spark.core.window import FrameRolling
+
+        return FrameRolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        """Per-column expanding aggregates (unbounded-preceding frame)."""
+        from pontem_spark.core.window import FrameRolling
+
+        return FrameRolling(self, 0, min_periods, expanding=True)
+
+    def interpolate(self, method: str = "linear") -> "DataFrame":
+        """Positional linear interpolation per numeric column — the
+        Series.interpolate semantics (interior gaps linear, leading stay
+        missing, trailing ffill) with the two ignore-nulls window scans
+        SHARED across every column (one sort total)."""
+        if method != "linear":
+            raise NotImplementedError("interpolate: only method='linear'")
+        from pyspark.sql import Window
+
+        numeric = set(self._numeric_cols())
+        bad = [c for c in self._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"interpolate: non-numeric columns {bad}")
+        sdf = self._materialized()
+        schema = dict(sdf.dtypes)
+        order = self._internal.order_columns(INDEX_COL)
+        back = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        fwd = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+        pos = F.row_number().over(Window.orderBy(*order))
+        cols = {}
+        for c in self._columns:
+            v = sdf[c].cast("double")
+            if schema.get(c) in ("double", "float"):
+                v = F.when(~F.isnan(sdf[c]), v)
+            valid_pos = F.when(v.isNotNull(), pos)
+            pv = F.last(v, ignorenulls=True).over(back)
+            pp = F.last(valid_pos, ignorenulls=True).over(back)
+            nv = F.first(v, ignorenulls=True).over(fwd)
+            np_ = F.first(valid_pos, ignorenulls=True).over(fwd)
+            cols[c] = (
+                F.when(v.isNotNull(), v)
+                .when(
+                    pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * (pos - pp) / (np_ - pp).cast("double"),
+                )
+                .when(pv.isNotNull(), pv)
+            )
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, cols)
+
     # -- scalar elementwise arithmetic / comparisons ----------------------
 
     def _missing_mask(self, name: str, schema) -> Column:

@@ -290,3 +290,63 @@ class GroupedExpanding:
     def std(self): return self._apply(F.stddev_samp)
     def var(self): return self._apply(F.var_samp)
     def count(self): return self._apply(F.count)
+
+
+class FrameRolling:
+    """Rolling windows over every numeric column of a DataFrame — ONE
+    shared Window spec for all columns (Catalyst plans a single sort),
+    each column blanked to pandas-missing like the Series form."""
+
+    def __init__(self, df, window: int, min_periods: "int | None" = None, expanding: bool = False):
+        self._df = df
+        self._n = window
+        self._minp = (
+            (window if min_periods is None else min_periods)
+            if not expanding
+            else (1 if min_periods is None else min_periods)
+        )
+        self._expanding = expanding
+
+    def _apply(self, aggfn, count_gate_rows: bool = False):
+        from pontem_spark.core.frame import DataFrame
+
+        df = self._df
+        numeric = set(df._numeric_cols())
+        bad = [c for c in df._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"rolling: non-numeric columns {bad}")
+        sdf = df._materialized()
+        schema = dict(sdf.dtypes)
+        lo = Window.unboundedPreceding if self._expanding else -(self._n - 1)
+        w = (
+            Window.orderBy(*df._internal.order_columns(INDEX_COL))
+            .rowsBetween(lo, Window.currentRow)
+        )
+        cols = {}
+        for c in df._columns:
+            v = sdf[c]
+            valid = (
+                F.when(~F.isnan(v), v)
+                if schema.get(c) in ("double", "float")
+                else v
+            )
+            gate = (
+                F.count(F.lit(1)).over(w) if count_gate_rows else F.count(valid).over(w)
+            )
+            cols[c] = F.when(gate >= self._minp, aggfn(valid).over(w))
+        internal = InternalFrame(
+            sdf, INDEX_COL, df._internal.index_name, df._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, cols)
+
+    def sum(self): return self._apply(F.sum)
+    def mean(self): return self._apply(F.mean)
+    def min(self): return self._apply(F.min)
+    def max(self): return self._apply(F.max)
+    def std(self): return self._apply(F.stddev_samp)
+    def var(self): return self._apply(F.var_samp)
+
+    def count(self):
+        # pandas gates count on ROW count, not non-missing count (the
+        # Series Rolling.count lesson)
+        return self._apply(F.count, count_gate_rows=True)

@@ -1660,3 +1660,17 @@ def test_frame_reindex(spark):
     got = a.reindex([0, 2, 5]).to_pandas().sort_index()
     want = pd.DataFrame({"v": [1.0, 2.0, 3.0]}).reindex([0, 2, 5])
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_frame_rolling_expanding_interpolate(spark):
+    raw = {"x": [1.0, 2.0, np.nan, 4.0, 5.0], "y": [2.0, 4.0, 6.0, np.nan, 10.0]}
+    pfr = DataFrame(raw, spark=spark)
+    wfr = pd.DataFrame(raw)
+    _eq_frames(pfr.rolling(2).sum(), wfr.rolling(2).sum())
+    _eq_frames(pfr.rolling(3, min_periods=1).mean(), wfr.rolling(3, min_periods=1).mean())
+    _eq_frames(pfr.rolling(2).count(), wfr.rolling(2).count())
+    _eq_frames(pfr.expanding().sum(), wfr.expanding().sum())
+    _eq_frames(pfr.expanding(min_periods=2).mean(), wfr.expanding(min_periods=2).mean())
+    _eq_frames(pfr.interpolate(), wfr.interpolate())
+    lead = {"x": [np.nan, np.nan, 3.0, np.nan], "y": [1.0, np.nan, np.nan, np.nan]}
+    _eq_frames(DataFrame(lead, spark=spark).interpolate(), pd.DataFrame(lead).interpolate())
