@@ -1766,6 +1766,90 @@ class DataFrame:
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
 
+    @property
+    def at(self):
+        """Scalar label accessor: df.at[label, col] (loc's scalar cell)."""
+        return _FrameAtIndexer(self, positional=False)
+
+    @property
+    def iat(self):
+        """Scalar positional accessor: df.iat[pos, colpos]."""
+        return _FrameAtIndexer(self, positional=True)
+
+    def value_counts(self, normalize: bool = False, ascending: bool = False) -> Series:
+        """Row-combination counts as a Series with the columns as a
+        (Multi)Index — one hash aggregate on all columns; the sort lives
+        in the order spec (TakeOrdered when a head() follows)."""
+        cols = list(self._columns)
+        sdf = self._materialized()
+        counted = sdf.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n"))
+        if normalize:
+            total = counted.agg(F.sum("__n").alias("__t"))
+            counted = counted.crossJoin(F.broadcast(total)).withColumn(
+                "__n", F.col("__n") / F.col("__t")
+            )
+        if len(cols) == 1:
+            out = counted.withColumnRenamed(cols[0], "__vidx__")
+            internal = InternalFrame(
+                out, "__vidx__", cols[0], (("__n", ascending), ("__vidx__", True))
+            )
+        else:
+            out = counted.withColumn(
+                "__vidx__", F.struct(*[F.col(c) for c in cols])
+            )
+            internal = InternalFrame(
+                out, "__vidx__", tuple(cols), (("__n", ascending), ("__vidx__", True))
+            )
+        name = "proportion" if normalize else "count"
+        return Series._from_internal(internal, F.col("__n"), name)
+
+    def rename_axis(self, name) -> "DataFrame":
+        """Rename the index (zero-job metadata)."""
+        internal = InternalFrame(
+            self._internal.sdf,
+            self._internal.index_spark_col,
+            name,
+            self._internal.order_spec,
+        )
+        return DataFrame._from_internal(internal, dict(self._columns))
+
+    def _level_rebuild(self, keep: "list[str]", base_sdf=None) -> "DataFrame":
+        m = base_sdf if base_sdf is not None else self._materialized()
+        if len(keep) == 1:
+            sdf = m.withColumn("__idx2__", F.col(f"{INDEX_COL}.{keep[0]}"))
+            internal = InternalFrame(sdf, "__idx2__", keep[0])
+        else:
+            sdf = m.withColumn(
+                "__idx2__",
+                F.struct(*[F.col(f"{INDEX_COL}.{n}").alias(n) for n in keep]),
+            )
+            internal = InternalFrame(sdf, "__idx2__", tuple(keep))
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
+
+    def _index_level_names(self) -> list:
+        name = self._internal.index_name
+        if not isinstance(name, tuple):
+            raise TypeError("not a MultiIndex")
+        return list(name)
+
+    def droplevel(self, level) -> "DataFrame":
+        names = self._index_level_names()
+        drop = names[level] if isinstance(level, int) else level
+        return self._level_rebuild([n for n in names if n != drop])
+
+    def swaplevel(self, i: int = -2, j: int = -1) -> "DataFrame":
+        names = self._index_level_names()
+        names[i], names[j] = names[j], names[i]
+        return self._level_rebuild(names)
+
+    def xs(self, key, level=0) -> "DataFrame":
+        """MultiIndex cross-section: pushdown filter on the level + level
+        drop."""
+        names = self._index_level_names()
+        lvl = names[level] if isinstance(level, int) else level
+        m = self._materialized().filter(F.col(f"{INDEX_COL}.{lvl}") == F.lit(key))
+        return self._level_rebuild([n for n in names if n != lvl], base_sdf=m)
+
     def rolling(self, window: int, min_periods: "int | None" = None):
         """Per-column rolling aggregates sharing ONE window sort."""
         from pontem_spark.core.window import FrameRolling
@@ -2100,6 +2184,21 @@ class DataFrame:
         rr = right.rename(columns={c: c + rsuffix for c in overlap}) if rsuffix else right
         on = [c for c in lr.columns if c in rr.columns and c not in self._columns]
         return lr.merge(rr, on=on, how=how)
+
+
+class _FrameAtIndexer:
+    """df.at[label, col] / df.iat[pos, colpos] — scalar cell access."""
+
+    def __init__(self, df: DataFrame, positional: bool):
+        self._df = df
+        self._positional = positional
+
+    def __getitem__(self, key):
+        row, col = key
+        if self._positional:
+            series_row = self._df.iloc[row]
+            return series_row.iloc[col] if isinstance(col, int) else series_row[col]
+        return self._df.loc[row, col]
 
 
 class _FrameLocIndexer:

@@ -1674,3 +1674,46 @@ def test_frame_rolling_expanding_interpolate(spark):
     _eq_frames(pfr.interpolate(), wfr.interpolate())
     lead = {"x": [np.nan, np.nan, 3.0, np.nan], "y": [1.0, np.nan, np.nan, np.nan]}
     _eq_frames(DataFrame(lead, spark=spark).interpolate(), pd.DataFrame(lead).interpolate())
+
+
+def test_frame_at_iat(pf, wf):
+    assert pf.at[2, "a"] == wf.at[2, "a"]
+    assert pf.iat[1, 0] == wf.iat[1, 0]
+    assert pf.iat[4, 2] == wf.iat[4, 2]
+
+
+def test_frame_value_counts(spark):
+    raw = {"g": ["x", "x", "y", "x"], "h": [1, 1, 2, 3]}
+    pfv = DataFrame(raw, spark=spark)
+    wfv = pd.DataFrame(raw)
+    got = pfv.value_counts().to_pandas()
+    want = wfv.value_counts()
+    assert sorted(got.values.tolist()) == sorted(want.values.tolist())
+    assert dict(zip(got.index, got.values)) == dict(zip(want.index, want.values))
+    gotn = pfv[["g"]].value_counts(normalize=True).to_pandas()
+    wantn = wfv[["g"]].value_counts(normalize=True)
+    assert dict(zip(gotn.index, gotn.values)) == dict(
+        zip([i[0] for i in wantn.index], wantn.values)
+    )
+
+
+def test_frame_multiindex_levels(spark):
+    raw = {"g": ["x", "x", "y"], "h": [1, 2, 1], "v": [10.0, 20.0, 30.0]}
+    pfm = DataFrame(raw, spark=spark).set_index(["g", "h"])
+    wfm = pd.DataFrame(raw).set_index(["g", "h"])
+    pd.testing.assert_frame_equal(
+        pfm.droplevel("g").to_pandas().sort_index(),
+        wfm.droplevel("g").sort_index(),
+        check_dtype=False,
+    )
+    pd.testing.assert_frame_equal(
+        pfm.swaplevel().to_pandas().sort_index(),
+        wfm.swaplevel().sort_index(),
+        check_dtype=False,
+    )
+    pd.testing.assert_frame_equal(
+        pfm.xs("x", level="g").to_pandas().sort_index(),
+        wfm.xs("x", level="g").sort_index(),
+        check_dtype=False,
+    )
+    assert pfm.rename_axis(("a", "b")).to_pandas().index.names == ["a", "b"]
