@@ -1816,6 +1816,26 @@ class Series:
             internal, {"self": F.col("self"), "other": F.col("other")}
         )
 
+    @property
+    def at(self):
+        return _AtIndexer(self, positional=False)
+
+    @property
+    def iat(self):
+        return _AtIndexer(self, positional=True)
+
+    def asof(self, where):
+        """Last non-missing value whose index label is <= ``where`` (NaN
+        when none) — an ordered limit-1 job, the scalar cousin of the
+        as-of join operator (operators/asof.py)."""
+        sdf = self._materialized()
+        valid = sdf.filter(
+            (F.col(INDEX_COL) <= F.lit(where))
+            & ~self._missing_mask(F.col(_VALUE), sdf)
+        )
+        rows = valid.orderBy(F.col(INDEX_COL).desc()).select(_VALUE).limit(1).collect()
+        return rows[0][_VALUE] if rows else float("nan")
+
     # alignment family (r7 batch 2) -------------------------------------------
 
     def reindex(self, labels) -> "Series":
@@ -1975,6 +1995,23 @@ class Series:
         from pontem_spark.core.accessors import DatetimeAccessor
 
         return DatetimeAccessor(self)
+
+
+class _AtIndexer:
+    """s.at[label] / s.iat[pos] — scalar access."""
+
+    def __init__(self, s: "Series", positional: bool):
+        self._s = s
+        self._positional = positional
+
+    def __getitem__(self, key):
+        if self._positional:
+            return self._s.iloc[key]
+        sentinel = object()
+        out = self._s.get(key, sentinel)
+        if out is sentinel:
+            raise KeyError(key)
+        return out
 
 
 class _LocIndexer:

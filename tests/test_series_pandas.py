@@ -1203,3 +1203,22 @@ def test_series_multiindex_levels(spark):
     assert s.xs(1, level="h").to_pandas().sort_index().equals(
         ws.xs(1, level="h").sort_index()
     )
+
+
+def test_series_at_iat_asof(spark):
+    import math
+
+    import pandas as pd
+
+    ps = Series([1.0, float("nan"), 3.0], index=[10, 20, 30], spark=spark)
+    ws = pd.Series([1.0, float("nan"), 3.0], index=[10, 20, 30])
+    assert ps.at[30] == ws.at[30]
+    assert ps.iat[0] == ws.iat[0]
+    import pytest as _pt
+
+    with _pt.raises(KeyError):
+        ps.at[99]
+    # asof skips the NaN at 20 and takes the last valid <= where
+    assert ps.asof(25) == ws.asof(25)
+    assert ps.asof(30) == ws.asof(30)
+    assert math.isnan(ps.asof(5)) and math.isnan(ws.asof(5))
