@@ -2024,22 +2024,29 @@ class DataFrame:
     def _directional_fill(self, forward: bool) -> "DataFrame":
         from pyspark.sql import Window
 
-        base = self._order_window()
+        # materialize FIRST: window exprs ordering on the index must see a
+        # real column, not a lateral alias from the same projection
+        # (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW, caught by
+        # the where->ffill composition)
+        sdf = self._materialized()
+        base = Window.orderBy(*self._internal.order_columns(INDEX_COL))
         w = (
             base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             if forward
             else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        schema = {
-            f.name: f.dataType.simpleString()
-            for f in self._materialized().schema.fields
-        }
+        schema = dict(sdf.dtypes)
         pick = F.last if forward else F.first
-        out = {
-            k: pick(self._valid_col(k, schema), ignorenulls=True).over(w)
-            for k in self._columns
-        }
-        return DataFrame._from_internal(self._internal, out)
+        out = {}
+        for k in self._columns:
+            v = sdf[k]
+            if schema.get(k) in ("double", "float"):
+                v = F.when(~F.isnan(v), v)
+            out[k] = pick(v, ignorenulls=True).over(w)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, out)
 
     pad = ffill
     backfill = bfill

@@ -1130,3 +1130,53 @@ def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return negative_samples(docs, "doc_id", k=3)
+
+
+@_pending(
+    "q_api_where_ffill_rolling",
+    oracle="""
+    WITH seq AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    gated AS (
+      SELECT o_orderkey, pos,
+             CASE WHEN v < CAST(100000.0 AS DOUBLE) THEN v END AS v
+      FROM seq
+    ),
+    filled AS (
+      SELECT o_orderkey, pos,
+             last_value(v IGNORE NULLS) OVER (
+               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v
+      FROM gated
+    )
+    SELECT o_orderkey,
+           ROUND(AVG(v) OVER (
+             ORDER BY pos ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ), 4) AS smoothed
+    FROM filled
+    """,
+)
+def q_api_where_ffill_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 frame-API surface composed end-to-end through the wrapper:
+    scalar comparison (df < x, missing-compares-False), where (null out
+    the gated cells), ffill (one shared window), rolling(3,
+    min_periods=1).mean() (FrameRolling, same shared sort) — the outlier
+    null-and-smooth idiom; the oracle replays the identical two window
+    scans in SQL."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("v"))
+    )
+    f = from_spark(base, index_col="o_orderkey")[["v"]]
+    smoothed = f.where(f < 100000.0).ffill().rolling(3, min_periods=1).mean()
+    out = smoothed.to_spark(index_col="o_orderkey")
+    return out.select(
+        "o_orderkey", rnd(F.col("v"), 4).alias("smoothed")
+    )
