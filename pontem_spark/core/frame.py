@@ -1767,6 +1767,36 @@ class DataFrame:
         return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
 
     @property
+    def values(self):
+        return self.to_pandas().values
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        return DataFrame._from_internal(self._internal, dict(self._columns))
+
+    @property
+    def empty(self) -> bool:
+        return self._internal.sdf.limit(1).count() == 0
+
+    def pop(self, column: str) -> Series:
+        """Remove and return a column (in-place on the wrapper's column
+        dict — the anchor itself is immutable)."""
+        out = self[column]
+        del self._columns[column]
+        return out
+
+    def insert(self, loc: int, column: str, value) -> None:
+        """Insert a column at a position (pandas in-place contract)."""
+        if column in self._columns:
+            raise ValueError(f"cannot insert {column}, already exists")
+        items = list(self._columns.items())
+        col = value._col if isinstance(value, Series) else (
+            value if isinstance(value, Column) else F.lit(value)
+        )
+        items.insert(loc, (column, col))
+        self._columns.clear()
+        self._columns.update(items)
+
+    @property
     def at(self):
         """Scalar label accessor: df.at[label, col] (loc's scalar cell)."""
         return _FrameAtIndexer(self, positional=False)

@@ -1836,6 +1836,74 @@ class Series:
         rows = valid.orderBy(F.col(INDEX_COL).desc()).select(_VALUE).limit(1).collect()
         return rows[0][_VALUE] if rows else float("nan")
 
+    @property
+    def values(self):
+        """Eager numpy materialization (pandas contract: ndarray is
+        driver-sized by definition)."""
+        return self.to_pandas().values
+
+    array = values
+
+    @property
+    def T(self) -> "Series":
+        return self
+
+    def transpose(self) -> "Series":
+        return self
+
+    def ravel(self):
+        return self.to_pandas().values
+
+    def copy(self, deep: bool = True) -> "Series":
+        """New wrapper over the same immutable anchor — frames here are
+        never mutated in place, so deep and shallow coincide."""
+        return Series._from_internal(self._internal, self._col, self._name)
+
+    @property
+    def empty(self) -> bool:
+        return self._internal.sdf.limit(1).count() == 0
+
+    def argsort(self) -> "Series":
+        """pandas (current) argsort: positions WITHIN the non-missing
+        subset, written at the non-missing slots in original order; -1 at
+        missing slots (pandas deprecation-warns this shape but still
+        emits it). Three windows over the visible order — driver-scale
+        shape like every positional op."""
+        from pyspark.sql import Window
+
+        sdf = self._materialized()
+        missing = self._missing_mask(sdf[_VALUE], sdf)
+        valid = sdf.filter(~missing).select(INDEX_COL, _VALUE)
+        wv = Window.orderBy(INDEX_COL)
+        valid = valid.withColumn("__sub", F.row_number().over(wv) - 1)
+        wr = Window.orderBy(F.col(_VALUE).asc(), F.col("__sub").asc())
+        valid = valid.withColumn("__rank", F.row_number().over(wr) - 1)
+        inv = valid.select(
+            F.col("__rank").alias("__sub2"), F.col("__sub").alias("__orig")
+        )
+        placed = valid.join(inv, valid["__sub"] == inv["__sub2"]).select(
+            INDEX_COL, "__orig"
+        )
+        j = sdf.select(INDEX_COL).join(placed, INDEX_COL, "left")
+        return Series._from_internal(
+            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            F.coalesce(F.col("__orig"), F.lit(-1)).cast("bigint"),
+            self._name,
+        )
+
+    def memory_usage(self, index: bool = True, deep: bool = False) -> int:
+        return int(self.to_pandas().memory_usage(index=index, deep=deep))
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.to_pandas().nbytes)
+
+    def infer_objects(self) -> "Series":
+        return self
+
+    def convert_dtypes(self) -> "Series":
+        return self
+
     # alignment family (r7 batch 2) -------------------------------------------
 
     def reindex(self, labels) -> "Series":

@@ -1717,3 +1717,24 @@ def test_frame_multiindex_levels(spark):
         check_dtype=False,
     )
     assert pfm.rename_axis(("a", "b")).to_pandas().index.names == ["a", "b"]
+
+
+def test_frame_trivials_batch(spark):
+    raw = {"a": [1, 2], "b": [3.0, 4.0]}
+    pft = DataFrame(raw, spark=spark)
+    wft = pd.DataFrame(raw)
+    np.testing.assert_array_equal(
+        pft.to_pandas().sort_index().values, wft.values
+    )
+    assert not pft.empty
+    c = pft.copy()
+    popped = pft.pop("b")
+    assert pft.columns == ["a"] and popped.name == "b"
+    assert c.columns == ["a", "b"]  # copy unaffected
+    wpop = wft.copy()
+    wpop.pop("b")
+    assert pft.columns == list(wpop.columns)
+    pft.insert(0, "z", 9)
+    wpop.insert(0, "z", 9)
+    assert pft.columns == list(wpop.columns)
+    _eq_frames(pft, wpop)

@@ -1222,3 +1222,20 @@ def test_series_at_iat_asof(spark):
     assert ps.asof(25) == ws.asof(25)
     assert ps.asof(30) == ws.asof(30)
     assert math.isnan(ps.asof(5)) and math.isnan(ws.asof(5))
+
+
+def test_series_trivials_batch(spark):
+    import numpy as np
+    import pandas as pd
+
+    data = [3.0, float("nan"), 1.0]
+    ps = Series(data, spark=spark)
+    ws = pd.Series(data)
+    np.testing.assert_array_equal(ps.values, ws.values)
+    assert ps.T is ps and ps.transpose() is ps
+    assert ps.copy().to_pandas().equals(ws.copy())
+    assert not ps.empty
+    assert ps.argsort().to_pandas().tolist() == ws.argsort().tolist()
+    assert Series([1, 2, 2], spark=spark).argsort().to_pandas().tolist() == pd.Series([1, 2, 2]).argsort().tolist()
+    assert ps.infer_objects() is ps and ps.convert_dtypes() is ps
+    assert isinstance(ps.memory_usage(), int) and isinstance(ps.nbytes, int)
