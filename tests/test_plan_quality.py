@@ -329,3 +329,21 @@ def test_mad_outliers_broadcast_stats(spark, sf_dir):
     plan = physical_plan(mad_outliers(ev, "event_type", "event_id", "value"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_frame_rolling_single_sort(spark):
+    """FrameRolling over 3 columns must plan exactly ONE Sort (the shared
+    window), not one per column."""
+    from pontem_spark.core import DataFrame as PFrame
+
+    df = PFrame({"a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]}, spark=spark)
+    plan = physical_plan(df.rolling(2).mean().to_spark())
+    assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1, plan
+
+
+def test_frame_ffill_single_window(spark):
+    from pontem_spark.core import DataFrame as PFrame
+
+    df = PFrame({"a": [1.0, None], "b": [None, 4.0]}, spark=spark)
+    plan = physical_plan(df.ffill().to_spark())
+    assert plan.count("Window") <= 2, plan  # one Window node (+AQE echo)
