@@ -22,7 +22,7 @@ LLM-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from pontem_spark.functions.compat import rnd
 
@@ -111,4 +111,82 @@ def finalize(state: DataFrame, keys: "list[str]", round_digits: int = 2) -> Data
         rnd(F.when(n >= 2, F.sqrt(var)), round_digits).alias("sd"),
         rnd(F.col("lo"), round_digits).alias("lo"),
         rnd(F.col("hi"), round_digits).alias("hi"),
+    )
+
+
+# ---- exponential time-decay state: decay is a mergeable monoid ------------
+
+
+def decayed_state(
+    df: DataFrame, key_col: str, ts_col: str, val_col: str, halflife_s: float
+) -> DataFrame:
+    """Per-key decayed-sum state (key, ref_us, n, sum_w, sum_wv), weights
+    anchored at the key's newest event in THIS batch.
+
+    Exponential decay is mergeable: a state anchored at ref can be
+    re-anchored to any newer ref' by one multiplication with
+    2^(-(ref'-ref)/h) — so streaming rollups of recency-weighted
+    aggregates never rescan history (the histogram/HLL sketch property,
+    for decay)."""
+    us = F.unix_micros(F.col(ts_col))
+    ref = df.groupBy(key_col).agg(F.max(us).alias("ref_us"))
+    j = df.join(ref, key_col)
+    age_s = (F.col("ref_us") - F.unix_micros(F.col(ts_col))).cast("double") / F.lit(1e6)
+    w = F.pow(F.lit(2.0), -age_s / F.lit(float(halflife_s)))
+    v = F.col(val_col).cast("double")
+    return j.groupBy(key_col, "ref_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(w).alias("sum_w"),
+        F.sum(w * v).alias("sum_wv"),
+    )
+
+
+def merge_decayed(
+    a: DataFrame, b: DataFrame, key_col: str, halflife_s: float
+) -> DataFrame:
+    """Merge two decayed state tables: re-anchor both sides to the newer
+    reference time, then add. One full-outer join on the key (state-sized,
+    never event-sized); associative and commutative up to float rounding,
+    exact in the weights' algebra."""
+    an = [f"{c}" for c in (key_col, "ref_us", "n", "sum_w", "sum_wv")]
+    aa = a.select(*an).alias("a")
+    bb = b.select(*an).alias("b")
+    j = aa.join(bb, getattr(aa, key_col) == getattr(bb, key_col), "full_outer")
+    key = F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(key_col)
+    ar, br = F.col("a.ref_us"), F.col("b.ref_us")
+    new_ref = F.greatest(F.coalesce(ar, br), F.coalesce(br, ar))
+
+    def scaled(side: str, ref: Column) -> "tuple[Column, Column]":
+        scale = F.pow(
+            F.lit(2.0),
+            -((new_ref - ref).cast("double") / F.lit(1e6)) / F.lit(float(halflife_s)),
+        )
+        return (
+            F.coalesce(F.col(f"{side}.sum_w") * scale, F.lit(0.0)),
+            F.coalesce(F.col(f"{side}.sum_wv") * scale, F.lit(0.0)),
+        )
+
+    aw, awv = scaled("a", ar)
+    bw, bwv = scaled("b", br)
+    return j.select(
+        key,
+        new_ref.alias("ref_us"),
+        (F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (aw + bw).alias("sum_w"),
+        (awv + bwv).alias("sum_wv"),
+    )
+
+
+def finalize_decayed(state: DataFrame, key_col: str, round_digits: int = 4) -> DataFrame:
+    """Read-time decayed statistics from the state (same output shape as
+    operators/timeseries.py::time_decay_agg, so the two share an oracle)."""
+    from pontem_spark.functions.compat import rnd
+
+    return state.select(
+        key_col,
+        F.col("n").alias("n_events"),
+        rnd(F.col("sum_wv"), round_digits).alias("decayed_total"),
+        rnd(F.col("sum_wv") / F.col("sum_w"), round_digits).alias("decayed_mean"),
     )

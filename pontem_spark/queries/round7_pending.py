@@ -1180,3 +1180,58 @@ def q_api_where_ffill_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", rnd(F.col("v"), 4).alias("smoothed")
     )
+
+
+_TIME_DECAY_ORACLE = """
+    WITH ref AS MATERIALIZED (
+      SELECT user_id, MAX(epoch_us(ts)) AS ref_us FROM events GROUP BY 1
+    ),
+    wt AS (
+      SELECT e.user_id,
+             pow(CAST(2.0 AS DOUBLE),
+                 -(CAST(r.ref_us - epoch_us(e.ts) AS DOUBLE) / 1e6)
+                  / CAST(86400.0 AS DOUBLE)) AS w,
+             e.value AS v
+      FROM events e JOIN ref r USING (user_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(w * v), 4) AS decayed_total,
+           ROUND(SUM(w * v) / SUM(w), 4) AS decayed_mean
+    FROM wt GROUP BY 1
+    """
+
+
+@_pending("q_stream_time_decay", _TIME_DECAY_ORACLE)
+def q_stream_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted rollup as a STREAM: events re-written as three
+    files, streamed back one file per trigger, each micro-batch folded
+    into the decayed monoid state (streaming/events.py::
+    run_decayed_rollup) — exponential decay re-anchors by one
+    multiplication, so the stream never rescans history. The oracle
+    computes the same statistic in one direct pass over all events:
+    hash-equality proves the batch×streaming decomposition is exact
+    (up to the shared rounding) no matter how rows were sliced."""
+    import tempfile
+
+    from pontem_spark.operators.incremental import finalize_decayed
+    from pontem_spark.streaming.events import run_decayed_rollup
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_decay_")
+    try:
+        events.repartition(3).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        state, n_batches = run_decayed_rollup(stream, "user_id", "ts", "value", 86400.0)
+        if n_batches < 3:
+            raise RuntimeError(f"expected >=3 micro-batches, got {n_batches}")
+        return finalize_decayed(state, "user_id")
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

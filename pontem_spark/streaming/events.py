@@ -275,3 +275,36 @@ def sliding_rollup(
             "total_value",
         )
     )
+
+
+def run_decayed_rollup(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    halflife_s: float,
+    timeout_s: int = 120,
+) -> "tuple[DataFrame, int]":
+    """Continuous recency-weighted rollup: foreachBatch drives the decayed
+    monoid state (operators/incremental.py::decayed_state/merge_decayed) —
+    each micro-batch is aggregated independently and RE-ANCHORED into the
+    accumulated state by one multiplication, so history is never
+    rescanned. Same lifecycle as run_incremental_rollup (localCheckpoint
+    state; production swaps for MERGE INTO)."""
+    from pontem_spark.operators.incremental import decayed_state, merge_decayed
+
+    holder: dict = {"state": None, "batches": 0}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = decayed_state(batch_df, key_col, ts_col, val_col, halflife_s)
+        prev = holder["state"]
+        merged = part if prev is None else merge_decayed(prev, part, key_col, halflife_s)
+        holder["state"] = merged.localCheckpoint(eager=True)
+        holder["batches"] += 1
+
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return holder["state"], holder["batches"]

@@ -1799,3 +1799,49 @@ def test_negative_samples_ring(spark):
         expect = order[(pos[r["anchor_id"]] + r["slot"] * 3) % 10]
         assert r["negative_id"] == expect
         assert r["negative_id"] != r["anchor_id"]
+
+
+def test_decayed_state_merge_equals_direct(spark):
+    """Split events three ways, build decayed states independently, merge
+    in two different orders — both equal the direct single-pass
+    time_decay_agg after rounding (exponential decay is a mergeable
+    monoid; re-anchoring is exact algebra up to float ulps)."""
+    import datetime as dt
+
+    from pontem_spark.operators.incremental import (
+        decayed_state,
+        finalize_decayed,
+        merge_decayed,
+    )
+    from pontem_spark.operators.timeseries import time_decay_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u%d" % (i % 3), t0 + dt.timedelta(hours=i), float(i * 7 % 13) + 1.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    direct = {
+        r["k"]: r for r in time_decay_agg(df, "k", "ts", "v", 7200.0).collect()
+    }
+
+    parts = [
+        decayed_state(df.filter(F.col("ts") < t0 + dt.timedelta(hours=20)), "k", "ts", "v", 7200.0),
+        decayed_state(
+            df.filter(
+                (F.col("ts") >= t0 + dt.timedelta(hours=20))
+                & (F.col("ts") < t0 + dt.timedelta(hours=40))
+            ),
+            "k", "ts", "v", 7200.0,
+        ),
+        decayed_state(df.filter(F.col("ts") >= t0 + dt.timedelta(hours=40)), "k", "ts", "v", 7200.0),
+    ]
+    m1 = merge_decayed(merge_decayed(parts[0], parts[1], "k", 7200.0), parts[2], "k", 7200.0)
+    m2 = merge_decayed(parts[2], merge_decayed(parts[1], parts[0], "k", 7200.0), "k", 7200.0)
+    for merged in (m1, m2):
+        got = {r["k"]: r for r in finalize_decayed(merged, "k").collect()}
+        assert set(got) == set(direct)
+        for k in direct:
+            assert got[k]["n_events"] == direct[k]["n_events"]
+            assert got[k]["decayed_total"] == direct[k]["decayed_total"], k
+            assert got[k]["decayed_mean"] == direct[k]["decayed_mean"], k
