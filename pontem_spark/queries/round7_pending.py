@@ -1235,3 +1235,26 @@ def q_stream_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_pending(
+    "q_api_value_counts_xs",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS count
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def q_api_value_counts_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r7 frame surface composed: documents (lang, source) →
+    value_counts (one hash agg into a struct-indexed Series) → xs('en',
+    level='lang') (pushdown filter on the struct field + level drop) —
+    the oracle is the equivalent filtered GROUP BY."""
+    from pontem_spark.core import from_spark
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    f = from_spark(docs, index_col="doc_id")[["lang", "source"]]
+    vc = f.value_counts()
+    en = vc.xs("en", level="lang")
+    out = en.to_spark(value_name="count")
+    idx = [c for c in out.columns if c != "count"][0]
+    return out.select(F.col(idx).alias("source"), F.col("count"))
