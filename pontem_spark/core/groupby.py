@@ -26,6 +26,62 @@ _AGGS: dict[str, Callable] = {
 }
 
 
+def _skew_expr(v):
+    """Adjusted Fisher-Pearson G1 from raw moments (n, Σx, Σx², Σx³) — the
+    derive-from-sums discipline that keeps the oracle portable (engine-
+    native skewness() accumulations differ). NULL when n < 3 or variance
+    is 0, like pandas."""
+    n = F.count(v).cast("double")
+    s1, s2, s3 = F.sum(v), F.sum(v * v), F.sum(v * v * v)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
+    g1 = m3 / F.pow(m2, F.lit(1.5))
+    return F.when(
+        (n >= 3) & (m2 > 0),
+        g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0)),
+    )
+
+
+def _kurt_expr(v):
+    """Pandas G2 (excess, bias-adjusted) from raw moments up to Σx⁴; NULL
+    when n < 4 or variance is 0."""
+    n = F.count(v).cast("double")
+    s1, s2, s3, s4 = F.sum(v), F.sum(v * v), F.sum(v * v * v), F.sum(v * v * v * v)
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m4 = (
+        s4 / n
+        - F.lit(4.0) * mu * (s3 / n)
+        + F.lit(6.0) * mu * mu * (s2 / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    g2 = m4 / (m2 * m2) - F.lit(3.0)
+    return F.when(
+        (n >= 4) & (m2 > 0),
+        ((n + F.lit(1.0)) * g2 + F.lit(6.0))
+        * (n - F.lit(1.0))
+        / ((n - F.lit(2.0)) * (n - F.lit(3.0))),
+    )
+
+
+# Multi-aggregate COMPOSITE expressions — valid inside groupBy().agg() but
+# not over a window (transform raises "unsupported" for them, accurately).
+_COMPOSITE_AGGS: dict[str, Callable] = {
+    "prod": lambda c: F.coalesce(F.product(c), F.lit(1.0)),
+    # sem derived from (n, Σx, Σx²) — NOT stddev_samp: engine-native
+    # stddev accumulations differ across engines, the sums form does not
+    # (the same portability discipline the incremental rollup uses)
+    "sem": lambda c: F.sqrt(
+        (F.sum(c * c) - F.sum(c) * F.sum(c) / F.count(c).cast("double"))
+        / (F.count(c).cast("double") - F.lit(1.0))
+    )
+    / F.sqrt(F.count(c).cast("double")),
+    "skew": _skew_expr,
+    "kurt": _kurt_expr,
+}
+
+
 def _valid(df, col: str):
     """Column with pandas-missing (NULL or float NaN) blanked to NULL —
     grouped twin of Series/DataFrame._valid_col: Spark aggregates and
@@ -90,7 +146,7 @@ class GroupBy:
                     pick = F.min_by if h == "first" else F.max_by
                     exprs.append(pick(v, F.when(v.isNotNull(), idx)).alias(out))
                 else:
-                    fn = _AGGS.get(h)
+                    fn = _AGGS.get(h) or _COMPOSITE_AGGS.get(h)
                     if fn is None:
                         raise ValueError(f"unsupported aggregation: {h!r}")
                     exprs.append(fn(v).alias(out))
@@ -139,6 +195,10 @@ class GroupBy:
     def std(self): return self._all_numeric("std")
     def median(self): return self._all_numeric("median")
     def var(self): return self._all_numeric("var")
+    def prod(self): return self._all_numeric("prod")
+    def sem(self): return self._all_numeric("sem")
+    def skew(self): return self._all_numeric("skew")
+    def kurt(self): return self._all_numeric("kurt")
 
     def ngroup(self):
         """0-based group number in GROUP SORT ORDER (pandas sort=True).

@@ -1258,3 +1258,50 @@ def q_api_value_counts_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = en.to_spark(value_name="count")
     idx = [c for c in out.columns if c != "count"][0]
     return out.select(F.col(idx).alias("source"), F.col("count"))
+
+
+@_pending(
+    "q_api_groupby_skew_sem",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+             SUM(CAST(o_totalprice AS DOUBLE)) AS s1,
+             SUM(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)) AS s2,
+             SUM(CAST(o_totalprice AS DOUBLE) * CAST(o_totalprice AS DOUBLE)
+                 * CAST(o_totalprice AS DOUBLE)) AS s3
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           ROUND(
+             CASE WHEN n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0 THEN
+               ((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+                / pow(s2/n - (s1/n)*(s1/n), CAST(1.5 AS DOUBLE)))
+               * sqrt(n*(n-1.0)) / (n-2.0)
+             END, 6) AS skew,
+           ROUND(
+             sqrt((s2 - s1*s1/n) / (n-1.0)) / sqrt(n)
+           , 6) AS sem
+    FROM m
+    """,
+)
+def q_api_groupby_skew_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skewness (adjusted Fisher-Pearson G1) and standard error
+    of the mean per order priority — both derived from raw moment sums
+    (n, Σx, Σx², Σx³) on BOTH engines (core/groupby.py::_COMPOSITE_AGGS;
+    engine-native skewness()/stddev accumulations differ, the
+    derive-from-sums discipline does not)."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double").alias("v")
+    )
+    f = from_spark(orders, index_col="o_orderkey")
+    agg = f.groupby("o_orderpriority").agg({"v": ["skew", "sem"]})
+    out = agg.to_spark(index_col="o_orderpriority")
+    return out.select(
+        "o_orderpriority",
+        rnd(F.col("v_skew"), 6).alias("skew"),
+        rnd(F.col("v_sem"), 6).alias("sem"),
+    )

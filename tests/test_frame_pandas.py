@@ -1738,3 +1738,28 @@ def test_frame_trivials_batch(spark):
     wpop.insert(0, "z", 9)
     assert pft.columns == list(wpop.columns)
     _eq_frames(pft, wpop)
+
+
+def test_groupby_prod_sem_skew_kurt(spark):
+    raw = {
+        "g": ["x"] * 5 + ["y"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 10.0, 2.0, 2.0, 5.0, np.nan],
+    }
+    pg = DataFrame(raw, spark=spark).groupby("g")
+    wg = pd.DataFrame(raw).groupby("g")
+    for m in ("prod", "sem", "skew", "kurt"):
+        got = getattr(pg, m)().to_pandas().sort_index()["v"]
+        if m == "kurt":  # pandas 2.x DataFrameGroupBy has no kurt method
+            want = wg["v"].apply(pd.Series.kurt).sort_index()
+        else:
+            want = getattr(wg, m)()["v"].sort_index()
+        for k in want.index:
+            g, w = got[k], want[k]
+            if w != w:
+                assert g != g or g is None, (m, k, g)
+            else:
+                assert g == pytest.approx(w, rel=1e-9), (m, k)
+    # series-level grouped agg spec routes through the same composites
+    got = DataFrame(raw, spark=spark).groupby("g")["v"].agg("skew").to_pandas().sort_index()
+    want = pd.DataFrame(raw).groupby("g")["v"].skew().sort_index()
+    assert got["x"] == pytest.approx(want["x"], rel=1e-9)
