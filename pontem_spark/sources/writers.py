@@ -172,3 +172,67 @@ def upsert_parquet(
         writer.parquet(path)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    order_by: "list[str] | None" = None,
+) -> int:
+    """Deterministic training-data export: every row lands in shard
+    ``md5-bucket(id) % n_shards``, each shard written as ONE file with a
+    deterministic within-shard order — so two exports of the same data
+    are row-identical file for file, a resumable trainer can re-read any
+    shard independently, and the md5 spread decorrelates shard contents
+    from ingest order (the "shuffled shards" every epoch loader wants).
+
+    One hash repartition on the shard id + a within-partition sort, then
+    a hive ``partitionBy`` on the shard so each shard is an addressable
+    ``__shard=k`` directory holding exactly one file (Spark's bare
+    ``repartition(n, col)`` can hash two shard ids into one task, which
+    would merge shards); no global sort, no driver collection. Returns
+    the shard count written.
+    """
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.sampling import hash_bucket
+
+    shard = hash_bucket(id_col, n_shards).alias("__shard")
+    order = order_by if order_by else [id_col]
+    (
+        df.withColumn("__shard", shard)
+        .repartition(n_shards, F.col("__shard"))
+        .sortWithinPartitions("__shard", *order)
+        .write.mode("overwrite")
+        .partitionBy("__shard")
+        .parquet(path)
+    )
+    return n_shards
+
+
+def atomic_overwrite_parquet(df: DataFrame, path: str) -> None:
+    """Write-then-swap overwrite: the new data lands in a staging sibling
+    first; the live directory is replaced only after the write fully
+    succeeds, so readers never observe a half-written dataset and a failed
+    job leaves the previous version intact (the poor-man's snapshot
+    isolation that Delta/Iceberg formalize — same guarantee for a plain
+    directory, one rename window instead of none).
+    """
+    import os
+    import shutil
+    import uuid
+
+    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        if os.path.exists(backup):  # roll back the previous version
+            os.rename(backup, path)
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
