@@ -1880,6 +1880,65 @@ class DataFrame:
         m = self._materialized().filter(F.col(f"{INDEX_COL}.{lvl}") == F.lit(key))
         return self._level_rebuild([n for n in names if n != lvl], base_sdf=m)
 
+    def unstack(self) -> "DataFrame":
+        """2-level MultiIndexed frame → wide frame: the inner level's
+        values become column name suffixes per existing column (pandas
+        flattened to ``col_level`` names since this engine's columns are
+        flat strings) — ONE groupBy(outer).pivot(inner) over all columns."""
+        sdf = self._materialized()
+        idx_type = dict(sdf.dtypes)[INDEX_COL]
+        if not idx_type.startswith("struct"):
+            raise ValueError("unstack needs a 2-level MultiIndexed frame")
+        fields = sdf.select(f"{INDEX_COL}.*").columns
+        if len(fields) != 2:
+            raise ValueError(f"unstack supports exactly 2 index levels, got {len(fields)}")
+        l0, l1 = fields
+        cols = list(self._columns)
+        flat = sdf.select(
+            F.col(f"{INDEX_COL}.{l0}").alias("__l0__"),
+            F.col(f"{INDEX_COL}.{l1}").alias("__l1__"),
+            *[sdf[c].alias(c) for c in cols],
+        )
+        wide = flat.groupBy("__l0__").pivot("__l1__").agg(
+            *[F.first(c).alias(c) for c in cols]
+        )
+        out_cols = [c for c in wide.columns if c != "__l0__"]
+        # Spark names pivot outputs "<pivotval>_<alias>" for multi-agg;
+        # pandas order is (col, level) -> rename to "col_level"
+        renames = {}
+        for oc in out_cols:
+            if len(cols) == 1:
+                renames[oc] = f"{cols[0]}_{oc}"
+            else:
+                lvl, cname = oc.rsplit("_", 1)
+                renames[oc] = f"{cname}_{lvl}"
+        internal = InternalFrame(
+            wide.withColumnRenamed("__l0__", INDEX_COL), INDEX_COL,
+            self._internal.index_name[0] if isinstance(self._internal.index_name, tuple) else None,
+        )
+        ordered = sorted(out_cols, key=lambda oc: (renames[oc].rsplit("_", 1)[0], renames[oc]))
+        return DataFrame._from_internal(
+            internal, {renames[oc]: wide[oc] for oc in ordered}
+        )
+
+    def corrwith(self, other: "DataFrame") -> "Series":
+        """Pearson correlation of matching columns, index-aligned — one
+        inner join on the index + ONE aggregation computing every shared
+        column's corr (pandas returns a driver Series; so do we, via the
+        frame-reduction path)."""
+        import pandas as pd
+
+        shared = [c for c in self._columns if c in other._columns]
+        a = self.to_spark(index_col="__idx")
+        b = other.to_spark(index_col="__idx")
+        j = a.alias("a").join(b.alias("b"), "__idx", "inner")
+        exprs = [
+            F.corr(F.col(f"a.{c}").cast("double"), F.col(f"b.{c}").cast("double")).alias(c)
+            for c in shared
+        ]
+        row = j.agg(*exprs).first()
+        return pd.Series({c: row[c] for c in shared})
+
     def rolling(self, window: int, min_periods: "int | None" = None):
         """Per-column rolling aggregates sharing ONE window sort."""
         from pontem_spark.core.window import FrameRolling

@@ -1763,3 +1763,26 @@ def test_groupby_prod_sem_skew_kurt(spark):
     got = DataFrame(raw, spark=spark).groupby("g")["v"].agg("skew").to_pandas().sort_index()
     want = pd.DataFrame(raw).groupby("g")["v"].skew().sort_index()
     assert got["x"] == pytest.approx(want["x"], rel=1e-9)
+
+
+def test_frame_unstack_corrwith(spark):
+    raw = {"g": ["x", "x", "y", "y"], "h": ["a", "b", "a", "b"],
+           "v": [1.0, 2.0, 3.0, 4.0], "w": [5.0, 6.0, 7.0, 8.0]}
+    pfm = DataFrame(raw, spark=spark).set_index(["g", "h"])
+    wfm = pd.DataFrame(raw).set_index(["g", "h"])
+    got = pfm.unstack().to_pandas().sort_index()
+    want = wfm.unstack().sort_index()
+    want.columns = [f"{c}_{l}" for c, l in want.columns]
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_dtype=False, check_names=False,
+    )
+
+    a = DataFrame({"v": [1.0, 2.0, 3.0, 4.0], "w": [2.0, 1.0, 4.0, 3.0]}, spark=spark)
+    b = DataFrame({"v": [1.1, 2.2, 2.9, 4.3], "w": [1.0, 2.0, 3.0, 4.0]}, spark=spark)
+    wa = pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0], "w": [2.0, 1.0, 4.0, 3.0]})
+    wb = pd.DataFrame({"v": [1.1, 2.2, 2.9, 4.3], "w": [1.0, 2.0, 3.0, 4.0]})
+    got_c = a.corrwith(b)
+    want_c = wa.corrwith(wb)
+    for c in want_c.index:
+        assert got_c[c] == pytest.approx(want_c[c], rel=1e-9)
