@@ -1904,6 +1904,15 @@ class Series:
     def convert_dtypes(self) -> "Series":
         return self
 
+    def resample(self, rule: str):
+        """pandas ``s.resample('6H').mean()`` for a timestamp-indexed
+        Series — thin face over the engine's resample shape
+        (operators/timeseries.py): floor the index onto the epoch grid,
+        one map-side-combinable aggregate per bucket. ``rule``: pandas
+        offset aliases h/min/s/d (fixed-width only — calendar months need
+        calendar arithmetic, use the operators module)."""
+        return _Resampler(self, rule)
+
     # alignment family (r7 batch 2) -------------------------------------------
 
     def reindex(self, labels) -> "Series":
@@ -2063,6 +2072,53 @@ class Series:
         from pontem_spark.core.accessors import DatetimeAccessor
 
         return DatetimeAccessor(self)
+
+
+class _Resampler:
+    """Fixed-interval resampling over a timestamp index.
+
+    Emits OBSERVED buckets only (pandas also emits empty grid buckets as
+    NaN; at engine scale the grid is an explicit gap_fill composition —
+    operators/timeseries.py::gap_fill — not a default allocation)."""
+
+    _UNITS = {"s": 1, "min": 60, "t": 60, "h": 3600, "d": 86400}
+
+    def __init__(self, s: "Series", rule: str):
+        import re
+
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", rule.strip())
+        unit = m.group(2).lower() if m else None
+        if not m or unit not in self._UNITS:
+            raise ValueError(
+                f"unsupported resample rule {rule!r}; fixed-width units only "
+                f"({sorted(self._UNITS)})"
+            )
+        self._s = s
+        self._sec = int(m.group(1) or 1) * self._UNITS[unit]
+
+    def _agg(self, fn) -> "Series":
+        s = self._s
+        sdf = s._materialized()
+        epoch = F.unix_timestamp(F.col(INDEX_COL))
+        bucket = F.timestamp_seconds(epoch - (epoch % F.lit(self._sec)))
+        v = F.col(_VALUE)
+        missing = s._missing_mask(v, sdf)
+        out = (
+            sdf.select(bucket.alias("__b"), F.when(~missing, v).alias("__v"))
+            .groupBy("__b")
+            .agg(fn(F.col("__v")).alias(_VALUE))
+        )
+        return Series._from_internal(
+            InternalFrame(out, "__b", s._internal.index_name),
+            F.col(_VALUE),
+            s._name,
+        )
+
+    def mean(self): return self._agg(F.mean)
+    def sum(self): return self._agg(F.sum)
+    def min(self): return self._agg(F.min)
+    def max(self): return self._agg(F.max)
+    def count(self): return self._agg(F.count)
 
 
 class _AtIndexer:

@@ -1239,3 +1239,26 @@ def test_series_trivials_batch(spark):
     assert Series([1, 2, 2], spark=spark).argsort().to_pandas().tolist() == pd.Series([1, 2, 2]).argsort().tolist()
     assert ps.infer_objects() is ps and ps.convert_dtypes() is ps
     assert isinstance(ps.memory_usage(), int) and isinstance(ps.nbytes, int)
+
+
+def test_series_resample(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from pontem_spark.core import from_spark
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(minutes=37 * i), float(i)) for i in range(30)]
+    base = spark.createDataFrame(rows, ["ts", "v"])
+    s = from_spark(base, index_col="ts")["v"]
+    ws = pd.Series([float(i) for i in range(30)],
+                   index=[t0 + dt.timedelta(minutes=37 * i) for i in range(30)])
+    for rule, how in (("6h", "mean"), ("2h", "sum"), ("1d", "count"), ("90min", "max")):
+        got = getattr(s.resample(rule), how)().to_pandas().sort_index()
+        want = getattr(ws.resample(rule), how)()
+        want = want[want.notna() | (how == "count")]
+        if how == "count":
+            want = want[want > 0]
+        assert got.index.tolist() == want.index.tolist(), rule
+        assert got.values.tolist() == pytest.approx(want.values.tolist()), rule
