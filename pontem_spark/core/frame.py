@@ -1957,7 +1957,7 @@ class DataFrame:
         missing, trailing ffill) with the two ignore-nulls window scans
         SHARED across every column (one sort total)."""
         if method != "linear":
-            raise NotImplementedError("interpolate: only method='linear'")
+            raise ValueError("interpolate: only method='linear'")
         from pyspark.sql import Window
 
         numeric = set(self._numeric_cols())

@@ -1525,7 +1525,7 @@ class Series:
         shape) — all Catalyst, no UDF. Result dtype is double, like
         pandas' float64."""
         if method != "linear":
-            raise NotImplementedError("interpolate: only method='linear' is implemented")
+            raise ValueError("interpolate: only method='linear' is implemented")
         from pyspark.sql import Window
 
         mat = self._materialized()

@@ -224,7 +224,7 @@ class GroupedEwm:
         sdf = sdf.filter(_keys_valid_sdf(sdf, key_aliases))
         idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
         if idx_type.startswith("struct"):
-            raise NotImplementedError(
+            raise ValueError(
                 "GroupedEwm over a MultiIndex frame: reset_index() first"
             )
         params = self._params

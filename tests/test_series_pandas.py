@@ -694,7 +694,7 @@ def test_interpolate_linear_matches_pandas(spark):
         got = Series(data, spark=spark).interpolate().to_pandas().reset_index(drop=True)
         want = pd.Series(data).interpolate().reset_index(drop=True)
         pd.testing.assert_series_equal(got, want, check_names=False), data
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         Series([1.0], spark=spark).interpolate(method="cubic")
 
 
