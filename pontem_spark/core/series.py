@@ -1904,6 +1904,133 @@ class Series:
     def convert_dtypes(self) -> "Series":
         return self
 
+    def tail(self, n: int = 5) -> "Series":
+        """Last n rows in visible order — the iloc[-n:] positional path."""
+        return self.iloc[-n:] if n > 0 else self.iloc[len(self):]
+
+    def squeeze(self):
+        """Length-1 Series → scalar; otherwise self (pandas)."""
+        rows = self._materialized().select(_VALUE).limit(2).collect()
+        return rows[0][_VALUE] if len(rows) == 1 else self
+
+    def pop(self, label):
+        """Value at label; the REMAINING series must be re-derived with
+        drop() by the caller (a distributed frame has no mutable cells —
+        same contract note as update)."""
+        return self.at[label]
+
+    def add_prefix(self, prefix: str) -> "Series":
+        """Prefix every index LABEL (string index result, like pandas)."""
+        sdf = self._materialized()
+        out = sdf.withColumn(
+            "__idx2__", F.concat(F.lit(prefix), F.col(INDEX_COL).cast("string"))
+        )
+        return Series._from_internal(
+            InternalFrame(out, "__idx2__", self._internal.index_name),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def add_suffix(self, suffix: str) -> "Series":
+        sdf = self._materialized()
+        out = sdf.withColumn(
+            "__idx2__", F.concat(F.col(INDEX_COL).cast("string"), F.lit(suffix))
+        )
+        return Series._from_internal(
+            InternalFrame(out, "__idx2__", self._internal.index_name),
+            F.col(_VALUE),
+            self._name,
+        )
+
+    def expanding(self, min_periods: int = 1):
+        """Expanding window — Rolling with an unbounded-preceding frame."""
+        return _SeriesExpanding(self, min_periods)
+
+    def transform(self, func, *args, **kwargs) -> "Series":
+        """pandas transform for a callable = elementwise apply that must
+        preserve length — same Arrow path as apply."""
+        return self.apply(func, *args, **kwargs)
+
+    def aggregate(self, funcs):
+        return self.agg(funcs)
+
+    def divide(self, other): return self / other
+    def multiply(self, other): return self * other
+    def subtract(self, other): return self - other
+
+    def product(self):
+        return self.prod()
+
+    def pad(self) -> "Series":
+        return self.ffill()
+
+    def backfill(self) -> "Series":
+        return self.bfill()
+
+    def reset_index(self, drop: bool = False):
+        """drop=True → renumber 0..n-1 through the frame's DISTRIBUTED
+        enumeration (literal-boundary buckets, no single-partition
+        window); drop=False → 2-column frame (index, values) like
+        pandas."""
+        from pontem_spark.core.frame import DataFrame as PFrame
+
+        name = self._name if self._name is not None else 0
+        iname = self._internal.index_name
+        sdf = self._materialized()
+        cols = {
+            str(iname if iname is not None else "index"): F.col(INDEX_COL),
+            str(name): F.col(_VALUE),
+        }
+        f = PFrame._from_internal(
+            InternalFrame(sdf, INDEX_COL, iname, self._internal.order_spec), cols
+        )
+        renumbered = f.reset_index(drop=True)
+        if drop:
+            return renumbered[str(name)].rename(self._name)
+        return renumbered
+
+    def at_time(self, time_str: str) -> "Series":
+        """Rows whose TIMESTAMP index is exactly this time of day — a
+        pure pushdown-friendly filter (date_format equality)."""
+        return self._filter(
+            F.date_format(F.col(INDEX_COL), "HH:mm:ss")
+            == F.lit(self._normalize_time(time_str))
+        )
+
+    def between_time(self, start: str, end: str) -> "Series":
+        """Rows whose time of day falls in [start, end] inclusive
+        (pandas default inclusive='both'); wrapping ranges (start > end)
+        select the complement band like pandas."""
+        t = F.date_format(F.col(INDEX_COL), "HH:mm:ss")
+        lo, hi = self._normalize_time(start), self._normalize_time(end)
+        cond = (
+            (t >= F.lit(lo)) & (t <= F.lit(hi))
+            if lo <= hi
+            else (t >= F.lit(lo)) | (t <= F.lit(hi))
+        )
+        return self._filter(cond)
+
+    @staticmethod
+    def _normalize_time(t: str) -> str:
+        parts = t.split(":")
+        while len(parts) < 3:
+            parts.append("00")
+        return ":".join(p.zfill(2) for p in parts)
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    def to_markdown(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_markdown(*args, **kwargs)
+
+    def to_csv(self, *args, **kwargs):
+        """Driver-side pandas terminal (the DISTRIBUTED csv sink is
+        sources/writers.py::write_csv)."""
+        return self.to_pandas().to_csv(*args, **kwargs)
+
+    def to_json(self, *args, **kwargs):
+        return self.to_pandas().to_json(*args, **kwargs)
+
     def resample(self, rule: str):
         """pandas ``s.resample('6H').mean()`` for a timestamp-indexed
         Series — thin face over the engine's resample shape
@@ -2072,6 +2199,39 @@ class Series:
         from pontem_spark.core.accessors import DatetimeAccessor
 
         return DatetimeAccessor(self)
+
+
+class _SeriesExpanding:
+    """Expanding window over a Series (unbounded-preceding frame)."""
+
+    def __init__(self, s: "Series", min_periods: int = 1):
+        self._s = s
+        self._minp = min_periods
+
+    def _apply(self, aggfn):
+        from pyspark.sql import Window
+
+        s = self._s
+        sdf = s._materialized()
+        w = Window.orderBy(INDEX_COL).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        v = sdf[_VALUE]
+        if dict(sdf.dtypes).get(_VALUE) in ("double", "float"):
+            v = F.when(~F.isnan(v), v)
+        cnt = F.count(v).over(w)
+        col = F.when(cnt >= self._minp, aggfn(v).over(w))
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+        )
+
+    def sum(self): return self._apply(F.sum)
+    def mean(self): return self._apply(F.mean)
+    def min(self): return self._apply(F.min)
+    def max(self): return self._apply(F.max)
+    def std(self): return self._apply(F.stddev_samp)
+    def var(self): return self._apply(F.var_samp)
+    def count(self): return self._apply(F.count)
 
 
 class _Resampler:

@@ -1262,3 +1262,67 @@ def test_series_resample(spark):
             want = want[want > 0]
         assert got.index.tolist() == want.index.tolist(), rule
         assert got.values.tolist() == pytest.approx(want.values.tolist()), rule
+
+
+def test_series_final_batch(spark):
+    import pandas as pd
+
+    ps = Series([1.0, 2.0, 3.0, 4.0], spark=spark)
+    ws = pd.Series([1.0, 2.0, 3.0, 4.0])
+    assert ps.tail(2).to_pandas().equals(ws.tail(2))
+    assert Series([7.0], spark=spark).squeeze() == pd.Series([7.0]).squeeze()
+    assert ps.squeeze() is ps
+    assert ps.pop(1) == 2.0
+    assert ps.add_prefix("r_").to_pandas().sort_index().index.tolist() == \
+        ws.add_prefix("r_").sort_index().index.tolist()
+    assert ps.add_suffix("_x").to_pandas().index.tolist()[0].endswith("_x")
+    assert ps.divide(2).to_pandas().equals(ws.divide(2))
+    assert ps.multiply(3).to_pandas().equals(ws.multiply(3))
+    assert ps.subtract(1).to_pandas().equals(ws.subtract(1))
+    assert ps.product() == ws.product()
+    assert ps.transform(lambda x: x + 1).to_pandas().equals(ws.transform(lambda x: x + 1))
+
+
+def test_series_expanding_pad_reset(spark):
+    import numpy as np
+    import pandas as pd
+
+    data = [1.0, np.nan, 3.0, 4.0]
+    ps = Series(data, spark=spark)
+    ws = pd.Series(data)
+    assert ps.expanding().sum().to_pandas().equals(ws.expanding().sum())
+    assert ps.expanding(min_periods=2).mean().to_pandas().equals(
+        ws.expanding(min_periods=2).mean()
+    )
+    assert ps.pad().to_pandas().equals(ws.ffill())
+    assert ps.backfill().to_pandas().equals(ws.bfill())
+    got = ps.reset_index(drop=True).to_pandas().sort_index()
+    assert got.equals(ws.reset_index(drop=True))
+    got2 = ps.reset_index().to_pandas().sort_values("index").reset_index(drop=True)
+    want2 = ws.reset_index().rename(columns={0: "0"})
+    assert got2["0"].fillna(-9).tolist() == want2["0"].fillna(-9).tolist()
+
+
+def test_series_time_of_day_filters(spark):
+    import datetime as dt
+
+    import pandas as pd
+
+    from pontem_spark.core import from_spark
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(minutes=47 * i), float(i)) for i in range(40)]
+    base = spark.createDataFrame(rows, ["ts", "v"])
+    s = from_spark(base, index_col="ts")["v"]
+    ws = pd.Series([float(i) for i in range(40)],
+                   index=[t0 + dt.timedelta(minutes=47 * i) for i in range(40)])
+    got = s.between_time("09:00", "12:00").to_pandas().sort_index()
+    want = ws.between_time("09:00", "12:00").sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    got_at = s.at_time("00:47").to_pandas().sort_index()
+    want_at = ws.at_time("00:47").sort_index()
+    assert got_at.index.tolist() == want_at.index.tolist()
+    # wrapping band
+    gw = s.between_time("22:00", "02:00").to_pandas().sort_index()
+    ww = ws.between_time("22:00", "02:00").sort_index()
+    assert gw.index.tolist() == ww.index.tolist()
