@@ -1993,6 +1993,251 @@ class DataFrame:
         )
         return DataFrame._from_internal(internal, cols)
 
+    # -- final parity batch -------------------------------------------------
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def size(self) -> int:
+        return len(self) * len(self._columns)
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return self.iloc[-n:] if n > 0 else self.iloc[len(self):]
+
+    def aggregate(self, spec):
+        return self.agg(spec)
+
+    def get(self, key, default=None):
+        return self[key] if key in self._columns else default
+
+    def filter(self, items=None, like: str | None = None, regex: str | None = None, axis: int = 1) -> "DataFrame":
+        """pandas DataFrame.filter default: subset COLUMNS by name /
+        substring / regex — pure column selection, zero jobs."""
+        import re as _re
+
+        if axis not in (1, "columns"):
+            raise ValueError("filter: only axis=1 (columns) is supported here")
+        if sum(x is not None for x in (items, like, regex)) != 1:
+            raise TypeError("specify exactly one of items, like, regex")
+        if items is not None:
+            keep = [c for c in self._columns if c in set(items)]
+        elif like is not None:
+            keep = [c for c in self._columns if like in c]
+        else:
+            pat = _re.compile(regex)
+            keep = [c for c in self._columns if pat.search(c)]
+        return self[keep]
+
+    def transpose(self) -> "DataFrame":
+        return self.T
+
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        """Index-label range filter, inclusive (pushdown-friendly)."""
+        sdf = self._materialized()
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (F.col(INDEX_COL) >= F.lit(before))
+        if after is not None:
+            cond = cond & (F.col(INDEX_COL) <= F.lit(after))
+        m = sdf.filter(cond)
+        internal = InternalFrame(
+            m, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, {c: m[c] for c in self._columns})
+
+    def update(self, other: "DataFrame") -> "DataFrame":
+        """Overwrite cells from ``other``'s non-missing values on matching
+        index labels and shared columns (returned, not in-place — a
+        distributed frame has no mutable cells). Left join + per-column
+        coalesce."""
+        a = self.to_spark(index_col="__idx")
+        shared = [c for c in self._columns if c in other._columns]
+        b = other.to_spark(index_col="__idx").select(
+            "__idx", *[F.col(c).alias(f"__u_{c}") for c in shared]
+        )
+        sb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+        j = a.join(b, "__idx", "left")
+        cols: dict[str, Column] = {}
+        for c in self._columns:
+            if c in shared:
+                u = F.col(f"__u_{c}")
+                if sb.get(f"__u_{c}") in ("double", "float"):
+                    u = F.when(F.isnan(u), F.lit(None)).otherwise(u)
+                cols[c] = F.coalesce(u, j[c])
+            else:
+                cols[c] = j[c]
+        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        return DataFrame._from_internal(internal, cols)
+
+    def align(self, other: "DataFrame", join: str = "outer") -> "tuple[DataFrame, DataFrame]":
+        """Index-align two frames onto ONE joined anchor."""
+        how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
+        a = self.to_spark(index_col="__idx")
+        b = other.to_spark(index_col="__idx").select(
+            "__idx", *[F.col(c).alias(f"__r_{c}") for c in other._columns]
+        )
+        j = a.join(b, "__idx", how)
+        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        left = DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
+        right = DataFrame._from_internal(
+            internal, {c: j[f"__r_{c}"] for c in other._columns}
+        )
+        return left, right
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """Rows×columns that differ, as ``col_self``/``col_other`` pairs
+        (flattened from pandas' column MultiIndex) — one full-outer
+        comparison join, differing rows only."""
+        a = self.to_spark(index_col="__idx")
+        b = other.to_spark(index_col="__idx").select(
+            "__idx", *[F.col(c).alias(f"__r_{c}") for c in other._columns]
+        )
+        j = a.join(b, "__idx", "full_outer")
+        import functools as _ft
+
+        neq = [~j[c].eqNullSafe(j[f"__r_{c}"]) for c in self._columns]
+        diff = j.filter(_ft.reduce(lambda x, y: x | y, neq))
+        internal = InternalFrame(diff, "__idx", self._internal.index_name)
+        cols: dict[str, Column] = {}
+        for c in self._columns:
+            same = diff[c].eqNullSafe(diff[f"__r_{c}"])
+            cols[f"{c}_self"] = F.when(~same, diff[c])
+            cols[f"{c}_other"] = F.when(~same, diff[f"__r_{c}"])
+        return DataFrame._from_internal(internal, cols)
+
+    def first_valid_index(self):
+        """First index label with ANY non-missing cell, in visible order."""
+        return self._frame_valid_edge(first=True)
+
+    def last_valid_index(self):
+        return self._frame_valid_edge(first=False)
+
+    def _frame_valid_edge(self, first: bool):
+        import functools as _ft
+
+        sdf = self._materialized()
+        schema = dict(sdf.dtypes)
+        masks = []
+        for c in self._columns:
+            v = sdf[c]
+            m = v.isNotNull()
+            if schema.get(c) in ("double", "float"):
+                m = m & ~F.isnan(v)
+            masks.append(m)
+        any_valid = _ft.reduce(lambda x, y: x | y, masks)
+        spec = self._internal.order_spec or ((INDEX_COL, True),)
+        order = [
+            F.col(c).asc() if (asc if first else not asc) else F.col(c).desc()
+            for c, asc in spec
+        ]
+        rows = sdf.filter(any_valid).orderBy(*order).select(INDEX_COL).limit(1).collect()
+        return rows[0][INDEX_COL] if rows else None
+
+    def __floordiv__(self, o):
+        import operator
+
+        return self._elementwise_scalar(lambda l, r: F.floor(l / r), o)
+
+    def __mod__(self, o):
+        import operator
+
+        return self._elementwise_scalar(operator.mod, o)
+
+    def __pow__(self, o):
+        return self._elementwise_scalar(lambda l, r: F.pow(l, r), o)
+
+    def floordiv(self, o): return self // o
+    def mod(self, o): return self % o
+    def pow(self, o): return self ** o
+    def rfloordiv(self, o): return self._elementwise_scalar(lambda l, r: F.floor(l / r), o, reflected=True)
+    def rmod(self, o):
+        import operator
+
+        return self._elementwise_scalar(operator.mod, o, reflected=True)
+    def rpow(self, o): return self._elementwise_scalar(lambda l, r: F.pow(l, r), o, reflected=True)
+
+    @classmethod
+    def from_dict(cls, data: Mapping, spark=None) -> "DataFrame":
+        return cls(dict(data), spark=spark)
+
+    @classmethod
+    def from_records(cls, records, columns: "list[str] | None" = None, spark=None) -> "DataFrame":
+        import pandas as pd
+
+        return cls(pd.DataFrame.from_records(records, columns=columns), spark=spark)
+
+    def iterrows(self):
+        """Driver-side row iterator (pandas contract — inherently eager)."""
+        return self.to_pandas().iterrows()
+
+    def itertuples(self, index: bool = True, name: str = "Pandas"):
+        return self.to_pandas().itertuples(index=index, name=name)
+
+    def isetitem(self, loc: int, value) -> None:
+        name = list(self._columns)[loc]
+        self[name] = value
+
+    def set_axis(self, labels, axis: int = 1) -> "DataFrame":
+        """axis=1: rename columns positionally (zero-job). Row labels need
+        an enumeration join — use reset_index + set_index instead."""
+        if axis not in (1, "columns"):
+            raise ValueError("set_axis: only axis=1 (columns) is supported here")
+        if len(labels) != len(self._columns):
+            raise ValueError("set_axis: length mismatch")
+        return self.rename(columns=dict(zip(self._columns, labels)))
+
+    def pivot(self, index: str, columns: str, values: str) -> "DataFrame":
+        """Reshape without aggregation — pivot_table with 'first' (pandas
+        pivot raises on duplicate (index, columns) pairs; document: here
+        the first value in frame order wins)."""
+        return self.pivot_table(index=index, columns=columns, values=values, aggfunc="first")
+
+    def memory_usage(self, index: bool = True, deep: bool = False):
+        return self.to_pandas().memory_usage(index=index, deep=deep)
+
+    def info(self, *args, **kwargs):
+        return self.to_pandas().info(*args, **kwargs)
+
+    def to_dict(self, *args, **kwargs):
+        return self.to_pandas().to_dict(*args, **kwargs)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def to_records(self, *args, **kwargs):
+        return self.to_pandas().to_records(*args, **kwargs)
+
+    def to_string(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_string(*args, **kwargs)
+
+    def to_markdown(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_markdown(*args, **kwargs)
+
+    def to_html(self, *args, **kwargs) -> str:
+        return self.to_pandas().to_html(*args, **kwargs)
+
+    def to_csv(self, *args, **kwargs):
+        """Driver-side pandas terminal; the DISTRIBUTED sink is
+        sources/writers.py::write_csv."""
+        return self.to_pandas().to_csv(*args, **kwargs)
+
+    def to_json(self, *args, **kwargs):
+        return self.to_pandas().to_json(*args, **kwargs)
+
+    def to_parquet(self, path: str, **kwargs) -> None:
+        """DISTRIBUTED parquet sink (writers.py) — never a driver
+        round-trip."""
+        from pontem_spark.sources.writers import write_parquet
+
+        write_parquet(self.to_spark(), path, **kwargs)
+
+    def to_orc(self, path: str, **kwargs) -> None:
+        from pontem_spark.sources.writers import write_orc
+
+        write_orc(self.to_spark(), path, **kwargs)
+
     # -- scalar elementwise arithmetic / comparisons ----------------------
 
     def _missing_mask(self, name: str, schema) -> Column:

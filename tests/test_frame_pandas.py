@@ -1786,3 +1786,66 @@ def test_frame_unstack_corrwith(spark):
     want_c = wa.corrwith(wb)
     for c in want_c.index:
         assert got_c[c] == pytest.approx(want_c[c], rel=1e-9)
+
+
+def test_frame_final_batch_basics(pf, wf, npf, nwf):
+    assert pf.ndim == wf.ndim and pf.size == wf.size
+    _eq_frames(pf.tail(2), wf.tail(2))
+    assert pf.get("a").sum() == wf.get("a").sum()
+    assert pf.get("zzz", "dflt") == "dflt"
+    assert pf.filter(items=["a", "seg"]).columns == list(wf.filter(items=["a", "seg"]).columns)
+    assert pf.filter(like="e").columns == list(wf.filter(like="e").columns)
+    assert pf.filter(regex="^[ab]$").columns == list(wf.filter(regex="^[ab]$").columns)
+    _eq_frames(pf.truncate(1, 3), wf.truncate(1, 3))
+    _eq_frames(npf.floordiv(2), nwf.floordiv(2))
+    _eq_frames(npf.mod(3), nwf.mod(3))
+    _eq_frames(npf.pow(2), nwf.pow(2))
+    _eq_frames(npf.rfloordiv(100), nwf.rfloordiv(100))
+    assert pf.set_axis(["x", "y", "z"]).columns == ["x", "y", "z"]
+
+
+def test_frame_update_align_compare(spark):
+    a = DataFrame({"v": [1.0, np.nan, 3.0], "w": [1.0, 1.0, 1.0]}, spark=spark)
+    b = DataFrame({"v": [9.0, 2.0, np.nan]}, spark=spark)
+    wa = pd.DataFrame({"v": [1.0, np.nan, 3.0], "w": [1.0, 1.0, 1.0]})
+    wb = pd.DataFrame({"v": [9.0, 2.0, np.nan]})
+    wupd = wa.copy()
+    wupd.update(wb)
+    _eq_frames(a.update(b), wupd)
+
+    la, lb = a[["v"]].align(b)
+    wla, wlb = wa[["v"]].align(wb)
+    _eq_frames(la, wla)
+    _eq_frames(lb, wlb)
+
+    cmp = a[["v"]].compare(b).to_pandas().sort_index()
+    wcmp = wa[["v"]].compare(wb)
+    wcmp.columns = [f"{c}_{l}" for c, l in wcmp.columns]
+    pd.testing.assert_frame_equal(cmp[sorted(cmp.columns)], wcmp[sorted(wcmp.columns)],
+                                  check_dtype=False, check_names=False)
+
+
+def test_frame_terminals_and_constructors(spark, pf, wf):
+    assert pf.first_valid_index() == wf.first_valid_index()
+    assert pf.last_valid_index() == wf.last_valid_index()
+    fd = DataFrame.from_dict({"x": [1, 2]}, spark=spark)
+    assert fd.columns == ["x"] and len(fd) == 2
+    fr = DataFrame.from_records([(1, "a"), (2, "b")], columns=["n", "s"], spark=spark)
+    assert fr.columns == ["n", "s"]
+    rows = list(pf.iterrows())
+    assert len(rows) == len(wf)
+    tups = list(pf.itertuples())
+    assert len(tups) == len(wf)
+    assert isinstance(pf.to_dict(), dict)
+    assert pf.to_numpy().shape == wf.to_numpy().shape
+    assert isinstance(pf.to_string(), str)  # to_markdown needs optional tabulate
+    got = pf.pivot(index="a", columns="seg", values="b").to_pandas().sort_index()
+    want = wf.pivot(index="a", columns="seg", values="b").sort_index()
+    assert sorted(got.columns) == sorted(str(c) for c in want.columns)
+
+
+def test_frame_to_parquet_roundtrip(spark, tmp_path, pf):
+    p = str(tmp_path / "out")
+    pf.to_parquet(p)
+    back = spark.read.parquet(p)
+    assert back.count() == 5
