@@ -2031,6 +2031,34 @@ class Series:
     def to_json(self, *args, **kwargs):
         return self.to_pandas().to_json(*args, **kwargs)
 
+    def groupby(self, by=None, level=None):
+        """s.groupby(key_series).mean() for a SAME-ANCHOR key series (the
+        df-derived idiom), or s.groupby(level=...) over a struct-backed
+        MultiIndex — both route through the engine's grouped machinery
+        (one hash aggregate; NaN keys dropped like pandas)."""
+        from pontem_spark.core.frame import DataFrame as PFrame
+
+        if level is not None:
+            names = self._level_names()
+            lvl = names[level] if isinstance(level, int) else level
+            key_col = F.col(f"{INDEX_COL}.{lvl}")
+            sdf = self._materialized()
+            f = PFrame._from_internal(
+                InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+                {lvl: key_col, str(self._name or "value"): sdf[_VALUE]},
+            )
+            return f.groupby(lvl)[str(self._name or "value")]
+        if not isinstance(by, Series) or by._internal is not self._internal:
+            raise ValueError(
+                "groupby needs a same-anchor key Series (df-derived) or level="
+            )
+        key_name = str(by._name or "key")
+        val_name = str(self._name or "value")
+        f = PFrame._from_internal(
+            self._internal, {key_name: by._col, val_name: self._col}
+        )
+        return f.groupby(key_name)[val_name]
+
     def resample(self, rule: str):
         """pandas ``s.resample('6H').mean()`` for a timestamp-indexed
         Series — thin face over the engine's resample shape

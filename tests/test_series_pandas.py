@@ -1326,3 +1326,23 @@ def test_series_time_of_day_filters(spark):
     gw = s.between_time("22:00", "02:00").to_pandas().sort_index()
     ww = ws.between_time("22:00", "02:00").sort_index()
     assert gw.index.tolist() == ww.index.tolist()
+
+
+def test_series_groupby(spark):
+    import pandas as pd
+
+    from pontem_spark.core import DataFrame as PFrame
+
+    raw = {"g": ["x", "y", "x", "y"], "h": [1, 1, 2, 2], "v": [1.0, 2.0, 3.0, 4.0]}
+    f = PFrame(raw, spark=spark)
+    wf_ = pd.DataFrame(raw)
+    got = f["v"].groupby(f["g"]).mean().to_pandas().sort_index()
+    want = wf_["v"].groupby(wf_["g"]).mean().sort_index()
+    assert got.tolist() == want.tolist()
+    assert got.index.tolist() == want.index.tolist()
+
+    s = PFrame(raw, spark=spark).set_index(["g", "h"])["v"]
+    ws = wf_.set_index(["g", "h"])["v"]
+    got_l = s.groupby(level="g").sum().to_pandas().sort_index()
+    want_l = ws.groupby(level="g").sum().sort_index()
+    assert got_l.tolist() == want_l.tolist()
