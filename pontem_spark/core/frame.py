@@ -2238,6 +2238,40 @@ class DataFrame:
 
         write_orc(self.to_spark(), path, **kwargs)
 
+    def resample(self, rule: str):
+        """Fixed-interval resample over a timestamp index: one
+        map-side-combinable aggregate per bucket across every numeric
+        column (observed buckets only — the grid is gap_fill's job)."""
+        return _FrameResampler(self, rule)
+
+    def at_time(self, time_str: str) -> "DataFrame":
+        from pontem_spark.core.series import Series as _S
+
+        t = _S._normalize_time(time_str)
+        return self._index_time_filter(
+            F.date_format(F.col(INDEX_COL), "HH:mm:ss") == F.lit(t)
+        )
+
+    def between_time(self, start: str, end: str) -> "DataFrame":
+        from pontem_spark.core.series import Series as _S
+
+        t = F.date_format(F.col(INDEX_COL), "HH:mm:ss")
+        lo, hi = _S._normalize_time(start), _S._normalize_time(end)
+        cond = (
+            (t >= F.lit(lo)) & (t <= F.lit(hi))
+            if lo <= hi
+            else (t >= F.lit(lo)) | (t <= F.lit(hi))
+        )
+        return self._index_time_filter(cond)
+
+    def _index_time_filter(self, cond: Column) -> "DataFrame":
+        sdf = self._materialized()
+        m = sdf.filter(cond)
+        internal = InternalFrame(
+            m, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
+        return DataFrame._from_internal(internal, {c: m[c] for c in self._columns})
+
     # -- scalar elementwise arithmetic / comparisons ----------------------
 
     def _missing_mask(self, name: str, schema) -> Column:
@@ -2525,6 +2559,49 @@ class DataFrame:
         rr = right.rename(columns={c: c + rsuffix for c in overlap}) if rsuffix else right
         on = [c for c in lr.columns if c in rr.columns and c not in self._columns]
         return lr.merge(rr, on=on, how=how)
+
+
+class _FrameResampler:
+    """Fixed-interval resampling of every numeric column."""
+
+    def __init__(self, df: DataFrame, rule: str):
+        from pontem_spark.core.series import _Resampler
+
+        r = _Resampler.__new__(_Resampler)
+        import re
+
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", rule.strip())
+        unit = m.group(2).lower() if m else None
+        if not m or unit not in _Resampler._UNITS:
+            raise ValueError(f"unsupported resample rule {rule!r}")
+        self._df = df
+        self._sec = int(m.group(1) or 1) * _Resampler._UNITS[unit]
+
+    def _agg(self, fn) -> "DataFrame":
+        df = self._df
+        numeric = set(df._numeric_cols())
+        cols = [c for c in df._columns if c in numeric]
+        sdf = df._materialized()
+        schema = dict(sdf.dtypes)
+        epoch = F.unix_timestamp(F.col(INDEX_COL))
+        bucket = F.timestamp_seconds(epoch - (epoch % F.lit(self._sec)))
+        exprs = []
+        for c in cols:
+            v = sdf[c]
+            if schema.get(c) in ("double", "float"):
+                v = F.when(~F.isnan(v), v)
+            exprs.append(fn(v).alias(c))
+        out = sdf.select(bucket.alias("__b"), *[sdf[c] for c in cols]).groupBy(
+            "__b"
+        ).agg(*exprs)
+        internal = InternalFrame(out, "__b", df._internal.index_name)
+        return DataFrame._from_internal(internal, {c: out[c] for c in cols})
+
+    def mean(self): return self._agg(F.mean)
+    def sum(self): return self._agg(F.sum)
+    def min(self): return self._agg(F.min)
+    def max(self): return self._agg(F.max)
+    def count(self): return self._agg(F.count)
 
 
 class _FrameAtIndexer:

@@ -1849,3 +1849,25 @@ def test_frame_to_parquet_roundtrip(spark, tmp_path, pf):
     pf.to_parquet(p)
     back = spark.read.parquet(p)
     assert back.count() == 5
+
+
+def test_frame_resample_time_filters(spark):
+    import datetime as dt
+
+    from pontem_spark.core import from_spark
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0 + dt.timedelta(minutes=53 * i), float(i), float(i * 2)) for i in range(40)]
+    base = spark.createDataFrame(rows, ["ts", "v", "w"])
+    f = from_spark(base, index_col="ts")[["v", "w"]]
+    wfr = pd.DataFrame(
+        {"v": [float(i) for i in range(40)], "w": [float(i * 2) for i in range(40)]},
+        index=[t0 + dt.timedelta(minutes=53 * i) for i in range(40)],
+    )
+    got = f.resample("6h").mean().to_pandas().sort_index()
+    want = wfr.resample("6h").mean().dropna()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False, check_freq=False)
+
+    gb = f.between_time("10:00", "14:00").to_pandas().sort_index()
+    wb = wfr.between_time("10:00", "14:00").sort_index()
+    assert gb.index.tolist() == wb.index.tolist()
