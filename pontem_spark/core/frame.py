@@ -1939,6 +1939,31 @@ class DataFrame:
         row = j.agg(*exprs).first()
         return pd.Series({c: row[c] for c in shared})
 
+    def reorder_levels(self, order: "list") -> "DataFrame":
+        """Reorder MultiIndex levels (struct field reorder — zero-job)."""
+        names = self._index_level_names()
+        new = [names[l] if isinstance(l, int) else l for l in order]
+        return self._level_rebuild(new)
+
+    def dot(self, other: "DataFrame"):
+        """Matrix product: self (n×k, distributed) · other (k×m, k =
+        #columns so driver-sized by definition) — ``other`` is collected
+        once and each output column becomes a LINEAR-COMBINATION
+        expression on the shared anchor: fully distributed on the big
+        side, zero joins, one projection."""
+        w = other.to_pandas()
+        missing = [c for c in self._columns if c not in w.index]
+        if missing:
+            raise ValueError(f"matrices not aligned; other.index lacks {missing}")
+        cols: dict[str, Column] = {}
+        for out_col in w.columns:
+            expr = None
+            for c in self._columns:
+                term = self._columns[c] * F.lit(float(w.loc[c, out_col]))
+                expr = term if expr is None else expr + term
+            cols[str(out_col)] = expr
+        return DataFrame._from_internal(self._internal, cols)
+
     def rolling(self, window: int, min_periods: "int | None" = None):
         """Per-column rolling aggregates sharing ONE window sort."""
         from pontem_spark.core.window import FrameRolling

@@ -2194,6 +2194,16 @@ class Series:
         names[i], names[j] = names[j], names[i]
         return self._rebuild_index(names)
 
+    def reorder_levels(self, order: "list") -> "Series":
+        """Reorder MultiIndex levels (struct field reorder — zero-job)."""
+        names = self._level_names()
+        new = [names[l] if isinstance(l, int) else l for l in order]
+        return self._rebuild_index(new)
+
+    @property
+    def dtypes(self):
+        return self.dtype
+
     def xs(self, key, level=0) -> "Series":
         """Cross-section: rows where the given index LEVEL equals key,
         that level dropped — a pure pushdown-friendly filter plus the

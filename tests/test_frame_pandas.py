@@ -1871,3 +1871,23 @@ def test_frame_resample_time_filters(spark):
     gb = f.between_time("10:00", "14:00").to_pandas().sort_index()
     wb = wfr.between_time("10:00", "14:00").sort_index()
     assert gb.index.tolist() == wb.index.tolist()
+
+
+def test_frame_dot_reorder_levels(spark):
+    a = DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}, spark=spark)
+    wa = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    b = DataFrame({"p": [1.0, 0.5], "q": [2.0, 1.0]}, spark=spark).set_index(
+        "p"
+    )  # wrong-shaped index on purpose? build via from pandas instead
+    wb = pd.DataFrame({"p": [1.0, 0.0], "q": [0.0, 1.0]}, index=["x", "y"])
+    pb = DataFrame(wb, spark=spark)
+    got = a.dot(pb).to_pandas().sort_index()
+    want = wa.dot(wb)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False)
+
+    raw = {"g": ["x", "y"], "h": [1, 2], "v": [1.0, 2.0]}
+    pfm = DataFrame(raw, spark=spark).set_index(["g", "h"])
+    wfm = pd.DataFrame(raw).set_index(["g", "h"])
+    got_r = pfm.reorder_levels(["h", "g"]).to_pandas().sort_index()
+    want_r = wfm.reorder_levels(["h", "g"]).sort_index()
+    pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False, check_names=False)
