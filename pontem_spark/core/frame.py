@@ -1976,6 +1976,22 @@ class DataFrame:
 
         return FrameRolling(self, 0, min_periods, expanding=True)
 
+    def ewm(
+        self,
+        com: float | None = None,
+        span: float | None = None,
+        halflife: float | None = None,
+        alpha: float | None = None,
+        adjust: bool = True,
+        ignore_na: bool = False,
+        min_periods: int = 0,
+    ):
+        """Frame-wide exponentially-weighted windows — one Arrow group
+        runs the recurrence for every column (core/window.py::FrameEwm)."""
+        from pontem_spark.core.window import FrameEwm
+
+        return FrameEwm(self, com, span, halflife, alpha, adjust, ignore_na, min_periods)
+
     def interpolate(self, method: str = "linear") -> "DataFrame":
         """Positional linear interpolation per numeric column — the
         Series.interpolate semantics (interior gaps linear, leading stay

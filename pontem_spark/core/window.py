@@ -350,3 +350,53 @@ class FrameRolling:
         # pandas gates count on ROW count, not non-missing count (the
         # Series Rolling.count lesson)
         return self._apply(F.count, count_gate_rows=True)
+
+
+class FrameEwm:
+    """Frame-wide EWM: ONE Arrow applyInPandas group runs the recurrence
+    for EVERY column in a single pass (the Series Ewm shape, vectorized
+    across columns — a per-column loop would launch N separate groups)."""
+
+    def __init__(self, df, com, span, halflife, alpha, adjust, ignore_na, min_periods):
+        self._df = df
+        self._params = dict(
+            com=com, span=span, halflife=halflife, alpha=alpha,
+            adjust=adjust, ignore_na=ignore_na, min_periods=min_periods,
+        )
+
+    def _apply(self, op: str):
+        import pandas as pd
+
+        from pontem_spark.core.frame import DataFrame
+
+        df = self._df
+        numeric = set(df._numeric_cols())
+        bad = [c for c in df._columns if c not in numeric]
+        if bad:
+            raise TypeError(f"ewm: non-numeric columns {bad}")
+        cols = list(df._columns)
+        sdf = df._materialized()
+        idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
+        params = self._params
+
+        def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values(INDEX_COL)
+            out = {INDEX_COL: pdf[INDEX_COL]}
+            for c in cols:
+                vals = pd.to_numeric(pdf[c], errors="coerce").astype("float64")
+                out[c] = getattr(vals.ewm(**params), op)()
+            return pd.DataFrame(out)
+
+        schema = ", ".join([f"{INDEX_COL} {idx_type}"] + [f"{c} double" for c in cols])
+        res = (
+            sdf.select(INDEX_COL, *[sdf[c].cast("double").alias(c) for c in cols])
+            .groupBy(F.lit(0).alias("__g"))
+            .applyInPandas(fn, schema=schema)
+        )
+        internal = InternalFrame(res, INDEX_COL, df._internal.index_name)
+        return DataFrame._from_internal(internal, {c: res[c] for c in cols})
+
+    def mean(self): return self._apply("mean")
+    def sum(self): return self._apply("sum")
+    def std(self): return self._apply("std")
+    def var(self): return self._apply("var")

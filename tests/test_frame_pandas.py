@@ -1891,3 +1891,12 @@ def test_frame_dot_reorder_levels(spark):
     got_r = pfm.reorder_levels(["h", "g"]).to_pandas().sort_index()
     want_r = wfm.reorder_levels(["h", "g"]).sort_index()
     pd.testing.assert_frame_equal(got_r, want_r, check_dtype=False, check_names=False)
+
+
+def test_frame_ewm(spark):
+    raw = {"x": [1.0, 2.0, np.nan, 4.0], "y": [10.0, 20.0, 30.0, 40.0]}
+    pfe = DataFrame(raw, spark=spark)
+    wfe = pd.DataFrame(raw)
+    for kw in ({"alpha": 0.3}, {"span": 3}, {"halflife": 2.0, "adjust": False}):
+        _eq_frames(pfe.ewm(**kw).mean(), wfe.ewm(**kw).mean())
+    _eq_frames(pfe.ewm(alpha=0.5).std(), wfe.ewm(alpha=0.5).std())
