@@ -2313,6 +2313,60 @@ class DataFrame:
         )
         return DataFrame._from_internal(internal, {c: m[c] for c in self._columns})
 
+    def divide(self, other): return self / other
+
+    def transform(self, func) -> "DataFrame":
+        """Elementwise shape-preserving transform: a callable routes
+        through the shared-anchor Arrow map; a string names a numpy-style
+        elementwise function applied as a native Column op."""
+        if callable(func):
+            return self.map(func)
+        named = {
+            "sqrt": F.sqrt, "exp": F.exp, "log": F.log, "abs": F.abs,
+        }
+        if func not in named:
+            raise ValueError(f"transform: unsupported function name {func!r}")
+        return DataFrame._from_internal(
+            self._internal, {k: named[func](v) for k, v in self._columns.items()}
+        )
+
+    def infer_objects(self) -> "DataFrame":
+        return self
+
+    def convert_dtypes(self) -> "DataFrame":
+        return self
+
+    def asof(self, where):
+        """Last row (as a pandas Series) whose index is <= ``where``, with
+        at least one non-missing cell — ordered limit-1 job, the frame
+        twin of Series.asof."""
+        import functools as _ft
+
+        sdf = self._materialized()
+        schema = dict(sdf.dtypes)
+        masks = []
+        for c in self._columns:
+            m = sdf[c].isNotNull()
+            if schema.get(c) in ("double", "float"):
+                m = m & ~F.isnan(sdf[c])
+            masks.append(m)
+        any_valid = _ft.reduce(lambda x, y: x | y, masks)
+        pdf = (
+            sdf.filter((F.col(INDEX_COL) <= F.lit(where)) & any_valid)
+            .orderBy(F.col(INDEX_COL).desc())
+            .select(*[sdf[c].alias(c) for c in self._columns])
+            .limit(1)
+            .toPandas()
+        )
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.Series({c: np.nan for c in self._columns}, name=where)
+        row = pdf.iloc[0]
+        row.name = where
+        return row
+
     # -- scalar elementwise arithmetic / comparisons ----------------------
 
     def _missing_mask(self, name: str, schema) -> Column:

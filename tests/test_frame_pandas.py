@@ -1900,3 +1900,20 @@ def test_frame_ewm(spark):
     for kw in ({"alpha": 0.3}, {"span": 3}, {"halflife": 2.0, "adjust": False}):
         _eq_frames(pfe.ewm(**kw).mean(), wfe.ewm(**kw).mean())
     _eq_frames(pfe.ewm(alpha=0.5).std(), wfe.ewm(alpha=0.5).std())
+
+
+def test_frame_transform_asof(spark):
+    raw = {"x": [1.0, 4.0, 9.0], "y": [1.0, 8.0, 27.0]}
+    pft = DataFrame(raw, spark=spark)
+    wft = pd.DataFrame(raw)
+    _eq_frames(pft.transform("sqrt"), wft.transform("sqrt"))
+    _eq_frames(pft.transform(lambda v: v + 1), wft.transform(lambda v: v + 1))
+    _eq_frames(pft.divide(2), wft.divide(2))
+    assert pft.infer_objects() is pft and pft.convert_dtypes() is pft
+    got = pft.asof(1)
+    want = wft.asof(1)
+    assert got["x"] == want["x"] and got["y"] == want["y"]
+    import math
+
+    before = pft.asof(-1)
+    assert math.isnan(before["x"])
