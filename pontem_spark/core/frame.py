@@ -2855,15 +2855,41 @@ class _FrameILocIndexer:
         return out
 
 
-def concat(frames: list[DataFrame]) -> DataFrame:
-    """pandas.concat(axis=0) == unionByName over materialized frames."""
+def concat(frames: list, axis: int = 0) -> DataFrame:
+    """pandas.concat: axis=0 == unionByName over materialized frames
+    (Series inputs are lifted to 1-column frames first); axis=1 == an
+    index-aligned outer join of the columns (each input contributes its
+    columns; overlapping names raise)."""
+    from pontem_spark.core.series import _VALUE, Series
+
     if not frames:
         raise ValueError("concat of empty list")
-    sdf = frames[0]._materialized_user()
-    for f in frames[1:]:
+
+    def lift(x):
+        if isinstance(x, Series):
+            name = str(x._name if x._name is not None else 0)
+            sdf = x._materialized()
+            return DataFrame._from_internal(
+                InternalFrame(sdf, INDEX_COL, x._internal.index_name),
+                {name: sdf[_VALUE]},
+            )
+        return x
+
+    lifted = [lift(f) for f in frames]
+    if axis == 1:
+        names = [c for f in lifted for c in f._columns]
+        if len(set(names)) != len(names):
+            raise ValueError(f"concat axis=1: duplicate column names {names}")
+        base = lifted[0].to_spark(index_col="__idx")
+        for f in lifted[1:]:
+            base = base.join(f.to_spark(index_col="__idx"), "__idx", "full_outer")
+        internal = InternalFrame(base, "__idx", lifted[0]._internal.index_name)
+        return DataFrame._from_internal(internal, {c: base[c] for c in names})
+    sdf = lifted[0]._materialized_user()
+    for f in lifted[1:]:
         sdf = sdf.unionByName(f._materialized_user())
-    internal = InternalFrame(sdf, INDEX_COL, frames[0]._internal.index_name)
-    return DataFrame._from_internal(internal, {c: sdf[c] for c in frames[0]._columns})
+    internal = InternalFrame(sdf, INDEX_COL, lifted[0]._internal.index_name)
+    return DataFrame._from_internal(internal, {c: sdf[c] for c in lifted[0]._columns})
 
 
 def get_dummies(

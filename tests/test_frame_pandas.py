@@ -1917,3 +1917,17 @@ def test_frame_transform_asof(spark):
 
     before = pft.asof(-1)
     assert math.isnan(before["x"])
+
+
+def test_concat_axis1_and_series(spark):
+    a = Series([1.0, 2.0], spark=spark).rename("a")
+    b = Series([10.0, 20.0, 30.0], spark=spark).rename("b")
+    got = concat([a, b], axis=1).to_pandas().sort_index()
+    want = pd.concat(
+        [pd.Series([1.0, 2.0], name="a"), pd.Series([10.0, 20.0, 30.0], name="b")],
+        axis=1,
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False)
+    # axis=0 with series inputs
+    got0 = concat([a, a]).to_pandas()
+    assert sorted(got0["a"].tolist()) == [1.0, 1.0, 2.0, 2.0]
