@@ -1305,3 +1305,61 @@ def q_api_groupby_skew_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("v_skew"), 6).alias("skew"),
         rnd(F.col("v_sem"), 6).alias("sem"),
     )
+
+
+@_pending(
+    "q_pipeline_feature_store",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             ROUND(SUM(CAST(value AS DOUBLE)), 4) AS monetary
+      FROM events GROUP BY 1
+    ),
+    ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(FLOOR((r.ref_us - p.last_us) / 86400000000) AS BIGINT)
+               AS recency_days,
+             frequency, monetary
+      FROM per_key p CROSS JOIN ref r
+    ),
+    decay AS (
+      SELECT e.user_id,
+             ROUND(SUM(pow(CAST(2.0 AS DOUBLE),
+                   -(CAST(k.last_us - epoch_us(e.ts) AS DOUBLE) / 1e6)
+                    / CAST(86400.0 AS DOUBLE)) * e.value), 4) AS decayed_total
+      FROM events e JOIN per_key k USING (user_id)
+      GROUP BY 1
+    )
+    SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+           d.decayed_total,
+           CASE WHEN {bucket} < 80 THEN 'train'
+                WHEN {bucket} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM rfm r JOIN decay d USING (user_id)
+    """.format(
+        bucket="((ascii(substr(md5(CAST(r.user_id AS VARCHAR)), 1, 1)) * 256 "
+        "+ ascii(substr(md5(CAST(r.user_id AS VARCHAR)), 2, 1))) % 100)"
+    ),
+)
+def q_pipeline_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature-store pipeline composed end-to-end: RFM behavioral
+    block (one aggregate pass) × exponential time-decay totals (two
+    map-side-combinable aggregates) × leakage-safe split assignment (a
+    free map-side projection) — all joined on the user key, so the whole
+    pipeline is two aggregate shuffles plus key-joins of |users|-row
+    frames. The oracle replays every leg as CTEs over the same events."""
+    from pontem_spark.operators.sampling import group_split
+    from pontem_spark.operators.timeseries import rfm_features, time_decay_agg
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    rfm = rfm_features(ev, "user_id", "ts", "value").select(
+        "user_id", "recency_days", "frequency", "monetary"
+    )
+    decay = time_decay_agg(ev, "user_id", "ts", "value", 86400.0).select(
+        "user_id", "decayed_total"
+    )
+    feats = rfm.join(decay, "user_id")
+    return group_split(feats, "user_id", {"train": 80, "val": 10, "test": 10})
