@@ -8,7 +8,10 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from pontem_spark.queries.round7_pending import PENDING
+from pontem_spark.queries.round7_pending import PENDING as PENDING_A
+from pontem_spark.queries.round8_pending import PENDING as PENDING_B
+
+PENDING = PENDING_A + PENDING_B
 
 
 @pytest.mark.parametrize("name", [n for n, _, _ in PENDING])
