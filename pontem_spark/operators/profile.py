@@ -367,3 +367,50 @@ def mad_outliers(
         .filter(F.abs(F.col("robust_z")) > threshold)
         .select(group_col, id_col, F.col(val_col).cast("double").alias("value"), "robust_z")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    season_cols: Sequence[str],
+    val_col: str,
+    keep_cols: Sequence[str],
+    threshold: float = 2.0,
+    min_bucket_n: int = 5,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Rows anomalous RELATIVE TO THEIR SEASON: z-score against the
+    (season bucket) baseline rather than the global mean — the monitoring
+    gate that catches "normal for 3am, broken for 3pm" deviations a
+    global z-score (zscore_outliers) averages away.
+
+    Plan shape: one partial-agg-combinable groupBy over the season
+    buckets (output is |buckets| rows — e.g. event_type x 24 hours —
+    regardless of input size), broadcast back onto the facts. The fact
+    table is scanned twice but NEVER shuffled and never sorted — at
+    100 TB that beats the window form, which would shuffle every row on
+    the bucket key. Population variance is derived from (n, sum x,
+    sum x^2) moments so both engines accumulate identically-shaped
+    sums; the flag compares the ROUNDED z so a last-ulp difference
+    cannot flip a row across the threshold.
+
+    Buckets with fewer than ``min_bucket_n`` observations or ~zero
+    variance produce no flags (a 3-observation baseline is noise, and
+    /0 would throw under ANSI).
+    """
+    v = F.col(val_col).cast("double")
+    base = df.filter(v.isNotNull()).groupBy(*season_cols).agg(
+        F.count(val_col).alias("__n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__ss"),
+    )
+    m = F.col("__s") / F.col("__n")
+    varp = F.col("__ss") / F.col("__n") - m * m
+    base = base.select(*season_cols, m.alias("__m"), varp.alias("__var"), "__n")
+    joined = df.filter(v.isNotNull()).join(F.broadcast(base), list(season_cols))
+    z = rnd((v - F.col("__m")) / F.sqrt(F.col("__var")), round_digits)
+    return (
+        joined.filter((F.col("__n") >= min_bucket_n) & (F.col("__var") > 1e-12))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .select(*keep_cols, *season_cols, v.alias("value"), "z")
+    )

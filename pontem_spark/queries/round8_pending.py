@@ -110,3 +110,225 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     return transition_matrix(ev, "user_id", ["ts", "event_id"], "event_type")
+
+
+def _ab_oracle() -> str:
+    from pontem_spark.operators.sampling import hash_bucket_sql
+
+    grp = f"CASE WHEN ({hash_bucket_sql('user_id', 2)}) = 0 THEN 'A' ELSE 'B' END"
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END), 0.0) AS pre,
+               COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END), 0.0) AS post,
+               {grp} AS grp
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT grp, CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(pre) AS sx, SUM(post) AS sy,
+               SUM(pre * pre) AS sxx, SUM(post * post) AS syy,
+               SUM(pre * post) AS sxy
+        FROM u GROUP BY grp
+    ), one AS (
+        SELECT
+            MAX(CASE WHEN grp = 'A' THEN n END) AS n_a,
+            MAX(CASE WHEN grp = 'A' THEN sx END) AS sx_a,
+            MAX(CASE WHEN grp = 'A' THEN sy END) AS sy_a,
+            MAX(CASE WHEN grp = 'A' THEN sxx END) AS sxx_a,
+            MAX(CASE WHEN grp = 'A' THEN syy END) AS syy_a,
+            MAX(CASE WHEN grp = 'A' THEN sxy END) AS sxy_a,
+            MAX(CASE WHEN grp = 'B' THEN n END) AS n_b,
+            MAX(CASE WHEN grp = 'B' THEN sx END) AS sx_b,
+            MAX(CASE WHEN grp = 'B' THEN sy END) AS sy_b,
+            MAX(CASE WHEN grp = 'B' THEN sxx END) AS sxx_b,
+            MAX(CASE WHEN grp = 'B' THEN syy END) AS syy_b,
+            MAX(CASE WHEN grp = 'B' THEN sxy END) AS sxy_b
+        FROM g
+    ), d AS (
+        SELECT *,
+            n_a + n_b AS n_t,
+            sx_a + sx_b AS sx_t, sy_a + sy_b AS sy_t,
+            sxx_a + sxx_b AS sxx_t, syy_a + syy_b AS syy_t,
+            sxy_a + sxy_b AS sxy_t
+        FROM one
+    ), d2 AS (
+        SELECT *,
+            sxy_t / n_t - (sx_t / n_t) * (sy_t / n_t) AS cov_t,
+            sxx_t / n_t - (sx_t / n_t) * (sx_t / n_t) AS varx_t,
+            syy_t / n_t - (sy_t / n_t) * (sy_t / n_t) AS vary_t
+        FROM d
+    ), d3 AS (
+        SELECT *, cov_t / varx_t AS theta FROM d2
+    ), d4 AS (
+        SELECT *,
+            sx_a / n_a AS mx_a, sy_a / n_a AS my_a,
+            sx_b / n_b AS mx_b, sy_b / n_b AS my_b
+        FROM d3
+    ), d5 AS (
+        SELECT *,
+            (sxx_a - n_a * mx_a * mx_a) / (n_a - 1.0) AS vx_a,
+            (syy_a - n_a * my_a * my_a) / (n_a - 1.0) AS vy_a,
+            (sxy_a - n_a * mx_a * my_a) / (n_a - 1.0) AS cxy_a,
+            (sxx_b - n_b * mx_b * mx_b) / (n_b - 1.0) AS vx_b,
+            (syy_b - n_b * my_b * my_b) / (n_b - 1.0) AS vy_b,
+            (sxy_b - n_b * mx_b * my_b) / (n_b - 1.0) AS cxy_b
+        FROM d4
+    ), d6 AS (
+        SELECT *,
+            my_a - theta * (mx_a - sx_t / n_t) AS madj_a,
+            vy_a - 2.0 * theta * cxy_a + theta * theta * vx_a AS vadj_a,
+            my_b - theta * (mx_b - sx_t / n_t) AS madj_b,
+            vy_b - 2.0 * theta * cxy_b + theta * theta * vx_b AS vadj_b
+        FROM d5
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(my_a, 4) AS mean_post_a, ROUND(my_b, 4) AS mean_post_b,
+           ROUND((my_a - my_b) / sqrt(vy_a / n_a + vy_b / n_b), 4) AS t_post,
+           ROUND(((vy_a / n_a + vy_b / n_b) * (vy_a / n_a + vy_b / n_b))
+                 / ((vy_a / n_a) * (vy_a / n_a) / (n_a - 1.0)
+                    + (vy_b / n_b) * (vy_b / n_b) / (n_b - 1.0)), 4) AS dof_post,
+           ROUND(theta, 4) AS theta,
+           ROUND((madj_a - madj_b) / sqrt(vadj_a / n_a + vadj_b / n_b), 4) AS t_cuped,
+           ROUND(((vadj_a / n_a + vadj_b / n_b) * (vadj_a / n_a + vadj_b / n_b))
+                 / ((vadj_a / n_a) * (vadj_a / n_a) / (n_a - 1.0)
+                    + (vadj_b / n_b) * (vadj_b / n_b) / (n_b - 1.0)), 4) AS dof_cuped,
+           ROUND((cov_t * cov_t) / (varx_t * vary_t), 4) AS var_reduction
+    FROM d6
+    """
+
+
+@_pending("q_abtest_welch_cuped", _ab_oracle())
+def q_abtest_welch_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over events: users hash-split into two arms
+    (engine-portable md5 bucket), pre/post per-user metric sums around a
+    mid-window cut, then Welch's t on the raw metric, pooled-OLS CUPED
+    theta, Welch's t on the adjusted metric, and the rho-squared variance
+    reduction — ONE unit-rollup shuffle, one 2-row moment aggregate, zero
+    second passes (operators/abtest.py::ab_report)."""
+    from pontem_spark.operators.abtest import ab_report
+    from pontem_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    units = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)).alias("pre"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)).alias("post"),
+    ).withColumn(
+        "grp", F.when(hash_bucket("user_id", 2) == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+    return ab_report(units, "grp", "pre", "post")
+
+
+@_pending(
+    "q_events_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               SUM(value) AS s, SUM(value * value) AS ss
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), b2 AS (
+        SELECT event_type, hr, n, s / n AS m, ss / n - (s / n) * (s / n) AS varp
+        FROM base
+    )
+    SELECT e.event_id, e.event_type, b.hr, e.value,
+           ROUND((e.value - b.m) / sqrt(b.varp), 3) AS z
+    FROM events e
+    JOIN b2 b ON e.event_type = b.event_type
+             AND CAST(EXTRACT(hour FROM e.ts) AS INTEGER) = b.hr
+    WHERE e.value IS NOT NULL AND b.n >= 5 AND b.varp > 1e-12
+      AND abs(ROUND((e.value - b.m) / sqrt(b.varp), 3)) >= 2.0
+    """,
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Season-relative anomaly gate: each event z-scored against its
+    (event_type, hour-of-day) baseline. The baseline is a partial-agg
+    groupBy producing |types| x 24 rows broadcast back onto the facts —
+    the fact table is never shuffled or sorted, and the threshold
+    compares the ROUNDED z so last-ulp engine skew cannot flip a flag
+    (operators/profile.py::seasonal_anomalies)."""
+    from pontem_spark.operators.profile import seasonal_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).withColumn("hr", F.hour("ts"))
+    return seasonal_anomalies(
+        ev, ["event_type", "hr"], "value", ["event_id"], threshold=2.0
+    )
+
+
+@_pending(
+    "q_survival_repeat_order",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS t0
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT f.o_custkey, f.t0, MIN(CAST(o.o_orderdate AS DATE)) AS t1
+        FROM f LEFT JOIN orders o
+          ON o.o_custkey = f.o_custkey AND CAST(o.o_orderdate AS DATE) > f.t0
+        GROUP BY 1, 2
+    ), subj AS (
+        SELECT o_custkey,
+               CASE WHEN t1 IS NOT NULL AND date_diff('day', t0, t1) <= 365
+                    THEN 1 ELSE 0 END AS ev,
+               CAST(FLOOR((CASE WHEN t1 IS NOT NULL AND date_diff('day', t0, t1) <= 365
+                                THEN date_diff('day', t0, t1) ELSE 365 END) / 30.0)
+                    AS BIGINT) * 30 AS t_days
+        FROM s
+    ), pt AS (
+        SELECT t_days, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(SUM(1 - ev) AS BIGINT) AS c
+        FROM subj GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS N FROM subj),
+    r AS (
+        SELECT t_days, d, c,
+               CAST(N - COALESCE(SUM(d + c) OVER (ORDER BY t_days
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS at_risk
+        FROM pt, n
+    ), r2 AS (
+        SELECT *,
+               CASE WHEN MAX(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) = 1
+                    THEN 0.0
+                    ELSE exp(SUM(ln(CASE WHEN d < at_risk
+                                         THEN 1.0 - d / CAST(at_risk AS DOUBLE)
+                                         ELSE 1.0 END))
+                             OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW))
+               END AS surv
+        FROM r
+    )
+    SELECT t_days, at_risk, d AS events, ROUND(surv, 4) AS survival
+    FROM r2 WHERE d > 0
+    """,
+)
+def q_survival_repeat_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention: days from each customer's FIRST order to
+    their SECOND (distinct-date) order, right-censored at a 365-day
+    horizon, bucketed to 30-day intervals. The subject rollup is ONE
+    shuffle of orders (sorted distinct order-date arrays per customer);
+    everything after runs over <= 13 time-bucket rows. The d = n
+    boundary is routed around ln(0) on both engines
+    (operators/survival.py::kaplan_meier)."""
+    from pontem_spark.operators.survival import kaplan_meier
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set(F.col("o_orderdate").cast("date"))).alias("__dates")
+    )
+    dd = F.datediff(
+        F.try_element_at(F.col("__dates"), F.lit(2)), F.element_at(F.col("__dates"), 1)
+    )
+    subj = per_cust.select(
+        F.when(dd.isNotNull() & (dd <= 365), F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        (
+            F.floor(
+                F.when(dd.isNotNull() & (dd <= 365), dd).otherwise(F.lit(365)) / F.lit(30.0)
+            )
+            * 30
+        ).alias("t_days"),
+    )
+    return kaplan_meier(subj, "t_days", "ev")
