@@ -414,3 +414,99 @@ def seasonal_anomalies(
         .filter(F.abs(F.col("z")) >= threshold)
         .select(*keep_cols, *season_cols, v.alias("value"), "z")
     )
+
+
+def ks_two_sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    bins: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic: the max absolute
+    gap between the two samples' empirical CDFs, evaluated on a shared
+    equal-width grid. The nonparametric companion to PSI (psi_drift
+    above): PSI needs a reference binning policy, KS reads the raw shape.
+
+    The binning is the at-scale move: the exact KS needs a GLOBAL sort of
+    both samples; on the shared grid it is one min/max aggregate
+    (broadcast as edges), a map-side bucket fold, and one count aggregate
+    whose output is ``bins`` rows — after which the CDF window runs over
+    a constant-size frame. The statistic is exact for the binned
+    distributions and within one bin-width of CDF resolution of the
+    exact KS. Because every cumulative is an INTEGER count divided by an
+    integer total, the statistic is bit-identical across engines — no
+    float-accumulation freedom anywhere.
+
+    Returns one row: (ks_stat, ks_bucket) — the gap and the bucket where
+    it is attained (smallest bucket on ties of the rounded gap).
+    """
+    from pontem_spark.operators.binning import equal_width_bins
+
+    u = df_a.select(
+        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__is_b")
+    ).unionByName(
+        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__is_b"))
+    )
+    binned = equal_width_bins(u, "__v", bins).filter(F.col("bucket").isNotNull())
+    counts = binned.groupBy("bucket").agg(
+        F.sum(F.lit(1) - F.col("__is_b")).alias("__na"),
+        F.sum("__is_b").alias("__nb"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gap = rnd(
+        F.abs(
+            F.sum("__na").over(w_cum) / F.sum("__na").over(w_all).cast("double")
+            - F.sum("__nb").over(w_cum) / F.sum("__nb").over(w_all).cast("double")
+        ),
+        round_digits,
+    )
+    return (
+        counts.select(F.col("bucket").cast("int").alias("ks_bucket"), gap.alias("ks_stat"))
+        .orderBy(F.desc("ks_stat"), F.asc("ks_bucket"))
+        .limit(1)
+        .select("ks_stat", "ks_bucket")
+    )
+
+
+def benford_profile(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    forensic data-quality gate (fabricated or truncated numeric columns
+    bend away from log10(1 + 1/d)).
+
+    Digit extraction is STRING-based on the floored integer part
+    (``substr(cast(floor(abs(x)) as bigint as string), 1, 1)``) — zero
+    floating-point freedom, unlike the log10-mantissa form where a
+    last-ulp difference at an exact power of ten flips the digit between
+    engines. Rows with |x| < 1 are excluded (no leading digit). One
+    partial-agg groupBy to 9 rows; the share denominator is a window
+    over those 9 rows, so the facts are scanned exactly once and never
+    shuffled beyond the digit aggregate.
+    """
+    x = F.floor(F.abs(F.col(col).cast("double")))
+    d = F.substring(x.cast("bigint").cast("string"), 1, 1).cast("int")
+    counts = (
+        df.filter(F.col(col).isNotNull() & (x >= 1))
+        .select(d.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Total as a window over the 9-row aggregate (an agg+crossJoin
+    # diamond would re-scan the facts once per branch).
+    w_all = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "digit",
+        "n",
+        rnd(
+            F.col("n") / F.sum("n").over(w_all).cast("double"), round_digits
+        ).alias("obs_share"),
+        rnd(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+            round_digits,
+        ).alias("expected_share"),
+    )

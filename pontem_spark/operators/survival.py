@@ -27,7 +27,6 @@ analytics); the reference engine has no survival operator.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.functions import broadcast
 
 from pontem_spark.functions.compat import rnd
 
@@ -51,14 +50,20 @@ def kaplan_meier(
         F.sum(F.col(event_col)).alias("d"),
         F.sum(F.lit(1) - F.col(event_col)).alias("c"),
     )
-    total = subjects.agg(F.count(F.lit(1)).alias("__N"))
 
     w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
-    cur = per_t.crossJoin(broadcast(total)).withColumn(
+    # N as a window over the |times| aggregate rows, not subjects.agg():
+    # the agg+crossJoin diamond would make Catalyst run the caller's
+    # subject rollup TWICE (once per branch). One tree, one rollup.
+    cur = per_t.withColumn(
         "at_risk",
-        F.col("__N") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
     )
     # ln(1 - d/n) with the d = n boundary routed around ln(0): the factor
     # contributes ln(1) = 0 and the cumulative zero flag pins S to 0.

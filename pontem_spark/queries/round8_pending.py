@@ -103,9 +103,9 @@ def q_basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event streams:
     ONE window shuffle on user_id (ordered by ts with event_id as the
-    deterministic tiebreaker), then an S x S count aggregate and a
-    broadcast row-total join for normalization — facts never shuffle
-    twice (operators/sequences.py::transition_matrix)."""
+    deterministic tiebreaker), then an S x S count aggregate whose row
+    totals come from a window OVER the aggregate — one tree, facts
+    scanned once (operators/sequences.py::transition_matrix)."""
     from pontem_spark.operators.sequences import transition_matrix
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
@@ -332,3 +332,121 @@ def q_survival_repeat_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_days"),
     )
     return kaplan_meier(subj, "t_days", "ev")
+
+
+@_pending(
+    "q_events_attribution",
+    oracle="""
+    WITH t AS (
+        SELECT user_id AS u, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ), c AS (
+        SELECT user_id AS cu, ts AS c_ts, event_id AS c_id,
+               CAST(value AS DOUBLE) AS val
+        FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+        SELECT * FROM c JOIN t
+          ON t.u = c.cu AND t.t_ts <= c.c_ts
+         AND t.t_ts > c.c_ts - INTERVAL 24 HOURS
+    ), r AS (
+        SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY t_ts DESC, t_id DESC) AS rn_last,
+            ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY t_ts ASC, t_id ASC) AS rn_first,
+            COUNT(*) OVER (PARTITION BY c_id) AS n
+        FROM cand
+    )
+    SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CASE WHEN rn_first = 1 THEN val ELSE 0.0 END), 4) AS credit_first,
+           ROUND(SUM(CASE WHEN rn_last = 1 THEN val ELSE 0.0 END), 4) AS credit_last,
+           ROUND(SUM(val / n), 4) AS credit_linear
+    FROM r GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchase value to the click/view
+    touches in the preceding 24 h: first/last/linear credit per touch
+    type in ONE bounded range join + one window shuffle on conversion id
+    (operators/sequences.py::attribution_credits)."""
+    from pontem_spark.operators.sequences import attribution_credits
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    convs = ev.filter(F.col("event_type") == "purchase")
+    return attribution_credits(
+        touches, convs, "user_id", "ts", "event_id", "event_type", "value",
+        lookback_hours=24,
+    )
+
+
+def _ks_oracle() -> str:
+    from pontem_spark.operators.binning import equal_width_bins_oracle_sql
+
+    cte, bucket = equal_width_bins_oracle_sql("u", "__v", bins=64)
+    return f"""
+    WITH u AS (
+        SELECT CAST(value AS DOUBLE) AS __v, 0 AS __is_b
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        UNION ALL
+        SELECT CAST(value AS DOUBLE), 1
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ), {cte}, counts AS (
+        SELECT {bucket} AS bucket, SUM(1 - __is_b) AS na, SUM(__is_b) AS nb
+        FROM u, edges GROUP BY 1
+    ), cums AS (
+        SELECT bucket,
+            SUM(na) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS ca,
+            SUM(nb) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cb,
+            SUM(na) OVER () AS ta, SUM(nb) OVER () AS tb
+        FROM counts
+    )
+    SELECT ROUND(abs(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE)), 6) AS ks_stat,
+           CAST(bucket AS INTEGER) AS ks_bucket
+    FROM cums ORDER BY 1 DESC, 2 ASC LIMIT 1
+    """
+
+
+@_pending("q_profile_ks_drift", _ks_oracle())
+def q_profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS between purchase and click value
+    distributions: shared 64-bin equal-width grid (one broadcast min/max
+    edge row), map-side bucketing, then CDF windows over 64 rows only.
+    Integer-count cumulatives make the statistic bit-identical across
+    engines (operators/profile.py::ks_two_sample)."""
+    from pontem_spark.operators.profile import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    a = ev.filter(F.col("event_type") == "purchase").select("value")
+    b = ev.filter(F.col("event_type") == "click").select("value")
+    return ks_two_sample(a, b, "value", bins=64)
+
+
+@_pending(
+    "q_profile_benford",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(ABS(CAST(o_totalprice AS DOUBLE)))
+                                     AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND FLOOR(ABS(CAST(o_totalprice AS DOUBLE))) >= 1
+    ), counts AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit, n,
+           ROUND(n / CAST(t AS DOUBLE), 6) AS obs_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS expected_share
+    FROM counts, tot
+    """,
+)
+def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals: string-based digit
+    extraction from the floored integer part (zero float freedom — no
+    log10-mantissa boundary risk), one groupBy to 9 rows, broadcast
+    total (operators/profile.py::benford_profile)."""
+    from pontem_spark.operators.profile import benford_profile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    return benford_profile(orders, "o_totalprice")

@@ -347,3 +347,143 @@ def test_frame_ffill_single_window(spark):
     df = PFrame({"a": [1.0, None], "b": [None, 4.0]}, spark=spark)
     plan = physical_plan(df.ffill().to_spark())
     assert plan.count("Window") <= 2, plan  # one Window node (+AQE echo)
+
+
+def test_association_rules_no_fact_self_join(spark, sf_dir):
+    """Pair expansion is a map-side array transform after ONE basket
+    shuffle — the plan must contain no sort-merge join and no cartesian
+    product; the apriori prune and metric denominators enter as
+    broadcast hash joins."""
+    from pontem_spark.operators.basket import association_rules
+    from pontem_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    out = association_rules(li, "l_orderkey", "l_partkey", min_support=1.0 / 64.0)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_transition_matrix_single_fact_scan(spark, sf_dir):
+    """One tree: the facts are scanned ONCE and the row-normalization is
+    a window over the S x S aggregate — no join node, no second
+    derivation of the lag pipeline (the agg+join diamond would re-run
+    scan + window per branch)."""
+    from pontem_spark.operators.sequences import transition_matrix
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    plan = physical_plan(transition_matrix(ev, "user_id", ["ts", "event_id"], "event_type"))
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_attribution_single_candidate_window_shuffle(spark, sf_dir):
+    """The three per-conversion window functions (rank-first, rank-last,
+    count) must share ONE exchange on the conversion id, and the range
+    join must not degrade to a cartesian product."""
+    from pontem_spark.operators.sequences import attribution_credits
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(ev.event_type.isin("click", "view"))
+    convs = ev.filter(ev.event_type == "purchase")
+    out = attribution_credits(
+        touches, convs, "user_id", "ts", "event_id", "event_type", "value"
+    )
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("hashpartitioning(__c_id") == 1, plan
+
+
+def test_ab_report_no_joins_no_windows(spark, sf_dir):
+    """The whole A/B readout is aggregation-only: unit rollup, 2-row arm
+    moments, 1-row pivot — no join or window node anywhere."""
+    from pontem_spark.operators.abtest import ab_report
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    units = ev.groupBy("user_id").agg(
+        __import__("pyspark.sql.functions", fromlist=["x"]).sum("value").alias("post")
+    )
+    units = units.withColumn("pre", units.post * 0.5).withColumn(
+        "grp",
+        __import__("pyspark.sql.functions", fromlist=["x"]).when(
+            units.user_id % 2 == 0, "A"
+        ).otherwise("B"),
+    )
+    plan = physical_plan(ab_report(units, "grp", "pre", "post"))
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_seasonal_anomalies_facts_never_shuffle(spark, sf_dir):
+    """The baseline is broadcast back onto the facts: no Window, no
+    sort-merge join — the fact side stays map-side."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.profile import seasonal_anomalies
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).withColumn("hr", F.hour("ts"))
+    out = seasonal_anomalies(ev, ["event_type", "hr"], "value", ["event_id"])
+    plan = physical_plan(out)
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ks_two_sample_takeordered_over_bins(spark, sf_dir):
+    """The argmax over bins is a TakeOrderedAndProject (limit 1), and the
+    only joins are the broadcast 1-row edge frame."""
+    from pontem_spark.operators.profile import ks_two_sample
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(ev.event_type == "purchase").select("value")
+    b = ev.filter(ev.event_type == "click").select("value")
+    plan = physical_plan(ks_two_sample(a, b, "value", bins=16))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_benford_scan_prunes_to_one_column(spark, sf_dir):
+    """Benford reads exactly the profiled column, exactly once (share
+    denominator is a window over the 9-row aggregate, not a second
+    scan), and joins nothing."""
+    from pontem_spark.operators.profile import benford_profile
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    out = benford_profile(orders, "o_totalprice")
+    plan = physical_plan(out)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    schemas = read_schema_columns(out)
+    assert schemas and all(len(cols) <= 1 for cols in schemas), schemas
+
+
+def test_kaplan_meier_subject_rollup_only_fact_shuffle(spark, sf_dir):
+    """All window work runs post-aggregation over |time buckets| rows;
+    the subject table contributes one aggregate, never a sort."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.survival import kaplan_meier
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    subj = orders.groupBy("o_custkey").agg(
+        F.lit(1).alias("ev"), F.lit(30).alias("t_days")
+    )
+    plan = physical_plan(kaplan_meier(subj.select("ev", "t_days"), "t_days", "ev"))
+    assert "Join" not in plan, plan
+    # the caller's subject rollup must run once, not once per branch
+    assert plan.count("FileScan") == 1, plan
