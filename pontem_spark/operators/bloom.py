@@ -83,7 +83,12 @@ def bloom_might_contain(
     """Map-side membership probe against a built word array: TRUE iff all
     k bits are set (maybe-present), FALSE is definite absence."""
     num_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(w).cast("long") for w in words])
+    # ONE Py4J call for the whole word array: building it as
+    # F.array(*[F.lit(w) for w in words]) costs two JVM round-trips PER
+    # WORD — ~4000 for a 2^17-bit filter, ~5 s of pure plan-construction
+    # time before a single task runs (measured; execution itself is
+    # ~0.5 s). A list literal is a single Literal of array<long>.
+    lit_words = F.lit([int(w) for w in words])
     pos = _positions(col, num_bits, num_hashes)
     return F.forall(
         pos,

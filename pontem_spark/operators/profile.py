@@ -510,3 +510,48 @@ def benford_profile(df: DataFrame, col: str, round_digits: int = 6) -> DataFrame
             round_digits,
         ).alias("expected_share"),
     )
+
+
+def concentration_report(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    top_n: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-row concentration profile of a value over keys: Gini
+    coefficient, Herfindahl-Hirschman index, top-1 and top-N shares —
+    the "is this corpus/revenue dominated by a few sources?" gate that
+    decides sampling and skew strategy downstream.
+
+    Plan: one partial-agg groupBy to |keys| rows, ONE global rank window
+    over those aggregates (the only sort — of keys, never facts), then a
+    single 1-row aggregate. Gini comes from the descending-rank identity
+    sum(i*x) = (n+1)*sum(x) - sum(j*x) (i ascending, j descending), so
+    no second ranking pass is needed for the top-N share, which uses the
+    same descending rank. Rank ties break on the key, a total order on
+    both engines.
+    """
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(key_col).alias("k")).agg(F.sum(v).alias("x"))
+    w_desc = Window.orderBy(F.desc("x"), F.desc("k"))
+    ranked = per.select("k", "x", F.row_number().over(w_desc).alias("j"))
+    one = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("tot"),
+        F.sum(F.col("j") * F.col("x")).alias("sjx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.when(F.col("j") == 1, F.col("x")).otherwise(F.lit(0.0))).alias("t1"),
+        F.sum(F.when(F.col("j") <= top_n, F.col("x")).otherwise(F.lit(0.0))).alias("tn"),
+    )
+    n = F.col("n").cast("double")
+    tot = F.col("tot")
+    six = (n + F.lit(1.0)) * tot - F.col("sjx")  # ascending-rank weighted sum
+    gini = (F.lit(2.0) * six) / (n * tot) - (n + F.lit(1.0)) / n
+    return one.select(
+        F.col("n").cast("bigint").alias("n_keys"),
+        rnd(gini, round_digits).alias("gini"),
+        rnd(F.col("sxx") / (tot * tot), round_digits).alias("hhi"),
+        rnd(F.col("t1") / tot, round_digits).alias("top1_share"),
+        rnd(F.col("tn") / tot, round_digits).alias(f"top{top_n}_share"),
+    )

@@ -141,3 +141,45 @@ def attribution_credits(
         ).alias("credit_last"),
         rnd(F.sum(F.col("__val") / F.col("__n")), round_digits).alias("credit_linear"),
     )
+
+
+def scd2_intervals(
+    changes: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: collapse a change stream into
+    validity intervals — one row per (key, attribute version) with
+    ``effective_from`` / ``effective_to`` / ``is_current``.
+
+    The warehouse companion to latest_by_key (operators/dedup.py): that
+    keeps only the newest version, this keeps the full history as
+    non-overlapping intervals for as-of joins against any past date.
+
+    Two steps, ONE shuffle: (1) version-compression — a lag window over
+    (key, order) drops rows whose attributes null-safe-equal the
+    previous row's (ten identical CDC snapshots become one version);
+    (2) interval stitching — a lead window over the SURVIVORS assigns
+    each version's end. The filter between the windows preserves the
+    hash partitioning on the key, so Catalyst plans a single Exchange
+    for both windows (plan-asserted).
+
+    ``order_cols`` must totally order each key's changes (include a
+    unique id last); attribute comparison is null-safe so NULL → NULL is
+    "unchanged".
+    """
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    changed = F.lag(cur).over(w).isNull() | ~cur.eqNullSafe(F.lag(cur).over(w))
+    survivors = changes.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    eff_from = F.col(order_cols[0])
+    eff_to = F.lead(F.col(order_cols[0])).over(w)
+    return survivors.select(
+        key_col,
+        *attr_cols,
+        eff_from.alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().alias("is_current"),
+    )

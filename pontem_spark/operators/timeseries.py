@@ -198,3 +198,64 @@ def rfm_features(
         F.ntile(n_tiles).over(f_w).alias("f_score"),
         F.ntile(n_tiles).over(m_w).alias("m_score"),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-key CUSUM changepoint: the position where the cumulative sum
+    of deviations from the key's mean peaks in magnitude — the classic
+    level-shift detector for metric series (a drift that per-point
+    z-scores never see, because no single point is extreme).
+
+    Plan: the key's mean is a whole-partition window (no ordering), the
+    CUSUM an ordered running sum — both share ONE key-partitioned
+    exchange; the argmax is a struct-max AGGREGATE (max |cusum|, then
+    earliest position via the negated order index), combining map-side,
+    not a rank window. Cross-engine: the argmax compares the ROUNDED
+    cusum, so a last-ulp accumulation difference cannot move the
+    changepoint.
+
+    ``order_col`` must be an integer/orderable position whose negation
+    is valid (use day indexes, not dates).
+
+    Returns (key, cp_at, cusum, n_points) per key.
+    """
+    from pontem_spark.functions.compat import rnd
+
+    w_part = Window.partitionBy(key_col)
+    w_run = Window.partitionBy(key_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    v = F.col(value_col).cast("double")
+    dev = v - F.sum(v).over(w_part) / F.count(F.lit(1)).over(w_part)
+    # Materialize the running sum before ranking on it: a window ordered
+    # by a lateral alias from the same projection is unsupported.
+    cum = df.select(
+        F.col(key_col).alias("k"),
+        F.col(order_col).alias("pos"),
+        F.sum(dev).over(w_run).alias("__cusum"),
+        F.count(F.lit(1)).over(w_part).alias("__n"),
+    ).select(
+        "k", "pos", "__n", rnd(F.col("__cusum"), round_digits).alias("__r")
+    )
+    best = cum.groupBy(F.col("k").alias(key_col)).agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("__r")).alias("a"),
+                (-F.col("pos")).alias("negpos"),
+                F.col("__r").alias("r"),
+            )
+        ).alias("__b"),
+        F.max("__n").alias("n_points"),
+    )
+    return best.select(
+        key_col,
+        (-F.col("__b.negpos")).alias("cp_at"),
+        F.col("__b.r").alias("cusum"),
+        F.col("n_points").cast("bigint").alias("n_points"),
+    )

@@ -619,9 +619,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    tri = triangle_count(pairs)
-    edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-    return edges.crossJoin(tri)
+    # with_edge_count reads |E| off the operator's checkpointed edge set —
+    # a separate pairs.agg() branch would re-run the self-join + distinct
+    return triangle_count(pairs, with_edge_count=True)
 
 
 def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:

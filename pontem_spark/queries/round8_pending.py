@@ -450,3 +450,123 @@ def q_profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
     return benford_profile(orders, "o_totalprice")
+
+
+@_pending(
+    "q_cdc_scd2_status_history",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+               LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    ), surv AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus FROM base
+        WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus,
+           o_orderdate AS effective_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS effective_to,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+    FROM surv
+    """,
+)
+def q_cdc_scd2_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the order-status change stream:
+    version-compression (lag) + interval stitching (lead) share ONE
+    key-partitioned exchange — the filter between the two windows
+    preserves partitioning (operators/sequences.py::scd2_intervals)."""
+    from pontem_spark.operators.sequences import scd2_intervals
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    return scd2_intervals(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ["o_orderstatus"]
+    )
+
+
+@_pending(
+    "q_profile_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DOUBLE)) AS x
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT k, x, ROW_NUMBER() OVER (ORDER BY x DESC, k DESC) AS j FROM per
+    ), one AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS tot,
+               SUM(j * x) AS sjx, SUM(x * x) AS sxx,
+               SUM(CASE WHEN j = 1 THEN x ELSE 0.0 END) AS t1,
+               SUM(CASE WHEN j <= 10 THEN x ELSE 0.0 END) AS tn
+        FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           ROUND((2.0 * ((n + 1.0) * tot - sjx)) / (n * tot) - (n + 1.0) / n, 6) AS gini,
+           ROUND(sxx / (tot * tot), 6) AS hhi,
+           ROUND(t1 / tot, 6) AS top1_share,
+           ROUND(tn / tot, 6) AS top10_share
+    FROM one
+    """,
+)
+def q_profile_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue concentration: Gini + HHI + top-1/top-10 shares
+    in one |keys|-row rank window and one 1-row aggregate (the
+    descending-rank identity avoids a second ranking pass)
+    (operators/profile.py::concentration_report)."""
+    from pontem_spark.operators.profile import concentration_report
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return concentration_report(orders, "o_custkey", "o_totalprice", top_n=10)
+
+
+@_pending(
+    "q_ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS pos,
+               SUM(value) AS v
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, pos, v,
+               SUM(v) OVER (PARTITION BY event_type) AS s,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ), cum AS (
+        SELECT event_type, pos, n,
+               ROUND(SUM(v - s / n) OVER (PARTITION BY event_type ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS r
+        FROM base
+    ), pick AS (
+        SELECT event_type, pos, r, n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY abs(r) DESC, pos ASC) AS rn
+        FROM cum
+    )
+    SELECT event_type, pos AS cp_at, r AS cusum, CAST(n AS BIGINT) AS n_points
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM level-shift detection over daily value
+    totals: mean and running deviation sum share one key-partitioned
+    exchange; the argmax is a map-side-combinable struct-max on the
+    ROUNDED cusum (operators/timeseries.py::cusum_changepoints)."""
+    from pontem_spark.operators.timeseries import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(F.sum("value").alias("daily_value"))
+    return cusum_changepoints(daily, "event_type", "day_idx", "daily_value").select(
+        "event_type",
+        F.col("cp_at").cast("bigint").alias("cp_at"),
+        "cusum",
+        "n_points",
+    )

@@ -28,6 +28,9 @@ def test_pending_query_matches_oracle(name, spark, duck, sf_dir):
     w = want[sorted(want.columns)].sort_values(by=sorted(want.columns)).reset_index(drop=True)
     for c in g.columns:
         for i, (a, b) in enumerate(zip(g[c], w[c])):
-            a_nan = a is None or (isinstance(a, float) and math.isnan(a))
-            b_nan = b is None or (isinstance(b, float) and math.isnan(b))
+            # NaT-aware: the driver's astype(str) compare renders NaT as
+            # "NaT" on both sides; locally NaT == NaT is False, so treat
+            # any pandas missing scalar as missing.
+            a_nan = a is None or a is pd.NaT or (isinstance(a, float) and math.isnan(a))
+            b_nan = b is None or b is pd.NaT or (isinstance(b, float) and math.isnan(b))
             assert a_nan == b_nan and (a_nan or a == b), (name, c, i, a, b)

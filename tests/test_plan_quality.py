@@ -487,3 +487,55 @@ def test_kaplan_meier_subject_rollup_only_fact_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan
     # the caller's subject rollup must run once, not once per branch
     assert plan.count("FileScan") == 1, plan
+
+
+def test_scd2_single_key_exchange(spark, sf_dir):
+    """Version-compression (lag) and interval stitching (lead) must share
+    one hash exchange on the key — the filter between them preserves
+    partitioning."""
+    from pontem_spark.operators.sequences import scd2_intervals
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"
+    )
+    out = scd2_intervals(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], ["o_orderstatus"]
+    )
+    plan = physical_plan(out)
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_concentration_single_tree(spark, sf_dir):
+    """One keys-row rank window, one final aggregate, zero joins, one
+    fact scan."""
+    from pontem_spark.operators.profile import concentration_report
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    plan = physical_plan(
+        concentration_report(orders, "o_custkey", "o_totalprice", top_n=10)
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_cusum_shares_one_key_exchange(spark, sf_dir):
+    """Whole-partition mean, running CUSUM, and the struct-max argmax all
+    run off ONE exchange on the key; the argmax is an aggregate, not a
+    rank window."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.timeseries import cusum_changepoints
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    out = cusum_changepoints(daily, "event_type", "d", "v")
+    plan = physical_plan(out)
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
