@@ -118,3 +118,72 @@ def ab_report(
         rnd(dof_cuped, round_digits).alias("dof_cuped"),
         rnd(var_reduction, round_digits).alias("var_reduction"),
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test — the nonparametric
+    companion to :func:`ab_report`'s Welch t: compares locations without
+    assuming normality, robust to the heavy tails that inflate a t-test's
+    variance estimate.
+
+    Plan: rank arithmetic runs over DISTINCT values, not rows — one
+    groupBy(v) carries per-sample counts, one ordered window over the
+    |distinct| aggregate assigns average ranks (tied blocks get
+    cum_prev + (cnt+1)/2), and a final 1-row aggregate folds the rank
+    sum, the tie-correction term Σ(t³−t), and the normal approximation.
+    A duplicate-heavy 100 TB column ranks in |distinct| space; a fully
+    continuous one degrades to a sort of the aggregated values — the
+    same cost the statistic's semantics require.
+
+    Cross-engine: U is EXACT (integer ranks and half-ranks; no float
+    accumulation freedom), the z statistic is rounded half-up. No
+    continuity correction is applied (document for consumers comparing
+    against scipy's default ``use_continuity=True``).
+
+    Returns one row: (n_a, n_b, u_a, z).
+    """
+    from pyspark.sql import Window
+
+    u = df_a.select(
+        F.col(col).cast("double").alias("__v"), F.lit(0).alias("__is_b")
+    ).unionByName(
+        df_b.select(F.col(col).cast("double").alias("__v"), F.lit(1).alias("__is_b"))
+    ).filter(F.col("__v").isNotNull())
+    byv = u.groupBy("__v").agg(
+        F.sum(F.lit(1) - F.col("__is_b")).alias("na"),
+        F.sum("__is_b").alias("nb"),
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cnt = F.col("na") + F.col("nb")
+    avg_rank = (
+        F.coalesce(F.sum(cnt).over(w_prev), F.lit(0)).cast("double")
+        + (cnt.cast("double") + F.lit(1.0)) / F.lit(2.0)
+    )
+    ranked = byv.select(
+        "na", "nb", cnt.alias("t"), avg_rank.alias("r")
+    )
+    one = ranked.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * F.col("r")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = n_a + n_b
+    u_a = F.col("ra") - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    mu = n_a * n_b / F.lit(2.0)
+    sigma = F.sqrt(
+        (n_a * n_b / F.lit(12.0))
+        * ((n + F.lit(1.0)) - F.col("ties") / (n * (n - F.lit(1.0))))
+    )
+    return one.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        rnd((u_a - mu) / sigma, round_digits).alias("z"),
+    )

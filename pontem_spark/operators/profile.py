@@ -555,3 +555,44 @@ def concentration_report(
         rnd(F.col("t1") / tot, round_digits).alias("top1_share"),
         rnd(F.col("tn") / tot, round_digits).alias(f"top{top_n}_share"),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ABC / Pareto tiering: rank keys by value, accumulate shares, and
+    tag the heads that make up ``a_cut`` of the total 'A', the next band
+    to ``b_cut`` 'B', the tail 'C' — the standard inventory/corpus triage
+    that concentration_report summarizes into one number.
+
+    Plan: one |keys|-row aggregate, one descending rank window (ties
+    break on the key — a total order both engines share), cumulative and
+    total sums over the same window frame. Tier boundaries compare the
+    ROUNDED cumulative share, so last-ulp running-sum skew cannot move a
+    key across a tier.
+    """
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(key_col).alias("k")).agg(F.sum(v).alias("x"))
+    w_ord = Window.orderBy(F.desc("x"), F.desc("k"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum_share = rnd(F.sum("x").over(w_cum) / F.sum("x").over(w_all), round_digits)
+    share = rnd(F.col("x") / F.sum("x").over(w_all), round_digits)
+    ranked = per.select(
+        F.col("k").alias(key_col),
+        # rounded: a raw double sum differs in the last ulp across engines
+        rnd(F.col("x"), round_digits).alias("value_sum"),
+        share.alias("share"),
+        cum_share.alias("cum_share"),
+    )
+    tier = (
+        F.when(F.col("cum_share") <= F.lit(a_cut), F.lit("A"))
+        .when(F.col("cum_share") <= F.lit(b_cut), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.withColumn("tier", tier)

@@ -259,3 +259,67 @@ def cusum_changepoints(
         F.col("__b.r").alias("cusum"),
         F.col("n_points").cast("bigint").alias("n_points"),
     )
+
+
+def acf_table(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-key autocorrelation function for lags 1..``max_lag`` — the
+    seasonality/persistence screen run before choosing a forecasting or
+    gapfill strategy.
+
+    Plan: every lag column comes from the SAME (key, order) window sort
+    (Catalyst plans one Exchange + one Sort for all of them), then ONE
+    aggregate computes each lag's Pearson moments over its valid pairs —
+    6 x max_lag agg expressions, all partial-agg combinable, unpivoted
+    to (key, lag, acf) rows by a constant-size stack. The facts shuffle
+    once; nothing else scales with input size.
+
+    Pearson per lag uses the pairwise-complete convention (like
+    pandas.Series.autocorr): moments only over rows where the lagged
+    value exists. Degenerate lags (fewer than 3 pairs or ~zero variance)
+    return NULL rather than dividing by zero.
+    """
+    from pontem_spark.functions.compat import rnd
+
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    lagged = df.select(
+        F.col(key_col).alias("k"),
+        v.alias("__x"),
+        *[F.lag(v, i).over(w).alias(f"__y{i}") for i in range(1, max_lag + 1)],
+    )
+    aggs = []
+    for i in range(1, max_lag + 1):
+        y = F.col(f"__y{i}")
+        pair = y.isNotNull()
+        x = F.when(pair, F.col("__x"))
+        aggs += [
+            F.count(F.when(pair, F.lit(1))).alias(f"n{i}"),
+            F.sum(x).alias(f"sx{i}"),
+            F.sum(y).alias(f"sy{i}"),
+            F.sum(x * x).alias(f"sxx{i}"),
+            F.sum(y * y).alias(f"syy{i}"),
+            F.sum(x * y).alias(f"sxy{i}"),
+        ]
+    g = lagged.groupBy("k").agg(*aggs)
+    outs = []
+    for i in range(1, max_lag + 1):
+        n = F.col(f"n{i}").cast("double")
+        cov = F.col(f"sxy{i}") / n - (F.col(f"sx{i}") / n) * (F.col(f"sy{i}") / n)
+        vx = F.col(f"sxx{i}") / n - (F.col(f"sx{i}") / n) * (F.col(f"sx{i}") / n)
+        vy = F.col(f"syy{i}") / n - (F.col(f"sy{i}") / n) * (F.col(f"sy{i}") / n)
+        acf = F.when(
+            (F.col(f"n{i}") >= 3) & (vx > 1e-12) & (vy > 1e-12),
+            rnd(cov / F.sqrt(vx * vy), round_digits),
+        )
+        outs.append(F.struct(F.lit(i).alias("lag"), acf.alias("acf")))
+    return g.select(
+        F.col("k").alias(key_col),
+        F.explode(F.array(*outs)).alias("__o"),
+    ).select(key_col, F.col("__o.lag").alias("lag"), F.col("__o.acf").alias("acf"))

@@ -570,3 +570,246 @@ def q_ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         "n_points",
     )
+
+
+@_pending(
+    "q_abtest_mann_whitney",
+    oracle="""
+    WITH u AS (
+        SELECT CAST(value AS DOUBLE) AS v, 0 AS is_b
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        UNION ALL
+        SELECT CAST(value AS DOUBLE), 1
+        FROM events WHERE event_type = 'click' AND value IS NOT NULL
+    ), byv AS (
+        SELECT v, SUM(1 - is_b) AS na, SUM(is_b) AS nb FROM u GROUP BY v
+    ), r AS (
+        SELECT na, nb, na + nb AS t,
+               CAST(COALESCE(SUM(na + nb) OVER (ORDER BY v ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+               + (CAST(na + nb AS DOUBLE) + 1.0) / 2.0 AS rk
+        FROM byv
+    ), one AS (
+        SELECT CAST(SUM(na) AS DOUBLE) AS n_a, CAST(SUM(nb) AS DOUBLE) AS n_b,
+               SUM(na * rk) AS ra,
+               CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+        FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ra - n_a * (n_a + 1.0) / 2.0 AS u_a,
+           ROUND(((ra - n_a * (n_a + 1.0) / 2.0) - n_a * n_b / 2.0)
+                 / sqrt((n_a * n_b / 12.0)
+                        * (((n_a + n_b) + 1.0)
+                           - ties / ((n_a + n_b) * ((n_a + n_b) - 1.0)))), 4) AS z
+    FROM one
+    """,
+)
+def q_abtest_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between purchase and click values: ranks computed
+    over DISTINCT values (one groupBy + one window over the aggregate),
+    U exact cross-engine (integer/half ranks), tie-corrected normal z
+    rounded (operators/abtest.py::mann_whitney_u)."""
+    from pontem_spark.operators.abtest import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "purchase").select("value")
+    b = ev.filter(F.col("event_type") == "click").select("value")
+    return mann_whitney_u(a, b, "value")
+
+
+def _reconcile_oracle() -> str:
+    from pontem_spark.operators.reconcile import row_hash_sql
+
+    h = row_hash_sql(["o_custkey", "o_orderstatus", "o_orderpriority"])
+    return f"""
+    WITH oldt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ), newt AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN 'X-CHANGED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 101 <> 0
+    ), o AS (SELECT o_orderkey, {h} AS h_old FROM oldt),
+    n AS (SELECT o_orderkey, {h} AS h_new FROM newt),
+    j AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k, h_old, h_new
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old <> h_new THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM j GROUP BY 1
+    """
+
+
+@_pending("q_reconcile_snapshots", _reconcile_oracle())
+def q_reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff summary between two deterministic order-table
+    versions (simulated deletes/inserts/updates by orderkey residues):
+    two map-side (key, md5 row-hash) projections + ONE full-outer join
+    on the key — the shuffle carries hashes, never row bodies. Hash
+    inputs are exact types only (the float-formatting trap is the
+    caller's contract) (operators/reconcile.py::snapshot_diff)."""
+    from pontem_spark.operators.reconcile import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    new = orders.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit("X-CHANGED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    d = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def _acf_oracle(max_lag: int = 5) -> str:
+    lag_cols = ",\n               ".join(
+        f"LAG(v, {i}) OVER (PARTITION BY event_type ORDER BY pos) AS y{i}"
+        for i in range(1, max_lag + 1)
+    )
+    moments = []
+    for i in range(1, max_lag + 1):
+        moments.append(
+            f"COUNT(CASE WHEN y{i} IS NOT NULL THEN 1 END) AS n{i},\n"
+            f"           SUM(CASE WHEN y{i} IS NOT NULL THEN x END) AS sx{i},\n"
+            f"           SUM(y{i}) AS sy{i},\n"
+            f"           SUM(CASE WHEN y{i} IS NOT NULL THEN x * x END) AS sxx{i},\n"
+            f"           SUM(y{i} * y{i}) AS syy{i},\n"
+            f"           SUM(CASE WHEN y{i} IS NOT NULL THEN x * y{i} END) AS sxy{i}"
+        )
+    selects = []
+    for i in range(1, max_lag + 1):
+        n = f"CAST(n{i} AS DOUBLE)"
+        cov = f"(sxy{i} / {n} - (sx{i} / {n}) * (sy{i} / {n}))"
+        vx = f"(sxx{i} / {n} - (sx{i} / {n}) * (sx{i} / {n}))"
+        vy = f"(syy{i} / {n} - (sy{i} / {n}) * (sy{i} / {n}))"
+        selects.append(
+            f"SELECT k AS event_type, {i} AS lag,\n"
+            f"       CASE WHEN n{i} >= 3 AND {vx} > 1e-12 AND {vy} > 1e-12\n"
+            f"            THEN ROUND({cov} / sqrt({vx} * {vy}), 4) END AS acf\n"
+            f"FROM g"
+        )
+    return f"""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS pos,
+               SUM(value) AS v
+        FROM events GROUP BY 1, 2
+    ), lagged AS (
+        SELECT event_type AS k, v AS x,
+               {lag_cols}
+        FROM daily
+    ), g AS (
+        SELECT k,
+           {",".join(moments)}
+        FROM lagged GROUP BY k
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@_pending("q_ts_acf", _acf_oracle())
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation table (lags 1-5) over daily value
+    totals: all lag columns share ONE window sort, all 30 Pearson
+    moments fold in ONE aggregate, unpivoted by a constant-size explode
+    (operators/timeseries.py::acf_table)."""
+    from pontem_spark.operators.timeseries import acf_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "day_idx"
+        ),
+    ).agg(F.sum("value").alias("daily_value"))
+    out = acf_table(daily, "event_type", "day_idx", "daily_value", max_lag=5)
+    return out.select("event_type", F.col("lag").cast("int").alias("lag"), "acf")
+
+
+@_pending(
+    "q_quality_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT
+            ROUND(COUNT(o_custkey) / CAST(COUNT(*) AS DOUBLE), 6) AS m0,
+            ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(o_orderkey) AS DOUBLE), 6) AS m1,
+            ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS m2,
+            ROUND(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS m3,
+            ROUND(SUM(CASE WHEN regexp_matches(CAST(o_orderpriority AS VARCHAR),
+                                               '^[1-5]-') THEN 1 ELSE 0 END)
+                  / CAST(COUNT(*) AS DOUBLE), 6) AS m4
+        FROM orders
+    )
+    SELECT 'custkey_not_null' AS rule_name, m0 AS metric, 1.0 AS threshold,
+           m0 >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'orderkey_unique', m1, 1.0, m1 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'totalprice_nonnegative', m2, 0.0, m2 >= 0.0 FROM m
+    UNION ALL
+    SELECT 'status_in_domain', m3, 1.0, m3 >= 1.0 FROM m
+    UNION ALL
+    SELECT 'priority_pattern', m4, 1.0, m4 >= 1.0 FROM m
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract check over orders: five expectations
+    (completeness, uniqueness, range, domain, pattern share) evaluated
+    in ONE aggregation pass — adding a rule never adds a scan; pass/fail
+    compares the rounded metric
+    (operators/expectations.py::run_expectations)."""
+    from pontem_spark.operators.expectations import Rule, run_expectations
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = [
+        Rule("custkey_not_null", "not_null", "o_custkey", 1.0),
+        Rule("orderkey_unique", "unique", "o_orderkey", 1.0),
+        Rule("totalprice_nonnegative", "min_ge", "o_totalprice", 0.0),
+        Rule("status_in_domain", "in_set", "o_orderstatus", 1.0, values=("F", "O", "P")),
+        Rule("priority_pattern", "matches", "o_orderpriority", 1.0, pattern="^[1-5]-"),
+    ]
+    return run_expectations(orders, rules)
+
+
+@_pending(
+    "q_profile_abc",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DOUBLE)) AS x
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT k, x,
+               ROUND(SUM(x) OVER (ORDER BY x DESC, k DESC ROWS BETWEEN
+                     UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / SUM(x) OVER (), 6) AS cum_share,
+               ROUND(x / SUM(x) OVER (), 6) AS share,
+               ROUND(x, 6) AS value_sum
+        FROM per
+    )
+    SELECT k AS o_custkey, value_sum, share, cum_share,
+           CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS tier
+    FROM ranked
+    """,
+)
+def q_profile_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto tiering of customers by revenue: one |keys|
+    aggregate, one descending rank window with cumulative + total sums
+    in the same frame; tier boundaries compare the ROUNDED cumulative
+    share (operators/profile.py::abc_classification)."""
+    from pontem_spark.operators.profile import abc_classification
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return abc_classification(orders, "o_custkey", "o_totalprice")

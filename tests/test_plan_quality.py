@@ -539,3 +539,59 @@ def test_cusum_shares_one_key_exchange(spark, sf_dir):
     plan = physical_plan(out)
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_mann_whitney_ranks_over_distincts(spark, sf_dir):
+    """Rank arithmetic must run over the distinct-value aggregate (one
+    groupBy then windows over it) — no join, one scan per sample side."""
+    from pontem_spark.operators.abtest import mann_whitney_u
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(ev.event_type == "purchase").select("value")
+    b = ev.filter(ev.event_type == "click").select("value")
+    plan = physical_plan(mann_whitney_u(a, b, "value"))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 2, plan  # the two sample sides
+
+
+def test_snapshot_diff_single_join_hash_payload(spark, sf_dir):
+    """One full-outer join on the key; both sides reduce to (key, hash)
+    projections before the shuffle (no second join, no window)."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.reconcile import snapshot_diff
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    old = orders.filter(F.col("o_orderkey") % 97 != 0)
+    new = orders.filter(F.col("o_orderkey") % 101 != 0)
+    plan = physical_plan(
+        snapshot_diff(old, new, ["o_orderkey"], ["o_custkey", "o_orderstatus"])
+    )
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_acf_single_window_sort_single_agg(spark, sf_dir):
+    """All five lag columns come from one window sort; all 30 moments
+    fold in one aggregate — exactly one Sort node over the facts and no
+    join."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.timeseries import acf_table
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.sum("value").alias("v"))
+    plan = physical_plan(acf_table(daily, "event_type", "d", "v", max_lag=5))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Window") == 1, plan
