@@ -813,3 +813,112 @@ def q_profile_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     return abc_classification(orders, "o_custkey", "o_totalprice")
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 16, pct: int = 30,
+               iters: int = 2, topk: int = 10) -> str:
+    """DuckDB replay of the FULL PQ pipeline: per-subspace sampled Lloyd
+    (L2, rounded-centroid discipline), corpus code assignment, per-query
+    lookup tables, ADC estimate + top-k. Every iteration CTE is
+    MATERIALIZED (DuckDB inlines multiply-referenced CTEs otherwise)."""
+    from pontem_spark.operators.sampling import hash_bucket_sql
+
+    sub = dim // m
+    hb = hash_bucket_sql("vec_id", 100)
+
+    def l2(a: str, b: str, d: int) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {d}), "
+            f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+            f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+        )
+
+    ctes = [
+        f"samp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE {hb} < {pct})"
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"s{j} AS MATERIALIZED (SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM samp)"
+        )
+        ctes.append(
+            f"""b{j}_0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+               list_transform(sv, x -> ROUND(CAST(x AS DOUBLE), 6)) AS centroid
+        FROM s{j} ORDER BY vec_id LIMIT {k})"""
+        )
+        prev = f"b{j}_0"
+        for n in range(1, iters + 1):
+            d2 = l2("s.sv", "c.centroid", sub)
+            ctes.append(
+                f"""a{j}_{n} AS MATERIALIZED (
+        SELECT vec_id, sv, centroid_id FROM (
+            SELECT s.vec_id, s.sv, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                       ORDER BY ROUND({d2}, 6) ASC, c.centroid_id) AS r
+            FROM s{j} s CROSS JOIN {prev} c
+        ) WHERE r = 1)"""
+            )
+            ctes.append(
+                f"""c{j}_{n}p AS MATERIALIZED (
+        SELECT centroid_id, i, ROUND(avg(CAST(sv[i] AS DOUBLE)), 6) AS mm
+        FROM a{j}_{n}, generate_series(1, {sub}) AS t(i) GROUP BY 1, 2)"""
+            )
+            ctes.append(
+                f"""b{j}_{n} AS MATERIALIZED (
+        SELECT p.centroid_id, COALESCE(n.centroid, p.centroid) AS centroid
+        FROM {prev} p LEFT JOIN (
+            SELECT centroid_id, list(mm ORDER BY i) AS centroid
+            FROM c{j}_{n}p GROUP BY 1
+        ) n ON n.centroid_id = p.centroid_id)"""
+            )
+            prev = f"b{j}_{n}"
+        code_d2 = l2(f"e.embedding[{lo}:{hi}]", "c.centroid", sub)
+        ctes.append(
+            f"""code{j} AS MATERIALIZED (
+        SELECT vec_id, centroid_id AS cid FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({code_d2}, 6) ASC, c.centroid_id) AS r
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE r = 1)"""
+        )
+        lut_d2 = l2(f"q.embedding[{lo}:{hi}]", "c.centroid", sub)
+        ctes.append(
+            f"""lut{j} AS MATERIALIZED (
+        SELECT c.centroid_id AS cid, ROUND({lut_d2}, 6) AS d
+        FROM {prev} c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)"""
+        )
+    joins = " ".join(
+        f"JOIN code{j} c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m)
+    )
+    lut_joins = " ".join(f"JOIN lut{j} l{j} ON l{j}.cid = c{j}.cid" for j in range(m))
+    est = " + ".join(f"l{j}.d" for j in range(m))
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block}
+    SELECT c0.vec_id, ROUND({est}, 6) AS est_d2
+    FROM code0 c0 {joins} {lut_joins}
+    ORDER BY est_d2 ASC, c0.vec_id ASC LIMIT {topk}
+    """
+
+
+@_pending("q_ann_pq_adc_topk", _pq_oracle())
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search: 4 subspace codebooks (k=16)
+    trained by deterministic sampled Lloyd under L2, corpus coded by a
+    zero-shuffle map-side argmin fold, query distances via per-subspace
+    lookup tables summed per row, TakeOrderedAndProject top-10. The
+    oracle replays training, coding, LUTs and the ADC ranking end to end
+    (operators/pq.py)."""
+    from pontem_spark.operators.pq import pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, m=4, k=16, sample_pct=30, iters=2
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    return pq_topk(
+        emb, books, [float(x) for x in qrow["embedding"]],
+        "vec_id", "embedding", dim=64, k=10,
+    ).select("vec_id", "est_d2")

@@ -595,3 +595,17 @@ def test_acf_single_window_sort_single_agg(spark, sf_dir):
     assert "Join" not in plan, plan
     assert plan.count("FileScan") == 1, plan
     assert plan.count("Window") == 1, plan
+
+
+def test_pq_code_assignment_is_map_side(spark, sf_dir):
+    """PQ code assignment must be scan -> project (argmin folds over
+    codebook literals): zero exchanges, like IVF assign_cells."""
+    from pontem_spark.operators.pq import pq_assign_codes, train_pq_codebooks
+    from pontem_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", dim=64, m=4, k=8, sample_pct=30, iters=1
+    )
+    coded = pq_assign_codes(emb, books, "vec_id", "embedding", 64)
+    assert count_exchanges(coded) == 0, physical_plan(coded)
