@@ -922,3 +922,63 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, books, [float(x) for x in qrow["embedding"]],
         "vec_id", "embedding", dim=64, k=10,
     ).select("vec_id", "est_d2")
+
+
+@_pending(
+    "q_stream_seasonal_anomaly",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               SUM(value) AS s, SUM(value * value) AS ss
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ), b2 AS (
+        SELECT event_type, hr, n, s / n AS m, ss / n - (s / n) * (s / n) AS varp
+        FROM base
+    )
+    SELECT e.event_id, e.event_type, b.hr, e.value,
+           ROUND((e.value - b.m) / sqrt(b.varp), 3) AS z
+    FROM events e
+    JOIN b2 b ON e.event_type = b.event_type
+             AND CAST(EXTRACT(hour FROM e.ts) AS INTEGER) = b.hr
+    WHERE e.value IS NOT NULL AND b.n >= 5 AND b.varp > 1e-12
+      AND abs(ROUND((e.value - b.m) / sqrt(b.varp), 3)) >= 2.0
+    """,
+)
+def q_stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming x seasonal-baseline composition: the (event_type, hour)
+    moment state accumulates across >= 3 real micro-batches
+    (foreachBatch + the mergeable monoid), finalizes to the batch
+    operator's exact baseline, and broadcast-gates the events. The
+    oracle is the PLAIN BATCH query — hash-equality proves the
+    composition is lossless however rows were sliced into batches
+    (streaming/events.py::run_seasonal_anomaly)."""
+    import tempfile
+
+    from pontem_spark.streaming.events import run_seasonal_anomaly
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    ).withColumn("hr", F.hour("ts"))
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_season_")
+    try:
+        ev.select("event_type", "hr", "value").repartition(3).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        out, n_batches = run_seasonal_anomaly(
+            stream, ["event_type", "hr"], "value", ev, ["event_id"], threshold=2.0
+        )
+        if n_batches < 3:
+            raise RuntimeError(f"expected >= 3 micro-batches, got {n_batches}")
+        # state is localCheckpoint-materialized; safe to return after cleanup
+        return out.localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -308,3 +308,52 @@ def run_decayed_rollup(
     finally:
         q.stop()
     return holder["state"], holder["batches"]
+
+
+def run_seasonal_anomaly(
+    stream: DataFrame,
+    season_cols: "list[str]",
+    val_col: str,
+    facts: DataFrame,
+    keep_cols: "list[str]",
+    threshold: float = 2.0,
+    min_bucket_n: int = 5,
+    round_digits: int = 3,
+    timeout_s: int = 120,
+) -> "tuple[DataFrame, int]":
+    """Streaming seasonal-baseline anomaly gate: the per-season moment
+    state (n, Σv, Σv² — the incremental monoid) accumulates across
+    micro-batches via :func:`run_incremental_rollup`; the final state
+    finalizes to exactly the batch operator's baseline
+    (operators/profile.py::seasonal_anomalies — same mean/variance
+    expression tree), which broadcast-gates the fact table.
+
+    Because the state is a merge-associative monoid, the baseline is
+    IDENTICAL however the rows were sliced into batches — the oracle is
+    the plain batch query, and hash-equality proves the streaming
+    composition loses nothing. Per batch the shuffle is batch rows plus
+    the ~|season buckets|-row state; the gate itself never shuffles the
+    facts (broadcast join, same as the batch path).
+
+    Returns (flagged rows, number of micro-batches processed).
+    """
+    from pontem_spark.functions.compat import rnd
+
+    state, n_batches = run_incremental_rollup(stream, season_cols, val_col, timeout_s)
+    m = F.col("total") / F.col("n")
+    varp = F.col("ss") / F.col("n") - m * m
+    baseline = state.select(
+        *season_cols, m.alias("__m"), varp.alias("__var"), F.col("n").alias("__n")
+    )
+    v = F.col(val_col).cast("double")
+    joined = facts.filter(v.isNotNull()).join(
+        F.broadcast(baseline), list(season_cols)
+    )
+    z = rnd((v - F.col("__m")) / F.sqrt(F.col("__var")), round_digits)
+    out = (
+        joined.filter((F.col("__n") >= min_bucket_n) & (F.col("__var") > 1e-12))
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= threshold)
+        .select(*keep_cols, *season_cols, v.alias("value"), "z")
+    )
+    return out, n_batches
