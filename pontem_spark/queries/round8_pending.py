@@ -982,3 +982,72 @@ def q_stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_pending(
+    "q_stream_ks_drift",
+    oracle="""
+    WITH ref AS (
+        SELECT CAST(LEAST(FLOOR(CAST(value AS DOUBLE) / 20.0), 19) AS INTEGER) AS bucket,
+               COUNT(*) AS nr
+        FROM events WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+        GROUP BY 1
+    ), live AS (
+        SELECT CAST(LEAST(FLOOR(CAST(value AS DOUBLE) / 20.0), 19) AS INTEGER) AS bucket,
+               COUNT(*) AS nl
+        FROM events WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+        GROUP BY 1
+    ), both_b AS (
+        SELECT COALESCE(r.bucket, l.bucket) AS bucket,
+               COALESCE(nr, 0) AS nr, COALESCE(nl, 0) AS nl
+        FROM ref r FULL OUTER JOIN live l ON r.bucket = l.bucket
+    ), cums AS (
+        SELECT bucket,
+            SUM(nr) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cr,
+            SUM(nl) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cl,
+            SUM(nr) OVER () AS tr, SUM(nl) OVER () AS tl
+        FROM both_b
+    )
+    SELECT ROUND(abs(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE)
+                     - CAST(cl AS DOUBLE) / CAST(tl AS DOUBLE)), 6) AS ks_stat,
+           CAST(bucket AS INTEGER) AS ks_bucket,
+           CAST(tr AS BIGINT) AS n_ref, CAST(tl AS BIGINT) AS n_live
+    FROM cums ORDER BY 1 DESC, 2 ASC LIMIT 1
+    """,
+)
+def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitor: pre-cut events are the static reference
+    histogram, post-cut events stream in >= 3 micro-batches into a
+    per-bin count monoid, and the binned KS folds over <= 20 rows of
+    integer cumulatives (bit-identical cross-engine). The oracle is the
+    plain two-slice batch KS — hash-equality proves the streamed
+    histogram equals the batch one under any slicing
+    (streaming/events.py::run_binned_drift)."""
+    import shutil
+    import tempfile
+
+    from pontem_spark.streaming.events import run_binned_drift
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    live = ev.filter(F.col("ts") >= cut).select("value")
+    tmp = tempfile.mkdtemp(prefix="pontem_stream_ks_")
+    try:
+        live.repartition(3).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        out, n_batches = run_binned_drift(
+            stream, ref, "value", bin_width=20.0, n_bins=20
+        )
+        if n_batches < 3:
+            raise RuntimeError(f"expected >= 3 micro-batches, got {n_batches}")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

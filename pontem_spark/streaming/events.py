@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 def read_event_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -355,5 +355,80 @@ def run_seasonal_anomaly(
         .withColumn("z", z)
         .filter(F.abs(F.col("z")) >= threshold)
         .select(*keep_cols, *season_cols, v.alias("value"), "z")
+    )
+    return out, n_batches
+
+
+def run_binned_drift(
+    stream: DataFrame,
+    reference: DataFrame,
+    val_col: str,
+    bin_width: float,
+    n_bins: int,
+    round_digits: int = 6,
+    timeout_s: int = 120,
+) -> "tuple[DataFrame, int]":
+    """Continuous drift monitor: binned two-sample KS between a static
+    REFERENCE slice and a LIVE stream whose per-bin counts accumulate
+    across micro-batches.
+
+    The bins are FIXED literal edges (``least(floor(v / width), n-1)`` —
+    the population_stability discipline), so the reference histogram,
+    every micro-batch's partial histogram, and the oracle all bin
+    identically with zero coordination; per-bin counts are a sum monoid,
+    so the accumulated live histogram is independent of batch slicing.
+    The KS fold then runs over <= n_bins rows: cumulative integer counts
+    over a full-outer bucket join — bit-identical across engines, the
+    same no-float-tolerance property as the batch ks_two_sample.
+
+    Returns ((ks_stat, ks_bucket, n_ref, n_live) 1-row DataFrame,
+    micro-batch count).
+    """
+    from pontem_spark.functions.compat import rnd
+
+    def bucket(col):
+        return F.least(
+            F.floor(col.cast("double") / F.lit(float(bin_width))), F.lit(n_bins - 1)
+        ).cast("int")
+
+    live_stream = stream.filter(F.col(val_col).isNotNull()).select(
+        bucket(F.col(val_col)).alias("bucket"), F.col(val_col).alias("__v")
+    )
+    state, n_batches = run_incremental_rollup(live_stream, ["bucket"], "__v")
+    live = state.select("bucket", F.col("n").alias("__nl"))
+    ref = (
+        reference.filter(F.col(val_col).isNotNull())
+        .groupBy(bucket(F.col(val_col)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("__nr"))
+    )
+    both = (
+        ref.join(live, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce(F.col("__nr"), F.lit(0)).alias("nr"),
+            F.coalesce(F.col("__nl"), F.lit(0)).alias("nl"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gap = rnd(
+        F.abs(
+            F.sum("nr").over(w_cum) / F.sum("nr").over(w_all).cast("double")
+            - F.sum("nl").over(w_cum) / F.sum("nl").over(w_all).cast("double")
+        ),
+        round_digits,
+    )
+    out = (
+        both.select(
+            F.col("bucket").cast("int").alias("ks_bucket"),
+            gap.alias("ks_stat"),
+            F.sum("nr").over(w_all).cast("bigint").alias("n_ref"),
+            F.sum("nl").over(w_all).cast("bigint").alias("n_live"),
+        )
+        .orderBy(F.desc("ks_stat"), F.asc("ks_bucket"))
+        .limit(1)
+        .select("ks_stat", "ks_bucket", "n_ref", "n_live")
     )
     return out, n_batches
