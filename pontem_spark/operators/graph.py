@@ -38,6 +38,12 @@ def connected_components(
 
     labels = nodes.select(F.col(node_col).alias("u"), F.col(node_col).alias("label"))
 
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType, NumericType
+    )
+
     prev_sum: int | None = None
     for _ in range(max_iterations):
         # each node pulls the smallest label among itself and its neighbors
@@ -45,21 +51,38 @@ def connected_components(
             sym.join(labels.withColumnRenamed("u", "v"), "v")
             .select("u", "label")
         )
+        prev_labels = labels
         labels = (
             labels.union(neighbor_labels)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)  # truncate lineage every iteration
         )
-        # labels are monotonically non-increasing, so the fixpoint is reached
-        # exactly when the label sum stops decreasing — one scalar aggregate
-        # per iteration instead of a change-detection join. Summed as
-        # decimal(38,0): a long sum can overflow on billions of 2^62-range
-        # ids, silently stalling or extending the loop.
-        cur_sum = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            # labels are monotonically non-increasing, so the fixpoint is
+            # reached exactly when the label sum stops decreasing — one
+            # scalar aggregate per iteration instead of a change-detection
+            # join. Summed as decimal(38,0): a long sum can overflow on
+            # billions of 2^62-range ids, silently stalling the loop.
+            cur_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            # string/other ids (entity resolution on names): the decimal
+            # cast would THROW under ANSI — probe for any changed label
+            # with an exact null-safe join instead (same |V|-row cost
+            # class; isEmpty stops at the first changed row).
+            changed = (
+                labels.join(
+                    prev_labels.withColumnRenamed("label", "__prev"), "u"
+                )
+                .filter(~F.col("label").eqNullSafe(F.col("__prev")))
+            )
+            if changed.isEmpty():
+                break
 
     return labels.select(F.col("u").alias(node_col), F.col("label").alias("component"))
 

@@ -323,3 +323,89 @@ def acf_table(
         F.col("k").alias(key_col),
         F.explode(F.array(*outs)).alias("__o"),
     ).select(key_col, F.col("__o.lag").alias("lag"), F.col("__o.acf").alias("acf"))
+
+
+def interarrival_percentiles(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    ts_col: str,
+    order_cols: "list[str] | None" = None,
+    percentiles: "list[float] | None" = None,
+    round_digits: int = 3,
+) -> DataFrame:
+    """Inter-arrival latency distribution per group: the p50/p95/p99
+    "how bursty is this stream" report (service latency, user dwell
+    time, queue gaps).
+
+    Plan: one lag window per sequence key computes the gaps (the same
+    (key, order) shuffle a sessionize pass uses), then one exact
+    percentile aggregate per group — gaps never shuffle twice. The
+    percentile aggregate is exact (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the established cross-engine pair); outputs are
+    rounded half-up.
+    """
+    percentiles = percentiles or [0.5, 0.95, 0.99]
+    order_cols = order_cols or [ts_col]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    gap = (
+        F.unix_timestamp(F.col(ts_col))
+        - F.unix_timestamp(F.lag(F.col(ts_col)).over(w))
+    ).cast("double")
+    gaps = df.select(F.col(group_col), gap.alias("__gap")).filter(
+        F.col("__gap").isNotNull()
+    )
+    from pontem_spark.functions.compat import rnd
+
+    aggs = [F.count(F.lit(1)).alias("n_gaps")]
+    for p in percentiles:
+        name = f"p{int(round(p * 100))}"
+        aggs.append(
+            rnd(F.percentile(F.col("__gap"), F.lit(p)), round_digits).alias(name)
+        )
+    return gaps.groupBy(group_col).agg(*aggs)
+
+
+def rolling_correlation(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rolling Pearson correlation between two columns over the trailing
+    ``window_rows`` rows per key — the co-movement monitor (metric pairs
+    that should track each other; divergence = incident).
+
+    Plan: ALL six moment sums (n, Σx, Σy, Σx², Σy², Σxy) ride the SAME
+    (key, order, trailing-frame) window — Catalyst plans one Exchange +
+    one Sort for the lot. Correlation derives from the moments per row;
+    windows with fewer than 3 rows or ~zero variance yield NULL (ANSI-
+    safe). The compare-ready output is rounded half-up.
+    """
+    from pontem_spark.functions.compat import rnd
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) * (sx / n)
+    vy = syy / n - (sy / n) * (sy / n)
+    corr = F.when(
+        (n >= 3) & (vx > 1e-12) & (vy > 1e-12),
+        rnd(cov / F.sqrt(vx * vy), round_digits),
+    )
+    return df.select(
+        key_col, order_col, F.col(x_col), F.col(y_col),
+        corr.alias("rolling_corr"),
+    )

@@ -1051,3 +1051,158 @@ def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_pending(
+    "q_events_interarrival",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               CAST(date_diff('second',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS DOUBLE) AS gap
+        FROM events
+    ), g2 AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap, 0.5), 3) AS p50,
+           ROUND(quantile_cont(gap, 0.95), 3) AS p95,
+           ROUND(quantile_cont(gap, 0.99), 3) AS p99
+    FROM g2 GROUP BY 1
+    """,
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency report: per-user consecutive-event gaps
+    (one lag window on the user key; Spark unix_timestamp diff ==
+    DuckDB date_diff('second') — both count whole-second boundaries),
+    then exact p50/p95/p99 per event type in one percentile aggregate
+    (operators/timeseries.py::interarrival_percentiles)."""
+    from pontem_spark.operators.timeseries import interarrival_percentiles
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return interarrival_percentiles(
+        ev, "user_id", "event_type", "ts", order_cols=["ts", "event_id"]
+    )
+
+
+@_pending(
+    "q_ts_rolling_corr",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS pos,
+               CAST(COUNT(*) AS DOUBLE) AS x, SUM(value) AS y
+        FROM events GROUP BY 1, 2
+    ), r AS (
+        SELECT event_type, pos,
+               CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+               SUM(x * y) OVER w AS sxy
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY pos
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, pos AS day_idx,
+           CASE WHEN n >= 3
+                 AND (sxx / n - (sx / n) * (sx / n)) > 1e-12
+                 AND (syy / n - (sy / n) * (sy / n)) > 1e-12
+                THEN ROUND((sxy / n - (sx / n) * (sy / n))
+                           / sqrt((sxx / n - (sx / n) * (sx / n))
+                                  * (syy / n - (sy / n) * (sy / n))), 4)
+           END AS rolling_corr
+    FROM r
+    """,
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson correlation between daily event volume and
+    daily value total per event type — all six moment sums ride ONE
+    trailing window frame (one exchange + one sort total)
+    (operators/timeseries.py::rolling_correlation)."""
+    from pontem_spark.operators.timeseries import rolling_correlation
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.sum("value").alias("y"),
+    )
+    out = rolling_correlation(daily, "event_type", "day_idx", "x", "y", window_rows=7)
+    return out.select("event_type", "day_idx", "rolling_corr")
+
+
+@_pending(
+    "q_pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE vocab AS (
+        SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[1] AS blk
+        FROM part
+    ), pairs AS (
+        SELECT a.name AS na, b.name AS nb
+        FROM vocab a JOIN vocab b ON a.blk = b.blk AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 3
+    ), edges AS (
+        SELECT na AS src, nb AS dst FROM pairs
+        UNION
+        SELECT nb, na FROM pairs
+    ), reach(node, label) AS (
+        SELECT name, name FROM vocab
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ), cc AS (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    ), cl AS (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS n_names
+        FROM cc GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT cc.component AS canonical_name, cl.n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(AVG(CAST(p.p_retailprice AS DOUBLE)), 4) AS avg_price
+    FROM part p
+    JOIN cc ON cc.node = p.p_name
+    JOIN cl ON cl.component = cc.component
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END TO END: blocked edit-distance candidate
+    pairs over the DISTINCT name vocabulary (fuzzy_pairs), connected
+    components to merge transitive matches (the distributed fixpoint;
+    the oracle uses a recursive CTE — two different algorithms must
+    agree), then survivorship: per multi-name cluster, the canonical
+    (min) name with member and row counts and the cluster's average
+    price. Pair work is per-block quadratic over the vocabulary, never
+    row-quadratic; CC state is |vocab| rows with per-iteration lineage
+    truncation (operators/dedup.py::fuzzy_pairs +
+    operators/graph.py::connected_components)."""
+    from pontem_spark.operators.dedup import fuzzy_pairs
+    from pontem_spark.operators.graph import connected_components
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    pairs = fuzzy_pairs(part, "p_name", max_dist=3)
+    nodes = part.select(F.col("p_name").alias("name")).distinct()
+    edges = pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    cc = connected_components(nodes, edges, node_col="name")
+    clusters = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_names"))
+        .filter(F.col("n_names") >= 2)
+    )
+    from pontem_spark.functions.compat import rnd
+
+    members = part.join(cc, part.p_name == cc.name).join(
+        F.broadcast(clusters), "component"
+    )
+    return members.groupBy(
+        F.col("component").alias("canonical_name"), F.col("n_names")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        rnd(F.avg(F.col("p_retailprice").cast("double")), 4).alias("avg_price"),
+    )
