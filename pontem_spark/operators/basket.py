@@ -63,12 +63,22 @@ def association_rules(
 
     # Item supports (distinct baskets per item) — also the confidence/lift
     # denominators later. One partial-agg pass over the facts.
-    item_counts = bi.groupBy("item").agg(
-        F.count_distinct("basket").alias("n_item")
+    # localCheckpoint: this |items|-row frame is referenced three times
+    # (apriori prune + both metric denominators) and each un-checkpointed
+    # reference would RE-RUN the fact aggregation (Catalyst does not
+    # dedupe diamond subtrees — measured ~6 fact derivations without the
+    # two checkpoints here).
+    item_counts = (
+        bi.groupBy("item")
+        .agg(F.count_distinct("basket").alias("n_item"))
+        .localCheckpoint(eager=True)
     )
 
-    # 1-row basket count, broadcast into the threshold comparisons.
-    n_b = bi.agg(F.count_distinct("basket").alias("n_baskets"))
+    # 1-row basket count, broadcast into the threshold comparisons
+    # (checkpointed for the same three-reference reason).
+    n_b = bi.agg(F.count_distinct("basket").alias("n_baskets")).localCheckpoint(
+        eager=True
+    )
 
     # Apriori prune: items that cannot participate in a frequent pair
     # never enter the basket shuffle. Lossless (see module docstring).
