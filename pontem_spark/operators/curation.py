@@ -25,7 +25,7 @@ order, same floor-form rounding) so all three operators are oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pontem_spark.functions import text as T
 from pontem_spark.functions.compat import rnd
@@ -463,4 +463,58 @@ def dup_ngram_signals(
             rnd(F.expr("array_max(__cnts)") / F.size("__s"), 6).alias("top_share"),
             rnd(F.expr(dup) / F.size("__s"), 6).alias("dup_frac"),
         )
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    keep_cols: "Sequence[str]",
+    smoothing: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Leakage-safe (leave-one-out) target encoding — the standard
+    categorical feature for tabular training sets: each row's category
+    is replaced by the mean target of the OTHER rows in that category,
+    optionally shrunk toward the global mean by ``smoothing`` pseudo-
+    observations (the classic high-cardinality regularizer).
+
+    encoded = (sum_cat - y + smoothing * global_mean)
+              / (n_cat - 1 + smoothing)
+
+    Excluding the row's own target is what makes the feature safe to
+    compute on the training split itself (naive category means leak the
+    label). Singleton categories with no smoothing fall back to the
+    global mean.
+
+    Plan: one partial-agg groupBy to |categories| rows; the global mean
+    derives from THAT frame (zero extra fact scans), and the stats
+    broadcast back onto the facts — the fact table is scanned twice and
+    never shuffled, same shape as the seasonal/z-score gates.
+    """
+    y = F.col(target_col).cast("double")
+    cats = df.groupBy(F.col(cat_col).alias("__c")).agg(
+        F.count(target_col).alias("__n"), F.sum(y).alias("__s")
+    )
+    # Global mean from the category frame (window over |cats| rows) —
+    # not a second scan, and no agg+join diamond on the facts.
+    w_all = Window.orderBy("__c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cats = cats.select(
+        "__c", "__n", "__s",
+        (F.sum("__s").over(w_all) / F.sum("__n").over(w_all)).alias("__g"),
+    )
+    joined = df.join(
+        F.broadcast(cats), df[cat_col] == F.col("__c")
+    )
+    m = F.lit(float(smoothing))
+    denom = F.col("__n") - F.lit(1) + m
+    enc = F.when(
+        denom > 0,
+        (F.col("__s") - y + m * F.col("__g")) / denom,
+    ).otherwise(F.col("__g"))
+    return joined.select(
+        *keep_cols, F.col(cat_col), rnd(enc, round_digits).alias("encoded")
     )

@@ -1206,3 +1206,87 @@ def q_pipeline_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         rnd(F.avg(F.col("p_retailprice").cast("double")), 4).alias("avg_price"),
     )
+
+
+@_pending(
+    "q_feature_target_encoding",
+    oracle="""
+    WITH cats AS (
+        SELECT o_orderpriority AS c, CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+               SUM(CAST(o_totalprice AS DOUBLE)) AS s
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT c, n, s, SUM(s) OVER () / SUM(n) OVER () AS gm FROM cats
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(CASE WHEN n - 1 + 10.0 > 0
+                      THEN (s - CAST(o.o_totalprice AS DOUBLE) + 10.0 * gm)
+                           / (n - 1 + 10.0)
+                      ELSE gm END, 6) AS encoded
+    FROM orders o JOIN g ON g.c = o.o_orderpriority
+    """,
+)
+def q_feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe leave-one-out target encoding of order priority
+    against order value (smoothing=10 pseudo-observations): one
+    |categories|-row aggregate whose global mean derives from ITSELF
+    (no second fact scan), broadcast back — facts never shuffle
+    (operators/curation.py::target_encode_loo)."""
+    from pontem_spark.operators.curation import target_encode_loo
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", ["o_orderkey"], smoothing=10.0
+    )
+
+
+@_pending(
+    "q_events_session_metrics",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, event_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s,
+           COUNT(*) = 1 AS is_bounce
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level engagement metrics on top of gap-based
+    sessionization: events-per-session, wall duration, bounce flag —
+    the two window passes share ONE (user, order) shuffle and the
+    rollup is a single aggregate; whole-second duration semantics are
+    engine-identical (unix diff == date_diff('second'))."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(wsum).cast("bigint"))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).cast("bigint").alias("duration_s"),
+        (F.count(F.lit(1)) == 1).alias("is_bounce"),
+    )
