@@ -7,15 +7,15 @@ r4-stale queries = 50 slots), and any new registration sorts FIRST
 re-check.
 
 ROUND-8 FLIP (one line): add ``round8`` to the import list inside
-``registry.all_queries()``. Budget note for that session: 52 candidates
+``registry.all_queries()``. Budget note for that session: 54 candidates
 all sort into the never-green group and OVERFLOW the 50-slot window by
-two — the two spilled candidates (registration order sorts last) earn
+four — the spilled candidates (registration order sorts last) earn
 their first driver rows in round 9; don't register anything else new
 that round, and expect zero freshness re-checks of old queries in r8.
 
 Every candidate was oracle-proven in round 7 at sf0.001 AND sf0.01
 (tests/test_pending_queries.py + the verify driver-sim) and pre-timed
-at sf0.1 (~80 s total across all 52; see the round-7 SCALE.md notes).
+at sf0.1 (~80 s total; see the round-7 SCALE.md notes).
 """
 
 from __future__ import annotations
