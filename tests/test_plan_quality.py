@@ -609,3 +609,59 @@ def test_pq_code_assignment_is_map_side(spark, sf_dir):
     )
     coded = pq_assign_codes(emb, books, "vec_id", "embedding", 64)
     assert count_exchanges(coded) == 0, physical_plan(coded)
+
+
+def test_interarrival_single_lag_window(spark, sf_dir):
+    """Gaps come from one (key, order) window; percentiles are one
+    aggregate — no join, one scan."""
+    from pontem_spark.operators.timeseries import interarrival_percentiles
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    plan = physical_plan(
+        interarrival_percentiles(ev, "user_id", "event_type", "ts",
+                                 order_cols=["ts", "event_id"])
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_rolling_correlation_one_window_frame(spark, sf_dir):
+    """All six moment sums share one window (one Sort, one Exchange on
+    the key) — no join."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators.timeseries import rolling_correlation
+    from pontem_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"), F.sum("value").alias("y"))
+    plan = physical_plan(rolling_correlation(daily, "event_type", "d", "x", "y"))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_target_encoding_facts_never_shuffle(spark, sf_dir):
+    """Category stats broadcast back onto the facts: no window over
+    facts, no sort-merge join; the global mean derives from the
+    category aggregate (no third scan)."""
+    from pontem_spark.operators.curation import target_encode_loo
+    from pontem_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", ["o_orderkey"], smoothing=10.0
+    )
+    plan = physical_plan(out)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("FileScan") == 2, plan  # facts + the category-stat branch

@@ -203,3 +203,47 @@ def test_attribution_credits_conserve_value(spark, sf_dir):
     ).head()
     assert abs(out["f"] - out["l"]) < 1e-3
     assert abs(out["f"] - out["n"]) < 1e-3
+
+
+def test_target_encoding_excludes_own_label(spark):
+    from pontem_spark.operators.curation import target_encode_loo
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 100.0)]
+    df = spark.createDataFrame(rows, "id int, cat string, y double")
+    out = {
+        r["id"]: r["encoded"]
+        for r in target_encode_loo(df, "cat", "y", ["id"], smoothing=0.0).collect()
+    }
+    # row 1's encoding = mean of the OTHER 'a' rows: (20+30)/2
+    assert out[1] == 25.0 and out[2] == 20.0 and out[3] == 15.0
+    # singleton category without smoothing falls back to the global mean
+    assert out[4] == 40.0
+
+
+def test_rolling_correlation_perfect_tracking(spark):
+    from pontem_spark.operators.timeseries import rolling_correlation
+
+    rows = [("k", i, float(i), 2.0 * i + 3.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, pos int, x double, y double")
+    out = rolling_correlation(df, "k", "pos", "x", "y", window_rows=5).collect()
+    full = [r["rolling_corr"] for r in out if r["pos"] >= 2]
+    assert all(c == 1.0 for c in full), full
+
+
+def test_interarrival_simple_gaps(spark):
+    import datetime as dt
+
+    from pontem_spark.operators.timeseries import interarrival_percentiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "x", t0, 1),
+        (1, "x", t0 + dt.timedelta(seconds=10), 2),
+        (1, "x", t0 + dt.timedelta(seconds=30), 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts timestamp, event_id int")
+    out = interarrival_percentiles(
+        df, "user_id", "event_type", "ts", order_cols=["ts", "event_id"],
+        percentiles=[0.5],
+    ).head()
+    assert out["n_gaps"] == 2 and out["p50"] == 15.0
