@@ -150,6 +150,7 @@ def all_queries() -> dict[str, Query]:
         similarity,
         streaming_q,
         text,
+        round8,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
