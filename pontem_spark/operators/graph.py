@@ -287,6 +287,13 @@ def k_core(
     bound they agree bit-for-bit. Real graphs peel in a handful of rounds
     (degeneracy ordering); adversarial long chains need the cap raised.
 
+    Convergence is CHECKED, not assumed (r7 verdict #2): after the last
+    round one cheap degree aggregate over the surviving (checkpointed)
+    edge set asks whether another round would still peel — any surviving
+    vertex with degree < k means the cap was hit mid-peel, and returning
+    silently would hand back a SUPERSET of the k-core. That case raises
+    ValueError naming the needed fix (raise ``max_iterations``) instead.
+
     lineage is truncated per round (localCheckpoint) — the same growing-
     plan guard as connected_components/pagerank above. Returns
     ``(node, degree)`` for surviving vertices with their in-core degree.
@@ -320,6 +327,17 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
     )
+    # convergence guard: `und` is checkpointed, so this is one ~|V| agg +
+    # limit-1 probe, not a plan replay. A surviving sub-k vertex means
+    # round `max_iterations` still changed the edge set — the fixpoint was
+    # NOT reached and the filter below would return a superset of the core.
+    if deg.filter(F.col("degree") < k).limit(1).count() > 0:
+        raise ValueError(
+            f"k_core did not converge within max_iterations={max_iterations}: "
+            f"the last peeling round still removed edges (a surviving vertex "
+            f"has degree < {k}). Raise max_iterations — peeling is monotone, "
+            f"extra rounds past the fixpoint are no-ops."
+        )
     return deg.filter(F.col("degree") >= k)
 
 

@@ -1596,6 +1596,22 @@ def test_k_core_peeling(spark):
         assert got == want, k
 
 
+def test_k_core_nonconvergence_raises(spark):
+    """Adversarial long chain (r7 verdict #2): a 12-edge path peels two
+    endpoints per round, so max_iterations=2 hits the cap mid-peel — the
+    guard must raise instead of silently returning a superset of the
+    (empty) 2-core. With enough rounds the same graph converges to empty."""
+    import pytest
+
+    from pontem_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(path, ["src", "dst"])
+    with pytest.raises(ValueError, match="did not converge"):
+        k_core(df, 2, max_iterations=2)
+    assert k_core(df, 2, max_iterations=8).count() == 0
+
+
 def test_bm25_topk_manual(spark):
     """Four tiny docs scored by hand with the Lucene idf form: the term
     filter, length normalization, and tie-break ordering all verified
