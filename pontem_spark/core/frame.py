@@ -1640,13 +1640,15 @@ class DataFrame:
     def T(self) -> "DataFrame":
         """Eager transpose — inherently driver-scale (row labels become
         columns), so it collects through the Series.unique()-style loud
-        guard (max 1000 rows) and rebuilds a frame from the transposed
-        pandas object."""
-        n = self._internal.sdf.limit(1001).count()
-        if n > 1000:
+        guard (shared MAX_DRIVER_COLS knob, core/limits.py) and rebuilds a
+        frame from the transposed pandas object."""
+        from pontem_spark.core.limits import MAX_DRIVER_COLS
+
+        n = self._internal.sdf.limit(MAX_DRIVER_COLS + 1).count()
+        if n > MAX_DRIVER_COLS:
             raise ValueError(
-                "T would create >1000 columns; transpose is a driver-scale "
-                "operation — aggregate or filter first"
+                f"T would create >{MAX_DRIVER_COLS} columns; transpose is a "
+                "driver-scale operation — aggregate or filter first"
             )
         pdf = self.to_pandas().T
         pdf.columns = [str(c) for c in pdf.columns]
@@ -2897,7 +2899,7 @@ def get_dummies(
     columns: "list[str] | str",
     prefix_sep: str = "_",
     dtype: str = "int",
-    max_categories: int = 256,
+    max_categories: "int | None" = None,
 ) -> DataFrame:
     """pandas.get_dummies over the named columns: one indicator column per
     distinct value, named ``{col}{prefix_sep}{value}`` in sorted value
@@ -2910,7 +2912,12 @@ def get_dummies(
     distinct aggregate per column caps the collect at ``max_categories``;
     the indicators themselves are a pure map-side projection. One-hot at
     100 TB cardinality belongs in an array/embedding column, not 10^6
-    schema fields — the guard message says so."""
+    schema fields — the guard message says so. Default cap is the shared
+    MAX_DRIVER_CATEGORIES knob (core/limits.py)."""
+    from pontem_spark.core.limits import MAX_DRIVER_CATEGORIES
+
+    if max_categories is None:
+        max_categories = MAX_DRIVER_CATEGORIES
     columns = [columns] if isinstance(columns, str) else list(columns)
     unknown = [c for c in columns if c not in df._columns]
     if unknown:

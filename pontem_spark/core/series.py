@@ -923,7 +923,7 @@ class Series:
 
     # -- dedup / counting ------------------------------------------------------
 
-    def unique(self, max_driver_rows: int = 2_000_000) -> list:
+    def unique(self, max_driver_rows: "int | None" = None) -> list:
         """Distinct values (an action, like pandas returning ndarray).
 
         Driver-collected by definition — so, like the similarity family's
@@ -931,6 +931,10 @@ class Series:
         distinct-count pre-pass) instead of OOMing the driver; stay
         distributed with :meth:`drop_duplicates` when cardinality is high.
         """
+        from pontem_spark.core.limits import MAX_DRIVER_ROWS
+
+        if max_driver_rows is None:
+            max_driver_rows = MAX_DRIVER_ROWS
         distinct = self._internal.sdf.select(self._col.alias("v")).distinct()
         n = distinct.count()
         if n > max_driver_rows:
@@ -2160,7 +2164,17 @@ class Series:
     def factorize(self):
         """(codes, uniques) — ndarray results are driver-sized by
         definition (pandas contract), so this is an eager terminal like
-        tolist()."""
+        tolist(), behind the shared loud guard (core/limits.py)."""
+        from pontem_spark.core.limits import MAX_DRIVER_ROWS
+
+        n = self._internal.sdf.limit(MAX_DRIVER_ROWS + 1).count()
+        if n > MAX_DRIVER_ROWS:
+            raise ValueError(
+                f"Series.factorize(): series has more than "
+                f"{MAX_DRIVER_ROWS} rows; the codes ndarray is driver-"
+                "collected. Stay distributed with rank('dense') or a "
+                "dimension join instead."
+            )
         return self.to_pandas().factorize()
 
     # MultiIndex level plumbing ------------------------------------------------

@@ -161,10 +161,24 @@ class Ewm:
     def _apply(self, op: str):
         import pandas as pd
 
+        from pontem_spark.core.limits import MAX_SINGLE_GROUP_ROWS
         from pontem_spark.core.series import Series
 
         s = self._s
         sdf = s._materialized()
+        # loud scale guard (r7 verdict #6, same pattern as Series.unique):
+        # the recurrence below funnels EVERY row through one Arrow group —
+        # fail before a billion-row series materializes in one python
+        # worker, and point at the per-key parallel shape.
+        n = sdf.limit(MAX_SINGLE_GROUP_ROWS + 1).count()
+        if n > MAX_SINGLE_GROUP_ROWS:
+            raise ValueError(
+                f"Series.ewm(): series has more than {MAX_SINGLE_GROUP_ROWS} "
+                "rows; Series-level ewm is inherently sequential and runs as "
+                "ONE Arrow group. Use df.groupby(key)[col].ewm(...) "
+                "(GroupedEwm) — per-key groups run in parallel — or "
+                "pre-aggregate to a bounded series."
+            )
         idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
         params = self._params
 

@@ -723,6 +723,20 @@ def test_ewm_matches_pandas(spark):
             pd.testing.assert_series_equal(got, want, check_names=False), (kw, op)
 
 
+def test_ewm_single_group_scale_guard(spark, monkeypatch):
+    """Series-level ewm funnels every row through ONE Arrow group — the
+    loud guard (r7 verdict #6) must fire before that group materializes
+    and point at the per-key parallel shape (GroupedEwm)."""
+    import pontem_spark.core.limits as limits
+
+    monkeypatch.setattr(limits, "MAX_SINGLE_GROUP_ROWS", 5)
+    s = Series([float(i) for i in range(10)], spark=spark)
+    with pytest.raises(ValueError, match="GroupedEwm"):
+        s.ewm(alpha=0.3).mean()
+    monkeypatch.setattr(limits, "MAX_SINGLE_GROUP_ROWS", 1000)
+    assert len(s.ewm(alpha=0.3).mean().to_pandas()) == 10
+
+
 # --- r7 probe-then-pin: NaN-skipping reductions + API-gap params -----------------
 
 def test_reductions_skip_nan_like_pandas(spark):
