@@ -10,8 +10,9 @@ import pytest
 
 from pontem_spark.queries.round7_pending import PENDING as PENDING_A
 from pontem_spark.queries.round8_pending import PENDING as PENDING_B
+from pontem_spark.queries.round9_pending import PENDING as PENDING_C
 
-PENDING = PENDING_A + PENDING_B
+PENDING = PENDING_A + PENDING_B + PENDING_C
 
 
 @pytest.mark.parametrize("name", [n for n, _, _ in PENDING])
