@@ -416,33 +416,45 @@ class DatetimeAccessor:
     def days_in_month(self):
         return self._wrap(F.dayofmonth(F.last_day(self._s._col)))
 
+    def _pred(self, col: Column):
+        # pandas dt.is_* predicates are FALSE on NaT, not missing (r8
+        # probe) — the one dt family where missing does not propagate
+        return self._wrap(F.coalesce(col, F.lit(False)))
+
     @property
     def is_month_start(self):
-        return self._wrap(F.dayofmonth(self._s._col) == 1)
+        return self._pred(F.dayofmonth(self._s._col) == 1)
 
     @property
     def is_month_end(self):
-        return self._wrap(F.to_date(self._s._col) == F.last_day(self._s._col))
+        return self._pred(F.to_date(self._s._col) == F.last_day(self._s._col))
 
     @property
     def is_year_start(self):
-        return self._wrap(F.dayofyear(self._s._col) == 1)
+        return self._pred(F.dayofyear(self._s._col) == 1)
 
     @property
     def is_year_end(self):
-        return self._wrap((F.month(self._s._col) == 12) & (F.dayofmonth(self._s._col) == 31))
+        return self._pred((F.month(self._s._col) == 12) & (F.dayofmonth(self._s._col) == 31))
 
     @property
     def is_quarter_start(self):
-        return self._wrap(
+        return self._pred(
             (F.dayofmonth(self._s._col) == 1) & (F.month(self._s._col) % 3 == 1)
         )
 
     @property
     def is_quarter_end(self):
-        return self._wrap(
+        return self._pred(
             (F.to_date(self._s._col) == F.last_day(self._s._col))
             & (F.month(self._s._col) % 3 == 0)
+        )
+
+    @property
+    def is_leap_year(self):
+        y = F.year(self._s._col)
+        return self._pred(
+            ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
         )
 
     def day_name(self):

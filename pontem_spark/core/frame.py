@@ -1271,14 +1271,17 @@ class DataFrame:
         numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
         schema = {f.name: f.dataType.simpleString() for f in self._materialized().schema.fields}
         cols = [c for c in self._columns if schema[c] in numeric]
+        # NaN is pandas-missing: corr/covar skip NULL pairwise but
+        # propagate NaN into the whole cell (r8 probe) — blank NaN to NULL
+        v = {c: self._valid_col(c, schema) for c in cols}
         exprs = (
-            [diag_agg(self._columns[c]).alias(f"v_{i}") for i, c in enumerate(cols)]
+            [diag_agg(v[c]).alias(f"v_{i}") for i, c in enumerate(cols)]
             if diag_agg
             else []
         )
         n_diag = len(exprs)
         exprs += [
-            pair_agg(self._columns[a], self._columns[b]).alias(f"{i}_{j}")
+            pair_agg(v[a], v[b]).alias(f"{i}_{j}")
             for i, a in enumerate(cols)
             for j, b in enumerate(cols)
             if i < j
@@ -1679,7 +1682,13 @@ class DataFrame:
         as a pandas Series (the reduction shape), Series come back as a
         rebuilt frame. axis=1: func over each ROW via one Arrow
         pandas_udf on a struct of the columns (batched, never per-row
-        Python) returning a Series of ``dtype``."""
+        Python) returning a Series of ``dtype``. A STRING func is the
+        pandas named-reduction form (``df.apply("sum")``, r8 probe) —
+        delegated to the one-pass reduction paths, never Python."""
+        if isinstance(func, str):
+            if axis in (1, "columns"):
+                return self._reduce_rowwise(func)
+            return self._reduce_all(func)
         if axis == 0:
             results = {c: func(self[c]) for c in self._columns}
             if all(isinstance(v, Series) for v in results.values()):
@@ -1847,15 +1856,25 @@ class DataFrame:
 
     def _level_rebuild(self, keep: "list[str]", base_sdf=None) -> "DataFrame":
         m = base_sdf if base_sdf is not None else self._materialized()
+        # pandas droplevel/swaplevel/xs PRESERVE row order; the rebuilt
+        # index must not become the sort key (r8 probe: droplevel re-sorted
+        # by the remaining levels). The original struct index keeps the
+        # order — but under a HELPER name: _materialized() re-aliases the
+        # new index to INDEX_COL, so a spec naming INDEX_COL would resolve
+        # to the rebuilt index, not the original one.
+        spec = self._internal.order_spec
+        if spec is None:
+            m = m.withColumn("__lvlorder__", F.col(INDEX_COL))
+            spec = (("__lvlorder__", True),)
         if len(keep) == 1:
             sdf = m.withColumn("__idx2__", F.col(f"{INDEX_COL}.{keep[0]}"))
-            internal = InternalFrame(sdf, "__idx2__", keep[0])
+            internal = InternalFrame(sdf, "__idx2__", keep[0], order_spec=spec)
         else:
             sdf = m.withColumn(
                 "__idx2__",
                 F.struct(*[F.col(f"{INDEX_COL}.{n}").alias(n) for n in keep]),
             )
-            internal = InternalFrame(sdf, "__idx2__", tuple(keep))
+            internal = InternalFrame(sdf, "__idx2__", tuple(keep), order_spec=spec)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def _index_level_names(self) -> list:
@@ -1934,8 +1953,16 @@ class DataFrame:
         a = self.to_spark(index_col="__idx")
         b = other.to_spark(index_col="__idx")
         j = a.alias("a").join(b.alias("b"), "__idx", "inner")
+
+        def _nn(col):
+            # NaN must act as missing: F.corr skips NULL pairwise but
+            # propagates NaN into the whole statistic (r8 probe: one NaN
+            # row made every correlation NaN; pandas drops the pair)
+            v = col.cast("double")
+            return F.when(~F.isnan(v), v)
+
         exprs = [
-            F.corr(F.col(f"a.{c}").cast("double"), F.col(f"b.{c}").cast("double")).alias(c)
+            F.corr(_nn(F.col(f"a.{c}")), _nn(F.col(f"b.{c}"))).alias(c)
             for c in shared
         ]
         row = j.agg(*exprs).first()
@@ -1994,13 +2021,16 @@ class DataFrame:
 
         return FrameEwm(self, com, span, halflife, alpha, adjust, ignore_na, min_periods)
 
-    def interpolate(self, method: str = "linear") -> "DataFrame":
+    def interpolate(self, method: str = "linear", limit: "int | None" = None) -> "DataFrame":
         """Positional linear interpolation per numeric column — the
         Series.interpolate semantics (interior gaps linear, leading stay
-        missing, trailing ffill) with the two ignore-nulls window scans
-        SHARED across every column (one sort total)."""
+        missing, trailing ffill, ``limit`` capping consecutive fills per
+        run) with the two ignore-nulls window scans SHARED across every
+        column (one sort total)."""
         if method != "linear":
             raise ValueError("interpolate: only method='linear'")
+        if limit is not None and (not isinstance(limit, int) or limit <= 0):
+            raise ValueError("interpolate: limit must be a positive integer")
         from pyspark.sql import Window
 
         numeric = set(self._numeric_cols())
@@ -2023,13 +2053,14 @@ class DataFrame:
             pp = F.last(valid_pos, ignorenulls=True).over(back)
             nv = F.first(v, ignorenulls=True).over(fwd)
             np_ = F.first(valid_pos, ignorenulls=True).over(fwd)
+            gate = F.lit(True) if limit is None else (pos - pp) <= limit
             cols[c] = (
                 F.when(v.isNotNull(), v)
                 .when(
-                    pv.isNotNull() & nv.isNotNull(),
+                    pv.isNotNull() & nv.isNotNull() & gate,
                     pv + (nv - pv) * (pos - pp) / (np_ - pp).cast("double"),
                 )
-                .when(pv.isNotNull(), pv)
+                .when(pv.isNotNull() & gate, pv)
             )
         internal = InternalFrame(
             sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
@@ -2092,9 +2123,11 @@ class DataFrame:
 
     def update(self, other: "DataFrame") -> "DataFrame":
         """Overwrite cells from ``other``'s non-missing values on matching
-        index labels and shared columns (returned, not in-place — a
-        distributed frame has no mutable cells). Left join + per-column
-        coalesce."""
+        index labels and shared columns. Left join + per-column coalesce.
+        Rebinds self IN PLACE like pandas (r8 probe: callers following the
+        pandas ``df.update(o); df...`` pattern silently kept stale data) —
+        and, unlike pandas' None, also returns the updated frame so the
+        pre-r8 value-style call sites keep working."""
         a = self.to_spark(index_col="__idx")
         shared = [c for c in self._columns if c in other._columns]
         b = other.to_spark(index_col="__idx").select(
@@ -2112,10 +2145,15 @@ class DataFrame:
             else:
                 cols[c] = j[c]
         internal = InternalFrame(j, "__idx", self._internal.index_name)
-        return DataFrame._from_internal(internal, cols)
+        self._internal = internal
+        self._columns = cols
+        return self
 
     def align(self, other: "DataFrame", join: str = "outer") -> "tuple[DataFrame, DataFrame]":
-        """Index-align two frames onto ONE joined anchor."""
+        """Index-align two frames onto ONE joined anchor. Columns align
+        too, like pandas (r8 probe): ``outer`` takes the sorted union
+        (absent columns come back all-missing), ``inner`` the
+        intersection, ``left``/``right`` that side's columns."""
         how = {"outer": "full_outer", "inner": "inner", "left": "left", "right": "right"}[join]
         a = self.to_spark(index_col="__idx")
         b = other.to_spark(index_col="__idx").select(
@@ -2123,9 +2161,23 @@ class DataFrame:
         )
         j = a.join(b, "__idx", how)
         internal = InternalFrame(j, "__idx", self._internal.index_name)
-        left = DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
+        if join == "outer":
+            cols = sorted(set(self._columns) | set(other._columns))
+        elif join == "inner":
+            cols = [c for c in self._columns if c in other._columns]
+        elif join == "left":
+            cols = list(self._columns)
+        else:
+            cols = list(other._columns)
+        # pandas fills a column absent from one side with NaN (dtype
+        # becomes float64) — a NULL double literal matches
+        absent = F.lit(None).cast("double")
+        left = DataFrame._from_internal(
+            internal, {c: (j[c] if c in self._columns else absent) for c in cols}
+        )
         right = DataFrame._from_internal(
-            internal, {c: j[f"__r_{c}"] for c in other._columns}
+            internal,
+            {c: (j[f"__r_{c}"] if c in other._columns else absent) for c in cols},
         )
         return left, right
 
@@ -2575,10 +2627,25 @@ class DataFrame:
         return DataFrame._from_internal(self._internal, out)
 
     def replace(self, to_replace, value=None) -> "DataFrame":
-        """Scalar or dict replacement per cell ({old: new} applies to all
-        columns). Pure projection. NaN targets are not supported here —
+        """Scalar or dict replacement per cell: ``{old: new}`` applies to
+        all columns; the nested pandas form ``{col: {old: new}}`` applies
+        per column (r8 probe: the nested dict crashed as a HashMap
+        literal). Pure projection. NaN targets are not supported here —
         use fillna, which already handles pandas-missing."""
+        if isinstance(to_replace, Mapping) and to_replace and all(
+            isinstance(m, Mapping) for m in to_replace.values()
+        ):
+            unknown = [c for c in to_replace if c not in self._columns]
+            if unknown:
+                raise KeyError(unknown)
+            out = self
+            for col, m in to_replace.items():
+                out = out._replace_in_columns(m, only=col)
+            return out
         mapping = to_replace if isinstance(to_replace, Mapping) else {to_replace: value}
+        return self._replace_in_columns(mapping)
+
+    def _replace_in_columns(self, mapping: "Mapping", only: "str | None" = None) -> "DataFrame":
         schema = {
             f.name: f.dataType.simpleString().split("(")[0]
             for f in self._materialized().schema.fields
@@ -2599,9 +2666,10 @@ class DataFrame:
         out: dict[str, Column] = {}
         for k, v in self._columns.items():
             expr = v
-            for old, new in mapping.items():
-                if applies(schema.get(k), old):
-                    expr = F.when(v == F.lit(old), F.lit(new)).otherwise(expr)
+            if only is None or k == only:
+                for old, new in mapping.items():
+                    if applies(schema.get(k), old):
+                        expr = F.when(v == F.lit(old), F.lit(new)).otherwise(expr)
             out[k] = expr
         return DataFrame._from_internal(self._internal, out)
 

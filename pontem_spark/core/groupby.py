@@ -29,8 +29,9 @@ _AGGS: dict[str, Callable] = {
 def _skew_expr(v):
     """Adjusted Fisher-Pearson G1 from raw moments (n, Σx, Σx², Σx³) — the
     derive-from-sums discipline that keeps the oracle portable (engine-
-    native skewness() accumulations differ). NULL when n < 3 or variance
-    is 0, like pandas."""
+    native skewness() accumulations differ). NULL when n < 3; a
+    zero-variance group is 0.0, like pandas (r8 probe: we returned NULL
+    there, pandas defines 0/0 as 0)."""
     n = F.count(v).cast("double")
     s1, s2, s3 = F.sum(v), F.sum(v * v), F.sum(v * v * v)
     mu = s1 / n
@@ -38,14 +39,16 @@ def _skew_expr(v):
     m3 = s3 / n - F.lit(3.0) * mu * (s2 / n) + F.lit(2.0) * mu * mu * mu
     g1 = m3 / F.pow(m2, F.lit(1.5))
     return F.when(
-        (n >= 3) & (m2 > 0),
-        g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0)),
+        n >= 3,
+        F.when(
+            m2 > 0, g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0))
+        ).otherwise(F.lit(0.0)),
     )
 
 
 def _kurt_expr(v):
     """Pandas G2 (excess, bias-adjusted) from raw moments up to Σx⁴; NULL
-    when n < 4 or variance is 0."""
+    when n < 4; a zero-variance group is 0.0, like pandas."""
     n = F.count(v).cast("double")
     s1, s2, s3, s4 = F.sum(v), F.sum(v * v), F.sum(v * v * v), F.sum(v * v * v * v)
     mu = s1 / n
@@ -58,10 +61,13 @@ def _kurt_expr(v):
     )
     g2 = m4 / (m2 * m2) - F.lit(3.0)
     return F.when(
-        (n >= 4) & (m2 > 0),
-        ((n + F.lit(1.0)) * g2 + F.lit(6.0))
-        * (n - F.lit(1.0))
-        / ((n - F.lit(2.0)) * (n - F.lit(3.0))),
+        n >= 4,
+        F.when(
+            m2 > 0,
+            ((n + F.lit(1.0)) * g2 + F.lit(6.0))
+            * (n - F.lit(1.0))
+            / ((n - F.lit(2.0)) * (n - F.lit(3.0))),
+        ).otherwise(F.lit(0.0)),
     )
 
 
@@ -71,12 +77,22 @@ _COMPOSITE_AGGS: dict[str, Callable] = {
     "prod": lambda c: F.coalesce(F.product(c), F.lit(1.0)),
     # sem derived from (n, Σx, Σx²) — NOT stddev_samp: engine-native
     # stddev accumulations differ across engines, the sums form does not
-    # (the same portability discipline the incremental rollup uses)
-    "sem": lambda c: F.sqrt(
-        (F.sum(c * c) - F.sum(c) * F.sum(c) / F.count(c).cast("double"))
-        / (F.count(c).cast("double") - F.lit(1.0))
-    )
-    / F.sqrt(F.count(c).cast("double")),
+    # (the same portability discipline the incremental rollup uses).
+    # n >= 2 guard: a single-row group hits /(n-1)=0, which Spark 4 ANSI
+    # THROWS on even for doubles (r8 probe); pandas sem(ddof=1) is NaN
+    # there. greatest(...,0): the raw-sums variance can cancel to a tiny
+    # negative on constant groups — sqrt would give NaN, pandas gives 0.
+    "sem": lambda c: F.when(
+        F.count(c) >= 2,
+        F.sqrt(
+            F.greatest(
+                F.sum(c * c) - F.sum(c) * F.sum(c) / F.count(c).cast("double"),
+                F.lit(0.0),
+            )
+            / (F.count(c).cast("double") - F.lit(1.0))
+        )
+        / F.sqrt(F.count(c).cast("double")),
+    ),
     "skew": _skew_expr,
     "kurt": _kurt_expr,
 }
@@ -593,8 +609,11 @@ class SeriesGroupBy:
         picked = (
             sdf.filter(_keys_valid_sdf(sdf, self._keys))
             .withColumn("__rn", F.row_number().over(w))
-            .filter((F.col("__rn") == 1) & v.isNotNull())
-            .select(*self._keys, F.col(idx).alias("__value__"))
+            .filter(F.col("__rn") == 1)
+            # an all-missing group keeps its row with a NULL index — the
+            # pandas 2.x shape (idxmax of an all-NaN group is NaN; r8
+            # probe found these groups were dropped entirely)
+            .select(*self._keys, F.when(v.isNotNull(), F.col(idx)).alias("__value__"))
         )
         if len(self._keys) == 1:
             internal = InternalFrame(picked, self._keys[0], self._keys[0])
@@ -668,4 +687,8 @@ class SeriesGroupBy:
     def median(self): return self.agg("median")
     def first(self): return self.agg("first")
     def last(self): return self.agg("last")
+    def prod(self): return self.agg("prod")
+    def sem(self): return self.agg("sem")
+    def skew(self): return self.agg("skew")
+    def kurt(self): return self.agg("kurt")
 

@@ -1128,8 +1128,11 @@ class Series:
             F.count(self._valid_col).alias("n"),
         ).first()
         n = row["n"]
-        if n < 3 or row["g"] is None:
+        if n < 3:
             return float("nan")
+        if row["g"] is None:
+            # Spark skewness() is NULL on zero variance; pandas says 0.0
+            return 0.0
         return row["g"] * math.sqrt(n * (n - 1)) / (n - 2)
 
     def kurt(self):
@@ -1140,8 +1143,11 @@ class Series:
             F.count(self._valid_col).alias("n"),
         ).first()
         n = row["n"]
-        if n < 4 or row["g"] is None:
+        if n < 4:
             return float("nan")
+        if row["g"] is None:
+            # Spark kurtosis() is NULL on zero variance; pandas says 0.0
+            return 0.0
         return (n - 1) / ((n - 2) * (n - 3)) * ((n + 1) * row["g"] + 6)
 
     kurtosis = kurt
@@ -1518,18 +1524,22 @@ class Series:
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
         )
 
-    def interpolate(self, method: str = "linear") -> "Series":
+    def interpolate(self, method: str = "linear", limit: "int | None" = None) -> "Series":
         """pandas-default linear interpolation by POSITION (values treated
         as equally spaced): each interior missing run is filled linearly
         between its surrounding valid values, leading missing stay
         missing, and trailing missing carry the last valid value forward
         (pandas' ``limit_direction='forward'`` default, which quietly
-        degrades extrapolation to ffill). Two ignore-nulls window scans
+        degrades extrapolation to ffill). ``limit`` caps how many
+        consecutive missing rows get filled per run, counted forward from
+        the last valid value (r8 probe). Two ignore-nulls window scans
         (last-before + first-after, the operators/timeseries.py gapfill
         shape) — all Catalyst, no UDF. Result dtype is double, like
         pandas' float64."""
         if method != "linear":
             raise ValueError("interpolate: only method='linear' is implemented")
+        if limit is not None and (not isinstance(limit, int) or limit <= 0):
+            raise ValueError("interpolate: limit must be a positive integer")
         from pyspark.sql import Window
 
         mat = self._materialized()
@@ -1549,13 +1559,14 @@ class Series:
         next_v = F.first(valid_v, ignorenulls=True).over(wf)
         next_p = F.first(valid_p, ignorenulls=True).over(wf)
         frac = (sdf["__pos"] - prev_p).cast("double") / (next_p - prev_p).cast("double")
+        gate = F.lit(True) if limit is None else (sdf["__pos"] - prev_p) <= limit
         col = (
             F.when(~missing, v.cast("double"))
             .when(
-                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v.isNotNull() & next_v.isNotNull() & gate,
                 prev_v + (next_v - prev_v) * frac,
             )
-            .when(prev_v.isNotNull(), prev_v)  # trailing run: ffill
+            .when(prev_v.isNotNull() & gate, prev_v)  # trailing run: ffill
             # leading run: stays null → NaN in pandas
         )
         return Series._from_internal(
@@ -2090,20 +2101,25 @@ class Series:
 
     def update(self, other: "Series") -> "Series":
         """Overwrite with ``other``'s non-missing values on matching
-        labels; self's index is kept (pandas — but returned, not in-place:
-        a distributed frame has no mutable cells). Left join + per-cell
-        coalesce."""
+        labels; self's index is kept. Left join + per-cell coalesce.
+        Rebinds self IN PLACE like pandas (r8 probe — the frame twin had
+        callers silently keeping stale data); also returns the updated
+        series so value-style call sites keep working."""
         a = self._materialized()
         b = other._materialized("__u__").select(INDEX_COL, "__u__")
         j = a.join(b, INDEX_COL, "left")
         u = F.col("__u__")
         if j.schema["__u__"].dataType.simpleString() in ("double", "float"):
             u = F.when(F.isnan(u), F.lit(None)).otherwise(u)
-        return Series._from_internal(
+        updated = Series._from_internal(
             InternalFrame(j, INDEX_COL, self._internal.index_name),
             F.coalesce(u, F.col(_VALUE)),
             self._name,
         )
+        self._internal = updated._internal
+        self._col = updated._col
+        self._cached_len = None
+        return self
 
     def align(self, other: "Series", join: str = "outer") -> "tuple[Series, Series]":
         """Index-align two series; both results share ONE joined anchor

@@ -230,7 +230,11 @@ def embedding_dimension_profile(
         "dim",
         "n",
         rnd(F.col("__s") / n, round_digits).alias("mean"),
-        rnd(F.sqrt(F.greatest(var, F.lit(0.0))), round_digits).alias("sd"),
+        # n >= 2 when-guard: Spark 4 ANSI throws on the /(n-1) double
+        # division for a single-vector input (CaseWhen short-circuits,
+        # so the guarded branch never evaluates it); sample sd of one
+        # observation is NULL, matching STDDEV_SAMP
+        rnd(F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))), round_digits).alias("sd"),
         rnd(F.col("__lo"), round_digits).alias("lo"),
         rnd(F.col("__hi"), round_digits).alias("hi"),
     )
@@ -548,12 +552,15 @@ def concentration_report(
     tot = F.col("tot")
     six = (n + F.lit(1.0)) * tot - F.col("sjx")  # ascending-rank weighted sum
     gini = (F.lit(2.0) * six) / (n * tot) - (n + F.lit(1.0)) / n
+    # tot != 0 when-guards: an all-zero measure would hit Spark 4 ANSI's
+    # double DIVIDE_BY_ZERO throw; shares/HHI/gini are undefined there
+    nz = tot != 0
     return one.select(
         F.col("n").cast("bigint").alias("n_keys"),
-        rnd(gini, round_digits).alias("gini"),
-        rnd(F.col("sxx") / (tot * tot), round_digits).alias("hhi"),
-        rnd(F.col("t1") / tot, round_digits).alias("top1_share"),
-        rnd(F.col("tn") / tot, round_digits).alias(f"top{top_n}_share"),
+        rnd(F.when(nz, gini), round_digits).alias("gini"),
+        rnd(F.when(nz, F.col("sxx") / (tot * tot)), round_digits).alias("hhi"),
+        rnd(F.when(nz, F.col("t1") / tot), round_digits).alias("top1_share"),
+        rnd(F.when(nz, F.col("tn") / tot), round_digits).alias(f"top{top_n}_share"),
     )
 
 

@@ -1274,13 +1274,17 @@ def q_api_value_counts_xs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            ROUND(
-             CASE WHEN n >= 3 AND (s2/n - (s1/n)*(s1/n)) > 0 THEN
-               ((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
-                / pow(s2/n - (s1/n)*(s1/n), CAST(1.5 AS DOUBLE)))
-               * sqrt(n*(n-1.0)) / (n-2.0)
+             CASE WHEN n >= 3 THEN
+               CASE WHEN (s2/n - (s1/n)*(s1/n)) > 0 THEN
+                 ((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n))
+                  / pow(s2/n - (s1/n)*(s1/n), CAST(1.5 AS DOUBLE)))
+                 * sqrt(n*(n-1.0)) / (n-2.0)
+               ELSE CAST(0.0 AS DOUBLE) END
              END, 6) AS skew,
            ROUND(
-             sqrt((s2 - s1*s1/n) / (n-1.0)) / sqrt(n)
+             CASE WHEN n >= 2 THEN
+               sqrt(greatest(s2 - s1*s1/n, CAST(0.0 AS DOUBLE)) / (n-1.0)) / sqrt(n)
+             END
            , 6) AS sem
     FROM m
     """,

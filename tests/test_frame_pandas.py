@@ -1162,6 +1162,173 @@ def test_get_dummies_parity(spark):
         get_dummies(f, "k", max_categories=2)
 
 
+def test_probe_pins_round8(spark):
+    """r8 probe batch over the r7 parity surface (r7 verdict task 8):
+    (1) SeriesGroupBy grew prod/sem/skew/kurt (frame-level GroupBy had
+    them, the per-column path raised AttributeError); (2) grouped
+    idxmax/idxmin keep an all-NaN group as a NULL row like pandas 2.x
+    instead of dropping the group."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "b", "c", "d", "d"],
+        "v": [1.0, nan, 3.0, 3.0, 5.0, 7.0, nan, nan],
+    })
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    sg, psg = f.groupby("k")["v"], pdf.groupby("k")["v"]
+
+    for how in ("prod", "sem", "skew", "kurt"):
+        got = getattr(sg, how)().to_pandas().sort_index()
+        if how == "kurt":
+            # pandas 2.2 groupby has no kurt — derive per group from the
+            # Series method (the convention ours follows)
+            want = psg.apply(lambda s: s.kurt()).sort_index()
+        else:
+            want = getattr(psg, how)().sort_index()
+        assert list(got.index) == list(want.index), how
+        for a, b in zip(got.tolist(), want.tolist()):
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            bn = isinstance(b, float) and math.isnan(b)
+            assert an == bn and (an or abs(a - b) <= 1e-9), (how, a, b)
+
+    for op in ("idxmax", "idxmin"):
+        got = getattr(sg, op)().to_pandas().sort_index()
+        want = getattr(psg, op)().sort_index()
+        assert list(got.index) == ["a", "b", "c", "d"], op
+        for k in want.index:
+            b = want[k]
+            a = got[k]
+            bn = isinstance(b, float) and math.isnan(b)
+            an = a is None or (isinstance(a, float) and math.isnan(a))
+            assert an == bn and (an or int(a) == int(b)), (op, k, a, b)
+
+
+def test_probe_pins_round8b(spark):
+    """r8 probe batch #2 (frame parity surfaces): corr/cov/corrwith drop
+    NaN pairs pairwise instead of poisoning the statistic; replace takes
+    the nested pandas {col: {old: new}} form; align aligns COLUMNS too
+    (outer = sorted union, absent side all-missing); update rebinds self
+    in place like pandas; droplevel/swaplevel/xs preserve row order
+    instead of re-sorting by the remaining levels; apply accepts the
+    named-reduction string form; interpolate grew limit=."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({
+        "a": [1.0, nan, 3.0, 4.0, 5.0],
+        "b": [10.0, 20.0, nan, 40.0, 50.0],
+        "c": ["x", "y", "x", "z", "y"],
+    })
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+
+    # corrwith / corr / cov pairwise NaN deletion
+    got = pd.Series(f[["a", "b"]].corrwith(f[["a", "b"]]))
+    want = pdf[["a", "b"]].corrwith(pdf[["a", "b"]])
+    for c in ("a", "b"):
+        assert abs(got[c] - want[c]) <= 1e-9, c
+    gc, wc = f[["a", "b"]].corr(), pdf[["a", "b"]].corr()
+    assert abs(gc.loc["a", "b"] - wc.loc["a", "b"]) <= 1e-9
+    gv, wv = f[["a", "b"]].cov(), pdf[["a", "b"]].cov()
+    assert abs(gv.loc["a", "b"] - wv.loc["a", "b"]) <= 1e-9
+
+    # nested replace
+    got = f.replace({"c": {"x": "X"}}).to_pandas()["c"].tolist()
+    assert got == pdf.replace({"c": {"x": "X"}})["c"].tolist()
+    with pytest.raises(KeyError):
+        f.replace({"zzz": {"x": "X"}})
+
+    # align columns
+    la, ra = f[["a"]].align(f[["b"]], join="outer")
+    pla, pra = pdf[["a"]].align(pdf[["b"]], join="outer")
+    assert la.columns == pla.columns.tolist() == ["a", "b"]
+    assert ra.columns == pra.columns.tolist()
+    assert la.to_pandas()["b"].isna().all()
+
+    # update in place (and still returns the frame for chaining)
+    ff = DataFrame(pdf[["a"]].to_dict("list"), spark=spark)
+    pp = pdf[["a"]].copy()
+    upd = pd.DataFrame({"a": [nan, 200.0, nan, nan, 500.0]})
+    ret = ff.update(DataFrame(upd.to_dict("list"), spark=spark))
+    pp.update(upd)
+    assert ret is ff
+    got = ff.to_pandas().sort_index()["a"].tolist()
+    for g, w in zip(got, pp["a"].tolist()):
+        assert (math.isnan(g) if isinstance(g, float) and math.isnan(w) else g == w)
+
+    # MultiIndex level ops preserve row order
+    pm = pd.DataFrame({
+        "g": ["a", "a", "b", "b"], "h": ["p", "q", "p", "q"],
+        "v": [1.0, 2.0, 3.0, nan],
+    })
+    fm = DataFrame(pm.to_dict("list"), spark=spark).set_index(["g", "h"])
+    pmi = pm.set_index(["g", "h"])
+    got = fm.droplevel(0).to_pandas()["v"].tolist()
+    want = pmi.droplevel(0)["v"].tolist()
+    assert all(
+        (isinstance(g, float) and math.isnan(g) and math.isnan(w)) or g == w
+        for g, w in zip(got, want)
+    )
+    assert fm.swaplevel().to_pandas().index.names == ["h", "g"]
+
+    # apply("sum") named-reduction form, both axes
+    got = f[["a", "b"]].apply("sum")
+    want = pdf[["a", "b"]].apply("sum")
+    assert abs(got["a"] - want["a"]) <= 1e-9 and abs(got["b"] - want["b"]) <= 1e-9
+    got = f[["a", "b"]].apply("sum", axis=1).to_pandas().sort_index().tolist()
+    want = pdf[["a", "b"]].apply("sum", axis=1).tolist()
+    assert all(abs(g - w) <= 1e-9 for g, w in zip(got, want))
+
+    # interpolate(limit=)
+    got = f[["a", "b"]].interpolate(limit=1).to_pandas().sort_index()["a"].tolist()
+    want = pdf[["a", "b"]].interpolate(limit=1)["a"].tolist()
+    assert all(
+        (isinstance(g, float) and math.isnan(g) and math.isnan(w)) or abs(g - w) <= 1e-9
+        for g, w in zip(got, want)
+    )
+    with pytest.raises(ValueError, match="limit"):
+        f[["a"]].interpolate(limit=0)
+
+
+def test_probe_pins_round8_grouped_stats(spark):
+    """r8 probe: grouped sem on a single-row group hit ANSI DIVIDE_BY_ZERO
+    (Spark 4 throws even for doubles); zero-variance skew/kurt are 0.0
+    like pandas (we returned NULL); Series-level skew/kurt on a constant
+    series likewise."""
+    import math
+
+    nan = float("nan")
+    pdf = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "v": [3.0, 3.0, 3.0, 3.0, 1.0, 2.0, 7.0],
+    })
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    got_sem = f.groupby("k")["v"].sem().to_pandas().sort_index()
+    want_sem = pdf.groupby("k")["v"].sem().sort_index()
+    for k in want_sem.index:
+        g, w = got_sem[k], want_sem[k]
+        wn = isinstance(w, float) and math.isnan(w)
+        gn = g is None or (isinstance(g, float) and math.isnan(g))
+        assert gn == wn and (gn or abs(g - w) <= 1e-9), ("sem", k, g, w)
+    got_skew = f.groupby("k")["v"].skew().to_pandas().sort_index()
+    want_skew = pdf.groupby("k")["v"].skew().sort_index()
+    for k in want_skew.index:
+        g, w = got_skew[k], want_skew[k]
+        wn = isinstance(w, float) and math.isnan(w)
+        gn = g is None or (isinstance(g, float) and math.isnan(g))
+        assert gn == wn and (gn or abs(g - w) <= 1e-9), ("skew", k, g, w)
+    # zero-variance group kurt: pandas Series convention is 0.0 (pandas
+    # 2.2 groupby has no kurt; ours follows the Series rule)
+    got_kurt = f.groupby("k")["v"].kurt().to_pandas().sort_index()
+    assert got_kurt["a"] == 0.0 and (got_kurt["b"] is None or math.isnan(got_kurt["b"]))
+
+    from pontem_spark.core import Series
+
+    assert Series([3.0, 3.0, 3.0], spark=spark).skew() == pd.Series([3.0, 3.0, 3.0]).skew() == 0.0
+    assert Series([3.0] * 4, spark=spark).kurt() == pd.Series([3.0] * 4).kurt() == 0.0
+    assert math.isnan(Series([5.0], spark=spark).sem())
+
+
 def test_probe_pins_round7c(spark):
     """r7 probe batch: shift fill_value, quantile interpolation methods,
     rolling min_periods (NaN = missing), rolling count row-gate, query NaN
@@ -1812,6 +1979,9 @@ def test_frame_update_align_compare(spark):
     wupd = wa.copy()
     wupd.update(wb)
     _eq_frames(a.update(b), wupd)
+    # update is IN-PLACE since r8 (pandas parity) — a now equals wupd
+    _eq_frames(a, wupd)
+    a = DataFrame({"v": [1.0, np.nan, 3.0], "w": [1.0, 1.0, 1.0]}, spark=spark)
 
     la, lb = a[["v"]].align(b)
     wla, wlb = wa[["v"]].align(wb)

@@ -871,8 +871,14 @@ def test_dt_accessor_extended_battery(spark):
     eq("week", sdts.dt.week, pdts.dt.isocalendar().week.astype("int64").tolist())
     eq("days_in_month", sdts.dt.days_in_month, pdts.dt.days_in_month.tolist())
     for p in ("is_month_start", "is_month_end", "is_year_start", "is_year_end",
-              "is_quarter_start", "is_quarter_end"):
+              "is_quarter_start", "is_quarter_end", "is_leap_year"):
         eq(p, getattr(sdts.dt, p), getattr(pdts.dt, p).tolist())
+    # r8 probe: the is_* predicates are FALSE on NaT in pandas, not
+    # missing — the one dt family where missing does not propagate
+    nat = pd.Series(pd.to_datetime(["2024-01-01", None, "2024-02-29"]))
+    snat = Series(list(nat), spark=spark)
+    for p in ("is_month_start", "is_month_end", "is_leap_year"):
+        eq(f"nat_{p}", getattr(snat.dt, p), getattr(nat.dt, p).tolist())
     eq("day_name", sdts.dt.day_name(), pdts.dt.day_name().tolist())
     eq("month_name", sdts.dt.month_name(), pdts.dt.month_name().tolist())
     for freq in ("h", "min", "s", "D"):
