@@ -403,6 +403,7 @@ class DataFrame:
         fill_value=None,
         margins: bool = False,
         margins_name: str = "All",
+        dropna: bool = True,
     ) -> "DataFrame":
         """pandas pivot_table == groupBy(index).pivot(columns).agg.
 
@@ -422,21 +423,86 @@ class DataFrame:
         """
         from pontem_spark.core.groupby import _AGGS
 
-        if columns is None:
-            # pandas allows an index-only pivot_table: a plain grouped
-            # aggregation keyed by the index (r7 probe)
-            if margins:
-                raise ValueError("margins requires a columns argument")
-            return self.groupby(index).agg({values: aggfunc})
         agg = _AGGS[aggfunc]
         base = self._materialized()
+        schema = dict(base.dtypes)
+        # NaN is pandas-missing: count must not count it, sum/mean/min/max
+        # must skip it (r8 probe: a NaN-only cell counted 1)
+        valid = base[values]
+        if schema.get(values) in ("double", "float"):
+            valid = F.when(~F.isnan(valid), valid)
+
+        if columns is None:
+            # pandas allows an index-only pivot_table: a plain grouped
+            # aggregation keyed by the index (r7 probe); margins appends
+            # the grand-total row (r8 probe — previously raised)
+            if not margins:
+                return self.groupby(index).agg({values: aggfunc})
+            if not base.filter(
+                F.col(index).cast("string") == margins_name
+            ).isEmpty():
+                raise ValueError(
+                    f"margins_name {margins_name!r} conflicts with an index "
+                    "value"
+                )
+            per_key = (
+                base.filter(base[index].isNotNull())
+                .groupBy(F.col(index).cast("string").alias(index))
+                .agg(agg(valid).alias(values))
+            )
+            total = base.select(agg(valid).alias(values)).withColumn(
+                index, F.lit(margins_name)
+            )
+            sdf = per_key.unionByName(total.select(index, values))
+            if fill_value is not None:
+                sdf = sdf.fillna(fill_value)
+            internal = InternalFrame(sdf, index, index)
+            return DataFrame._from_internal(internal, {values: sdf[values]})
+
         grouped = base.groupBy(index)
         pivoted = (
             grouped.pivot(columns, column_values)
             if column_values is not None
             else grouped.pivot(columns)
         )
-        sdf = pivoted.agg(agg(base[values]))
+        # three stats per cell in ONE pivot pass: the aggregate itself, the
+        # non-missing count, and the ROW count — the row count tells an
+        # ABSENT cell (NULL in pandas) from a present-but-all-NaN cell
+        # (sum -> 0.0, count -> 0 in pandas); the non-missing counts also
+        # feed the dropna column probe below
+        raw = pivoted.agg(
+            agg(valid).alias("__pva"),
+            F.count(valid).alias("__pvc"),
+            F.count(F.lit(1)).alias("__pvn"),
+        )
+        if column_values is not None:
+            pvs = [str(v) for v in column_values]
+        else:
+            pvs = [c[: -len("___pva")] for c in raw.columns if c.endswith("___pva")]
+        cells = {}
+        for pv in pvs:
+            a = raw[f"{pv}___pva"]
+            cnt = raw[f"{pv}___pvc"]
+            n = raw[f"{pv}___pvn"]
+            if aggfunc == "sum":
+                cell = F.when(n > 0, F.coalesce(a, F.lit(0)))
+            elif aggfunc == "count":
+                cell = F.when(n > 0, cnt)
+            else:
+                cell = a
+            cells[pv] = cell
+        if dropna and aggfunc not in ("sum", "count"):
+            # pandas drops pivot columns whose every cell is missing
+            # (dropna=True default). One small agg over the pivoted frame
+            # (|index| rows x |pivot| cols); skipped for sum/count, whose
+            # present-cell zeros keep every column alive by construction.
+            # Pass dropna=False to skip the probe job at scale.
+            totals = raw.agg(
+                *[F.sum(raw[f"{pv}___pvc"]).alias(f"c{i}") for i, pv in enumerate(pvs)]
+            ).first()
+            pvs = [pv for i, pv in enumerate(pvs) if (totals[f"c{i}"] or 0) > 0]
+            cells = {pv: cells[pv] for pv in pvs}
+        sdf = raw.select(raw[index], *[cells[pv].alias(pv) for pv in pvs])
         if margins:
             if margins_name in sdf.columns:
                 # a pivot value equal to margins_name would collide with the
@@ -458,7 +524,7 @@ class DataFrame:
             sdf = sdf.withColumn(index, F.col(index).cast("string"))
             row_tot = (
                 base.groupBy(F.col(index).cast("string").alias(index))
-                .agg(agg(base[values]).alias(margins_name))
+                .agg(agg(valid).alias(margins_name))
             )
             sdf = sdf.join(row_tot, index, "left")
             col_grouped = base.groupBy()
@@ -468,10 +534,13 @@ class DataFrame:
                 else col_grouped.pivot(columns)
             )
             margin_row = (
-                col_pivoted.agg(agg(base[values]))
+                col_pivoted.agg(agg(valid))
                 .withColumn(index, F.lit(margins_name))
-                .crossJoin(base.select(agg(base[values]).alias(margins_name)))
+                .crossJoin(base.select(agg(valid).alias(margins_name)))
             )
+            # the margin pivot re-derives every data pivot value (a
+            # superset of sdf's, which dropna may have pruned) — select
+            # narrows it to the surviving columns
             sdf = sdf.unionByName(margin_row.select(*sdf.columns))
         if fill_value is not None:
             sdf = sdf.fillna(fill_value)
@@ -2955,11 +3024,33 @@ def concat(frames: list, axis: int = 0) -> DataFrame:
             base = base.join(f.to_spark(index_col="__idx"), "__idx", "full_outer")
         internal = InternalFrame(base, "__idx", lifted[0]._internal.index_name)
         return DataFrame._from_internal(internal, {c: base[c] for c in names})
-    sdf = lifted[0]._materialized_user()
-    for f in lifted[1:]:
-        sdf = sdf.unionByName(f._materialized_user())
-    internal = InternalFrame(sdf, INDEX_COL, lifted[0]._internal.index_name)
-    return DataFrame._from_internal(internal, {c: sdf[c] for c in lifted[0]._columns})
+    # pandas concat outer-aligns COLUMNS (r8 probe): a column absent from
+    # one input comes back missing there, not an analysis error. Column
+    # order is pandas': first frame's columns, then new ones in order of
+    # appearance. Row order is stacking order — frame position first, each
+    # frame's own index within it (r8 probe: index-order materialization
+    # interleaved the inputs' duplicate default indexes) — carried as a
+    # lazy order spec on a source-position column, no sort until a
+    # materialization point.
+    cols: list[str] = []
+    for f in lifted:
+        for c in f._columns:
+            if c not in cols:
+                cols.append(c)
+    pieces = [
+        f._materialized_user().withColumn("__src__", F.lit(i))
+        for i, f in enumerate(lifted)
+    ]
+    sdf = pieces[0]
+    for p in pieces[1:]:
+        sdf = sdf.unionByName(p, allowMissingColumns=True)
+    internal = InternalFrame(
+        sdf,
+        INDEX_COL,
+        lifted[0]._internal.index_name,
+        order_spec=(("__src__", True), (INDEX_COL, True)),
+    )
+    return DataFrame._from_internal(internal, {c: sdf[c] for c in cols})
 
 
 def get_dummies(

@@ -165,7 +165,14 @@ class GroupBy:
                     fn = _AGGS.get(h) or _COMPOSITE_AGGS.get(h)
                     if fn is None:
                         raise ValueError(f"unsupported aggregation: {h!r}")
-                    exprs.append(fn(v).alias(out))
+                    expr = fn(v)
+                    if h == "sum":
+                        # pandas sum has min_count=0: an all-missing group
+                        # is 0, not NULL (r8 probe). lit(0) keeps the sum's
+                        # own type through coalesce's coercion (int stays
+                        # bigint, float stays double).
+                        expr = F.coalesce(expr, F.lit(0))
+                    exprs.append(expr.alias(out))
                 out_names.append(out)
 
         base = (
@@ -454,10 +461,11 @@ class SeriesGroupBy:
         if fn is None:
             raise ValueError(f"unsupported aggregation: {how!r}")
         w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
-        col = F.when(
-            _keys_valid(self._df, self._keys),
-            fn(_valid(self._df, self._col)).over(w),
-        )
+        over = fn(_valid(self._df, self._col)).over(w)
+        if how == "sum":
+            # pandas min_count=0: an all-missing group transforms to 0
+            over = F.coalesce(over, F.lit(0))
+        col = F.when(_keys_valid(self._df, self._keys), over)
         return Series._from_internal(self._df._internal, col, self._col)
 
     def agg(self, how):

@@ -1329,6 +1329,68 @@ def test_probe_pins_round8_grouped_stats(spark):
     assert math.isnan(Series([5.0], spark=spark).sem())
 
 
+def test_probe_pins_round8c(spark):
+    """r8 probe batch #3 (merge/concat/pivot_table): concat outer-aligns
+    columns and keeps STACKING order (not index order) via a lazy
+    source-position spec; pivot_table blanks NaN before aggregating,
+    tells absent cells (NULL) from present-all-NaN cells (sum -> 0.0,
+    count -> 0), drops all-missing columns for mean-family aggfuncs
+    (pandas dropna=True), and supports index-only margins; grouped sum
+    of an all-missing group is 0 (pandas min_count=0), for agg and
+    transform both."""
+    import math
+
+    nan = float("nan")
+
+    # concat: column outer-alignment + stacking order
+    from pontem_spark.core.frame import concat
+
+    pc1 = pd.DataFrame({"v": [1.0, 2.0]})
+    pc2 = pd.DataFrame({"v": [3.0, 4.0], "w": [5.0, 6.0]})
+    got = concat([
+        DataFrame(pc1.to_dict("list"), spark=spark),
+        DataFrame(pc2.to_dict("list"), spark=spark),
+    ]).to_pandas()
+    want = pd.concat([pc1, pc2])
+    assert got["v"].tolist() == want["v"].tolist() == [1.0, 2.0, 3.0, 4.0]
+    gw, ww = got["w"].tolist(), want["w"].tolist()
+    assert all((math.isnan(g) if isinstance(w, float) and math.isnan(w) else g == w)
+               for g, w in zip(gw, ww))
+
+    # pivot_table edge cells
+    pp = pd.DataFrame({
+        "r": ["a", "a", "a", "b", "b", "c"],
+        "c": ["x", "x", "y", "x", "z", "y"],
+        "v": [1.0, 3.0, 5.0, 7.0, nan, 11.0],
+    })
+    fp = DataFrame(pp.to_dict("list"), spark=spark)
+    for aggfunc in ("mean", "sum", "count", "min", "max"):
+        got = fp.pivot_table(index="r", columns="c", values="v",
+                             aggfunc=aggfunc).to_pandas().sort_index()
+        want = pp.pivot_table(index="r", columns="c", values="v", aggfunc=aggfunc)
+        assert sorted(got.columns) == sorted(str(c) for c in want.columns), aggfunc
+        for col in want.columns:
+            for g, w in zip(got[str(col)].tolist(), want[col].tolist()):
+                wn = isinstance(w, float) and math.isnan(w)
+                gn = g is None or (isinstance(g, float) and math.isnan(g))
+                assert gn == wn and (gn or abs(g - w) <= 1e-9), (aggfunc, col, g, w)
+
+    # index-only margins: values match pandas (row position of 'All' is
+    # the documented index-order deviation)
+    got = sorted(fp.pivot_table(index="r", values="v", aggfunc="sum",
+                                margins=True).to_pandas()["v"].tolist())
+    want = sorted(pp.pivot_table(index="r", values="v", aggfunc="sum",
+                                 margins=True)["v"].tolist())
+    assert got == want
+
+    # grouped sum min_count=0
+    pg = pd.DataFrame({"k": ["a", "a", "d", "d"], "v": [1.0, 2.0, nan, nan]})
+    fg = DataFrame(pg.to_dict("list"), spark=spark)
+    assert fg.groupby("k")["v"].sum().to_pandas().sort_index().tolist() == [3.0, 0.0]
+    assert (fg.groupby("k")["v"].transform("sum").to_pandas().sort_index().tolist()
+            == pg.groupby("k")["v"].transform("sum").tolist())
+
+
 def test_probe_pins_round7c(spark):
     """r7 probe batch: shift fill_value, quantile interpolation methods,
     rolling min_periods (NaN = missing), rolling count row-gate, query NaN
