@@ -665,3 +665,43 @@ def test_target_encoding_facts_never_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("FileScan") == 2, plan  # facts + the category-stat branch
+
+
+def test_pivot_table_one_pass_three_stats(spark):
+    """The r8 pivot_table rewrite carries (agg, valid-count, row-count)
+    per cell through ONE pivot aggregation — the pandas NaN-cell
+    semantics must not cost a second scan or shuffle of the base data.
+    Spark's pivot is inherently two-phase (partial agg keyed (index,
+    pivot-col), then pivotfirst keyed index — 2 Exchanges even for a
+    single agg), so the assertions are: exactly those 2 Exchanges, the
+    base scanned ONCE, and Catalyst pruning the stat columns an aggfunc
+    doesn't use (sum keeps agg+rowcount, drops the valid-count)."""
+    from pontem_spark.core import DataFrame
+    from pontem_spark.plans import count_exchanges, physical_plan
+
+    f = DataFrame(
+        {"r": ["a", "a", "b"], "c": ["x", "y", "x"], "v": [1.0, 2.0, 3.0]},
+        spark=spark,
+    )
+    out = f.pivot_table(
+        index="r", columns="c", values="v", aggfunc="sum",
+        column_values=["x", "y"],
+    )
+    plan = physical_plan(out.to_spark())
+    assert count_exchanges(out.to_spark()) == 2
+    assert plan.count("Scan ") == 1, plan
+    assert "__pvc" not in plan  # unused valid-count pruned for sum
+
+
+def test_concat_rows_no_shuffle(spark):
+    """concat(axis=0) is a pure union: zero Exchange, even with column
+    outer-alignment (allowMissingColumns is a projection, not a
+    shuffle); the stacking order rides a lazy order spec."""
+    from pontem_spark.core import DataFrame
+    from pontem_spark.core.frame import concat
+    from pontem_spark.plans import count_exchanges
+
+    a = DataFrame({"v": [1.0, 2.0]}, spark=spark)
+    b = DataFrame({"v": [3.0], "w": [4.0]}, spark=spark)
+    out = concat([a, b])
+    assert count_exchanges(out.to_spark()) == 0
