@@ -1795,20 +1795,44 @@ class DataFrame:
 
     product = prod
 
+    def _moment_reduce(self, expr_fn):
+        """ONE aggregation pass for a composite moment statistic across
+        every numeric column (the per-column Series methods each run a
+        driver job — N jobs for an N-column frame; this is 1)."""
+        import pandas as pd
+
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        cols = self._numeric_cols()
+        if not cols:
+            return pd.Series(dtype="float64")
+        exprs = [expr_fn(self._valid_col(c, schema)).alias(c) for c in cols]
+        row = self._internal.sdf.select(*exprs).first()
+        return pd.Series(
+            {c: (float("nan") if row[c] is None else row[c]) for c in cols},
+            dtype="float64",
+        )
+
     def sem(self, ddof: int = 1):
+        from pontem_spark.core.groupby import _COMPOSITE_AGGS
+
+        if ddof == 1:
+            return self._moment_reduce(_COMPOSITE_AGGS["sem"])
         import pandas as pd
 
         return pd.Series({c: self[c].sem(ddof=ddof) for c in self._numeric_cols()})
 
     def skew(self):
-        import pandas as pd
+        from pontem_spark.core.groupby import _skew_expr
 
-        return pd.Series({c: self[c].skew() for c in self._numeric_cols()})
+        return self._moment_reduce(_skew_expr)
 
     def kurt(self):
-        import pandas as pd
+        from pontem_spark.core.groupby import _kurt_expr
 
-        return pd.Series({c: self[c].kurt() for c in self._numeric_cols()})
+        return self._moment_reduce(_kurt_expr)
 
     kurtosis = kurt
 

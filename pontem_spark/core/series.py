@@ -2203,15 +2203,23 @@ class Series:
 
     def _rebuild_index(self, keep: "list[str]") -> "Series":
         m = self._materialized()
+        # pandas droplevel/swaplevel/xs preserve ROW ORDER — keep ordering
+        # anchored to the original struct index under a helper name (the
+        # frame's _level_rebuild fix, r8 probe: re-sorting by the rebuilt
+        # index reordered rows)
+        spec = self._internal.order_spec
+        if spec is None:
+            m = m.withColumn("__lvlorder__", F.col(INDEX_COL))
+            spec = (("__lvlorder__", True),)
         if len(keep) == 1:
             sdf = m.withColumn("__idx2__", F.col(f"{INDEX_COL}.{keep[0]}"))
-            internal = InternalFrame(sdf, "__idx2__", keep[0])
+            internal = InternalFrame(sdf, "__idx2__", keep[0], order_spec=spec)
         else:
             sdf = m.withColumn(
                 "__idx2__",
                 F.struct(*[F.col(f"{INDEX_COL}.{n}").alias(n) for n in keep]),
             )
-            internal = InternalFrame(sdf, "__idx2__", tuple(keep))
+            internal = InternalFrame(sdf, "__idx2__", tuple(keep), order_spec=spec)
         return Series._from_internal(internal, F.col(_VALUE), self._name)
 
     def droplevel(self, level) -> "Series":

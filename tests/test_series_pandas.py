@@ -723,6 +723,31 @@ def test_ewm_matches_pandas(spark):
             pd.testing.assert_series_equal(got, want, check_names=False), (kw, op)
 
 
+def test_series_level_ops_preserve_row_order(spark):
+    """r8 probe follow-up: Series droplevel/swaplevel/xs preserve row
+    order like pandas instead of re-sorting by the rebuilt index (the
+    frame-side _level_rebuild fix, mirrored)."""
+    import math
+
+    nan = float("nan")
+    from pontem_spark.core import DataFrame
+
+    pm = pd.DataFrame({
+        "g": ["a", "a", "b", "b"], "h": ["p", "q", "p", "q"],
+        "v": [1.0, 2.0, 3.0, nan],
+    })
+    fm = DataFrame(pm.to_dict("list"), spark=spark).set_index(["g", "h"])
+    pmi = pm.set_index(["g", "h"])
+    for op in ("droplevel", "swaplevel"):
+        got = getattr(fm["v"], op)(0) if op == "droplevel" else fm["v"].swaplevel()
+        want = pmi["v"].droplevel(0) if op == "droplevel" else pmi["v"].swaplevel()
+        for g, w in zip(got.to_pandas().tolist(), want.tolist()):
+            wn = isinstance(w, float) and math.isnan(w)
+            gn = g is None or (isinstance(g, float) and math.isnan(g))
+            assert gn == wn and (gn or g == w), op
+    assert fm["v"].xs("a").to_pandas().tolist() == pmi["v"].xs("a").tolist()
+
+
 def test_ewm_single_group_scale_guard(spark, monkeypatch):
     """Series-level ewm funnels every row through ONE Arrow group — the
     loud guard (r7 verdict #6) must fire before that group materializes
