@@ -2,11 +2,13 @@
 
 NOT registered yet (r7 verdict task 5 + the r9 window plan in round8.py):
 the r8 window is fully spent on the 54 flipped candidates, so this stages
-the CDC WRITE path's first driver-evidence query for the r9 flip — until
-now ``sources/writers.py::upsert_parquet`` was the only major family whose
-correctness evidence was exclusively local (the two-batch physical-bytes
-test). Round 9 flips it by importing ``round9`` (to be written, mirroring
-queries/round8.py) — or simply registering this module's PENDING triples.
+the WRITE side's first driver-evidence queries for the r9 flip — until
+now ``sources/writers.py`` (upsert_parquet, compact_parquet) was the only
+major family whose correctness evidence was exclusively local (two-batch
+physical-bytes / file-count tests). Round 9 flips both by importing
+``round9`` (queries/round9.py, already written — one import line in
+registry.all_queries()). Two new registrations leave ~44 slots for the
+r5-stale re-checks.
 
 Exercised by tests/test_pending_queries.py at sf0.001 and sf0.01 now, so
 it arrives green.
@@ -119,6 +121,63 @@ def q_cdc_upsert_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the ~10-row aggregate so the returned frame no
         # longer references the temp files (same pattern as the
         # streaming-composition queries)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_pending(
+    "q_maintenance_compaction_readback",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(CAST(value AS DOUBLE)), 2) AS total_value,
+           CAST(4 AS INT) AS n_files
+    FROM events WHERE value >= 100
+    GROUP BY event_type
+    """,
+)
+def q_maintenance_compaction_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, end to end: a filtered events slice is
+    deliberately written as 16 small files (a micro-batch landing
+    directory in miniature), ``compact_parquet`` rewrites it into
+    exactly 4 files through the write-then-swap staging path, and the
+    result is read back from DISK and aggregated. The oracle aggregates
+    the same slice from the source table and pins ``n_files = 4`` as a
+    literal — hash-equality proves the rewrite lost and duplicated
+    nothing AND produced exactly the requested file count (the swap
+    happened; the operator's return value is the physical ls).
+
+    Scale shape: compaction is one round-robin repartition write — no
+    aggregation, no driver materialization; the standing maintenance job
+    every streaming ingest needs (sources/writers.py::compact_parquet;
+    the sort_by range-clustering variant is pinned by tests/test_io.py).
+    """
+    import shutil
+    import tempfile
+
+    from pontem_spark.functions.compat import rnd
+    from pontem_spark.sources.writers import compact_parquet
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 100)
+        .select("event_type", F.col("value").cast("double").alias("value"))
+    )
+    tmp = tempfile.mkdtemp(prefix="pontem_compact_rb_")
+    table = tmp + "/events_slice"
+    try:
+        ev.repartition(16).write.mode("overwrite").parquet(table)
+        n_files = compact_parquet(spark, table, target_files=4)
+        back = spark.read.parquet(table)
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                rnd(F.sum("value"), 2).alias("total_value"),
+            )
+            .withColumn("n_files", F.lit(int(n_files)).cast("int"))
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
