@@ -470,3 +470,51 @@ def test_str_center_just_match_python(spark, texts, w):
     assert s.str.center(w, "*").to_pandas().reset_index(drop=True).tolist() == p.str.center(w, "*").tolist()
     assert s.str.ljust(w, "#").to_pandas().reset_index(drop=True).tolist() == p.str.ljust(w, "#").tolist()
     assert s.str.rjust(w, "#").to_pandas().reset_index(drop=True).tolist() == p.str.rjust(w, "#").tolist()
+
+
+@pytest.mark.parametrize("seed", [3, 7, 11])
+def test_grouped_surface_random_differential(spark, seed):
+    """Randomized grouped-surface differential (r8 probe #8 pinned at
+    three seeds): NaN/tie-laden random frames through aggregates,
+    transforms, window ops, rank, and frame reductions, value-compared
+    against pandas. The full 18-seed sweep ran divergence-free in r8;
+    these seeds keep the surface honest per-commit."""
+    import math
+
+    import numpy as np
+
+    from pontem_spark.core import DataFrame
+
+    nan = float("nan")
+    rng = np.random.RandomState(seed)
+    n = rng.randint(8, 24)
+    nk = rng.randint(2, 5)
+    pdf = pd.DataFrame({
+        "k": rng.choice([chr(97 + i) for i in range(nk)], n),
+        "v": np.where(rng.rand(n) < 0.3, nan,
+                      rng.randint(-3, 6, n).astype(float)),
+    })
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    sg, psg = f.groupby("k")["v"], pdf.groupby("k")["v"]
+
+    def eq_series(tag, got, want):
+        got, want = got.sort_index(), want.sort_index()
+        assert len(got) == len(want), (tag, len(got), len(want))
+        for g, w in zip(got.tolist(), want.tolist()):
+            wn = isinstance(w, float) and math.isnan(w)
+            gn = g is None or (isinstance(g, float) and math.isnan(g))
+            assert gn == wn, (tag, g, w)
+            if not wn:
+                assert abs(g - w) <= 1e-8 * max(1.0, abs(w)), (tag, g, w)
+
+    for how in ("sum", "mean", "std", "median", "count", "prod", "sem", "skew"):
+        eq_series(f"agg.{how}", getattr(sg, how)().to_pandas(), getattr(psg, how)())
+    for how in ("sum", "mean", "max"):
+        eq_series(f"tr.{how}", sg.transform(how).to_pandas(), psg.transform(how))
+    eq_series("shift", sg.shift(1).to_pandas(), psg.shift(1))
+    eq_series("cumsum", sg.cumsum().to_pandas(), psg.cumsum())
+    m = ["average", "min", "dense"][seed % 3]
+    eq_series(f"rank.{m}", sg.rank(method=m).to_pandas(), psg.rank(method=m))
+    eq_series("idxmax", sg.idxmax().to_pandas(), psg.idxmax())
+    eq_series("roll2", sg.rolling(2).mean().to_pandas(),
+              psg.rolling(2).mean().reset_index(level=0, drop=True))
