@@ -151,6 +151,7 @@ def all_queries() -> dict[str, Query]:
         streaming_q,
         text,
         round8,
+        round9,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
