@@ -20,6 +20,61 @@ _PY_SPACE = (
 # whitespace like Spark's initcap.
 _CASED = "[\\p{Lu}\\p{Ll}\\p{Lt}]"
 
+_FOLD_TABLE: tuple[tuple[str, str], list[tuple[str, str]]] | None = None
+
+_TITLE_MAP: str | None = None
+
+
+def _title_map() -> str:
+    """str_to_map literal ('ß:Ss,ǆ:ǅ,…') of every BMP char whose Python
+    TITLECASE mapping differs from its uppercase mapping (ß→Ss, the Lt
+    digraphs ǅǈǋǲ, Georgian — which titles to itself, not Mtavruli).
+    Derived from CPython at first use, like ``_fold_table``. ',' and ':'
+    are case-invariant so the separators are safe."""
+    global _TITLE_MAP
+    if _TITLE_MAP is None:
+        pairs = []
+        for cp in range(0x10000):
+            ch = chr(cp)
+            t = ch.title()
+            if t != ch.upper():
+                pairs.append(f"{ch}:{t}")
+        _TITLE_MAP = ",".join(pairs)
+    return _TITLE_MAP
+
+
+def _fold_table() -> tuple[tuple[str, str], list[tuple[str, str]]]:
+    """Unicode full case folding as (translate-from, translate-to) for the
+    1:1 mappings plus an (src, folded) list for the ~100 EXPANDING folds
+    (ß→ss, ﬁ→fi, Greek ypogegrammeni combos). Derived from CPython's own
+    str.casefold at first use — no hand-maintained table, and it tracks
+    whatever Unicode version the running interpreter (= the pandas oracle)
+    ships. BMP only: no astral codepoint folds differently from lower()."""
+    global _FOLD_TABLE
+    if _FOLD_TABLE is None:
+        src_1 = []
+        dst_1 = []
+        expanding = []
+        # entries are keyed on the LOWERCASED character: the engine lowers
+        # first (JVM), then fixes up, because Unicode guarantees
+        # fold(x) == fold(lower(x)). Keying on lowercase also catches the
+        # inverted scripts (Cherokee folds lowercase → UPPERCASE, so the
+        # fold output must not itself pass through lower()).
+        for cp in range(0x10000):
+            ch = chr(cp)
+            if ch != ch.lower():
+                continue
+            cf = ch.casefold()
+            if cf == ch:
+                continue
+            if len(cf) == 1:
+                src_1.append(ch)
+                dst_1.append(cf)
+            else:
+                expanding.append((ch, cf))
+        _FOLD_TABLE = (("".join(src_1), "".join(dst_1)), expanding)
+    return _FOLD_TABLE
+
 
 class StringAccessor:
     def __init__(self, s):
@@ -53,11 +108,14 @@ class StringAccessor:
         ``'3rd'`` → ``'3Rd'``. Spark's initcap only breaks on whitespace and
         leaves mid-word capitals, so it is wrong for both. Per-character
         transform (interpreted, not codegen) — an API accessor, not a
-        hot-path operator. Known divergence: characters whose Python
-        TITLECASE mapping differs from their uppercase mapping (ß → 'Ss' in
-        Python, 'SS' here; the Lt digraphs ǅ ǈ ǋ ǲ)."""
+        hot-path operator. Word starts consult the TITLECASE divergence
+        map first (r9 probe: ß → 'Ss' like Python, not JVM upper's 'SS';
+        the Lt digraphs ǅ ǈ ǋ ǲ; Georgian stays lowercase) — one
+        constant-folded str_to_map literal, try_element_at because ANSI
+        element_at throws on a missing map key."""
         col = self._s._col
         chars = F.split(col, "")
+        tmap = F.str_to_map(F.lit(_title_map()), F.lit(","), F.lit(":"))
         out = F.concat_ws(
             "",
             F.transform(
@@ -65,7 +123,7 @@ class StringAccessor:
                 lambda ch, i: F.when(~ch.rlike(_CASED), ch)
                 .when(
                     (i == F.lit(0)) | ~F.get(chars, i - 1).rlike(_CASED),
-                    F.upper(ch),
+                    F.coalesce(F.try_element_at(tmap, ch), F.upper(ch)),
                 )
                 .otherwise(F.lower(ch)),
             ),
@@ -263,11 +321,20 @@ class StringAccessor:
         )
 
     def casefold(self):
-        """Aggressive lowercase for caseless matching. JVM exposes no true
-        casefold table, so this is lower() — identical on every cased
-        script, divergent only on the handful of expanding foldings
-        (ß→ss, ﬁ→fi)."""
-        return self._wrap(F.lower(self._s._col))
+        """Python str.casefold parity: full Unicode case folding, not just
+        lower(). The JVM exposes no fold function, so: JVM lower() first
+        (every ordinary cased letter), then the divergence set — chars
+        whose casefold differs from their lowercase form, derived from
+        CPython at first use (see ``_fold_table``) — as one ``translate``
+        pass for the ~190 1:1 remaps (ς→σ, ſ→s, µ→μ, Cherokee's inverted
+        fold) plus a replace chain for the ~100 expanding folds (ß→ss, ŉ,
+        Greek iota subscripts). Single projection, still
+        WholeStageCodegen — no UDF."""
+        (src_1, dst_1), expanding = _fold_table()
+        col = F.lower(self._s._col)
+        for ch, folded in expanding:
+            col = F.replace(col, F.lit(ch), F.lit(folded))
+        return self._wrap(F.translate(col, src_1, dst_1))
 
     def partition(self, sep: str = " "):
         """3-column DataFrame (before, sep, after) split at the FIRST
@@ -464,42 +531,65 @@ class DatetimeAccessor:
     def month_name(self):
         return self._wrap(F.date_format(self._s._col, "MMMM"))
 
-    _FREQ_SECONDS = {"d": 86400, "h": 3600, "t": 60, "min": 60, "s": 1}
+    _FREQ_SECONDS = {
+        "d": 86400, "day": 86400,
+        "h": 3600, "hour": 3600,
+        "t": 60, "min": 60, "minute": 60,
+        "s": 1, "second": 1,
+    }
 
-    def _freq_seconds(self, freq: str) -> int:
-        u = self._FREQ_SECONDS.get(freq.lower())
+    def _freq_micros(self, freq: str) -> int:
+        """Parse a pandas fixed-freq alias, MULTIPLES included ('15min',
+        '2h' — r9 probe: pandas accepts them, the engine raised), into
+        whole microseconds. Non-fixed freqs ('W', 'M') raise like pandas.
+        Micros, not seconds: unix_timestamp truncates sub-second parts,
+        which made ceil('s') of 12:00:00.3 stick at :00 instead of :01."""
+        import re as _re
+
+        m = _re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        u = self._FREQ_SECONDS.get(m.group(2).lower()) if m else None
         if u is None:
             raise ValueError(f"dt: unsupported freq {freq!r}")
-        return u
+        n = int(m.group(1)) if m.group(1) else 1
+        if n <= 0:
+            raise ValueError(f"dt: unsupported freq {freq!r}")
+        return n * u * 1_000_000
 
     def ceil(self, freq: str):
-        """Round UP to the unit boundary (whole-second units)."""
-        u = self._freq_seconds(freq)
-        secs = F.unix_timestamp(self._s._col)
-        return self._wrap(F.timestamp_seconds(F.ceil(secs / u).cast("long") * u))
+        """Round UP to the freq boundary (epoch-anchored, like pandas).
+        Pure integer math — pmod is floor-mod, so pre-epoch timestamps
+        are handled; no double division (micros exceed 2^53 past ~2255)."""
+        u = self._freq_micros(freq)
+        us = F.unix_micros(self._s._col)
+        return self._wrap(F.timestamp_micros(us + F.pmod(-us, F.lit(u))))
 
     def round(self, freq: str):
-        """Round to the nearest unit boundary — pandas rounds HALF-EVEN
-        (banker's) at exact midpoints, which bround reproduces."""
-        u = self._freq_seconds(freq)
-        secs = F.unix_timestamp(self._s._col)
-        return self._wrap(F.timestamp_seconds(F.bround(secs / u, 0).cast("long") * u))
+        """Round to the nearest freq boundary — pandas rounds HALF-EVEN
+        (banker's) at exact midpoints: at r == u/2 the EVEN multiple of
+        the freq wins, detected exactly as pmod(base, 2u) == 0."""
+        u = self._freq_micros(freq)
+        us = F.unix_micros(self._s._col)
+        r = F.pmod(us, F.lit(u))
+        base = us - r
+        up = base + F.lit(u)
+        even = F.pmod(base, F.lit(2 * u)) == 0
+        out = (
+            F.when(r * 2 < u, base)
+            .when(r * 2 > u, up)
+            .otherwise(F.when(even, base).otherwise(up))
+        )
+        return self._wrap(F.timestamp_micros(out))
 
     def floor(self, freq: str):
-        # pandas 2.x freq aliases are lowercase ('h', 'min', 's'; 'H'/'T'
-        # deprecated but still seen) — map BOTH cases onto date_trunc units;
-        # an unknown freq must raise, not silently date_trunc to NULL (the
-        # r7 probe found floor('h') returning all-NaT)
-        unit = {
-            "d": "day", "day": "day",
-            "h": "hour", "hour": "hour",
-            "t": "minute", "min": "minute", "minute": "minute",
-            "s": "second", "second": "second",
-            "w": "week", "week": "week",
-        }.get(freq.lower())
-        if unit is None:
-            raise ValueError(f"dt.floor: unsupported freq {freq!r}")
-        return self._wrap(F.date_trunc(unit, self._s._col))
+        """Round DOWN to the freq boundary. 'w'/'week' keeps the
+        date_trunc Monday-start path (an extension — pandas floor rejects
+        non-fixed freqs); everything else is epoch-anchored integer math
+        so multiples ('15min') land on the same grid as pandas."""
+        if freq.strip().lower() in ("w", "week"):
+            return self._wrap(F.date_trunc("week", self._s._col))
+        u = self._freq_micros(freq)
+        us = F.unix_micros(self._s._col)
+        return self._wrap(F.timestamp_micros(us - F.pmod(us, F.lit(u))))
 
     def normalize(self):
         """Midnight of each timestamp's day (pandas dt.normalize) — keeps
@@ -514,10 +604,48 @@ class DatetimeAccessor:
         secs = self._s._col.cast("long")  # day-time interval → total seconds
         return self._wrap(F.floor(secs / F.lit(86400.0)).cast("long"))
 
+    _STRFTIME = {
+        "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd",
+        "H": "HH", "I": "hh", "M": "mm", "S": "ss",
+        "f": "SSSSSS", "j": "DDD",
+        "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM",
+        "p": "a", "G": "YYYY", "V": "ww",
+    }
+
     def strftime(self, fmt: str):
-        # translate the common strftime directives to Spark's pattern letters
-        spark_fmt = (
-            fmt.replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
-            .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
-        )
-        return self._wrap(F.date_format(self._s._col, spark_fmt))
+        """strftime → Spark date_format, by TOKENIZING (r9 probe): plain
+        find-replace crashed on untranslated directives (%j) and, worse,
+        literal text containing Java pattern letters ('Day: %d' — D, a, y
+        are all pattern letters) silently rendered as date fields. Literal
+        runs are single-quoted, %% becomes a literal percent, and an
+        unmappable directive raises instead of leaking to Spark."""
+        out = []
+        lit = []
+
+        def flush():
+            if lit:
+                seg = "".join(lit).replace("'", "''")
+                out.append(f"'{seg}'")
+                lit.clear()
+
+        i = 0
+        while i < len(fmt):
+            ch = fmt[i]
+            if ch == "%" and i + 1 < len(fmt):
+                d = fmt[i + 1]
+                if d == "%":
+                    lit.append("%")
+                elif d in self._STRFTIME:
+                    flush()
+                    out.append(self._STRFTIME[d])
+                else:
+                    raise ValueError(
+                        f"strftime: unsupported directive %{d} (supported: "
+                        f"%{' %'.join(sorted(self._STRFTIME))} and %%)"
+                    )
+                i += 2
+            else:
+                lit.append(ch)
+                i += 1
+        flush()
+        return self._wrap(F.date_format(self._s._col, "".join(out)))

@@ -309,10 +309,16 @@ class DataFrame:
         on: str | list[str] | None = None,
         how: str = "inner",
         suffixes: tuple[str, str] = ("_x", "_y"),
+        indicator: "bool | str" = False,
     ) -> "DataFrame":
         """pandas merge == Spark join on key columns; the result gets a fresh
         (non-contiguous) rowid index, mirroring pandas' index reset. Broadcast
-        and join-strategy choice stay with Catalyst/AQE."""
+        and join-strategy choice stay with Catalyst/AQE.
+
+        ``indicator=True`` appends pandas' ``_merge`` column
+        ('left_only'/'right_only'/'both' — string, not categorical; pass a
+        str to name it) derived from the carried source-index null flags,
+        so it costs nothing beyond the join itself (r9 probe)."""
         if on is None:
             on = [c for c in self.columns if c in right.columns]
         keys = [on] if isinstance(on, str) else list(on)
@@ -348,6 +354,17 @@ class DataFrame:
             spec = tuple((k, True) for k in keys) + spec
         internal = InternalFrame(sdf, _ROWID, None, spec)
         cols = {c: sdf[c] for c in user_cols}
+        if indicator:
+            name = indicator if isinstance(indicator, str) else "_merge"
+            if name in cols:
+                raise ValueError(
+                    f"merge: indicator column {name!r} already exists"
+                )
+            cols[name] = (
+                F.when(F.col("__lmiss__"), F.lit("right_only"))
+                .when(F.col("__rmiss__"), F.lit("left_only"))
+                .otherwise(F.lit("both"))
+            )
         return DataFrame._from_internal(internal, cols)
 
     def merge_asof(
@@ -424,6 +441,13 @@ class DataFrame:
         from pontem_spark.core.groupby import _AGGS
 
         agg = _AGGS[aggfunc]
+        # margins must mirror the cell path's sum min_count=0 convention
+        # (pandas: an all-missing group's sum is 0, never NULL)
+        m_agg = (
+            (lambda c: F.coalesce(agg(c), F.lit(0)))
+            if aggfunc == "sum"
+            else agg
+        )
         base = self._materialized()
         schema = dict(base.dtypes)
         # NaN is pandas-missing: count must not count it, sum/mean/min/max
@@ -448,9 +472,9 @@ class DataFrame:
             per_key = (
                 base.filter(base[index].isNotNull())
                 .groupBy(F.col(index).cast("string").alias(index))
-                .agg(agg(valid).alias(values))
+                .agg(m_agg(valid).alias(values))
             )
-            total = base.select(agg(valid).alias(values)).withColumn(
+            total = base.select(m_agg(valid).alias(values)).withColumn(
                 index, F.lit(margins_name)
             )
             sdf = per_key.unionByName(total.select(index, values))
@@ -475,15 +499,19 @@ class DataFrame:
             F.count(valid).alias("__pvc"),
             F.count(F.lit(1)).alias("__pvn"),
         )
-        if column_values is not None:
-            pvs = [str(v) for v in column_values]
-        else:
-            pvs = [c[: -len("___pva")] for c in raw.columns if c.endswith("___pva")]
+        # Always derive pivot names from raw.columns, even when
+        # column_values was given: Spark renders bool/None pivot values as
+        # 'true'/'false'/'null' (not Python's str()), so reconstructing
+        # names as str(v) + suffix misses them. Spark also preserves the
+        # caller's column_values order in the output schema, so order is
+        # kept. Backtick the lookups — a dotted pivot value ('1.5') would
+        # otherwise parse as nested-field access.
+        pvs = [c[: -len("___pva")] for c in raw.columns if c.endswith("___pva")]
         cells = {}
         for pv in pvs:
-            a = raw[f"{pv}___pva"]
-            cnt = raw[f"{pv}___pvc"]
-            n = raw[f"{pv}___pvn"]
+            a = F.col(f"`{pv}___pva`")
+            cnt = F.col(f"`{pv}___pvc`")
+            n = F.col(f"`{pv}___pvn`")
             if aggfunc == "sum":
                 cell = F.when(n > 0, F.coalesce(a, F.lit(0)))
             elif aggfunc == "count":
@@ -498,7 +526,10 @@ class DataFrame:
             # present-cell zeros keep every column alive by construction.
             # Pass dropna=False to skip the probe job at scale.
             totals = raw.agg(
-                *[F.sum(raw[f"{pv}___pvc"]).alias(f"c{i}") for i, pv in enumerate(pvs)]
+                *[
+                    F.sum(F.col(f"`{pv}___pvc`")).alias(f"c{i}")
+                    for i, pv in enumerate(pvs)
+                ]
             ).first()
             pvs = [pv for i, pv in enumerate(pvs) if (totals[f"c{i}"] or 0) > 0]
             cells = {pv: cells[pv] for pv in pvs}
@@ -524,7 +555,7 @@ class DataFrame:
             sdf = sdf.withColumn(index, F.col(index).cast("string"))
             row_tot = (
                 base.groupBy(F.col(index).cast("string").alias(index))
-                .agg(agg(valid).alias(margins_name))
+                .agg(m_agg(valid).alias(margins_name))
             )
             sdf = sdf.join(row_tot, index, "left")
             col_grouped = base.groupBy()
@@ -536,17 +567,28 @@ class DataFrame:
             margin_row = (
                 col_pivoted.agg(agg(valid))
                 .withColumn(index, F.lit(margins_name))
-                .crossJoin(base.select(agg(valid).alias(margins_name)))
+                .crossJoin(base.select(m_agg(valid).alias(margins_name)))
             )
+
             # the margin pivot re-derives every data pivot value (a
             # superset of sdf's, which dropna may have pruned) — select
-            # narrows it to the surviving columns
-            sdf = sdf.unionByName(margin_row.select(*sdf.columns))
+            # narrows it to the surviving columns; backticks keep dotted
+            # pivot names (e.g. float values) from parsing as nested fields
+            def _mcol(c):
+                col = F.col(f"`{c}`")
+                if aggfunc == "sum" and c != index:
+                    col = F.coalesce(col, F.lit(0))
+                return col.alias(c)
+
+            sdf = sdf.unionByName(
+                margin_row.select(*[_mcol(c) for c in sdf.columns])
+            )
         if fill_value is not None:
             sdf = sdf.fillna(fill_value)
         internal = InternalFrame(sdf, index, index)
         return DataFrame._from_internal(
-            internal, {c: sdf[c] for c in sdf.columns if c != index}
+            internal,
+            {c: sdf[f"`{c}`"] for c in sdf.columns if c != index},
         )
 
     def crosstab(
@@ -2214,13 +2256,13 @@ class DataFrame:
         )
         return DataFrame._from_internal(internal, {c: m[c] for c in self._columns})
 
-    def update(self, other: "DataFrame") -> "DataFrame":
+    def update(self, other: "DataFrame") -> None:
         """Overwrite cells from ``other``'s non-missing values on matching
         index labels and shared columns. Left join + per-column coalesce.
-        Rebinds self IN PLACE like pandas (r8 probe: callers following the
-        pandas ``df.update(o); df...`` pattern silently kept stale data) —
-        and, unlike pandas' None, also returns the updated frame so the
-        pre-r8 value-style call sites keep working."""
+        Rebinds self IN PLACE and returns None, exactly like pandas (r9:
+        the r8 hybrid return-self made ``df2 = df.update(o)`` a silent
+        alias of ``df`` — returning None forces value-style call sites to
+        surface at flip time instead of masking the mutation)."""
         a = self.to_spark(index_col="__idx")
         shared = [c for c in self._columns if c in other._columns]
         b = other.to_spark(index_col="__idx").select(
@@ -2240,7 +2282,7 @@ class DataFrame:
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         self._internal = internal
         self._columns = cols
-        return self
+        return None
 
     def align(self, other: "DataFrame", join: str = "outer") -> "tuple[DataFrame, DataFrame]":
         """Index-align two frames onto ONE joined anchor. Columns align
@@ -3061,18 +3103,40 @@ def concat(frames: list, axis: int = 0) -> DataFrame:
         for c in f._columns:
             if c not in cols:
                 cols.append(c)
-    pieces = [
-        f._materialized_user().withColumn("__src__", F.lit(i))
-        for i, f in enumerate(lifted)
-    ]
+    # pandas preserves each input's CURRENT row order (e.g. a frame just
+    # sorted by a value column), not its index order. Inputs carrying a
+    # non-default order_spec get a per-block rank column: mono-id after an
+    # explicit orderBy is globally order-consistent (range-partitioned
+    # sort → partition index occupies the id's high bits) and distributed
+    # — no single-partition window. Index-ordered inputs skip the sort
+    # entirely (NULL __ord__ ties fall through to the INDEX_COL key).
+    def _blk(i, f):
+        spec = f._internal.order_spec
+        p = f._materialized_user().withColumn("__src__", F.lit(i))
+        if not spec or tuple(spec) == ((INDEX_COL, True),):
+            return p
+        ordered = f._materialized().orderBy(*f._internal.order_columns(INDEX_COL))
+        return (
+            ordered.withColumn("__ord__", F.monotonically_increasing_id())
+            .select(INDEX_COL, *f._columns, "__ord__")
+            .withColumn("__src__", F.lit(i))
+        )
+
+    pieces = [_blk(i, f) for i, f in enumerate(lifted)]
+    any_ord = any("__ord__" in p.columns for p in pieces)
     sdf = pieces[0]
     for p in pieces[1:]:
         sdf = sdf.unionByName(p, allowMissingColumns=True)
+    spec = (
+        (("__src__", True), ("__ord__", True), (INDEX_COL, True))
+        if any_ord
+        else (("__src__", True), (INDEX_COL, True))
+    )
     internal = InternalFrame(
         sdf,
         INDEX_COL,
         lifted[0]._internal.index_name,
-        order_spec=(("__src__", True), (INDEX_COL, True)),
+        order_spec=spec,
     )
     return DataFrame._from_internal(internal, {c: sdf[c] for c in cols})
 

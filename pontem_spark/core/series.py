@@ -2099,12 +2099,12 @@ class Series:
             self._name,
         )
 
-    def update(self, other: "Series") -> "Series":
+    def update(self, other: "Series") -> None:
         """Overwrite with ``other``'s non-missing values on matching
         labels; self's index is kept. Left join + per-cell coalesce.
-        Rebinds self IN PLACE like pandas (r8 probe — the frame twin had
-        callers silently keeping stale data); also returns the updated
-        series so value-style call sites keep working."""
+        Rebinds self IN PLACE and returns None, exactly like pandas (r9:
+        the hybrid return-self made value-style call sites silent aliases
+        of self — see the frame twin)."""
         a = self._materialized()
         b = other._materialized("__u__").select(INDEX_COL, "__u__")
         j = a.join(b, INDEX_COL, "left")
@@ -2119,7 +2119,7 @@ class Series:
         self._internal = updated._internal
         self._col = updated._col
         self._cached_len = None
-        return self
+        return None
 
     def align(self, other: "Series", join: str = "outer") -> "tuple[Series, Series]":
         """Index-align two series; both results share ONE joined anchor

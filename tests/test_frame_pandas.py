@@ -991,7 +991,13 @@ def test_frame_window_parity(spark):
     for p in (1, 2, -1):
         _assert_frame_close(f.shift(p).to_pandas(), pdf.shift(p), f"shift {p}")
         _assert_frame_close(f.diff(p).to_pandas(), pdf.diff(p), f"diff {p}")
-    _assert_frame_close(f.pct_change().to_pandas(), pdf.pct_change(), "pct_change pad")
+    # oracle: explicit warning-free pad form (pandas 3 drops the pad
+    # default; the engine keeps fill_method='pad' as ITS documented default)
+    _assert_frame_close(
+        f.pct_change().to_pandas(),
+        pdf.ffill().pct_change(fill_method=None),
+        "pct_change pad",
+    )
     _assert_frame_close(
         f.pct_change(fill_method=None).to_pandas(),
         pdf.pct_change(fill_method=None),
@@ -1245,13 +1251,14 @@ def test_probe_pins_round8b(spark):
     assert ra.columns == pra.columns.tolist()
     assert la.to_pandas()["b"].isna().all()
 
-    # update in place (and still returns the frame for chaining)
+    # update in place, returning None exactly like pandas (r9: the r8
+    # hybrid return-self silently aliased value-style call sites)
     ff = DataFrame(pdf[["a"]].to_dict("list"), spark=spark)
     pp = pdf[["a"]].copy()
     upd = pd.DataFrame({"a": [nan, 200.0, nan, nan, 500.0]})
     ret = ff.update(DataFrame(upd.to_dict("list"), spark=spark))
     pp.update(upd)
-    assert ret is ff
+    assert ret is None
     got = ff.to_pandas().sort_index()["a"].tolist()
     for g, w in zip(got, pp["a"].tolist()):
         assert (math.isnan(g) if isinstance(g, float) and math.isnan(w) else g == w)
@@ -2040,8 +2047,7 @@ def test_frame_update_align_compare(spark):
     wb = pd.DataFrame({"v": [9.0, 2.0, np.nan]})
     wupd = wa.copy()
     wupd.update(wb)
-    _eq_frames(a.update(b), wupd)
-    # update is IN-PLACE since r8 (pandas parity) — a now equals wupd
+    assert a.update(b) is None  # pandas returns None (in-place, r9)
     _eq_frames(a, wupd)
     a = DataFrame({"v": [1.0, np.nan, 3.0], "w": [1.0, 1.0, 1.0]}, spark=spark)
 
@@ -2163,3 +2169,29 @@ def test_concat_axis1_and_series(spark):
     # axis=0 with series inputs
     got0 = concat([a, a]).to_pandas()
     assert sorted(got0["a"].tolist()) == [1.0, 1.0, 2.0, 2.0]
+
+
+def test_r9_merge_indicator(spark):
+    """Round-9 probe pin: merge(indicator=True) appends pandas' _merge
+    disposition column ('left_only'/'right_only'/'both'; str names it),
+    derived from the already-carried source-index null flags."""
+    import pandas as pd
+    import pytest
+
+    la = pd.DataFrame({"k": [1, 1, 2, 5], "v": [10, 11, 12, 13]})
+    rb = pd.DataFrame({"k": [1, 3], "w": [7, 8]})
+    fa = DataFrame(la.to_dict("list"), spark=spark)
+    fb = DataFrame(rb.to_dict("list"), spark=spark)
+    for how in ["inner", "left", "right", "outer"]:
+        got = fa.merge(fb, on="k", how=how, indicator=True).to_pandas()
+        want = la.merge(rb, on="k", how=how, indicator=True)
+        assert sorted(got["_merge"].astype(str)) == sorted(
+            want["_merge"].astype(str)
+        ), how
+        gk = got.sort_values(["k", "_merge"]).reset_index(drop=True)
+        wk = want.sort_values(["k", "_merge"]).reset_index(drop=True)
+        assert gk["k"].tolist() == wk["k"].tolist(), how
+    named = fa.merge(fb, on="k", how="outer", indicator="disp").to_pandas()
+    assert "disp" in named.columns
+    with pytest.raises(ValueError):
+        fa.merge(fb, on="k", indicator="v")

@@ -398,7 +398,8 @@ def test_nan_aware_methods_match_pandas(spark, data):
     eq_float(s.round(0).to_pandas().reset_index(drop=True), p.round(0))
     eq_float(
         s.pct_change().to_pandas().reset_index(drop=True),
-        p.pct_change(fill_method="pad"),
+        # warning-free pad form (pandas 3 removes the fill_method keyword)
+        p.ffill().pct_change(fill_method=None),
     )
     assert (
         s.between(-10, 10).to_pandas().reset_index(drop=True).tolist()

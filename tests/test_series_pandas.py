@@ -357,7 +357,9 @@ def test_diff_pct_change(ps, pds):
     want = pds.diff()
     np.testing.assert_allclose(np.asarray(got.values, dtype="float64"), want.values, equal_nan=True)
     got2 = ps.pct_change().to_pandas()
-    want2 = pds.pct_change()
+    # oracle: explicit warning-free pad (pandas 3 drops the pad default;
+    # the engine keeps fill_method='pad' as ITS documented default)
+    want2 = pds.ffill().pct_change(fill_method=None)
     np.testing.assert_allclose(np.asarray(got2.values, dtype="float64"), want2.values,
                                rtol=1e-12, equal_nan=True)
 
@@ -834,12 +836,13 @@ def test_dt_floor_lowercase_freq(spark):
     dates = pd.to_datetime(["2023-01-01 10:30:45", "2024-02-29 23:59:59"])
     sn = Series(list(dates.to_pydatetime()), spark=spark)
     pn = pd.Series(dates)
-    for freq in ("h", "min", "D"):
+    for freq in ("h", "min", "D", "2h", "30min"):
         got = sn.dt.floor(freq).to_pandas().reset_index(drop=True)
         want = pn.dt.floor(freq).reset_index(drop=True)
         assert got.tolist() == want.tolist(), freq
+    # multiples are SUPPORTED since r9; non-fixed freqs still raise
     with pytest.raises(ValueError, match="freq"):
-        sn.dt.floor("2h")
+        sn.dt.floor("M")
 
 
 def test_str_accessor_extended_battery(spark):
@@ -906,11 +909,12 @@ def test_dt_accessor_extended_battery(spark):
         eq(f"nat_{p}", getattr(snat.dt, p), getattr(nat.dt, p).tolist())
     eq("day_name", sdts.dt.day_name(), pdts.dt.day_name().tolist())
     eq("month_name", sdts.dt.month_name(), pdts.dt.month_name().tolist())
-    for freq in ("h", "min", "s", "D"):
+    for freq in ("h", "min", "s", "D", "2h", "15min"):
         eq(f"ceil_{freq}", sdts.dt.ceil(freq), pdts.dt.ceil(freq).tolist())
         eq(f"round_{freq}", sdts.dt.round(freq), pdts.dt.round(freq).tolist())
+    # multiples are SUPPORTED since r9; non-fixed freqs still raise
     with pytest.raises(ValueError, match="freq"):
-        sdts.dt.ceil("2h")
+        sdts.dt.ceil("M")
 
 
 def test_named_arithmetic_with_fill_value(spark):
@@ -1060,6 +1064,18 @@ def test_probe_pins_round7e(spark):
     with pytest.raises(ValueError):
         d["s"].str.findall(r"(a)(b)")
     same(d["s"].str.casefold(), pdf["s"].str.casefold())
+    # r9 probe pin: FULL case folding, not lower() — expanding folds
+    # (ß→ss, ŉ, ﬁ, Greek iota subscripts), 1:1 remaps (ς→σ, ſ→s, µ→μ),
+    # and Cherokee's inverted lowercase→UPPERCASE fold
+    fold_cases = [
+        "ßigÇa", "ẞTRASSE", "ΣΊΣΥΦΟΣ ς", "ﬁﬂand", "ŉoted", "ᾈχος ᾀ",
+        "ſtill µ-bar", "Ꭰꭰ Ꮃꮃ", "ǅungla Ǆ", None, "",
+    ]
+    fs = Series(fold_cases, spark=spark)
+    got_fold = fs.str.casefold().to_pandas().tolist()
+    want_fold = [v.casefold() if isinstance(v, str) else v for v in fold_cases]
+    for g, w in zip(got_fold, want_fold):
+        assert (g is None and w is None) or g == w, (g, w)
     pm = d["s"].str.partition(" ").to_pandas()
     pw = pdf["s"].str.partition(" ")
     for i in range(3):
@@ -1192,7 +1208,8 @@ def test_series_reindex_update(spark):
     wother = pd.Series([9.0, float("nan")], index=[1, 2])
     wupd = ws.copy()
     wupd.update(wother)
-    assert ps.update(other).to_pandas().sort_index().equals(wupd.sort_index())
+    assert ps.update(other) is None  # pandas returns None (in-place)
+    assert ps.to_pandas().sort_index().equals(wupd.sort_index())
 
 
 def test_series_align_combine_divmod(spark):
@@ -1280,7 +1297,20 @@ def test_series_trivials_batch(spark):
     assert ps.T is ps and ps.transpose() is ps
     assert ps.copy().to_pandas().equals(ws.copy())
     assert not ps.empty
-    assert ps.argsort().to_pandas().tolist() == ws.argsort().tolist()
+    # DECIDED (r9): the engine keeps pandas' CURRENT argsort-NA shape
+    # (-1 at missing slots, positions within the non-missing subset) until
+    # the pinned oracle pandas actually flips to the numpy shape; this is
+    # the one allowlisted FutureWarning site (pandas-2.2 deprecation).
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore",
+            message="The behavior of Series.argsort",
+            category=FutureWarning,
+        )
+        want_argsort = ws.argsort().tolist()
+    assert ps.argsort().to_pandas().tolist() == want_argsort
     assert Series([1, 2, 2], spark=spark).argsort().to_pandas().tolist() == pd.Series([1, 2, 2]).argsort().tolist()
     assert ps.infer_objects() is ps and ps.convert_dtypes() is ps
     assert isinstance(ps.memory_usage(), int) and isinstance(ps.nbytes, int)
@@ -1391,3 +1421,50 @@ def test_series_groupby(spark):
     got_l = s.groupby(level="g").sum().to_pandas().sort_index()
     want_l = ws.groupby(level="g").sum().sort_index()
     assert got_l.tolist() == want_l.tolist()
+
+
+def test_r9_probe_pins_title_dt_strftime(spark):
+    """Round-9 probe pins (tests/probe_r9_str_dt.py, 3 seeds):
+
+    - str.title word starts use the TITLECASE mapping (ß→'Ss', Lt
+      digraphs, Georgian stays lowercase), not JVM upper ('SS').
+    - dt.floor/ceil/round accept freq MULTIPLES ('15min', '2h') on the
+      pandas epoch-anchored grid, with exact integer micros math (no
+      unix_timestamp sub-second truncation), half-even at round midpoints.
+    - strftime tokenizes: literal text with Java pattern letters survives
+      quoted, %j/%A/%B/%y/%I/%p map, %% is a percent, unknown raises.
+    """
+    import pandas as pd
+    import pytest
+
+    title_cases = ["4ß end", "ǆungla ǅx Ǆy", "ﬁsh", "საქართველო hi", "ßß aß"]
+    got = Series(title_cases, spark=spark).str.title().to_pandas().tolist()
+    assert got == [c.title() for c in title_cases]
+
+    stamps = pd.Series(
+        pd.to_datetime(
+            [
+                "2020-02-29 13:37:44.300001",
+                "2020-01-01 00:07:30",  # exact 15min midpoint → half-even
+                "2020-01-01 00:22:30",
+                "1969-12-31 23:58:11",  # pre-epoch pmod path
+                "2024-07-01 23:59:59.999999",
+            ],
+            format="mixed",
+        )
+    )
+    es = Series(list(stamps), spark=spark)
+    for freq in ["15min", "2h", "h", "min", "s", "1d"]:
+        for m in ["floor", "ceil", "round"]:
+            gotv = getattr(es.dt, m)(freq).to_pandas().tolist()
+            wantv = getattr(stamps.dt, m)(freq).tolist()
+            assert gotv == wantv, (m, freq, gotv, wantv)
+    with pytest.raises(ValueError):
+        es.dt.floor("M")
+
+    for fmt in ["Day: %d of %B", "%j|%A", "%y-%m %I%p", "100%% %Y", "%H:%M:%S"]:
+        gots = es.dt.strftime(fmt).to_pandas().tolist()
+        wants = stamps.dt.strftime(fmt).tolist()
+        assert gots == wants, (fmt, gots, wants)
+    with pytest.raises(ValueError):
+        es.dt.strftime("%Q")

@@ -1,0 +1,125 @@
+"""One-off ~10x scale-step measurement (r8 verdict task 6).
+
+Blows lineitem/orders/events/documents/embeddings up ~10x by
+union-exploding with REPLICA-SHIFTED keys (consistent across
+orders<->lineitem so join fan-out stays linear, not quadratic), writes
+the blown tables + passthrough copies of the dims to --out, then runs
+the most expensive registered queries once at sf0.1 and once at the
+blow-up, printing the ratio table for SCALE.md.
+
+Usage:
+    python tools/scale_step.py build   # ~sf1 tables into ./scale10/
+    python tools/scale_step.py run     # time the query list at both SFs
+
+NOT part of the test suite or bench gate — a scale-cliff detector
+(skew, broadcast overflow, driver collects) that plan reading can miss.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = Path(__file__).resolve().parent.parent / "scale10"
+REPLICAS = 10
+
+# key shifts: larger than any sf0.1 key so replicas never collide
+SHIFTS = {
+    "l_orderkey": 10_000_000,
+    "o_orderkey": 10_000_000,
+    "event_id": 100_000_000,
+    "doc_id": 10_000_000,
+    "vec_id": 10_000_000,
+}
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q_graph_triangles",
+    "q_graph_pagerank",
+    "q_graph_pagerank_dangling",
+    "q_graph_kcore",
+    "q_ann_ivf_hier_g2_topk",
+    "q_ann_pq_adc_topk",
+    "q_basket_association_rules",
+    "q_dedup_minhash_jaccard",
+    "q_events_session_metrics",
+    "q_dedup_simhash_md5_pairs",
+    "q_text_bm25_topk",
+]
+
+
+def get_session():
+    from pontem_spark.session import get_spark
+
+    return get_spark()
+
+
+def build() -> None:
+    from pyspark.sql import functions as F
+
+    spark = get_session()
+    OUT.mkdir(exist_ok=True)
+    blow = {"lineitem", "orders", "events", "documents", "embeddings"}
+    for p in SRC.glob("*.parquet"):
+        name = p.stem
+        if name not in blow:
+            shutil.copyfile(p, OUT / p.name)
+            continue
+        df = spark.read.parquet(str(p))
+        parts = []
+        for i in range(REPLICAS):
+            part = df
+            for col, shift in SHIFTS.items():
+                if col in part.columns:
+                    part = part.withColumn(col, F.col(col) + F.lit(i * shift))
+            if name == "events":
+                # keep per-user session structure sane: shift each replica
+                # by 400 days so sessions don't interleave across replicas
+                part = part.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {i * 400} DAYS")
+                )
+            parts.append(part)
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        out.repartition(32).write.mode("overwrite").parquet(
+            str(OUT / f"{name}.parquet")
+        )
+        print(f"built {name}: {REPLICAS}x", flush=True)
+
+
+def run() -> None:
+    import __spark_entry__ as e
+
+    spark = get_session()
+    qs = e.queries()
+    rows = []
+    for name in QUERIES:
+        fn = qs[name]
+        rec = {"query": name}
+        for label, d in (("sf0.1", str(SRC)), ("sf1~", str(OUT))):
+            t0 = time.time()
+            try:
+                n = fn(spark, d).write.format("noop").mode("overwrite").save()
+                rec[label] = round(time.time() - t0, 2)
+            except Exception as exc:  # noqa: BLE001
+                rec[label] = f"FAIL {type(exc).__name__}: {exc}"[:120]
+        if isinstance(rec.get("sf0.1"), float) and isinstance(rec.get("sf1~"), float):
+            rec["ratio"] = round(rec["sf1~"] / max(rec["sf0.1"], 1e-9), 1)
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+    print("\n| query | sf0.1 s | ~sf1 s | ratio |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['query']} | {r.get('sf0.1')} | {r.get('sf1~')} | {r.get('ratio', '-')} |")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    if mode == "build":
+        build()
+    else:
+        run()
