@@ -56,6 +56,11 @@ def main() -> None:
     changes = {}
     for name in wide:
         fn = fns[name]
+        # discard one per-query warm-up: the first execution carries THIS
+        # query's codegen-compile cost, which is session-lifecycle, not
+        # run-to-run variance — exactly what kept 15 spreads >2.5x median
+        # on the first re-capture pass
+        fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(args.runs):
             t0 = time.perf_counter()
