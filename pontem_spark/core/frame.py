@@ -3074,8 +3074,14 @@ def concat(frames: list, axis: int = 0) -> DataFrame:
         if isinstance(x, Series):
             name = str(x._name if x._name is not None else 0)
             sdf = x._materialized()
+            # carry the Series' order_spec: a sorted Series input keeps
+            # its CURRENT row order through concat, same as frames (the
+            # spec's helper columns survive _materialized as extras)
             return DataFrame._from_internal(
-                InternalFrame(sdf, INDEX_COL, x._internal.index_name),
+                InternalFrame(
+                    sdf, INDEX_COL, x._internal.index_name,
+                    x._internal.order_spec,
+                ),
                 {name: sdf[_VALUE]},
             )
         return x

@@ -2195,3 +2195,27 @@ def test_r9_merge_indicator(spark):
     assert "disp" in named.columns
     with pytest.raises(ValueError):
         fa.merge(fb, on="k", indicator="v")
+
+
+def test_r9_concat_preserves_input_row_order(spark):
+    """Round-9 ADVICE pin: concat keeps each input's CURRENT row order
+    (a frame or Series just sorted by value), not its index order — via
+    the per-block mono-id-after-sort rank; index-ordered inputs skip the
+    rank entirely."""
+    import pandas as pd
+
+    pa = pd.DataFrame({"v": [3, 1, 2]})
+    pb = pd.DataFrame({"v": [9, 8]})
+    fa = DataFrame(pa.to_dict("list"), spark=spark).sort_values("v")
+    fb = DataFrame(pb.to_dict("list"), spark=spark)
+    got = concat([fa, fb]).to_pandas()["v"].tolist()
+    assert got == pd.concat([pa.sort_values("v"), pb])["v"].tolist()
+
+    sa = Series([3, 1, 2], name="v", spark=spark).sort_values(ascending=False)
+    sb = Series([9, 8], name="v", spark=spark)
+    got_s = concat([sa, sb]).to_pandas()["v"].tolist()
+    want_s = pd.concat(
+        [pd.Series([3, 1, 2], name="v").sort_values(ascending=False),
+         pd.Series([9, 8], name="v")]
+    ).tolist()
+    assert got_s == want_s

@@ -26,10 +26,17 @@ SRC = Path("/root/testdata/sf0.1")
 OUT = Path(__file__).resolve().parent.parent / "scale10"
 REPLICAS = 10
 
-# key shifts: larger than any sf0.1 key so replicas never collide
+# key shifts: larger than any sf0.1 key so replicas never collide.
+# l_partkey shifts too — without it every replica emits the SAME part
+# co-purchase pairs and the graph queries' distinct() collapses the
+# blow-up back to 1x (observed on the first measurement pass). The blown
+# graph is 10 disjoint copies: linear in nodes/edges/triangles, which is
+# what a scale-step ruler needs. (Queries joining the part dim would
+# lose matches — none of the QUERIES list does.)
 SHIFTS = {
     "l_orderkey": 10_000_000,
     "o_orderkey": 10_000_000,
+    "l_partkey": 1_000_000,
     "event_id": 100_000_000,
     "doc_id": 10_000_000,
     "vec_id": 10_000_000,
@@ -101,9 +108,12 @@ def run() -> None:
         fn = qs[name]
         rec = {"query": name}
         for label, d in (("sf0.1", str(SRC)), ("sf1~", str(OUT))):
-            t0 = time.time()
             try:
-                n = fn(spark, d).write.format("noop").mode("overwrite").save()
+                # discard one warm-up run per (query, dir): codegen compile
+                # and scan-cache effects otherwise dominate the small side
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 rec[label] = round(time.time() - t0, 2)
             except Exception as exc:  # noqa: BLE001
                 rec[label] = f"FAIL {type(exc).__name__}: {exc}"[:120]
