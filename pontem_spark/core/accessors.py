@@ -207,15 +207,17 @@ class StringAccessor:
         )
 
     def capitalize(self):
-        # Python semantics: first char upper, REST lower ('hELLO' → 'Hello').
-        # Divergence: Python TITLEcases the first char ('ß' → 'Ss'); Spark
-        # SQL has no titlecase function, so the JVM uppercase is used
-        # ('ß' → 'SS') — differs only on the handful of chars whose title
-        # and upper forms differ (ß, ǆ-family digraphs)
+        # Python semantics: first char TITLEcased ('ß' → 'Ss', not JVM
+        # upper's 'SS' — r9 probe), REST lower ('hELLO' → 'Hello'). The
+        # titlecase divergence map is the same str_to_map literal title()
+        # uses; try_element_at because ANSI element_at throws on missing
+        # map keys.
         col = self._s._col
+        head = F.substring(col, 1, 1)
+        tmap = F.str_to_map(F.lit(_title_map()), F.lit(","), F.lit(":"))
         return self._wrap(
             F.concat(
-                F.upper(F.substring(col, 1, 1)),
+                F.coalesce(F.try_element_at(tmap, head), F.upper(head)),
                 F.lower(F.substring(col, 2, 2147483646)),
             )
         )

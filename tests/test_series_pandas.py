@@ -848,8 +848,9 @@ def test_dt_floor_lowercase_freq(spark):
 def test_str_accessor_extended_battery(spark):
     """r7 str-accessor expansion, probe-verified against pandas: case
     transforms, search, indexing, padding incl. CPython center's odd
-    left-bias, predicates. ('ß' excluded: Python titlecases capitalize's
-    first char, Spark SQL has no titlecase — documented divergence.)"""
+    left-bias, predicates. (The r7 'ß' divergence is GONE since r9:
+    capitalize/title consult the CPython-derived titlecase map, so
+    'ß'.capitalize() == 'Ss' now matches.)"""
     texts = ["hELLO wOrld", "", "abc", "ABC", "a1b2", "123", "  ", None,
              "MiXeD", "xABCx", "·-·", "ábç"]
     pt, st_ = pd.Series(texts), Series(texts, spark=spark)
@@ -1440,6 +1441,9 @@ def test_r9_probe_pins_title_dt_strftime(spark):
     title_cases = ["4ß end", "ǆungla ǅx Ǆy", "ﬁsh", "საქართველო hi", "ßß aß"]
     got = Series(title_cases, spark=spark).str.title().to_pandas().tolist()
     assert got == [c.title() for c in title_cases]
+    cap_cases = ["ß<", "ǆX Y", "hELLO", "ﬁn"]
+    got_cap = Series(cap_cases, spark=spark).str.capitalize().to_pandas().tolist()
+    assert got_cap == [c.capitalize() for c in cap_cases]
 
     stamps = pd.Series(
         pd.to_datetime(
