@@ -87,6 +87,10 @@ CHANGED_IN_ROUND = {
     "q_dedup_jaccard_pairs": 5,
     "q_ann_ivf_hier_topk": 5,
     "q_incremental_rollup": 6,
+    # r9: pair generation rewritten self-join -> basket explode (one
+    # lineitem shuffle instead of two); identical pair set, but the
+    # changed plan must earn a fresh driver row
+    "q_graph_triangles": 9,
 }
 
 

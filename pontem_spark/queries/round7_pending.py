@@ -603,24 +603,34 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-oriented compact-forward counting
     (operators/graph.py::triangle_count) — the oriented out-degree is
     O(sqrt(E)) so the wedge join is bounded; the oracle counts the same
-    triangles with the canonical three-way a<b<c join."""
+    triangles with the canonical three-way a<b<c join.
+
+    Pair generation is ONE basket shuffle + map-side expansion (r9: the
+    self-join shuffled lineitem twice and measured 2.14s vs 1.47s at
+    sf0.1 for the identical pair set; pairs-per-order is C(|basket|,2)
+    with TPC-H-ish baskets ≤ 7 lines, so the in-map expansion is bounded
+    — same discipline as basket_association_rules)."""
     from pontem_spark.operators.graph import triangle_count
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (u, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "v -> struct(u AS src, v AS dst))))"
+                )
+            ).alias("e")
         )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     # with_edge_count reads |E| off the operator's checkpointed edge set —
-    # a separate pairs.agg() branch would re-run the self-join + distinct
+    # a separate pairs.agg() branch would re-run the expansion + distinct
     return triangle_count(pairs, with_edge_count=True)
 
 
