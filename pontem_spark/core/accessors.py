@@ -616,24 +616,36 @@ class DatetimeAccessor:
         "H": "HH", "I": "hh", "M": "mm", "S": "ss",
         "f": "SSSSSS", "j": "DDD",
         "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM",
-        "p": "a", "G": "YYYY", "V": "ww",
+        "p": "a",
     }
 
     def strftime(self, fmt: str):
-        """strftime → Spark date_format, by TOKENIZING (r9 probe): plain
-        find-replace crashed on untranslated directives (%j) and, worse,
-        literal text containing Java pattern letters ('Day: %d' — D, a, y
-        are all pattern letters) silently rendered as date fields. Literal
-        runs are single-quoted, %% becomes a literal percent, and an
-        unmappable directive raises instead of leaking to Spark."""
-        out = []
-        lit = []
+        """strftime → Spark, by TOKENIZING (r9 probe): plain find-replace
+        crashed on untranslated directives (%j) and, worse, literal text
+        containing Java pattern letters ('Day: %d' — D, a, y are all
+        pattern letters) silently rendered as date fields. Literal runs
+        are single-quoted, %% becomes a literal percent, an unmappable
+        directive raises instead of leaking to Spark. %V/%G (ISO week /
+        ISO year) have NO Spark pattern letter (Spark 3+ rejects
+        'ww'/'YYYY'), so they become computed segments — weekofyear() and
+        year-of-the-ISO-Thursday — concatenated between date_format
+        pieces; a NULL input stays NULL even for literal-only formats."""
+        col = self._s._col
+        segs: list[Column] = []
+        pat: list[str] = []
+        lit: list[str] = []
 
-        def flush():
+        def flush_lit():
             if lit:
                 seg = "".join(lit).replace("'", "''")
-                out.append(f"'{seg}'")
+                pat.append(f"'{seg}'")
                 lit.clear()
+
+        def flush_pat():
+            flush_lit()
+            if pat:
+                segs.append(F.date_format(col, "".join(pat)))
+                pat.clear()
 
         i = 0
         while i < len(fmt):
@@ -643,16 +655,35 @@ class DatetimeAccessor:
                 if d == "%":
                     lit.append("%")
                 elif d in self._STRFTIME:
-                    flush()
-                    out.append(self._STRFTIME[d])
+                    flush_lit()
+                    pat.append(self._STRFTIME[d])
+                elif d == "V":
+                    flush_pat()
+                    segs.append(
+                        F.lpad(F.weekofyear(col).cast("string"), 2, "0")
+                    )
+                elif d == "G":
+                    flush_pat()
+                    # ISO year = calendar year of this ISO week's Thursday
+                    iso_dow = (F.dayofweek(col) + 5) % 7 + 1  # Mon=1..Sun=7
+                    thursday = F.date_add(F.to_date(col), 4 - iso_dow)
+                    segs.append(
+                        F.lpad(F.year(thursday).cast("string"), 4, "0")
+                    )
                 else:
                     raise ValueError(
                         f"strftime: unsupported directive %{d} (supported: "
-                        f"%{' %'.join(sorted(self._STRFTIME))} and %%)"
+                        f"%{' %'.join(sorted(self._STRFTIME))} %G %V and %%)"
                     )
                 i += 2
             else:
                 lit.append(ch)
                 i += 1
-        flush()
-        return self._wrap(F.date_format(self._s._col, "".join(out)))
+        flush_pat()
+        if not segs:
+            out = F.lit("")
+        elif len(segs) == 1:
+            out = segs[0]
+        else:
+            out = F.concat(*segs)
+        return self._wrap(F.when(col.isNotNull(), out))

@@ -1466,7 +1466,12 @@ def test_r9_probe_pins_title_dt_strftime(spark):
     with pytest.raises(ValueError):
         es.dt.floor("M")
 
-    for fmt in ["Day: %d of %B", "%j|%A", "%y-%m %I%p", "100%% %Y", "%H:%M:%S"]:
+    for fmt in [
+        "Day: %d of %B", "%j|%A", "%y-%m %I%p", "100%% %Y", "%H:%M:%S",
+        # %V/%G have no Spark pattern letter — computed segments (ISO
+        # week / year of the ISO Thursday)
+        "%G-W%V", "%V",
+    ]:
         gots = es.dt.strftime(fmt).to_pandas().tolist()
         wants = stamps.dt.strftime(fmt).tolist()
         assert gots == wants, (fmt, gots, wants)
