@@ -973,9 +973,23 @@ class Series:
             # K distinct values, never the raw data
             total = F.sum(_VALUE).over(Window.partitionBy())
             sdf = sdf.select(INDEX_COL, (F.col(_VALUE) / total).alias(_VALUE))
-        sdf = sdf.orderBy(F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc())
+        # pandas returns rows in COUNT order (desc by default, asc flag
+        # flips it) — r9 probe: a plan-level orderBy here was overridden
+        # by the default index sort at materialization points, so the
+        # order must live in the order_spec. Ties break by value label
+        # (deterministic cross-engine; pandas uses first-appearance order,
+        # which is positional and not reproducible distributed).
         name = "proportion" if normalize else "count"
-        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._name), sdf[_VALUE], name)
+        return Series._from_internal(
+            InternalFrame(
+                sdf,
+                INDEX_COL,
+                self._name,
+                order_spec=((_VALUE, ascending), (INDEX_COL, True)),
+            ),
+            sdf[_VALUE],
+            name,
+        )
 
     # window-style transforms --------------------------------------------------
 

@@ -1477,3 +1477,29 @@ def test_r9_probe_pins_title_dt_strftime(spark):
         assert gots == wants, (fmt, gots, wants)
     with pytest.raises(ValueError):
         es.dt.strftime("%Q")
+
+
+def test_r9_value_counts_row_order(spark):
+    """Round-9 probe pin: Series.value_counts rows come back in COUNT
+    order (desc default, ascending=True flips), like pandas — the order
+    must live in the order_spec, because a plan-level orderBy is
+    overridden by the default index sort at materialization points.
+    Ties break by value label (deterministic; pandas uses positional
+    first-appearance, unreproducible distributed)."""
+    import pandas as pd
+
+    data = [3.0, 1.0, 3.0, 2.0, 3.0, 1.0, float("nan")]
+    ps = Series(data, spark=spark)
+    ws = pd.Series(data)
+    for normalize in (False, True):
+        for ascending in (False, True):
+            for dropna in (True, False):
+                got = ps.value_counts(
+                    normalize=normalize, ascending=ascending, dropna=dropna
+                ).to_pandas()
+                want = ws.value_counts(
+                    normalize=normalize, ascending=ascending, dropna=dropna
+                )
+                assert got.tolist() == want.tolist(), (
+                    normalize, ascending, dropna, got.tolist(), want.tolist()
+                )
