@@ -448,6 +448,20 @@ class DataFrame:
             if aggfunc == "sum"
             else agg
         )
+
+        # margins over the COLUMNS path follow pandas' dropna rule (r9
+        # grid probe): with dropna=True pandas computes margins from the
+        # NaN-dropped data, so a group/column with ZERO valid rows
+        # vanishes and reindexes to NaN; with dropna=False the group
+        # exists and sum/count give 0 (min_count=0). sum: NULL-vs-0 via
+        # coalesce; count: natively 0, nulled via when(e > 0) instead.
+        def m_margin(c):
+            e = agg(c)
+            if aggfunc == "sum":
+                return e if dropna else F.coalesce(e, F.lit(0))
+            if aggfunc == "count":
+                return F.when(e > 0, e) if dropna else e
+            return e
         base = self._materialized()
         schema = dict(base.dtypes)
         # NaN is pandas-missing: count must not count it, sum/mean/min/max
@@ -459,9 +473,21 @@ class DataFrame:
         if columns is None:
             # pandas allows an index-only pivot_table: a plain grouped
             # aggregation keyed by the index (r7 probe); margins appends
-            # the grand-total row (r8 probe — previously raised)
+            # the grand-total row (r8 probe — previously raised). With
+            # dropna=True, mean-family groups whose every value is
+            # missing VANISH (r9 probe: sum/count keep them at 0 in both
+            # dropna modes) — aggregating the valid-only rows is
+            # equivalent for every skipna aggfunc and drops them for free.
+            drop_rows = dropna and aggfunc not in ("sum", "count")
             if not margins:
-                return self.groupby(index).agg({values: aggfunc})
+                src = self
+                if drop_rows:
+                    fb = base.filter(valid.isNotNull())
+                    src = DataFrame._from_internal(
+                        InternalFrame(fb, INDEX_COL, self._internal.index_name),
+                        {c: fb[c] for c in self._columns},
+                    )
+                return src.groupby(index).agg({values: aggfunc})
             if not base.filter(
                 F.col(index).cast("string") == margins_name
             ).isEmpty():
@@ -469,8 +495,11 @@ class DataFrame:
                     f"margins_name {margins_name!r} conflicts with an index "
                     "value"
                 )
+            per_base = (
+                base.filter(valid.isNotNull()) if drop_rows else base
+            )
             per_key = (
-                base.filter(base[index].isNotNull())
+                per_base.filter(per_base[index].isNotNull())
                 .groupBy(F.col(index).cast("string").alias(index))
                 .agg(m_agg(valid).alias(values))
             )
@@ -533,7 +562,25 @@ class DataFrame:
             ).first()
             pvs = [pv for i, pv in enumerate(pvs) if (totals[f"c{i}"] or 0) > 0]
             cells = {pv: cells[pv] for pv in pvs}
+            # pandas dropna=True also drops INDEX keys whose every cell is
+            # missing (r9 probe — sum/count keep them, their zero cells
+            # count as present); the valid counts are already in raw
+            if pvs:
+                # ABSENT cells carry NULL counts (pivot fill), which would
+                # NULL-poison the sum — coalesce each to 0
+                rowvalid = F.coalesce(F.col(f"`{pvs[0]}___pvc`"), F.lit(0))
+                for pv in pvs[1:]:
+                    rowvalid = rowvalid + F.coalesce(
+                        F.col(f"`{pv}___pvc`"), F.lit(0)
+                    )
+                raw = raw.filter(rowvalid > 0)
+            else:
+                raw = raw.filter(F.lit(False))
         sdf = raw.select(raw[index], *[cells[pv].alias(pv) for pv in pvs])
+        if margins and dropna and aggfunc not in ("sum", "count") and not pvs:
+            # fully degenerate: every column pruned (zero valid data) —
+            # pandas returns a completely EMPTY frame, no All row at all
+            margins = False
         if margins:
             if margins_name in sdf.columns:
                 # a pivot value equal to margins_name would collide with the
@@ -555,7 +602,7 @@ class DataFrame:
             sdf = sdf.withColumn(index, F.col(index).cast("string"))
             row_tot = (
                 base.groupBy(F.col(index).cast("string").alias(index))
-                .agg(m_agg(valid).alias(margins_name))
+                .agg(m_margin(valid).alias(margins_name))
             )
             sdf = sdf.join(row_tot, index, "left")
             col_grouped = base.groupBy()
@@ -564,24 +611,23 @@ class DataFrame:
                 if column_values is not None
                 else col_grouped.pivot(columns)
             )
+            # grand total ≠ reindexed margin: pandas COMPUTES it over the
+            # (dropna'd) data directly, so sum/count give 0 on zero valid
+            # rows in BOTH dropna modes (only vanished groups reindex to
+            # NaN) — hence m_agg here, m_margin for the per-row/column ones
             margin_row = (
-                col_pivoted.agg(agg(valid))
+                col_pivoted.agg(m_margin(valid))
                 .withColumn(index, F.lit(margins_name))
                 .crossJoin(base.select(m_agg(valid).alias(margins_name)))
             )
-
             # the margin pivot re-derives every data pivot value (a
             # superset of sdf's, which dropna may have pruned) — select
             # narrows it to the surviving columns; backticks keep dotted
             # pivot names (e.g. float values) from parsing as nested fields
-            def _mcol(c):
-                col = F.col(f"`{c}`")
-                if aggfunc == "sum" and c != index:
-                    col = F.coalesce(col, F.lit(0))
-                return col.alias(c)
-
             sdf = sdf.unionByName(
-                margin_row.select(*[_mcol(c) for c in sdf.columns])
+                margin_row.select(
+                    *[F.col(f"`{c}`").alias(c) for c in sdf.columns]
+                )
             )
         if fill_value is not None:
             sdf = sdf.fillna(fill_value)

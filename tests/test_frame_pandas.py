@@ -2219,3 +2219,60 @@ def test_r9_concat_preserves_input_row_order(spark):
          pd.Series([9, 8], name="v")]
     ).tolist()
     assert got_s == want_s
+
+
+def test_r9_pivot_table_dropna_margins_grid(spark):
+    """Round-9 grid pin: pandas' dropna semantics for pivot_table, fully.
+
+    - dropna=True drops INDEX keys whose every cell is missing for the
+      mean family; sum/count keep them (their zero cells are 'present').
+    - margins come from the NaN-DROPPED data when dropna=True: a group
+      or pivot column with zero valid rows reindexes to NaN; with
+      dropna=False the group exists and sum/count margins are 0.
+    - the grand total is COMPUTED, not reindexed: sum/count give 0 on
+      empty valid data in both dropna modes.
+    - fully degenerate input (no valid data anywhere) + margins +
+      mean family -> completely empty frame, no All row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    frames = [
+        pd.DataFrame(
+            {
+                "k": ["a", "a", "b", "d"],
+                "c": ["x", "y", "x", "x"],
+                "v": [1.0, 2.0, 3.0, np.nan],
+            }
+        ),
+        pd.DataFrame(
+            {"k": ["a", "d", "d"], "c": ["x", "y", "x"], "v": [np.nan] * 3}
+        ),
+    ]
+    for pdf in frames:
+        f = DataFrame(pdf.to_dict("list"), spark=spark)
+        for aggfunc in ["sum", "mean", "count", "min", "median"]:
+            for margins in (False, True):
+                for dropna in (True, False):
+                    got = f.pivot_table(
+                        index="k", columns="c", values="v",
+                        aggfunc=aggfunc, margins=margins, dropna=dropna,
+                    ).to_pandas().sort_index()
+                    want = pd.pivot_table(
+                        pdf, index="k", columns="c", values="v",
+                        aggfunc=aggfunc, margins=margins, dropna=dropna,
+                    )
+                    label = (aggfunc, margins, dropna)
+                    assert sorted(map(str, got.index)) == sorted(
+                        map(str, want.index)
+                    ), label
+                    assert sorted(map(str, got.columns)) == sorted(
+                        map(str, want.columns)
+                    ), label
+                    for r in want.index:
+                        for c in want.columns:
+                            g, w = got.loc[str(r), str(c)], want.loc[r, c]
+                            gn, wn = pd.isna(g), pd.isna(w)
+                            assert gn == wn and (
+                                gn or abs(float(g) - float(w)) < 1e-9
+                            ), (label, r, c, g, w)
