@@ -638,15 +638,41 @@ class DataFrame:
         )
 
     def crosstab(
-        self, index: str, columns: str, column_values: list | None = None
+        self,
+        index: str,
+        columns: str,
+        column_values: list | None = None,
+        margins: bool = False,
+        margins_name: str = "All",
+        normalize: "bool | str" = False,
     ) -> "DataFrame":
         """pandas ``crosstab``: co-occurrence counts of two columns ==
-        ``groupBy(index).pivot(columns).count()`` with absent cells as 0.
+        ``groupBy(index).pivot(columns).count()`` with absent cells as 0;
+        NaN/NULL keys on either side are dropped like pandas.
+
+        ``margins`` appends pandas' totals; ``normalize`` divides by
+        'all' (or True — grand total), 'index' (rows sum to 1) or
+        'columns' (columns sum to 1). pandas' margin asymmetry is kept
+        (r9): normalize='index' keeps only the All ROW, 'columns' only
+        the All COLUMN, 'all' both with corner 1.0. The normalization
+        totals ride windows over the already-tiny pivoted aggregate —
+        never a second scan of the raw data.
 
         Pass ``column_values`` at scale for the same reason as
         :meth:`pivot_table` — without it Spark runs a hidden distinct-scan
         job to discover the pivot columns."""
+        from pyspark.sql import Window
+
+        if normalize not in (False, True, "all", "index", "columns"):
+            raise ValueError(f"crosstab: normalize {normalize!r}")
+        norm = "all" if normalize is True else normalize
         base = self._materialized()
+        schema = dict(base.dtypes)
+        for c in (index, columns):
+            cond = F.col(c).isNotNull()
+            if schema.get(c) in ("double", "float"):
+                cond = cond & ~F.isnan(F.col(c))
+            base = base.filter(cond)
         grouped = base.groupBy(index)
         pivoted = (
             grouped.pivot(columns, column_values)
@@ -654,9 +680,67 @@ class DataFrame:
             else grouped.pivot(columns)
         )
         sdf = pivoted.count().fillna(0)
+        pvs = [c for c in sdf.columns if c != index]
+        pcol = lambda c: F.col(f"`{c}`")  # noqa: E731 — dotted pivot names
+
+        if margins or norm:
+            if str(margins_name) in pvs:
+                raise ValueError(
+                    f"margins_name {margins_name!r} conflicts with a pivot "
+                    "column value"
+                )
+            everything = Window.partitionBy()
+            row_sum = sum((pcol(c) for c in pvs[1:]), pcol(pvs[0])) if pvs else F.lit(0)
+            sdf = sdf.withColumn("__rt", row_sum)
+            for c in pvs:
+                sdf = sdf.withColumn(f"__ct_{c}", F.sum(pcol(c)).over(everything))
+            sdf = sdf.withColumn("__gt", F.sum("__rt").over(everything))
+
+        out_cols = list(pvs)
+        if not norm:
+            if margins:
+                sdf = sdf.withColumn(margins_name, F.col("__rt"))
+                out_cols.append(margins_name)
+                all_row = sdf.select(
+                    F.lit(margins_name).alias(index),
+                    *[F.col(f"`__ct_{c}`").alias(c) for c in pvs],
+                    F.col("__gt").alias(margins_name),
+                ).limit(1)
+                # index cast to string so the 'All' label can union with
+                # non-string keys (same deliberate deviation as
+                # pivot_table's margins)
+                sdf = sdf.select(
+                    F.col(f"`{index}`").cast("string").alias(index),
+                    *[pcol(c) for c in out_cols],
+                ).unionByName(all_row)
+        else:
+            denom = {
+                "all": lambda c: F.col("__gt"),
+                "index": lambda c: F.col("__rt"),
+                "columns": lambda c: F.col(f"`__ct_{c}`"),
+            }[norm]
+            proj = [
+                (pcol(c) / F.when(denom(c) != 0, denom(c))).alias(c) for c in pvs
+            ]
+            if margins and norm in ("all", "columns"):
+                proj.append((F.col("__rt") / F.col("__gt")).alias(margins_name))
+                out_cols.append(margins_name)
+            body = sdf.select(F.col(index).cast("string").alias(index), *proj)
+            if margins and norm in ("all", "index"):
+                all_vals = [
+                    (F.col(f"`__ct_{c}`") / F.col("__gt")).alias(c) for c in pvs
+                ]
+                if norm == "all":
+                    all_vals.append(F.lit(1.0).alias(margins_name))
+                all_row = sdf.select(
+                    F.lit(margins_name).alias(index), *all_vals
+                ).limit(1)
+                body = body.unionByName(all_row)
+            sdf = body
+
         internal = InternalFrame(sdf, index, index)
         return DataFrame._from_internal(
-            internal, {c: sdf[c] for c in sdf.columns if c != index}
+            internal, {c: sdf[f"`{c}`"] for c in out_cols}
         )
 
     # -- ordering / cleaning ------------------------------------------------------

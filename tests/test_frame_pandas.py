@@ -2276,3 +2276,29 @@ def test_r9_pivot_table_dropna_margins_grid(spark):
                             assert gn == wn and (
                                 gn or abs(float(g) - float(w)) < 1e-9
                             ), (label, r, c, g, w)
+
+
+def test_r9_crosstab_margins_normalize(spark):
+    """Round-9 extension pin: crosstab margins + normalize follow pandas,
+    including the margin asymmetry — normalize='index' keeps only the
+    All ROW, 'columns' only the All COLUMN, 'all'/True both with corner
+    1.0 — and NULL keys drop on either side. A requested-but-absent
+    pivot value under normalize='columns' divides by a zero total and
+    comes back missing, like pandas."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", "y", "z", "x", None], "b": ["p", "q", "p", "q", "p", "p"]}
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for norm in (False, True, "all", "index", "columns"):
+        for m in (False, True):
+            got = f.crosstab("a", "b", margins=m, normalize=norm).to_pandas().sort_index()
+            want = pd.crosstab(pdf["a"], pdf["b"], margins=m, normalize=norm)
+            assert sorted(map(str, got.index)) == sorted(map(str, want.index)), (norm, m)
+            assert sorted(map(str, got.columns)) == sorted(map(str, want.columns)), (norm, m)
+            for r in want.index:
+                for c in want.columns:
+                    assert abs(float(got.loc[str(r), str(c)]) - float(want.loc[r, c])) < 1e-9, (norm, m, r, c)
+    sup = f.crosstab("a", "b", column_values=["p", "q", "r"], normalize="columns").to_pandas()
+    assert sup["r"].isna().all()
