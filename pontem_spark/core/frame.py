@@ -2446,6 +2446,35 @@ class DataFrame:
         )
         return left, right
 
+    def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
+        """pandas ``DataFrame.combine``: align (outer index + sorted
+        column union), then merge each column PAIR with ``func``. The
+        callable receives two engine :class:`Series` sharing ONE joined
+        anchor (``align``'s invariant), so any composition of standard
+        Series ops stays a single distributed plan — zero extra joins,
+        no driver-side data. ``fill_value`` pre-fills missing cells on
+        both sides before ``func`` sees them, like pandas."""
+        from pontem_spark.core.series import Series
+
+        a, b = self.align(other)
+        cols: dict[str, Column] = {}
+        for c in a._columns:
+            s1, s2 = a[c], b[c]
+            if fill_value is not None:
+                s1, s2 = s1.fillna(fill_value), s2.fillna(fill_value)
+            out = func(s1, s2)
+            if not isinstance(out, Series):
+                raise TypeError(
+                    f"combine: func must return a Series, got {type(out)}"
+                )
+            if out._internal.sdf is not a._internal.sdf:
+                raise ValueError(
+                    "combine: func must derive its result from the two "
+                    "aligned inputs (standard Series ops), not re-anchor"
+                )
+            cols[c] = out._col
+        return DataFrame._from_internal(a._internal, cols)
+
     def compare(self, other: "DataFrame") -> "DataFrame":
         """Rows×columns that differ, as ``col_self``/``col_other`` pairs
         (flattened from pandas' column MultiIndex) — one full-outer

@@ -2302,3 +2302,24 @@ def test_r9_crosstab_margins_normalize(spark):
                     assert abs(float(got.loc[str(r), str(c)]) - float(want.loc[r, c])) < 1e-9, (norm, m, r, c)
     sup = f.crosstab("a", "b", column_values=["p", "q", "r"], normalize="columns").to_pandas()
     assert sup["r"].isna().all()
+
+
+def test_r9_frame_combine(spark):
+    """Round-9 extension pin: DataFrame.combine aligns (outer index,
+    sorted column union), then merges each column pair with the callable
+    — which receives two engine Series on ONE shared anchor, so standard
+    Series-op compositions stay a single distributed plan."""
+    import pandas as pd
+
+    pa = pd.DataFrame({"A": [0.0, 5.0], "B": [4.0, None]})
+    pb = pd.DataFrame({"A": [1.0, 1.0], "B": [3.0, 3.0], "C": [9.0, 9.0]})
+    fa = DataFrame(pa.to_dict("list"), spark=spark)
+    fb = DataFrame(pb.to_dict("list"), spark=spark)
+    take_larger = lambda s1, s2: s1.where(s1 > s2, s2)  # noqa: E731
+    for fv in (None, -5.0):
+        got = fa.combine(fb, take_larger, fill_value=fv).to_pandas().sort_index()
+        want = pa.combine(pb, take_larger, fill_value=fv)
+        assert list(got.columns) == list(want.columns)
+        for c in want.columns:
+            for g, w in zip(got[c].tolist(), want[c].tolist()):
+                assert (pd.isna(g) and pd.isna(w)) or g == w, (fv, c, g, w)
