@@ -2042,6 +2042,25 @@ class DataFrame:
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
 
+    def reindex_like(self, other: "DataFrame") -> "DataFrame":
+        """Conform to ``other`` on BOTH axes like pandas: rows =
+        other's index (one DISTRIBUTED left join from its index frame —
+        never a driver-side label collect), columns = other's columns
+        (absent ones come back all-missing). Result rows follow index
+        order."""
+        lab = other.to_spark(index_col="__idx").select("__idx")
+        data = self.to_spark(index_col="__idx")
+        j = lab.join(data, "__idx", "left")
+        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        absent = F.lit(None).cast("double")
+        return DataFrame._from_internal(
+            internal,
+            {
+                c: (j[c] if c in self._columns else absent)
+                for c in other._columns
+            },
+        )
+
     @property
     def values(self):
         return self.to_pandas().values

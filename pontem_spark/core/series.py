@@ -2113,6 +2113,20 @@ class Series:
             self._name,
         )
 
+    def reindex_like(self, other: "Series") -> "Series":
+        """Conform to ``other``'s index — ``reindex(other.index)`` without
+        ever collecting the labels: one DISTRIBUTED left join from
+        other's index frame (pandas' driver-side label list would be a
+        cliff at scale). Result rows follow index order."""
+        lab = other._materialized().select(INDEX_COL)
+        data = self._materialized()
+        j = lab.join(data, INDEX_COL, "left")
+        return Series._from_internal(
+            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            F.col(_VALUE),
+            self._name,
+        )
+
     def update(self, other: "Series") -> None:
         """Overwrite with ``other``'s non-missing values on matching
         labels; self's index is kept. Left join + per-cell coalesce.

@@ -2323,3 +2323,30 @@ def test_r9_frame_combine(spark):
         for c in want.columns:
             for g, w in zip(got[c].tolist(), want[c].tolist()):
                 assert (pd.isna(g) and pd.isna(w)) or g == w, (fv, c, g, w)
+
+
+def test_r9_reindex_like(spark):
+    """Round-9 extension pin: reindex_like conforms to the other
+    object's index (and, for frames, COLUMNS — both axes like pandas)
+    via one distributed join, no label collect."""
+    import pandas as pd
+
+    pa = pd.DataFrame({"v": [1.0, 2.0, 3.0], "u": [5.0, 6.0, 7.0]})
+    pb = pd.DataFrame({"v": [9.0, 9.0], "w": [0.0, 0.0]}, index=[2, 5])
+    fa = DataFrame({"v": [1.0, 2.0, 3.0], "u": [5.0, 6.0, 7.0]}, spark=spark)
+    fb = DataFrame({"v": [9.0, 9.0], "w": [0.0, 0.0]}, index=[2, 5], spark=spark)
+    got = fa.reindex_like(fb).to_pandas().sort_index()
+    want = pa.reindex_like(pb).sort_index()
+    assert got.index.tolist() == want.index.tolist()
+    assert list(got.columns) == list(want.columns)
+    for c in want.columns:
+        for g, w in zip(got[c].tolist(), want[c].tolist()):
+            assert (pd.isna(g) and pd.isna(w)) or g == w, (c, g, w)
+
+    sa = Series([1.0, 2.0, 3.0], spark=spark)
+    sb = Series([7.0, 7.0], index=[1, 9], spark=spark)
+    gs = sa.reindex_like(sb).to_pandas().sort_index()
+    ws = pd.Series([1.0, 2.0, 3.0]).reindex_like(pd.Series([7.0, 7.0], index=[1, 9])).sort_index()
+    assert gs.index.tolist() == ws.index.tolist()
+    for g, w in zip(gs.tolist(), ws.tolist()):
+        assert (pd.isna(g) and pd.isna(w)) or g == w
