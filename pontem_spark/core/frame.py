@@ -3331,12 +3331,14 @@ def get_dummies(
     prefix_sep: str = "_",
     dtype: str = "int",
     max_categories: "int | None" = None,
+    dummy_na: bool = False,
 ) -> DataFrame:
     """pandas.get_dummies over the named columns: one indicator column per
     distinct value, named ``{col}{prefix_sep}{value}`` in sorted value
     order (pandas' layout); the source columns are replaced, other columns
-    pass through. A missing cell gets 0 in every indicator
-    (dummy_na=False).
+    pass through. A missing cell gets 0 in every indicator; with
+    ``dummy_na=True`` a trailing ``{col}{prefix_sep}nan`` indicator marks
+    the missing cells, like pandas (r9).
 
     Scale shape: the distinct sets are DRIVER-side by necessity (they
     become the schema — a schema cannot be lazy), so one loudly-guarded
@@ -3378,4 +3380,11 @@ def get_dummies(
             cols[f"{name}{prefix_sep}{val}"] = F.coalesce(
                 df._columns[name] == F.lit(val), F.lit(False)
             ).cast(dtype)
+        if dummy_na:
+            src = df._columns[name]
+            miss = src.isNull()
+            schema = dict(mat.dtypes)
+            if schema.get(name) in ("double", "float"):
+                miss = miss | F.isnan(src)
+            cols[f"{name}{prefix_sep}nan"] = miss.cast(dtype)
     return DataFrame._from_internal(df._internal, cols)

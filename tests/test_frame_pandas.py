@@ -2350,3 +2350,21 @@ def test_r9_reindex_like(spark):
     assert gs.index.tolist() == ws.index.tolist()
     for g, w in zip(gs.tolist(), ws.tolist()):
         assert (pd.isna(g) and pd.isna(w)) or g == w
+
+
+def test_r9_get_dummies_dummy_na(spark):
+    """Round-9 extension pin: dummy_na=True appends the trailing
+    {col}_nan indicator for missing cells, like pandas; value indicators
+    still read 0 on missing rows."""
+    import numpy as np
+    import pandas as pd
+
+    from pontem_spark.core.frame import get_dummies
+
+    pdf = pd.DataFrame({"c": ["a", None, "b", "a"], "x": [1, 2, 3, 4]})
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    got = get_dummies(f, columns="c", dummy_na=True).to_pandas().sort_index()
+    want = pd.get_dummies(pdf, columns=["c"], dummy_na=True, dtype="int64")
+    assert sorted(got.columns) == sorted(map(str, want.columns))
+    for c in ["c_a", "c_b", "c_nan", "x"]:
+        assert got[c].tolist() == want[c].tolist(), c
