@@ -2368,3 +2368,58 @@ def test_r9_get_dummies_dummy_na(spark):
     assert sorted(got.columns) == sorted(map(str, want.columns))
     for c in ["c_a", "c_b", "c_nan", "x"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+@pytest.mark.parametrize("seed", [7, 19, 31])
+def test_r9_pivot_crosstab_random_differential(spark, seed):
+    """Round-9 randomized pin (same pattern as the r8 grouped-surface
+    differential): random NaN-laden frames through pivot_table
+    (aggfunc x margins x dropna) and crosstab (margins x normalize),
+    cell-compared against pandas."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    rng = random.Random(seed)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "k": [rng.choice(["a", "b", "c", "d"]) for _ in range(n)],
+            "c": [rng.choice(["x", "y", "z"]) for _ in range(n)],
+            "v": [
+                float("nan") if rng.random() < 0.25 else float(rng.randint(0, 9))
+                for _ in range(n)
+            ],
+        }
+    )
+    f = DataFrame(pdf.to_dict("list"), spark=spark)
+    for aggfunc in ["sum", "mean", "count", "min", "max"]:
+        for margins in (False, True):
+            for dropna in (True, False):
+                got = f.pivot_table(
+                    index="k", columns="c", values="v",
+                    aggfunc=aggfunc, margins=margins, dropna=dropna,
+                ).to_pandas().sort_index()
+                want = pd.pivot_table(
+                    pdf, index="k", columns="c", values="v",
+                    aggfunc=aggfunc, margins=margins, dropna=dropna,
+                )
+                label = (seed, aggfunc, margins, dropna)
+                assert sorted(map(str, got.index)) == sorted(map(str, want.index)), label
+                assert sorted(map(str, got.columns)) == sorted(map(str, want.columns)), label
+                for r in want.index:
+                    for c in want.columns:
+                        g, w = got.loc[str(r), str(c)], want.loc[r, c]
+                        gn, wn = pd.isna(g), pd.isna(w)
+                        assert gn == wn and (gn or abs(float(g) - float(w)) < 1e-9), (label, r, c, g, w)
+    for norm in (False, "all", "index", "columns"):
+        for m in (False, True):
+            got = f.crosstab("k", "c", margins=m, normalize=norm).to_pandas().sort_index()
+            want = pd.crosstab(pdf["k"], pdf["c"], margins=m, normalize=norm)
+            label = (seed, norm, m)
+            assert sorted(map(str, got.index)) == sorted(map(str, want.index)), label
+            assert sorted(map(str, got.columns)) == sorted(map(str, want.columns)), label
+            for r in want.index:
+                for c in want.columns:
+                    assert abs(float(got.loc[str(r), str(c)]) - float(want.loc[r, c])) < 1e-9, (label, r, c)
