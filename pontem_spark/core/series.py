@@ -749,9 +749,32 @@ class Series:
     # -- elementwise transforms ----------------------------------------------
 
     def astype(self, dtype) -> "Series":
-        return Series._from_internal(
-            self._internal, self._col.cast(to_spark_type(dtype)), self._name
-        )
+        """Cast via the dtype table (core/internal.py). Deliberate,
+        documented deviations from pandas (r9 astype probe):
+
+        - float-with-NaN → int: pandas raises IntCastingNaNError; here
+          missing stays missing (pandas' nullable 'Int64' behavior — at
+          scale a single NaN failing a 100 TB job is hostile, and ANSI
+          Spark would otherwise throw mid-executor).
+        - integer overflow (300 → int8): pandas 2.x silently WRAPS
+          (numpy); here ANSI raises loudly — pandas 3 will raise too.
+        - → bool matches pandas TRUTHINESS, not Spark's parse: strings
+          by length ('False' is True, '' and None are False), floats
+          nonzero-or-NaN (NaN is truthy in Python)."""
+        t = to_spark_type(dtype)
+        col = self._col
+        if t == "boolean":
+            src = self._internal.sdf.select(col).schema[0].dataType.simpleString()
+            if src == "string":
+                col = F.coalesce(F.length(col) > 0, F.lit(False))
+            elif src in ("double", "float"):
+                col = F.when(col.isNull() | F.isnan(col), F.lit(True)).otherwise(
+                    col != 0
+                )
+            else:
+                col = col.cast(t)
+            return Series._from_internal(self._internal, col, self._name)
+        return Series._from_internal(self._internal, col.cast(t), self._name)
 
     def isnull(self) -> "Series":
         return Series._from_internal(self._internal, self._col.isNull(), self._name)

@@ -1503,3 +1503,19 @@ def test_r9_value_counts_row_order(spark):
                 assert got.tolist() == want.tolist(), (
                     normalize, ascending, dropna, got.tolist(), want.tolist()
                 )
+
+
+def test_r9_astype_bool_truthiness(spark):
+    """Round-9 probe pin: astype(bool) follows Python TRUTHINESS like
+    pandas, not Spark's string parse — 'False' is True, '' and None are
+    False, NaN floats are True. The int-NaN (keeps NA, pandas raises)
+    and int-overflow (raises, pandas 2.x wraps) deviations are
+    documented in the astype docstring."""
+    import pandas as pd
+
+    s_cases = ["True", "False", "", None, "x"]
+    got = Series(s_cases, spark=spark).astype(bool).to_pandas().tolist()
+    assert got == pd.Series(s_cases).astype(bool).tolist()
+    f_cases = [1.5, float("nan"), 0.0, -2.0]
+    got_f = Series(f_cases, spark=spark).astype("bool").to_pandas().tolist()
+    assert got_f == pd.Series(f_cases).astype("bool").tolist()
