@@ -824,8 +824,24 @@ class DataFrame:
         if unknown:
             raise KeyError(unknown)
         cols = dict(self._columns)
+        schema = None
         for c, t in mapping.items():
-            cols[c] = cols[c].cast(to_spark_type(t))
+            st = to_spark_type(t)
+            if st == "boolean":
+                # pandas truthiness, shared with Series.astype (r9):
+                # strings by length, floats nonzero-or-NaN
+                if schema is None:
+                    schema = dict(self._materialized().dtypes)
+                src = schema.get(c)
+                if src == "string":
+                    cols[c] = F.coalesce(F.length(cols[c]) > 0, F.lit(False))
+                    continue
+                if src in ("double", "float"):
+                    cols[c] = F.when(
+                        cols[c].isNull() | F.isnan(cols[c]), F.lit(True)
+                    ).otherwise(cols[c] != 0)
+                    continue
+            cols[c] = cols[c].cast(st)
         return DataFrame._from_internal(self._internal, cols)
 
     def dropna(self, subset: list[str] | None = None, how: str = "any") -> "DataFrame":
