@@ -2364,11 +2364,16 @@ class _SeriesExpanding:
 class _Resampler:
     """Fixed-interval resampling over a timestamp index.
 
-    Emits OBSERVED buckets only (pandas also emits empty grid buckets as
-    NaN; at engine scale the grid is an explicit gap_fill composition —
-    operators/timeseries.py::gap_fill — not a default allocation)."""
+    Emits the COMPLETE bucket grid like pandas (r9 probe: empty buckets
+    gap-fill — NaN for the mean family, 0 for count/sum). The grid comes
+    from one tiny min/max agg + a distributed sequence explode and a
+    left join of the observed aggregates; its size is time-range/freq,
+    UNBOUNDED by the data, so a loud guard caps it (a 10-year span at
+    '1s' is 315M grid rows — compose operators/timeseries.py::gap_fill
+    explicitly, or coarsen the rule, past the cap)."""
 
     _UNITS = {"s": 1, "min": 60, "t": 60, "h": 3600, "d": 86400}
+    _MAX_GRID = 10_000_000
 
     def __init__(self, s: "Series", rule: str):
         import re
@@ -2383,29 +2388,78 @@ class _Resampler:
         self._s = s
         self._sec = int(m.group(1) or 1) * self._UNITS[unit]
 
-    def _agg(self, fn) -> "Series":
+    def _agg(self, fn, empty=None) -> "Series":
         s = self._s
         sdf = s._materialized()
-        epoch = F.unix_timestamp(F.col(INDEX_COL))
-        bucket = F.timestamp_seconds(epoch - (epoch % F.lit(self._sec)))
+        sec = self._sec
+        # pandas anchors the grid at MIDNIGHT OF THE FIRST DAY
+        # (origin='start_day'), not the epoch — identical for any freq
+        # dividing 86400 s, but '2d' or '7min' shift (r9 probe). The
+        # anchor is a broadcast 1-row bounds frame (the engine's
+        # sanctioned crossJoin shape for scalar stats).
+        ts = F.col(INDEX_COL)
+        bounds = sdf.agg(
+            F.unix_timestamp(F.date_trunc("day", F.min(ts))).alias("__a"),
+            F.unix_timestamp(F.min(ts)).alias("__mn"),
+            F.unix_timestamp(F.max(ts)).alias("__mx"),
+        )
+        base = sdf.crossJoin(F.broadcast(bounds))
+        off = F.unix_timestamp(ts) - F.col("__a")
+        bucket = F.timestamp_seconds(
+            F.col("__a") + off - F.pmod(off, F.lit(sec))
+        )
         v = F.col(_VALUE)
         missing = s._missing_mask(v, sdf)
         out = (
-            sdf.select(bucket.alias("__b"), F.when(~missing, v).alias("__v"))
+            base.select(bucket.alias("__b"), F.when(~missing, v).alias("__v"))
             .groupBy("__b")
             .agg(fn(F.col("__v")).alias(_VALUE))
         )
+        # pandas grid: every bucket from the first to the last, empty
+        # ones filled. The size guard (time-range/freq is UNBOUNDED by
+        # the data) is raise_error INSIDE the plan — fully lazy, and an
+        # empty input sequences to NULL → explode → zero rows.
+        omn = F.col("__mn") - F.col("__a")
+        omx = F.col("__mx") - F.col("__a")
+        lo_b = F.col("__a") + omn - F.pmod(omn, F.lit(sec))
+        hi_b = F.col("__a") + omx - F.pmod(omx, F.lit(sec))
+        n = ((hi_b - lo_b) / F.lit(sec)).cast("long") + 1
+        seq = F.sequence(
+            F.timestamp_seconds(lo_b),
+            F.timestamp_seconds(hi_b),
+            F.expr(f"INTERVAL {sec} SECONDS"),
+        )
+        guarded = F.when(
+            n > self._MAX_GRID,
+            F.raise_error(
+                F.concat(
+                    F.lit("resample: the bucket grid has "),
+                    n.cast("string"),
+                    F.lit(
+                        f" slots (time-range/freq) — past the "
+                        f"{self._MAX_GRID} guard. Coarsen the rule or "
+                        "compose operators/timeseries.py::gap_fill "
+                        "explicitly."
+                    ),
+                )
+            ),
+        ).otherwise(seq)
+        grid = bounds.select(F.explode(guarded).alias("__b"))
+        filled = grid.join(out, "__b", "left")
+        col = F.col(_VALUE)
+        if empty is not None:
+            col = F.coalesce(col, F.lit(empty))
         return Series._from_internal(
-            InternalFrame(out, "__b", s._internal.index_name),
-            F.col(_VALUE),
+            InternalFrame(filled, "__b", s._internal.index_name),
+            col,
             s._name,
         )
 
     def mean(self): return self._agg(F.mean)
-    def sum(self): return self._agg(F.sum)
+    def sum(self): return self._agg(F.sum, empty=0)
     def min(self): return self._agg(F.min)
     def max(self): return self._agg(F.max)
-    def count(self): return self._agg(F.count)
+    def count(self): return self._agg(F.count, empty=0)
 
 
 class _AtIndexer:

@@ -1519,3 +1519,41 @@ def test_r9_astype_bool_truthiness(spark):
     f_cases = [1.5, float("nan"), 0.0, -2.0]
     got_f = Series(f_cases, spark=spark).astype("bool").to_pandas().tolist()
     assert got_f == pd.Series(f_cases).astype("bool").tolist()
+
+
+def test_r9_resample_gapfill_and_anchor(spark):
+    """Round-9 probe pin: Series.resample emits the COMPLETE bucket grid
+    like pandas (empty buckets gap-fill — NaN for the mean family, 0 for
+    count/sum) and anchors it at midnight of the FIRST day
+    (origin='start_day'), which diverges from a plain epoch floor for
+    freqs not dividing 86400 s ('2d', '7min'). The grid-size guard
+    raises in-plan for absurd time-range/freq ratios."""
+    import pandas as pd
+    import pytest
+
+    stamps = [
+        pd.Timestamp("2021-03-01 07:11:13"),
+        pd.Timestamp("2021-03-02 01:00:00"),
+        pd.Timestamp("2021-03-07 23:59:59"),  # leaves multi-day gaps
+    ]
+    vals = [1.0, float("nan"), 5.0]
+    ws = pd.Series(vals, index=stamps)
+    ps = Series(vals, index=stamps, spark=spark)
+    for rule in ["d", "2d", "6h", "7min"]:
+        for aggn in ["mean", "sum", "count", "min"]:
+            if rule == "7min" and aggn != "count":
+                continue  # ~1400 buckets; one agg is plenty
+            got = getattr(ps.resample(rule), aggn)().to_pandas().sort_index()
+            want = getattr(ws.resample(rule), aggn)()
+            assert [str(k) for k in got.index] == [str(k) for k in want.index], (rule, aggn)
+            for a, b in zip(got.tolist(), want.tolist()):
+                an = pd.isna(a)
+                assert an == pd.isna(b) and (an or abs(float(a) - float(b)) < 1e-9), (rule, aggn, a, b)
+
+    big = Series(
+        [1.0, 2.0],
+        index=[pd.Timestamp("1990-01-01"), pd.Timestamp("2024-01-01")],
+        spark=spark,
+    )
+    with pytest.raises(Exception, match="bucket grid"):
+        big.resample("s").count().to_pandas()
