@@ -664,11 +664,14 @@ class DatetimeAccessor:
                     )
                 elif d == "G":
                     flush_pat()
-                    # ISO year = calendar year of this ISO week's Thursday
+                    # ISO year = calendar year of this ISO week's Thursday.
+                    # format_string, not lpad: Spark's lpad TRUNCATES
+                    # strings longer than the target, so a >4-digit or
+                    # negative year would render corrupted (r10 ADVICE).
                     iso_dow = (F.dayofweek(col) + 5) % 7 + 1  # Mon=1..Sun=7
                     thursday = F.date_add(F.to_date(col), 4 - iso_dow)
                     segs.append(
-                        F.lpad(F.year(thursday).cast("string"), 4, "0")
+                        F.format_string("%04d", F.year(thursday))
                     )
                 else:
                     raise ValueError(

@@ -689,6 +689,16 @@ class DataFrame:
                     f"margins_name {margins_name!r} conflicts with a pivot "
                     "column value"
                 )
+            # an INDEX value equal to margins_name would silently union a
+            # data row next to the totals row — same isEmpty probe as
+            # pivot_table (pandas raises ValueError too; r10 ADVICE)
+            if margins and not base.filter(
+                F.col(index).cast("string") == str(margins_name)
+            ).isEmpty():
+                raise ValueError(
+                    f"margins_name {margins_name!r} conflicts with an index "
+                    "value"
+                )
             everything = Window.partitionBy()
             row_sum = sum((pcol(c) for c in pvs[1:]), pcol(pvs[0])) if pvs else F.lit(0)
             sdf = sdf.withColumn("__rt", row_sum)
@@ -2050,11 +2060,16 @@ class DataFrame:
     def reindex(self, labels: "list") -> "DataFrame":
         """Conform to a new index label list: present labels keep their
         row, absent labels become all-missing rows (pandas). One left join
-        from the (tiny, broadcastable) label frame."""
+        from the (tiny, broadcastable) label frame. Duplicate labels in
+        SELF raise like pandas (lazy in-plan guard)."""
+        from pontem_spark.core.internal import guard_unique_labels
+
         spark = self._internal.sdf.sparkSession
         lab = spark.createDataFrame([(l,) for l in labels], ["__idx"])
         data = self.to_spark(index_col="__idx")
-        j = lab.join(data, "__idx", "left")
+        j = guard_unique_labels(
+            data, "__idx", lab.join(data, "__idx", "left"), "__idx"
+        )
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         return DataFrame._from_internal(internal, {c: j[c] for c in self._columns})
 
@@ -2063,10 +2078,15 @@ class DataFrame:
         other's index (one DISTRIBUTED left join from its index frame —
         never a driver-side label collect), columns = other's columns
         (absent ones come back all-missing). Result rows follow index
-        order."""
+        order. Duplicate labels in SELF raise like pandas (lazy in-plan
+        guard)."""
+        from pontem_spark.core.internal import guard_unique_labels
+
         lab = other.to_spark(index_col="__idx").select("__idx")
         data = self.to_spark(index_col="__idx")
-        j = lab.join(data, "__idx", "left")
+        j = guard_unique_labels(
+            data, "__idx", lab.join(data, "__idx", "left"), "__idx"
+        )
         internal = InternalFrame(j, "__idx", self._internal.index_name)
         absent = F.lit(None).cast("double")
         return DataFrame._from_internal(

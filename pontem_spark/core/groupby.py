@@ -670,8 +670,12 @@ class SeriesGroupBy:
         sdf = base.withColumn(
             "__midx__", F.struct(*[F.col(k) for k in knames + [self._col]])
         )
+        # spec keys a dedicated helper, not "__value__" (the rebindable
+        # value alias) — a derived series would otherwise re-sort by the
+        # derived expression (same r10 ADVICE fix as Series.value_counts)
+        sdf = sdf.withColumn("__vc_ord__", F.col("__value__"))
         spec = tuple([(k, True) for k in knames]) + (
-            ("__value__", ascending),
+            ("__vc_ord__", ascending),
             (self._col, True),
         )
         internal = InternalFrame(

@@ -65,6 +65,32 @@ def to_spark_type(dtype: Any) -> str:
     raise TypeError(f"unsupported dtype for astype: {dtype!r}")
 
 
+def guard_unique_labels(
+    source: SparkDataFrame, label_col: str, out: SparkDataFrame, out_label_col: str
+) -> SparkDataFrame:
+    """pandas parity for reindex/reindex_like: duplicate labels in the
+    SOURCE index would fan out the left join and silently multiply rows;
+    pandas raises 'cannot reindex on an axis with duplicate labels'. The
+    check is a LAZY in-plan raise_error over a broadcast 1-row stat (the
+    resample grid-guard idiom) — no eager probe job. count_distinct over a
+    struct so duplicated NULL labels also trip the guard."""
+    stat = source.agg(
+        (
+            F.count(F.lit(1)) > F.count_distinct(F.struct(F.col(label_col)))
+        ).alias("__dup__")
+    )
+    guarded = out.crossJoin(F.broadcast(stat))
+    return guarded.withColumn(
+        out_label_col,
+        F.when(
+            F.col("__dup__"),
+            F.raise_error(
+                F.lit("cannot reindex on an axis with duplicate labels")
+            ),
+        ).otherwise(F.col(out_label_col)),
+    ).drop("__dup__")
+
+
 def default_session() -> SparkSession:
     active = SparkSession.getActiveSession()
     if active is not None:

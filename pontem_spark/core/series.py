@@ -1002,13 +1002,18 @@ class Series:
         # order must live in the order_spec. Ties break by value label
         # (deterministic cross-engine; pandas uses first-appearance order,
         # which is positional and not reproducible distributed).
+        # The spec keys a DEDICATED helper column, not _VALUE: _VALUE is
+        # the rebindable value alias, so a derived series (vc * -1,
+        # vc.round()) would re-materialize sorted by the DERIVED
+        # expression instead of the counts (r10 ADVICE fix).
         name = "proportion" if normalize else "count"
+        sdf = sdf.withColumn("__vc_ord__", F.col(_VALUE))
         return Series._from_internal(
             InternalFrame(
                 sdf,
                 INDEX_COL,
                 self._name,
-                order_spec=((_VALUE, ascending), (INDEX_COL, True)),
+                order_spec=(("__vc_ord__", ascending), (INDEX_COL, True)),
             ),
             sdf[_VALUE],
             name,
@@ -2125,11 +2130,16 @@ class Series:
     def reindex(self, labels) -> "Series":
         """Conform to a new label list: absent labels become missing rows
         (pandas). One left join from the (tiny, broadcastable) label
-        frame."""
+        frame. Duplicate labels in SELF raise like pandas — a lazy in-plan
+        guard, not an eager probe job."""
+        from pontem_spark.core.internal import guard_unique_labels
+
         spark = self._internal.sdf.sparkSession
         lab = spark.createDataFrame([(l,) for l in labels], [INDEX_COL])
         data = self._materialized()
-        j = lab.join(data, INDEX_COL, "left")
+        j = guard_unique_labels(
+            data, INDEX_COL, lab.join(data, INDEX_COL, "left"), INDEX_COL
+        )
         return Series._from_internal(
             InternalFrame(j, INDEX_COL, self._internal.index_name),
             F.col(_VALUE),
@@ -2140,10 +2150,15 @@ class Series:
         """Conform to ``other``'s index — ``reindex(other.index)`` without
         ever collecting the labels: one DISTRIBUTED left join from
         other's index frame (pandas' driver-side label list would be a
-        cliff at scale). Result rows follow index order."""
+        cliff at scale). Result rows follow index order. Duplicate labels
+        in SELF raise like pandas (lazy in-plan guard)."""
+        from pontem_spark.core.internal import guard_unique_labels
+
         lab = other._materialized().select(INDEX_COL)
         data = self._materialized()
-        j = lab.join(data, INDEX_COL, "left")
+        j = guard_unique_labels(
+            data, INDEX_COL, lab.join(data, INDEX_COL, "left"), INDEX_COL
+        )
         return Series._from_internal(
             InternalFrame(j, INDEX_COL, self._internal.index_name),
             F.col(_VALUE),

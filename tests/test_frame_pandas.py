@@ -2423,3 +2423,37 @@ def test_r9_pivot_crosstab_random_differential(spark, seed):
             for r in want.index:
                 for c in want.columns:
                     assert abs(float(got.loc[str(r), str(c)]) - float(want.loc[r, c])) < 1e-9, (label, r, c)
+
+
+def test_grouped_value_counts_derived_keeps_count_order(spark):
+    """r10 ADVICE twin: groupby value_counts' order_spec keyed the
+    rebindable __value__ alias — derived series re-sorted by the derived
+    expression."""
+    data = {"g": ["a", "a", "a", "b", "b", "b"], "v": [1, 1, 2, 2, 2, 1]}
+    df = DataFrame(data, spark=spark)
+    w = pd.DataFrame(data)
+    got = (df.groupby("g")["v"].value_counts() * -1).to_pandas()
+    want = w.groupby("g")["v"].value_counts() * -1
+    assert got.tolist() == want.tolist()
+    assert got.index.tolist() == want.index.tolist()
+
+
+def test_crosstab_margins_name_index_collision_raises(spark):
+    """r10 ADVICE: an index value equal to margins_name raises (pandas
+    parity; previously it silently unioned a data row next to the totals
+    row). The pivot-value collision check still fires too."""
+    df = DataFrame({"i": ["All", "x"], "c": ["p", "q"]}, spark=spark)
+    with pytest.raises(ValueError, match="index"):
+        df.crosstab("i", "c", margins=True)
+    df2 = DataFrame({"i": ["x", "y"], "c": ["All", "q"]}, spark=spark)
+    with pytest.raises(ValueError, match="pivot"):
+        df2.crosstab("i", "c", margins=True)
+
+
+def test_frame_reindex_duplicate_labels_raise(spark):
+    dup = DataFrame({"x": [1, 2]}, index=[1, 1], spark=spark)
+    with pytest.raises(Exception, match="duplicate labels"):
+        dup.reindex([3]).to_pandas()
+    other = DataFrame({"x": [0]}, index=[3], spark=spark)
+    with pytest.raises(Exception, match="duplicate labels"):
+        dup.reindex_like(other).to_pandas()

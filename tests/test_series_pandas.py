@@ -1557,3 +1557,40 @@ def test_r9_resample_gapfill_and_anchor(spark):
     )
     with pytest.raises(Exception, match="bucket grid"):
         big.resample("s").count().to_pandas()
+
+
+def test_value_counts_derived_keeps_count_order(spark):
+    """r10 ADVICE (medium): the order_spec must key a DEDICATED helper
+    column — a Series derived from value_counts (vc * -1, vc.round())
+    previously re-materialized sorted by the DERIVED expression instead
+    of the counts."""
+    data = [2.0, 1.0, 3.0, 3.0, 3.0, 1.0]
+    s = Series(data, spark=spark)
+    w = pd.Series(data)
+    for tf in (lambda v: v * -1, lambda v: v.round(0), lambda v: v == 1):
+        got = tf(s.value_counts()).to_pandas()
+        want = tf(w.value_counts())
+        assert got.tolist() == want.tolist(), tf
+        assert got.index.tolist() == want.index.tolist(), tf
+    # normalize path shares the fix
+    got = (s.value_counts(normalize=True) * 2).to_pandas()
+    want = w.value_counts(normalize=True) * 2
+    assert got.index.tolist() == want.index.tolist()
+    np.testing.assert_allclose(got.values, want.values)
+
+
+def test_reindex_duplicate_labels_raise(spark):
+    """r10 ADVICE: duplicate labels in the SOURCE index raise like pandas
+    ('cannot reindex on an axis with duplicate labels') instead of
+    silently fanning out the join — lazy in-plan guard."""
+    dup = Series([1, 2], index=[1, 1], spark=spark)
+    with pytest.raises(Exception, match="duplicate labels"):
+        dup.reindex([5]).to_pandas()
+    other = Series([9], index=[5], spark=spark)
+    with pytest.raises(Exception, match="duplicate labels"):
+        dup.reindex_like(other).to_pandas()
+    # non-duplicate sources still conform (values + missing rows)
+    ok = Series([1, 2, 3], index=[10, 20, 30], spark=spark).reindex([20, 40]).to_pandas()
+    want = pd.Series([1, 2, 3], index=[10, 20, 30]).reindex([20, 40])
+    assert ok.index.tolist() == want.index.tolist()
+    assert ok.fillna(-1).tolist() == want.fillna(-1).tolist()
