@@ -1,0 +1,105 @@
+"""Round-11 query candidate(s), written and locally oracle-proven in round 10.
+
+NOT registered yet (r9 verdict task 1: register NOTHING in r10 — any new
+registration sorts never-green FIRST and evicts a stale re-check from the
+50-slot window). Stages driver evidence for the r9 Series.resample API
+(core/series.py::_Resampler — the pandas COMPLETE-grid semantics with
+origin='start_day' anchoring), which so far has only local differential
+evidence: the oracle replays the grid as a DuckDB generate_series with the
+same midnight-of-first-day anchor and floor-of-epoch bucketing, over a
+freq that divides a day ('6h') AND one that doesn't ('7h') — the
+non-dividing freq is what distinguishes start_day anchoring from a naive
+epoch floor cross-engine.
+
+Exercised by tests/test_pending_queries.py at sf0.001 and sf0.01 now, so
+it arrives green. Flip module: queries/round10.py (one import line in
+registry.all_queries() in r11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pontem_spark.sources.tables import load_table
+
+# (name, fn, oracle) triples for round-11 registration.
+PENDING: "list[tuple[str, object, str]]" = []
+
+
+def _pending(name: str, oracle: str):
+    def deco(fn):
+        from pontem_spark.functions.compat import portable_round_sql
+
+        PENDING.append((name, fn, portable_round_sql(oracle)))
+        return fn
+
+    return deco
+
+
+@_pending(
+    "q_ts_series_resample",
+    oracle="""
+    WITH b AS MATERIALIZED (
+        SELECT CAST(FLOOR(epoch(date_trunc('day', MIN(ts)))) AS BIGINT) AS a,
+               CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS mn,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx
+        FROM events
+    ), freqs AS (
+        SELECT * FROM (VALUES ('6h', 21600), ('7h', 25200)) AS t(freq, sec)
+    ), bounds AS MATERIALIZED (
+        SELECT f.freq, f.sec, b.a,
+               b.a + (b.mn - b.a) - (b.mn - b.a) % f.sec AS lo,
+               b.a + (b.mx - b.a) - (b.mx - b.a) % f.sec AS hi
+        FROM freqs f CROSS JOIN b
+    ), ev AS MATERIALIZED (
+        SELECT bo.freq,
+               bo.a + (CAST(FLOOR(epoch(e.ts)) AS BIGINT) - bo.a)
+                    - (CAST(FLOOR(epoch(e.ts)) AS BIGINT) - bo.a) % bo.sec
+                   AS bsec,
+               e.value
+        FROM events e CROSS JOIN bounds bo
+    ), aggd AS MATERIALIZED (
+        SELECT freq, bsec,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               AVG(value) AS av
+        FROM ev GROUP BY 1, 2
+    ), grid AS (
+        SELECT bo.freq, UNNEST(generate_series(bo.lo, bo.hi, bo.sec)) AS bsec
+        FROM bounds bo
+    )
+    SELECT g.freq,
+           strftime(make_timestamp(g.bsec * 1000000), '%Y-%m-%d %H:%M:%S')
+               AS bucket,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           ROUND(a.av, 2) AS avg_value
+    FROM grid g
+    LEFT JOIN aggd a ON g.freq = a.freq AND g.bsec = a.bsec
+    """,
+)
+def q_ts_series_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.resample through the wrapper — driver evidence for the
+    pandas-complete grid (empty buckets present: count 0, mean NULL) and
+    the origin='start_day' anchor. '6h' divides a day (anchor-invariant);
+    '7h' does not — its buckets land on midnight-of-first-day multiples,
+    so an epoch-floor implementation on either side hash-mismatches. The
+    grid itself is a broadcast 1-row bounds frame + sequence explode
+    (core/series.py::_Resampler) — never a driver-side date_range."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    s = from_spark(ev).set_index("ts")["value"]
+    parts = []
+    for rule in ("6h", "7h"):
+        n = s.resample(rule).count().to_spark(value_name="n_events")
+        avg = s.resample(rule).mean().to_spark(value_name="avg_value")
+        j = n.join(avg, "ts")
+        parts.append(
+            j.select(
+                F.lit(rule).alias("freq"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                F.col("n_events").cast("bigint").alias("n_events"),
+                rnd(F.col("avg_value"), 2).alias("avg_value"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -20,12 +20,14 @@ ROUND-10 WINDOW PLAN (written r9, per the r8 verdict's rotation
 discipline): register NOTHING new in r10 unless it is worth evicting a
 stale re-check. With the r9 window consumed by the 6 never-green
 queries + 44 r5-stale re-checks, the evidence-age sort will
-self-assemble the r10 window as: the 7 r5-stale spills
+self-assemble the r10 window as: the 6 r5-stale spills
 (q_api_reset_index_enumerate — displaced when the r9 triangles rewrite
 earned a CHANGED_IN_ROUND re-check slot — plus q_stream_static_enrich,
 q_dedup_jaccard_pairs, q_corpus_assembly, q_text_chunking,
-q_text_train_test_split, q1_pricing_summary) followed
-by ~44 of the 50 r6-evidence queries (q_set_intersect_all through
+q_text_train_test_split; q1_pricing_summary was listed here as r5-stale
+but actually carries r6 evidence — r10 docstring fix) followed
+by ~44 of the 50 r6-evidence queries (q1_pricing_summary and
+q_set_intersect_all through
 q_multimodal_decode_pipeline in registration order). The ~6 r6
 queries that spill (q_asof_forward_next_click, q_dedup_jaccard_prefix,
 q_dedup_containment, q_stream_stream_join, q_stream_sliding_rollup,

@@ -11,8 +11,9 @@ import pytest
 from pontem_spark.queries.round7_pending import PENDING as PENDING_A
 from pontem_spark.queries.round8_pending import PENDING as PENDING_B
 from pontem_spark.queries.round9_pending import PENDING as PENDING_C
+from pontem_spark.queries.round10_pending import PENDING as PENDING_D
 
-PENDING = PENDING_A + PENDING_B + PENDING_C
+PENDING = PENDING_A + PENDING_B + PENDING_C + PENDING_D
 
 
 @pytest.mark.parametrize("name", [n for n, _, _ in PENDING])
