@@ -786,9 +786,16 @@ class DataFrame:
         sdf = mat
         for name, expr in miss_cols.items():
             sdf = sdf.withColumn(name, expr)
+        # sort keys live in DEDICATED helper columns, not the user column
+        # names: _materialized() re-aliases the CURRENT column exprs under
+        # those names, so replacing a sort column after the sort
+        # (df['a'] = df['a'] > 0) would re-sort rows by the derived
+        # values (r10 probe — value_counts' ADVICE bug class).
+        for c in by:
+            sdf = sdf.withColumn(f"__sv_{c}__", F.col(c))
         for c, a in zip(by, asc):
             spec.append((f"__miss_{c}__", na_position == "last"))
-            spec.append((c, a))
+            spec.append((f"__sv_{c}__", a))
         spec.append((INDEX_COL, True))
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, tuple(spec))
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
@@ -1492,17 +1499,19 @@ class DataFrame:
         """Top-n by column(s): a lazy descending order spec + limit, so the
         plan is TakeOrderedAndProject (per-partition heaps + driver merge),
         never a global sort."""
-        by = [columns] if isinstance(columns, str) else list(columns)
-        sdf = self._materialized()
-        spec = tuple((c, False) for c in by) + ((INDEX_COL, True),)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
-        out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
-        return out.head(n)
+        return self._n_extreme_frame(n, columns, largest=True)
 
     def nsmallest(self, n: int, columns: str | list[str]) -> "DataFrame":
+        return self._n_extreme_frame(n, columns, largest=False)
+
+    def _n_extreme_frame(self, n: int, columns, largest: bool) -> "DataFrame":
         by = [columns] if isinstance(columns, str) else list(columns)
         sdf = self._materialized()
-        spec = tuple((c, True) for c in by) + ((INDEX_COL, True),)
+        # dedicated sort-key helpers — same derived-rebind fix as
+        # sort_values (r10 probe)
+        for c in by:
+            sdf = sdf.withColumn(f"__sv_{c}__", F.col(c))
+        spec = tuple((f"__sv_{c}__", not largest) for c in by) + ((INDEX_COL, True),)
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
         return out.head(n)
@@ -3284,9 +3293,18 @@ def concat(frames: list, axis: int = 0) -> DataFrame:
     if not frames:
         raise ValueError("concat of empty list")
 
+    # pandas: concat of ALL-Series inputs on axis=0 is a SERIES (r10
+    # probe — the frame lift leaked out as a 1-column DataFrame). The
+    # blocks stack under one shared column regardless of each input's
+    # name; the result name is the shared name if unanimous, else None.
+    all_series = axis == 0 and all(isinstance(x, Series) for x in frames)
+    series_name = frames[0]._name if all_series else None
+    if all_series and any(f._name != series_name for f in frames):
+        series_name = None
+
     def lift(x):
         if isinstance(x, Series):
-            name = str(x._name if x._name is not None else 0)
+            name = "__cc__" if all_series else str(x._name if x._name is not None else 0)
             sdf = x._materialized()
             # carry the Series' order_spec: a sorted Series input keeps
             # its CURRENT row order through concat, same as frames (the
@@ -3358,6 +3376,8 @@ def concat(frames: list, axis: int = 0) -> DataFrame:
         lifted[0]._internal.index_name,
         order_spec=spec,
     )
+    if all_series:
+        return Series._from_internal(internal, sdf["__cc__"], series_name)
     return DataFrame._from_internal(internal, {c: sdf[c] for c in cols})
 
 

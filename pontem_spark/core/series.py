@@ -568,13 +568,23 @@ class Series:
             raise ValueError(f"sort_values: na_position must be 'first' or 'last', got {na_position!r}")
         sdf = self._materialized()
         miss = self._missing_mask(F.col(_VALUE), sdf)
-        sdf = sdf.withColumn("__miss__", miss)
+        # the sort keys live in DEDICATED helper columns, not the
+        # rebindable _VALUE alias: a derived series (s2 = sorted > 0)
+        # would otherwise re-materialize sorted by the DERIVED expression
+        # (r10 probe — value_counts' ADVICE bug class, same fix).
+        # Deliberate deviation (documented): rows tying on the sort key —
+        # including the whole missing block — order by INDEX, not by
+        # pandas' original position (positional order is not reproducible
+        # distributed).
+        sdf = sdf.withColumn("__miss__", miss).withColumn(
+            "__sv_ord__", F.col(_VALUE)
+        )
         internal = InternalFrame(
             sdf,
             INDEX_COL,
             self._internal.index_name,
             # ascending=True sorts False(valid) before True(missing) → "last"
-            (("__miss__", na_position == "last"), (_VALUE, ascending), (INDEX_COL, True)),
+            (("__miss__", na_position == "last"), ("__sv_ord__", ascending), (INDEX_COL, True)),
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
@@ -596,14 +606,18 @@ class Series:
     def _n_extreme(self, n: int, largest: bool) -> "Series":
         mat = self._materialized()
         miss = self._missing_mask(F.col(_VALUE), mat)
-        sdf = mat.withColumn("__miss__", miss)
+        # dedicated sort-key helper — same derived-rebind fix as
+        # sort_values (r10 probe)
+        sdf = mat.withColumn("__miss__", miss).withColumn(
+            "__sv_ord__", F.col(_VALUE)
+        )
         val_order = F.col(_VALUE).desc() if largest else F.col(_VALUE).asc()
         sdf = sdf.orderBy(F.col("__miss__").asc(), val_order, F.col(INDEX_COL)).limit(n)
         internal = InternalFrame(
             sdf,
             INDEX_COL,
             self._internal.index_name,
-            (("__miss__", True), (_VALUE, not largest), (INDEX_COL, True)),
+            (("__miss__", True), ("__sv_ord__", not largest), (INDEX_COL, True)),
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 

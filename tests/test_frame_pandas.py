@@ -2166,9 +2166,11 @@ def test_concat_axis1_and_series(spark):
         axis=1,
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_names=False)
-    # axis=0 with series inputs
+    # axis=0 with all-Series inputs is a SERIES like pandas (r10 probe
+    # fix — previously leaked the 1-column frame lift)
     got0 = concat([a, a]).to_pandas()
-    assert sorted(got0["a"].tolist()) == [1.0, 1.0, 2.0, 2.0]
+    assert isinstance(got0, pd.Series) and got0.name == "a"
+    assert sorted(got0.tolist()) == [1.0, 1.0, 2.0, 2.0]
 
 
 def test_r9_merge_indicator(spark):
@@ -2213,7 +2215,7 @@ def test_r9_concat_preserves_input_row_order(spark):
 
     sa = Series([3, 1, 2], name="v", spark=spark).sort_values(ascending=False)
     sb = Series([9, 8], name="v", spark=spark)
-    got_s = concat([sa, sb]).to_pandas()["v"].tolist()
+    got_s = concat([sa, sb]).to_pandas().tolist()
     want_s = pd.concat(
         [pd.Series([3, 1, 2], name="v").sort_values(ascending=False),
          pd.Series([9, 8], name="v")]
@@ -2457,3 +2459,41 @@ def test_frame_reindex_duplicate_labels_raise(spark):
     other = DataFrame({"x": [0]}, index=[3], spark=spark)
     with pytest.raises(Exception, match="duplicate labels"):
         dup.reindex_like(other).to_pandas()
+
+
+def test_frame_sorted_output_derived_keeps_sort_order(spark):
+    """r10 probe pin (frame twin): replacing a sort column after
+    sort_values (df['a'] = df['a'] > 0) keeps the row order — the spec
+    keys __sv_{col}__ helpers, not the rebindable user column names."""
+    data = {"a": [3.0, -1.0, 2.0, -5.0], "b": [1, 2, 3, 4]}
+    wf = pd.DataFrame(data, index=[10, 11, 12, 13])
+    df = DataFrame(data, index=[10, 11, 12, 13], spark=spark)
+    fs, ws = df.sort_values("a"), wf.sort_values("a")
+    fs["a"] = fs["a"] > 0
+    ws["a"] = ws["a"] > 0
+    got = fs.to_pandas()
+    assert got["b"].tolist() == ws["b"].tolist()
+    assert got.index.tolist() == ws.index.tolist()
+    fn = df.nlargest(3, "a").assign(a=lambda x: x["a"] < 0)
+    wn = wf.nlargest(3, "a").assign(a=lambda x: x["a"] < 0)
+    gotn = fn.to_pandas()
+    assert gotn["b"].tolist() == wn["b"].tolist()
+    assert gotn.index.tolist() == wn.index.tolist()
+
+
+def test_concat_all_series_returns_series(spark):
+    """r10 probe pin: concat of all-Series inputs on axis=0 is a SERIES
+    like pandas (shared column regardless of names; name = unanimous name
+    or None), not a 1-column frame."""
+    a = Series([1.0, 2.0], index=[0, 1], spark=spark).rename("a")
+    b = Series([3.0], index=[2], spark=spark).rename("a")
+    got = concat([a, b]).to_pandas()
+    want = pd.concat([pd.Series([1.0, 2.0], name="a"),
+                      pd.Series([3.0], index=[2], name="a")])
+    assert isinstance(got, pd.Series) and got.name == "a"
+    assert got.tolist() == want.tolist() and got.index.tolist() == want.index.tolist()
+    # differing names -> None, and the blocks still stack into ONE column
+    c = Series([9.0], index=[5], spark=spark).rename("zzz")
+    got2 = concat([a, c]).to_pandas()
+    assert isinstance(got2, pd.Series) and got2.name is None
+    assert got2.tolist() == [1.0, 2.0, 9.0]

@@ -1594,3 +1594,31 @@ def test_reindex_duplicate_labels_raise(spark):
     want = pd.Series([1, 2, 3], index=[10, 20, 30]).reindex([20, 40])
     assert ok.index.tolist() == want.index.tolist()
     assert ok.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_sorted_output_derived_keeps_sort_order(spark):
+    """r10 probe pin: sort_values/nlargest/nsmallest key their order spec
+    on dedicated __sv_ord__ helpers, so a NON-monotonic derived series
+    (sorted > 0) keeps the sort order instead of re-sorting by the
+    derived booleans (value_counts' ADVICE bug class)."""
+    vals = [3.0, -1.0, 2.0, -5.0, float("nan"), 4.0]
+    idx = [10, 11, 12, 13, 14, 15]
+    s = Series(vals, index=idx, spark=spark)
+    w = pd.Series(vals, index=idx)
+    for sp, pdx in [
+        (s.sort_values(), w.sort_values()),
+        (s.sort_values(ascending=False), w.sort_values(ascending=False)),
+        (s.nlargest(4), w.nlargest(4)),
+        (s.nsmallest(4), w.nsmallest(4)),
+    ]:
+        got = (sp > 0).to_pandas()
+        want = pdx > 0
+        assert got.tolist() == want.tolist()
+        assert got.index.tolist() == want.index.tolist()
+    # the missing tail orders by INDEX (documented deviation — pandas'
+    # positional order is not reproducible distributed); values match
+    # position-for-position here because there is a single NaN
+    got = (s.sort_values() * 2).to_pandas()
+    want = w.sort_values() * 2
+    assert got.index.tolist() == want.index.tolist()
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()

@@ -1,21 +1,23 @@
-"""One-off ~10x scale-step measurement (r8 verdict task 6).
+"""Scale-step measurement ruler (r8 verdict task 6; generalized r10).
 
-Blows lineitem/orders/events/documents/embeddings up ~10x by
+Blows lineitem/orders/events/documents/embeddings up Nx by
 union-exploding with REPLICA-SHIFTED keys (consistent across
 orders<->lineitem so join fan-out stays linear, not quadratic), writes
-the blown tables + passthrough copies of the dims to --out, then runs
-the most expensive registered queries once at sf0.1 and once at the
+the blown tables + passthrough copies of the dims to the out dir, then
+runs the named registered queries once at sf0.1 and once at the
 blow-up, printing the ratio table for SCALE.md.
 
 Usage:
-    python tools/scale_step.py build   # ~sf1 tables into ./scale10/
-    python tools/scale_step.py run     # time the query list at both SFs
+    python tools/scale_step.py build [--replicas 10] [--out scale10]
+    python tools/scale_step.py run   [--out scale10] [--label sf1~]
+                                     [--queries a,b,c]
 
 NOT part of the test suite or bench gate — a scale-cliff detector
 (skew, broadcast overflow, driver collects) that plan reading can miss.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import shutil
 import sys
@@ -64,20 +66,20 @@ def get_session():
     return get_spark()
 
 
-def build() -> None:
+def build(out: Path = OUT, replicas: int = REPLICAS) -> None:
     from pyspark.sql import functions as F
 
     spark = get_session()
-    OUT.mkdir(exist_ok=True)
+    out.mkdir(exist_ok=True)
     blow = {"lineitem", "orders", "events", "documents", "embeddings"}
     for p in SRC.glob("*.parquet"):
         name = p.stem
         if name not in blow:
-            shutil.copyfile(p, OUT / p.name)
+            shutil.copyfile(p, out / p.name)
             continue
         df = spark.read.parquet(str(p))
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             part = df
             for col, shift in SHIFTS.items():
                 if col in part.columns:
@@ -89,47 +91,55 @@ def build() -> None:
                     "ts", F.col("ts") + F.expr(f"INTERVAL {i * 400} DAYS")
                 )
             parts.append(part)
-        out = parts[0]
+        big = parts[0]
         for q in parts[1:]:
-            out = out.unionByName(q)
-        out.repartition(32).write.mode("overwrite").parquet(
-            str(OUT / f"{name}.parquet")
+            big = big.unionByName(q)
+        big.repartition(32).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
         )
-        print(f"built {name}: {REPLICAS}x", flush=True)
+        print(f"built {name}: {replicas}x", flush=True)
 
 
-def run() -> None:
+def run(out: Path = OUT, label: str = "sf1~", queries: "list[str] | None" = None) -> None:
     import __spark_entry__ as e
 
     spark = get_session()
     qs = e.queries()
     rows = []
-    for name in QUERIES:
+    for name in queries or QUERIES:
         fn = qs[name]
         rec = {"query": name}
-        for label, d in (("sf0.1", str(SRC)), ("sf1~", str(OUT))):
+        for label_, d in (("sf0.1", str(SRC)), (label, str(out))):
             try:
                 # discard one warm-up run per (query, dir): codegen compile
                 # and scan-cache effects otherwise dominate the small side
                 fn(spark, d).write.format("noop").mode("overwrite").save()
                 t0 = time.time()
                 fn(spark, d).write.format("noop").mode("overwrite").save()
-                rec[label] = round(time.time() - t0, 2)
+                rec[label_] = round(time.time() - t0, 2)
             except Exception as exc:  # noqa: BLE001
-                rec[label] = f"FAIL {type(exc).__name__}: {exc}"[:120]
-        if isinstance(rec.get("sf0.1"), float) and isinstance(rec.get("sf1~"), float):
-            rec["ratio"] = round(rec["sf1~"] / max(rec["sf0.1"], 1e-9), 1)
+                rec[label_] = f"FAIL {type(exc).__name__}: {exc}"[:120]
+        if isinstance(rec.get("sf0.1"), float) and isinstance(rec.get(label), float):
+            rec["ratio"] = round(rec[label] / max(rec["sf0.1"], 1e-9), 1)
         rows.append(rec)
         print(json.dumps(rec), flush=True)
-    print("\n| query | sf0.1 s | ~sf1 s | ratio |")
+    print(f"\n| query | sf0.1 s | {label} s | ratio |")
     print("|---|---|---|---|")
     for r in rows:
-        print(f"| {r['query']} | {r.get('sf0.1')} | {r.get('sf1~')} | {r.get('ratio', '-')} |")
+        print(f"| {r['query']} | {r.get('sf0.1')} | {r.get(label)} | {r.get('ratio', '-')} |")
 
 
 if __name__ == "__main__":
-    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
-    if mode == "build":
-        build()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", nargs="?", default="run", choices=["build", "run"])
+    ap.add_argument("--replicas", type=int, default=REPLICAS)
+    ap.add_argument("--out", default=str(OUT))
+    ap.add_argument("--label", default="sf1~")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query names (default: QUERIES)")
+    args = ap.parse_args()
+    if args.mode == "build":
+        build(Path(args.out), args.replicas)
     else:
-        run()
+        run(Path(args.out), args.label,
+            args.queries.split(",") if args.queries else None)
