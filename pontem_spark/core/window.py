@@ -46,6 +46,35 @@ class Rolling:
     def min(self): return self._apply(F.min)
     def max(self): return self._apply(F.max)
     def std(self): return self._apply(F.stddev_samp)
+    def var(self): return self._apply(F.var_samp)
+
+    def median(self):
+        """Exact rolling median. Spark forbids median()/percentile() with
+        a window FRAME, so: collect_list over the frame (bounded by the
+        window size — never the series), sort, midpoint. collect_list
+        drops NULLs, which is exactly pandas' skipna."""
+        from pontem_spark.core.series import Series
+
+        s = self._s
+        sdf = s._materialized()
+        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        arr = F.sort_array(F.collect_list(self._valid(sdf)).over(w))
+        cnt = F.size(arr)
+        mid = (cnt / 2).cast("int")
+        med = F.when(
+            cnt % 2 == 1, F.try_element_at(arr, mid + 1).cast("double")
+        ).otherwise(
+            (
+                F.try_element_at(arr, mid).cast("double")
+                + F.try_element_at(arr, mid + 1).cast("double")
+            )
+            / 2.0
+        )
+        col = F.when(cnt >= self._minp, med)
+        return Series._from_internal(
+            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+        )
+
     def count(self):
         """Unlike every other rolling agg, pandas gates count on the ROW
         count in the window reaching min_periods, not the non-missing
@@ -119,6 +148,30 @@ class GroupedRolling:
     def min(self): return self._apply(F.min)
     def max(self): return self._apply(F.max)
     def std(self): return self._apply(F.stddev_samp)
+    def var(self): return self._apply(F.var_samp)
+
+    def median(self):
+        """Exact grouped rolling median — the collect_list midpoint form
+        (see Rolling.median), partitioned by the group keys."""
+        from pontem_spark.core.series import Series
+
+        sdf = self._base()
+        w = self._win(sdf, -(self._n - 1))
+        arr = F.sort_array(F.collect_list(self._valid_value(sdf)).over(w))
+        cnt = F.size(arr)
+        mid = (cnt / 2).cast("int")
+        med = F.when(
+            cnt % 2 == 1, F.try_element_at(arr, mid + 1).cast("double")
+        ).otherwise(
+            (
+                F.try_element_at(arr, mid).cast("double")
+                + F.try_element_at(arr, mid + 1).cast("double")
+            )
+            / 2.0
+        )
+        col = F.when(cnt >= self._n, med)
+        internal = InternalFrame(sdf, INDEX_COL, self._df._internal.index_name)
+        return Series._from_internal(internal, col, self._col)
 
     def count(self):
         """Gates on the ROW count reaching the window size, not the

@@ -34,14 +34,29 @@ def read_event_stream(
     # value-preserving only under UTC; a non-UTC driver session would shift
     # streaming ts values vs the DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
     path = f"{sf_dir}/events.parquet"
     batch_schema = spark.read.parquet(path).schema
-    # file-stream sources take a DIRECTORY; select just the events table via
-    # a glob filter (in production this is the events/ landing directory)
-    reader = spark.readStream.schema(batch_schema).option("pathGlobFilter", "events.parquet")
+    # file-stream sources take a DIRECTORY. Two layouts exist: the test
+    # fixtures ship events.parquet as a single FILE inside sf_dir (select
+    # it via a glob filter), while Spark-written datasets (the scale-step
+    # blow-ups; any production landing zone) make events.parquet a
+    # DIRECTORY of part files — stream that directory itself (r10: the
+    # glob-filter-only form silently streamed ZERO rows from the
+    # directory layout, which a timing ruler flagged as an impossible
+    # 0.1x scale ratio).
+    if os.path.isdir(path):
+        reader = spark.readStream.schema(batch_schema)
+        src = path
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", "events.parquet"
+        )
+        src = sf_dir
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return normalize_timestamps(reader.parquet(sf_dir))
+    return normalize_timestamps(reader.parquet(src))
 
 
 def hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

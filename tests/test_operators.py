@@ -1861,3 +1861,46 @@ def test_decayed_state_merge_equals_direct(spark):
             assert got[k]["n_events"] == direct[k]["n_events"]
             assert got[k]["decayed_total"] == direct[k]["decayed_total"], k
             assert got[k]["decayed_mean"] == direct[k]["decayed_mean"], k
+
+
+def test_simhash_collapse_identical_scale_path(spark):
+    """r10 scale-step pin: collapse_identical pre-collapses identical
+    fingerprints to one min-id representative before banding (the
+    exact-duplicate-pressure scale path — without it c copies of a doc
+    put c^2 candidates in every shared band bucket). The representative
+    pair set must equal the plain banded pair set computed over the
+    distinct-fingerprint representatives."""
+    from pyspark.sql import functions as F
+
+    from pontem_spark.operators import dedup as D
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "a completely different document about spark scale testing",
+    ]
+    rows = []
+    did = 0
+    for t in texts:
+        for _ in range(5):  # 5 exact copies of each
+            rows.append((did, t))
+            did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = D.simhash_md5(docs, "doc_id", "text", bits=60)
+
+    collapsed = D.simhash_band_candidates(
+        fp, "doc_id", "simhash60", bits=60, n_bands=9, collapse_identical=True
+    ).toPandas()
+    reps = fp.groupBy("simhash60").agg(F.min("doc_id").alias("doc_id"))
+    manual = D.simhash_band_candidates(
+        reps, "doc_id", "simhash60", bits=60, n_bands=9
+    ).toPandas()
+    got = sorted(map(tuple, collapsed[["id_a", "id_b"]].values.tolist()))
+    want = sorted(map(tuple, manual[["id_a", "id_b"]].values.tolist()))
+    assert got == want
+    # representatives are min ids: 3 distinct texts -> ids 0, 5, 10 only
+    ids = {i for p in got for i in p}
+    assert ids <= {0, 5, 10}
+    # every near-dup pair of ORIGINALS is recoverable via representatives:
+    # texts 0 and 1 differ by one char -> their reps (0, 5) must pair
+    assert (0, 5) in got

@@ -1622,3 +1622,33 @@ def test_sorted_output_derived_keeps_sort_order(spark):
     want = w.sort_values() * 2
     assert got.index.tolist() == want.index.tolist()
     assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+
+
+def test_rolling_var_median(spark):
+    """r10 probe pin: rolling var + exact rolling median (Spark forbids
+    median() with a window frame — collect_list midpoint form), NaN-skipna
+    and min_periods gating like pandas."""
+    vals = [1.0, float("nan"), 3.0, 0.0, 5.0, 2.0, float("nan"), 4.0]
+    s = Series(vals, spark=spark)
+    w = pd.Series(vals)
+    for window, minp in [(3, None), (3, 1), (4, 2)]:
+        for aggn in ("var", "median"):
+            got = getattr(s.rolling(window, min_periods=minp), aggn)().to_pandas()
+            want = getattr(w.rolling(window, min_periods=minp), aggn)()
+            for a, b in zip(got.tolist(), want.tolist()):
+                an, bn = pd.isna(a), pd.isna(b)
+                assert an == bn and (an or abs(a - b) < 1e-9), (window, minp, aggn)
+
+
+def test_grouped_rolling_median(spark):
+    from pontem_spark.core import DataFrame as PDF
+
+    data = {"g": ["a", "a", "a", "b", "b", "b", "b"],
+            "v": [1.0, 5.0, 3.0, 2.0, float("nan"), 8.0, 4.0]}
+    df = PDF(data, spark=spark)
+    wf = pd.DataFrame(data)
+    got = df.groupby("g")["v"].rolling(2).median().to_pandas().sort_index()
+    want = wf.groupby("g")["v"].rolling(2).median().reset_index(level=0, drop=True).sort_index()
+    for a, b in zip(got.tolist(), want.tolist()):
+        an, bn = pd.isna(a), pd.isna(b)
+        assert an == bn and (an or abs(a - b) < 1e-9)
