@@ -374,6 +374,7 @@ def simhash_band_candidates(
     carry_hash: bool = False,
     storage_level: str | None = None,
     collapse_identical: bool = False,
+    carry_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Candidate near-dup pairs by banding the SimHash fingerprint.
 
@@ -405,11 +406,23 @@ def simhash_band_candidates(
     corpus. The pair set is then over REPRESENTATIVES; exact-duplicate
     members rejoin via a fingerprint equi-join (that's what a removal
     pipeline consumes — it never needs the quadratic within-group pairs).
+
+    ``carry_cols`` generalizes ``carry_hash``: the named columns travel
+    through the band join and come back suffixed _a/_b on the
+    (non-distinct) candidate rows — so per-doc metadata (e.g. the
+    collapse path's member counts) needs NO join back through the
+    upstream pipeline (Catalyst re-derives diamond subtrees).
     """
     if collapse_identical:
-        fingerprints = fingerprints.groupBy(hash_col).agg(
-            F.min(id_col).alias(id_col)
-        )
+        aggs = [F.min(id_col).alias(id_col)]
+        for c in carry_cols or []:
+            if c != hash_col:
+                raise ValueError(
+                    "collapse_identical with carry_cols: carry columns "
+                    "other than the hash are ambiguous after collapsing; "
+                    "aggregate them into the fingerprint frame first"
+                )
+        fingerprints = fingerprints.groupBy(hash_col).agg(*aggs)
     base, extra = divmod(bits, n_bands)
     structs, lo = [], 0
     for b in range(n_bands):
@@ -422,10 +435,13 @@ def simhash_band_candidates(
             )
         )
         lo += w
-    carry = [F.col(hash_col)] if carry_hash else []
+    carry_names = list(dict.fromkeys(
+        ([hash_col] if carry_hash else []) + list(carry_cols or [])
+    ))
+    carry = [F.col(c) for c in carry_names]
     bands = _persist(
         fingerprints.select(F.col(id_col), *carry, F.explode(F.array(*structs)).alias("__b"))
-        .select(id_col, *carry, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val")),
+        .select(id_col, *carry_names, F.col("__b.band_idx").alias("band_idx"), F.col("__b.band_val").alias("band_val")),
         storage_level,  # tiny (n_docs x n_bands); both self-join sides read
         # it — without it the upstream fingerprint aggregation runs twice
     )
@@ -436,13 +452,24 @@ def simhash_band_candidates(
         & (F.col("x.band_val") == F.col("y.band_val"))
         & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
     )
-    if carry_hash:
-        return joined.select(
+    if carry_names:
+        out_cols = [
             F.col(f"x.{id_col}").alias("id_a"),
             F.col(f"y.{id_col}").alias("id_b"),
-            F.col(f"x.{hash_col}").alias("h_a"),
-            F.col(f"y.{hash_col}").alias("h_b"),
-        )
+        ]
+        if carry_hash:
+            out_cols += [
+                F.col(f"x.{hash_col}").alias("h_a"),
+                F.col(f"y.{hash_col}").alias("h_b"),
+            ]
+        for c in carry_names:
+            if c == hash_col and carry_hash:
+                continue  # already out as h_a/h_b
+            out_cols += [
+                F.col(f"x.{c}").alias(f"{c}_a"),
+                F.col(f"y.{c}").alias(f"{c}_b"),
+            ]
+        return joined.select(*out_cols)
     return (
         joined.select(F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b"))
         .distinct()

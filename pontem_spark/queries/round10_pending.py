@@ -1,18 +1,23 @@
-"""Round-11 query candidate(s), written and locally oracle-proven in round 10.
+"""Round-11 query candidates, written and locally oracle-proven in round 10.
 
 NOT registered yet (r9 verdict task 1: register NOTHING in r10 — any new
 registration sorts never-green FIRST and evicts a stale re-check from the
-50-slot window). Stages driver evidence for the r9 Series.resample API
-(core/series.py::_Resampler — the pandas COMPLETE-grid semantics with
-origin='start_day' anchoring), which so far has only local differential
-evidence: the oracle replays the grid as a DuckDB generate_series with the
-same midnight-of-first-day anchor and floor-of-epoch bucketing, over a
-freq that divides a day ('6h') AND one that doesn't ('7h') — the
-non-dividing freq is what distinguishes start_day anchoring from a naive
-epoch floor cross-engine.
+50-slot window). Two candidates:
+
+1. q_ts_series_resample — driver evidence for the r9 Series.resample API
+   (core/series.py::_Resampler — the pandas COMPLETE-grid semantics with
+   origin='start_day' anchoring), so far local-differential only: the
+   oracle replays the grid as a DuckDB generate_series with the same
+   midnight-of-first-day anchor and floor-of-epoch bucketing, over a
+   freq that divides a day ('6h') AND one that doesn't ('7h') — the
+   non-dividing freq is what distinguishes start_day anchoring from a
+   naive epoch floor cross-engine.
+2. q_dedup_simhash_collapsed_pairs — driver evidence for the r10 scale
+   path (simhash_band_candidates collapse_identical, flat 1.0x at 30x
+   exact-duplicate pressure vs 83.7x uncollapsed; SCALE.md r10).
 
 Exercised by tests/test_pending_queries.py at sf0.001 and sf0.01 now, so
-it arrives green. Flip module: queries/round10.py (one import line in
+both arrive green. Flip module: queries/round10.py (one import line in
 registry.all_queries() in r11).
 """
 
@@ -103,3 +108,66 @@ def q_ts_series_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+from pontem_spark.queries.oracle_fragments import (
+    SIMHASH_MD5_FP_CTES as _SIMHASH_MD5_FP_CTES,
+)
+
+
+@_pending(
+    "q_dedup_simhash_collapsed_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_MD5_FP_CTES},
+    reps AS (
+        SELECT simhash60, MIN(doc_id) AS doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM fp GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INTEGER) AS hamming,
+           a.n_members AS members_a, b.n_members AS members_b
+    FROM reps a JOIN reps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 8
+    """,
+)
+def q_dedup_simhash_collapsed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT-DUPLICATE-pressure scale path earned in the r10 30x scale
+    step (simhash_band_candidates collapse_identical — SCALE.md r10):
+    identical fingerprints collapse to one min-id representative carrying
+    its member count, the 9-band pigeonhole join runs over the DISTINCT
+    fingerprint set (linear no matter how duplicate-heavy the corpus —
+    measured flat 1.0x at 30x blown data vs 83.7x uncollapsed), and the
+    oracle's naive all-pairs scan over the same representatives proves the
+    banding still loses zero recall."""
+    from pontem_spark.operators.dedup import (
+        hamming_distance,
+        simhash_band_candidates,
+        simhash_md5,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_md5(docs, "doc_id", "text", bits=60)
+    reps = fp.groupBy("simhash60").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_members")
+    )
+    # carry_cols rides the member counts THROUGH the (cached) band join —
+    # a join back through reps would re-derive the whole simhash fold per
+    # reference (Catalyst diamond re-derivation; measured 3.7 s vs 2 s at
+    # sf0.1), and the cached bands frame is read by both self-join sides.
+    cand = simhash_band_candidates(
+        reps, "doc_id", "simhash60", bits=60, n_bands=9,
+        carry_hash=True, carry_cols=["n_members"],
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming_distance(F.col("h_a"), F.col("h_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= 8)
+        .select(
+            "id_a", "id_b", "hamming",
+            F.col("n_members_a").alias("members_a"),
+            F.col("n_members_b").alias("members_b"),
+        )
+        .distinct()
+    )
