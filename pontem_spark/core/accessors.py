@@ -143,10 +143,12 @@ class StringAccessor:
             return self._wrap(F.regexp_replace(self._s._col, pat, repl))
         return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
 
-    def slice(self, start: int = 0, stop: int | None = None):
+    def slice(self, start: "int | None" = 0, stop: int | None = None):
         # full Python slice semantics incl. NEGATIVE bounds (pandas
         # str.slice); the old positive-only form returned '' for any
         # negative stop. Bounds are clamped per-row against the length.
+        # start=None means 0, like pandas (r10 probe).
+        start = 0 if start is None else start
         col = self._s._col
         n = F.length(col)
         s_eff = (
@@ -443,8 +445,16 @@ class StringAccessor:
             )
         )
 
-    def pad(self, width: int, fillchar: str = " "):
-        return self._wrap(self._pad_no_truncate(width, fillchar))
+    def pad(self, width: int, side: str = "left", fillchar: str = " "):
+        """pandas signature: side selects the existing rjust/ljust/center
+        forms (r10 probe: the side param was missing)."""
+        if side == "left":
+            return self._wrap(self._pad_no_truncate(width, fillchar))
+        if side == "right":
+            return self.ljust(width, fillchar)
+        if side == "both":
+            return self.center(width, fillchar)
+        raise ValueError(f"pad: side must be 'left', 'right' or 'both', got {side!r}")
 
 
 class DatetimeAccessor:

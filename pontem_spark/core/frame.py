@@ -329,8 +329,27 @@ class DataFrame:
         for c in overlap:
             l = l.withColumnRenamed(c, f"{c}{suffixes[0]}")
             r = r.withColumnRenamed(c, f"{c}{suffixes[1]}")
-        joined = l.join(r, keys, how)
-        user_cols = [c for c in joined.columns if c not in ("__lidx__", "__ridx__")]
+        # pandas MATCHES missing join keys with each other (NaN↔NaN,
+        # None↔None — all missing keys form one join group); Spark's
+        # USING-style equality never matches NULL. Null-safe equality
+        # (<=>) restores pandas semantics and is still extracted as a
+        # hash-join key by Catalyst — no plan downgrade (r10 probe).
+        for k in keys:
+            l = l.withColumnRenamed(k, f"__lk_{k}__")
+            r = r.withColumnRenamed(k, f"__rk_{k}__")
+        cond = None
+        for k in keys:
+            c = l[f"__lk_{k}__"].eqNullSafe(r[f"__rk_{k}__"])
+            cond = c if cond is None else cond & c
+        joined = l.join(r, cond, how)
+        for k in keys:  # USING-style single key column back
+            joined = joined.withColumn(
+                k, F.coalesce(F.col(f"__lk_{k}__"), F.col(f"__rk_{k}__"))
+            ).drop(f"__lk_{k}__", f"__rk_{k}__")
+        user_cols = keys + [
+            c for c in joined.columns
+            if c not in ("__lidx__", "__ridx__") and c not in keys
+        ]
         # pandas row order: left/inner/outer follow the LEFT frame's row
         # order (matches in right-row order within a left row, unmatched
         # right rows last); right joins follow the right frame. A join's

@@ -1059,17 +1059,22 @@ class Series:
         return self._where_impl(cond, other, invert=False)
 
     def mask(self, cond: "Series", other=None) -> "Series":
-        """Replace values where cond holds (pandas.mask). A missing/null
-        cond counts as False — i.e. KEEP — matching pandas, which is why
-        this is not simply ``where(~cond)`` (~null stays null)."""
+        """Replace values where cond holds (pandas.mask). A missing/
+        misaligned cond fills with TRUE — i.e. REPLACE — pandas' documented
+        alignment rule ('misaligned index positions will be filled with
+        True' for mask, False for where; r10 probe corrected the earlier
+        missing-keeps reading)."""
         return self._where_impl(cond, other, invert=True)
 
     def _where_impl(self, cond: "Series", other, invert: bool) -> "Series":
         same_cond = cond._internal.sdf is self._internal.sdf
         other_is_series = isinstance(other, Series)
         same_other = (not other_is_series) or other._internal.sdf is self._internal.sdf
+        # pandas: missing cond fills with False for where, True for mask —
+        # both ways the row is REPLACED
+        cond_fill = F.lit(True) if invert else F.lit(False)
         if same_cond and same_other:
-            keep = F.coalesce(cond._col, F.lit(False))
+            keep = F.coalesce(cond._col, cond_fill)
             keep = ~keep if invert else keep
             repl = other._col if other_is_series else F.lit(other)
             return Series._from_internal(
@@ -1083,7 +1088,7 @@ class Series:
             repl = sdf["__o__"]
         else:
             repl = F.lit(other)
-        keep = F.coalesce(sdf["__c__"], F.lit(False))
+        keep = F.coalesce(sdf["__c__"], cond_fill)
         keep = ~keep if invert else keep
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name),

@@ -2497,3 +2497,27 @@ def test_concat_all_series_returns_series(spark):
     got2 = concat([a, c]).to_pandas()
     assert isinstance(got2, pd.Series) and got2.name is None
     assert got2.tolist() == [1.0, 2.0, 9.0]
+
+
+def test_merge_matches_missing_keys_like_pandas(spark):
+    """r10 probe pin: pandas merge puts ALL missing join keys in one join
+    group (NaN↔NaN, None↔None); Spark USING-equality never matches NULL —
+    the engine joins null-safe (<=>) instead."""
+    la = pd.DataFrame({"k": [1.0, float("nan"), float("nan")], "v": [1, 2, 3]})
+    rb = pd.DataFrame({"k": [float("nan"), 1.0], "w": [10, 20]})
+    fa = DataFrame(la.to_dict("list"), spark=spark)
+    fb = DataFrame(rb.to_dict("list"), spark=spark)
+    for how in ("inner", "left", "right", "outer"):
+        got = fa.merge(fb, on="k", how=how).to_pandas()
+        want = la.merge(rb, on="k", how=how)
+        g = got.fillna(-777).sort_values(["v", "w"]).reset_index(drop=True)
+        w = want.fillna(-777).sort_values(["v", "w"]).reset_index(drop=True)
+        assert g[["k", "v", "w"]].values.tolist() == w[["k", "v", "w"]].values.tolist(), how
+    # object None keys match too
+    lo = pd.DataFrame({"k": ["a", None], "v": [1, 2]})
+    ro = pd.DataFrame({"k": [None, "a"], "w": [10, 20]})
+    got = (DataFrame(lo.to_dict("list"), spark=spark)
+           .merge(DataFrame(ro.to_dict("list"), spark=spark), on="k", how="inner")
+           .to_pandas())
+    want = lo.merge(ro, on="k", how="inner")
+    assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())

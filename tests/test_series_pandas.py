@@ -490,12 +490,15 @@ def test_iloc_negative_and_list(spark):
 
 
 def test_where_mask_foreign_anchor(spark):
+    """Misaligned cond positions fill with False for where, True for mask
+    (pandas' documented alignment rule — both ways the row is REPLACED;
+    r10 probe corrected this pin, which hand-filled False for both)."""
     s = Series([1, 2, 3, 4], index=[0, 1, 2, 3], spark=spark)
     cond = Series([True, False, True], index=[0, 1, 2], spark=spark)  # missing idx 3
     repl = Series([10, 20, 30, 40], index=[0, 1, 2, 3], spark=spark)
 
     ws = pd.Series([1, 2, 3, 4])
-    wc = pd.Series([True, False, True, False], index=[0, 1, 2, 3])  # pandas: missing -> False
+    wc = pd.Series([True, False, True], index=[0, 1, 2])  # pandas aligns itself
 
     got = s.where(cond, -9).to_pandas().sort_index()
     want = ws.where(wc, -9)
@@ -1652,3 +1655,35 @@ def test_grouped_rolling_median(spark):
     for a, b in zip(got.tolist(), want.tolist()):
         an, bn = pd.isna(a), pd.isna(b)
         assert an == bn and (an or abs(a - b) < 1e-9)
+
+
+def test_str_pad_side_and_slice_none_start(spark):
+    """r10 probe pins: str.pad grew pandas' side parameter (left/right/
+    both delegate to the rjust/ljust/center forms, never truncating);
+    str.slice accepts start=None like pandas."""
+    vals = ["ab", "abcdefgh", "", None, "xyz"]
+    s = Series(vals, spark=spark)
+    w = pd.Series(vals)
+    for side in ("left", "right", "both"):
+        got = s.str.pad(5, side=side, fillchar="*").to_pandas()
+        want = w.str.pad(5, side=side, fillchar="*")
+        assert got.fillna("<NA>").tolist() == want.fillna("<NA>").tolist(), side
+    with pytest.raises(ValueError, match="side"):
+        s.str.pad(5, side="middle")
+    got = s.str.slice(None, -1).to_pandas()
+    want = w.str.slice(None, -1)
+    assert got.fillna("<NA>").tolist() == want.fillna("<NA>").tolist()
+
+
+def test_where_mask_misaligned_cond_fill(spark):
+    """r10 probe pin: pandas fills MISALIGNED cond positions with False
+    for where and True for mask — both ways the row is REPLACED (the
+    engine previously kept rows on missing mask cond)."""
+    s = Series([1.0, 2.0, 3.0], index=[0, 1, 2], spark=spark)
+    c = Series([True, False], index=[0, 1], spark=spark)
+    w = pd.Series([1.0, 2.0, 3.0], index=[0, 1, 2])
+    wc = pd.Series([True, False], index=[0, 1])
+    got_w = s.where(c, -9.0).to_pandas().sort_index()
+    got_m = s.mask(c, -9.0).to_pandas().sort_index()
+    assert got_w.tolist() == w.where(wc, -9).tolist() == [1.0, -9.0, -9.0]
+    assert got_m.tolist() == w.mask(wc, -9).tolist() == [-9.0, 2.0, -9.0]
