@@ -261,28 +261,15 @@ class DataFrame:
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def _positional_take(self, positions: list) -> "DataFrame":
-        """iloc with an integer list, counting over the VISIBLE order; same
-        contract as Series._positional_take (rows come back in frame order,
-        not key order; duplicate positions collapse — an index-ordered
-        engine cannot express pandas' take-order without materializing)."""
-        from pyspark.sql import Window
+        """iloc with an integer list, counting over the VISIBLE order; full
+        pandas take semantics — request order, duplicates preserved (r10
+        probe; same shared helper as Series._positional_take)."""
+        from pontem_spark.core.series import _positional_take_sdf
 
-        keys = [int(k) for k in positions]
-        if any(k < 0 for k in keys):
-            n = len(self)
-            keys = [k + n if k < 0 else k for k in keys]
-            if any(k < 0 for k in keys):
-                raise IndexError(f"position out of bounds for length {n}")
-        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
-        sdf = (
-            self._materialized()
-            .withColumn("__rn__", F.row_number().over(w) - 1)
-            .filter(F.col("__rn__").isin(keys))
-            .drop("__rn__")
-        )
+        sdf = _positional_take_sdf(self, positions)
         internal = InternalFrame(
             sdf, INDEX_COL, self._internal.index_name,
-            order_spec=self._internal.order_spec,
+            order_spec=(("__take_ord__", True),),
         )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
@@ -2949,12 +2936,16 @@ class DataFrame:
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         """Reorder the VISIBLE order back to the index — zero-job metadata
-        (order_spec rewrite), the inverse of sort_values."""
+        (order_spec rewrite), the inverse of sort_values. Keyed on the
+        anchor's ACTUAL index column: merge/reindex/value_counts anchors
+        index under __rowid__/__idx/__vidx__, not __index__, and the
+        hardcoded name crashed on all of them (r10 probe)."""
+        idx = self._internal.index_spark_col
         internal = InternalFrame(
             self._internal.sdf,
-            INDEX_COL,
+            idx,
             self._internal.index_name,
-            ((INDEX_COL, ascending),),
+            ((idx, ascending),),
         )
         return DataFrame._from_internal(internal, dict(self._columns))
 

@@ -721,32 +721,21 @@ class Series:
         )
 
     def _positional_take(self, positions: list) -> "Series":
-        """iloc with an integer list: keep the rows at those positions.
-        Positions count over the frame's VISIBLE order (``order_spec``), so
-        ``s[::-1].iloc[[0]]`` is the last row, matching pandas. Negative
-        positions resolve against the length. NOTE: rows come back in the
-        frame's visible order, not key order — an index-ordered engine
-        cannot express pandas' take-order without materializing; duplicates
-        in the key list are likewise collapsed."""
+        """iloc with an integer list: keep the rows at those positions, IN
+        REQUEST ORDER, duplicates included — full pandas take semantics
+        (r10 probe; previously rows came back in visible order and
+        duplicate positions collapsed). Positions count over the frame's
+        VISIBLE order (``order_spec``), so ``s[::-1].iloc[[0]]`` is the
+        last row. Each matched row explodes a literal array of its
+        request-ranks (one CASE branch per distinct position — the list is
+        driver-sized by construction) and the rank drives the order spec."""
         from pyspark.sql import Window
 
-        keys = [int(k) for k in positions]
-        if any(k < 0 for k in keys):
-            n = len(self)
-            keys = [k + n if k < 0 else k for k in keys]
-            if any(k < 0 for k in keys):
-                raise IndexError(f"position out of bounds for length {n}")
-        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
-        sdf = (
-            self._materialized()
-            .withColumn("__rn__", F.row_number().over(w) - 1)
-            .filter(F.col("__rn__").isin(keys))
-            .drop("__rn__")
-        )
+        sdf = _positional_take_sdf(self, positions)
         return Series._from_internal(
             InternalFrame(
                 sdf, INDEX_COL, self._internal.index_name,
-                order_spec=self._internal.order_spec,
+                order_spec=(("__take_ord__", True),),
             ),
             sdf[_VALUE],
             self._name,
@@ -814,10 +803,16 @@ class Series:
         return self._filter(~self._missing_mask(F.col(_VALUE), mat))
 
     def replace(self, to_replace, value=None) -> "Series":
-        """pandas replace: dict form maps listed values, everything else
+        """pandas replace: dict form maps listed values, a LIST maps every
+        listed value to the one replacement (r10 probe), everything else
         passes through unchanged (unlike ``map``, which nulls non-matches).
         A chained CASE expression — stays in codegen, no UDF, no join."""
-        mapping = to_replace if isinstance(to_replace, dict) else {to_replace: value}
+        if isinstance(to_replace, dict):
+            mapping = to_replace
+        elif isinstance(to_replace, (list, tuple, set)):
+            mapping = {v: value for v in to_replace}
+        else:
+            mapping = {to_replace: value}
         if not mapping:
             return Series._from_internal(self._internal, self._col, self._name)
         col = None
@@ -1505,7 +1500,23 @@ class Series:
         if (frac is None) == (n is None):
             raise ValueError("sample: pass exactly one of frac= or n=")
         if frac is not None:
-            sdf = self._materialized().sample(fraction=frac, seed=seed)
+            if seed is None:  # pandas: no seed = a fresh draw per call
+                sdf = self._materialized().sample(fraction=frac)
+            else:
+                # seeded draws are CONTENT-deterministic (md5 of index ⊕
+                # seed < frac) — reproducible across calls, cluster sizes
+                # and engines, unlike Spark's per-partition Bernoulli,
+                # which re-rolls when partitioning shifts (r10 probe:
+                # two identical seeded calls disagreed)
+                mat = self._materialized()
+                u = F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x1f", F.col(INDEX_COL).cast("string"), F.lit(str(seed)))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("double") / float(16 ** 15)
+                sdf = mat.filter(u < F.lit(float(frac)))
             return Series._from_internal(
                 InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
             )
@@ -2360,6 +2371,40 @@ class Series:
         from pontem_spark.core.accessors import DatetimeAccessor
 
         return DatetimeAccessor(self)
+
+
+def _positional_take_sdf(obj, positions: list):
+    """Shared Series/DataFrame take: rows at the given VISIBLE-order
+    positions, carrying a ``__take_ord__`` request-rank column so the
+    result materializes in pandas' take order with duplicates preserved.
+    One global row_number window (on-demand only — positional semantics
+    need a total order) + a CASE chain over the DISTINCT positions."""
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    keys = [int(k) for k in positions]
+    if any(k < 0 for k in keys):
+        n = len(obj)
+        keys = [k + n if k < 0 else k for k in keys]
+        if any(k < 0 for k in keys):
+            raise IndexError(f"position out of bounds for length {n}")
+    ranks: "dict[int, list[int]]" = defaultdict(list)
+    for i, k in enumerate(keys):
+        ranks[k].append(i)
+    w = Window.orderBy(*obj._internal.order_columns(INDEX_COL))
+    mat = obj._materialized().withColumn("__rn__", F.row_number().over(w) - 1)
+    chain = None
+    for k, rs in ranks.items():
+        cond = F.col("__rn__") == k
+        chain = F.when(cond, F.lit(rs)) if chain is None else chain.when(cond, F.lit(rs))
+    if chain is None:  # empty positions list
+        return mat.filter(F.lit(False)).withColumn("__take_ord__", F.lit(0)).drop("__rn__")
+    return (
+        mat.filter(F.col("__rn__").isin(list(ranks)))
+        .withColumn("__take_ord__", F.explode(chain))
+        .drop("__rn__")
+    )
 
 
 class _SeriesExpanding:

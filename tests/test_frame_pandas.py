@@ -2521,3 +2521,19 @@ def test_merge_matches_missing_keys_like_pandas(spark):
            .to_pandas())
     want = lo.merge(ro, on="k", how="inner")
     assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())
+
+
+def test_sort_index_on_nondefault_index_anchors(spark):
+    """r10 probe pin: sort_index keyed the hardcoded __index__ name and
+    crashed on every anchor whose index travels under another column
+    (merge's __rowid__, reindex's __idx, value_counts' __vidx__)."""
+    a = DataFrame({"k": [2.0, 1.0], "v": [1, 2]}, spark=spark)
+    b = DataFrame({"k": [2.0, 1.0], "w": [5, 6]}, spark=spark)
+    pa = pd.DataFrame({"k": [2.0, 1.0], "v": [1, 2]})
+    pb = pd.DataFrame({"k": [2.0, 1.0], "w": [5, 6]})
+    got = a.merge(b, on="k").sort_index().to_pandas()
+    want = pa.merge(pb, on="k").sort_index()
+    assert got.values.tolist() == want.values.tolist()
+    got2 = a.reindex([1, 0]).sort_index(ascending=False).to_pandas()
+    want2 = pa.reindex([1, 0]).sort_index(ascending=False)
+    assert got2.fillna(-9).values.tolist() == want2.fillna(-9).values.tolist()

@@ -484,9 +484,10 @@ def test_iloc_negative_and_list(spark):
     assert s.iloc[-7] == w.iloc[-7]
     with pytest.raises(IndexError):
         s.iloc[-8]
-    # list indexing: ascending keys (index-order engine; see _positional_take)
+    # list indexing: REQUEST order with duplicates, like pandas (r10)
     assert_series_equal(s.iloc[[0, 2, 4]], w.iloc[[0, 2, 4]])
-    assert_series_equal(s.iloc[np.array([1, 3, -1])], w.iloc[[1, 3, -1]].sort_index())
+    assert_series_equal(s.iloc[np.array([1, 3, -1])], w.iloc[[1, 3, -1]])
+    assert_series_equal(s.iloc[[3, 1, 3]], w.iloc[[3, 1, 3]])
 
 
 def test_where_mask_foreign_anchor(spark):
@@ -1687,3 +1688,23 @@ def test_where_mask_misaligned_cond_fill(spark):
     got_m = s.mask(c, -9.0).to_pandas().sort_index()
     assert got_w.tolist() == w.where(wc, -9).tolist() == [1.0, -9.0, -9.0]
     assert got_m.tolist() == w.mask(wc, -9).tolist() == [-9.0, 2.0, -9.0]
+
+
+def test_take_request_order_duplicates_and_seeded_sample(spark):
+    """r10 probe pins: take/iloc-list return rows in REQUEST order with
+    duplicates preserved (rank-array explode over the position CASE
+    chain); seeded frac-sampling is content-deterministic (md5 of
+    index ⊕ seed) — Spark's per-partition Bernoulli re-rolls when the
+    partitioning shifts; replace accepts a list of values."""
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]
+    s = Series(vals, spark=spark)
+    w = pd.Series(vals)
+    for pos in ([2, 0, 5], [1, 1, 3], [-1, 0, -2]):
+        got, want = s.take(pos).to_pandas(), w.take(pos)
+        assert got.tolist() == want.tolist() and got.index.tolist() == want.index.tolist(), pos
+    got = s[::-1].iloc[[0, 2, 0]].to_pandas()
+    assert got.tolist() == w.iloc[::-1].iloc[[0, 2, 0]].tolist()
+    a = s.sample(frac=0.5, random_state=42).to_pandas()
+    b = s.sample(frac=0.5, random_state=42).to_pandas()
+    assert a.tolist() == b.tolist() and a.index.tolist() == b.index.tolist()
+    assert s.replace([10.0, 30.0], 0.0).to_pandas().tolist() == w.replace([10.0, 30.0], 0.0).tolist()
