@@ -892,10 +892,24 @@ class DataFrame:
         # column would ANSI-throw casting the strings (pandas instead mixes
         # dtypes in an object column, which a Spark schema cannot express —
         # documented divergence; those columns pass through untouched).
+        # A dict fills per-column like pandas (r10 probe: the dict used to
+        # reach F.lit and throw LITERAL_TYPE).
         schema = {
             f.name: f.dataType.simpleString()
             for f in self._materialized().schema.fields
         }
+        if isinstance(value, dict):
+            return DataFrame._from_internal(
+                self._internal,
+                {
+                    k: (
+                        F.coalesce(self._valid_col(k, schema), F.lit(value[k]))
+                        if k in value
+                        else self._columns[k]
+                    )
+                    for k in self._columns
+                },
+            )
         numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
         def fillable(t: str) -> bool:
@@ -1281,23 +1295,34 @@ class DataFrame:
         order, so every order-sensitive path works unchanged). The tuple
         ``index_name`` marks the frame multi-indexed; to_pandas/reset_index
         translate it back to pandas MultiIndex / key columns."""
+        # pandas set_index PRESERVES the current row order — without a
+        # spec the new index would become the implicit sort key at
+        # materialization (r10 probe: set_index('c').reset_index() came
+        # back c-sorted). The prior order lives under a HELPER name: the
+        # old index column re-aliases to INDEX_COL in the child's
+        # _materialized(), where it would resolve to the NEW index (the
+        # _level_rebuild trap).
+        mat = self._materialized()
+        spec = self._internal.order_spec
+        if spec is None:
+            mat = mat.withColumn("__sidxord__", F.col(INDEX_COL))
+            spec = (("__sidxord__", True),)
         if isinstance(column, list):
             missing = [c for c in column if c not in self._columns]
             if missing:
                 raise KeyError(missing)
             if len(column) == 1:
                 return self.set_index(column[0], drop=drop)
-            sdf = self._materialized().withColumn(
+            sdf = mat.withColumn(
                 "__midx__", F.struct(*[F.col(c) for c in column])
             )
-            internal = InternalFrame(sdf, "__midx__", tuple(column))
+            internal = InternalFrame(sdf, "__midx__", tuple(column), order_spec=spec)
             keep = {c: sdf[c] for c in self._columns if drop is False or c not in column}
             return DataFrame._from_internal(internal, keep)
         if column not in self._columns:
             raise KeyError(column)
-        sdf = self._materialized()
-        internal = InternalFrame(sdf, column, column)
-        keep = {c: sdf[c] for c in self._columns if drop is False or c != column}
+        internal = InternalFrame(mat, column, column, order_spec=spec)
+        keep = {c: mat[c] for c in self._columns if drop is False or c != column}
         return DataFrame._from_internal(internal, keep)
 
     def reset_index(self, drop: bool = False) -> "DataFrame":

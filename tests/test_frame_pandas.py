@@ -538,10 +538,12 @@ def test_reset_index_boundary_paths_at_size(spark):
 
     midx = big.set_index(["g", "h"]).reset_index().to_pandas()
     assert sorted(midx.index.tolist()) == list(range(n))
+    # r10: set_index PRESERVES row order like pandas (previously the new
+    # index became the sort key) — the enumeration follows the ORIGINAL
+    # id order, so g/h replay their modular sequences
     ordered = midx.sort_index()[["g", "h"]].reset_index(drop=True)
-    assert ordered.equals(
-        ordered.sort_values(["g", "h"], kind="stable").reset_index(drop=True)
-    )
+    assert ordered["g"].tolist() == [i % 50 for i in range(n)]
+    assert ordered["h"].tolist() == [i % 7 for i in range(n)]
 
     desc = big.sort_values("v", ascending=False).reset_index(drop=True).to_pandas()
     assert desc.sort_index()["v"].iloc[0] == n - 1
@@ -637,19 +639,19 @@ def test_frame_iloc_int_list_and_cols(spark, pf, wf):
 
 def test_frame_iloc_multiindex(spark):
     """iloc over a struct-backed MultiIndex frame: positions follow the
-    frame's VISIBLE order — which after set_index is INDEX order (the
-    engine's documented deviation from pandas' insertion order), so the
-    pandas twin is sort_index()ed before slicing."""
+    frame's VISIBLE order — after r10's set_index fix that is the
+    PRESERVED insertion order, exactly pandas (the pre-r10 index-sorted
+    deviation is gone)."""
     raw = {"k1": ["a", "a", "b", "b"], "k2": [2, 1, 2, 1], "v": [1.0, 2.0, 3.0, 4.0]}
     pf = DataFrame(raw, spark=spark).set_index(["k1", "k2"])
-    wf = pd.DataFrame(raw).set_index(["k1", "k2"]).sort_index()
+    wf = pd.DataFrame(raw).set_index(["k1", "k2"])
     got = pf.iloc[1:3].to_pandas()
     want = wf.iloc[1:3]
-    pd.testing.assert_frame_equal(got.sort_index(), want.sort_index(), check_names=False)
+    pd.testing.assert_frame_equal(got, want, check_names=False)
     rev = pf.iloc[::-1].to_pandas()
     wrev = wf.iloc[::-1]
-    assert sorted(rev.index.tolist()) == sorted(wrev.index.tolist())
-    assert rev["v"].sum() == wrev["v"].sum()
+    assert rev.index.tolist() == wrev.index.tolist()
+    assert rev["v"].tolist() == wrev["v"].tolist()
 
 
 def test_crosstab_matches_pandas(spark, sf_dir):
@@ -2537,3 +2539,27 @@ def test_sort_index_on_nondefault_index_anchors(spark):
     got2 = a.reindex([1, 0]).sort_index(ascending=False).to_pandas()
     want2 = pa.reindex([1, 0]).sort_index(ascending=False)
     assert got2.fillna(-9).values.tolist() == want2.fillna(-9).values.tolist()
+
+
+def test_fillna_dict_and_set_index_row_order(spark):
+    """r10 probe pins: fillna accepts a per-column dict (used to reach
+    F.lit and throw LITERAL_TYPE); set_index preserves the CURRENT row
+    order (the new index must not become the implicit sort key — prior
+    order carried under a helper name, the _level_rebuild trap)."""
+    data = {"a": [1, 5, 3, 4], "b": [2.5, float("nan"), 1.0, 9.9], "c": ["x", "y", "x", "z"]}
+    wf = pd.DataFrame(data)
+    df = DataFrame(data, spark=spark)
+    got = df.fillna({"b": 0.0}).to_pandas()
+    want = wf.fillna({"b": 0.0})
+    assert got.values.tolist() == want.values.tolist()
+    got = df.set_index("c")[["a"]].reset_index().to_pandas()
+    want = wf.set_index("c")[["a"]].reset_index()
+    assert got.values.tolist() == want.values.tolist()
+    got = df.set_index(["c", "a"]).reset_index().to_pandas()
+    want = wf.set_index(["c", "a"]).reset_index()
+    assert got[["c", "a"]].values.tolist() == want[["c", "a"]].values.tolist()
+    # a sorted frame keeps its sort through set_index
+    gs = df.sort_values("a").set_index("c")[["a"]].to_pandas()
+    ws = wf.sort_values("a").set_index("c")[["a"]]
+    assert gs.values.tolist() == ws.values.tolist()
+    assert list(gs.index) == list(ws.index)
