@@ -479,6 +479,12 @@ class DatetimeAccessor:
     @property
     def second(self): return self._wrap(F.second(self._s._col))
     @property
+    def microsecond(self):
+        # pmod, not %: unix_micros of pre-epoch stamps is negative (r10)
+        return self._wrap(
+            F.pmod(F.unix_micros(self._s._col), F.lit(1_000_000)).cast("int")
+        )
+    @property
     def dayofweek(self):  # pandas: Monday=0
         return self._wrap((F.dayofweek(self._s._col) + 5) % 7)
     @property
@@ -499,6 +505,25 @@ class DatetimeAccessor:
     @property
     def days_in_month(self):
         return self._wrap(F.dayofmonth(F.last_day(self._s._col)))
+
+    def isocalendar(self):
+        """(ISO year, ISO week, ISO day) as a 3-column DataFrame like
+        pandas. ISO year = calendar year of this ISO week's Thursday (the
+        strftime %G segment — Spark rejects the 'YYYY' pattern letter);
+        week = weekofyear; day = Monday-1..Sunday-7 (r10 probe)."""
+        from pontem_spark.core.frame import DataFrame
+
+        col = self._s._col
+        iso_dow = (F.dayofweek(col) + 5) % 7 + 1
+        thursday = F.date_add(F.to_date(col), 4 - iso_dow)
+        return DataFrame._from_internal(
+            self._s._internal,
+            {
+                "year": F.year(thursday),
+                "week": F.weekofyear(col),
+                "day": iso_dow,
+            },
+        )
 
     def _pred(self, col: Column):
         # pandas dt.is_* predicates are FALSE on NaT, not missing (r8

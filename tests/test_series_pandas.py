@@ -1708,3 +1708,24 @@ def test_take_request_order_duplicates_and_seeded_sample(spark):
     b = s.sample(frac=0.5, random_state=42).to_pandas()
     assert a.tolist() == b.tolist() and a.index.tolist() == b.index.tolist()
     assert s.replace([10.0, 30.0], 0.0).to_pandas().tolist() == w.replace([10.0, 30.0], 0.0).tolist()
+
+
+def test_dt_microsecond_isocalendar(spark):
+    """r10 probe pin: dt.microsecond (pmod of unix_micros — pre-epoch
+    stamps are negative) and dt.isocalendar (ISO year via the Thursday
+    trick, the strftime %G segment)."""
+    import datetime as dt
+
+    stamps = [
+        pd.Timestamp("2021-01-01 00:00:00.000045"),
+        pd.Timestamp("2020-12-31 23:59:59.999999"),
+        pd.Timestamp("1969-12-31 23:59:59.000003"),  # pre-epoch
+        pd.Timestamp("2016-01-03 12:00:00.500000"),
+    ]
+    s = Series(stamps, spark=spark)
+    w = pd.Series(stamps)
+    assert s.dt.microsecond.to_pandas().tolist() == w.dt.microsecond.tolist()
+    got = s.dt.isocalendar().to_pandas()
+    want = w.dt.isocalendar()
+    assert got[["year", "week", "day"]].astype(int).values.tolist() == \
+        want[["year", "week", "day"]].astype(int).values.tolist()
