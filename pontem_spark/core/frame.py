@@ -1139,18 +1139,28 @@ class DataFrame:
         return self._cum(F.min)
 
     def rank(
-        self, method: str = "average", ascending: bool = True, pct: bool = False
+        self,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+        na_option: str = "keep",
     ) -> "DataFrame":
         """pandas frame.rank(axis=0): each numeric column ranked
-        independently, na_option='keep' (missing ranks as missing, float64
-        result). Plan shape: one global window PER COLUMN (each needs its
-        own ordering) — k sequential sorts, inherently; average/min/max
+        independently. ``na_option``: 'keep' ranks missing as missing;
+        'top'/'bottom' rank the missing block as one tie group before/
+        after every valid value (float64 result, like pandas). Plan
+        shape: one global window PER COLUMN (each needs its own
+        ordering) — k sequential sorts, inherently; average/min/max
         derive from rank() + a value-partition count so no per-column
         distinct-frame join is needed."""
         from pyspark.sql import Window
 
         if method not in ("average", "min", "max", "dense", "first"):
             raise ValueError(f"rank method {method!r}")
+        if na_option not in ("keep", "top", "bottom"):
+            raise ValueError(
+                f"rank: na_option must be 'keep', 'top' or 'bottom', got {na_option!r}"
+            )
         numeric = set(self._numeric_cols())
         bad = [c for c in self._columns if c not in numeric]
         if bad:
@@ -1164,44 +1174,62 @@ class DataFrame:
             if schema.get(c) in ("double", "float"):
                 missing = missing | F.isnan(v)
             present = ~missing
-            # present rows sort FIRST so excluded missing rows can't
-            # inflate ranks (the Series.rank 'first' trick); among present
-            # rows the value order is exact.
+            # the missing block sorts at the chosen end: FIRST for 'top'
+            # (its ranks lead), LAST otherwise ('keep' excludes it, so it
+            # must not inflate present ranks — the Series.rank trick).
+            lead = present.asc() if na_option == "top" else present.desc()
             val = F.when(present, v)
-            order = [present.desc(), val.asc() if ascending else val.desc()]
+            order = [lead, val.asc() if ascending else val.desc()]
+            m_cnt = F.sum(missing.cast("long")).over(Window.partitionBy())
             if method == "first":
                 r = F.row_number().over(Window.orderBy(*order, F.col(INDEX_COL).asc()))
             elif method == "dense":
+                # the missing bucket at either end offsets present dense
+                # ranks naturally (and ranks itself 1 or K+1)
                 r = F.dense_rank().over(Window.orderBy(*order))
-                # the missing bucket sorts last, so present dense ranks
-                # are already 1..K with no offset
             else:
                 lo = F.rank().over(Window.orderBy(*order))
                 cnt = F.count(F.when(present, F.lit(1))).over(Window.partitionBy(val))
+                # the missing block's tie-group size is the missing count
+                # (cnt over its NULL-val partition counts present rows = 0)
+                cnt_eff = F.when(present, cnt).otherwise(m_cnt)
                 if method == "min":
                     r = lo
                 elif method == "max":
-                    r = lo + cnt - 1
+                    r = lo + cnt_eff - 1
                 else:  # average
-                    r = (lo.cast("double") + (lo + cnt - 1)) / 2.0
+                    r = (lo.cast("double") + (lo + cnt_eff - 1)) / 2.0
             r = r.cast("double")
             if pct:
                 if method == "dense":
-                    # distinct window aggregates are unsupported; K (the
-                    # distinct present-value count) via the two-direction
-                    # dense_rank identity: dr_asc + dr_desc − 1 = K on
-                    # every present row (the missing bucket sorts LAST in
-                    # both directions, so it never inflates present ranks)
-                    rev = [present.desc(), val.desc() if ascending else val.asc()]
+                    # distinct window aggregates are unsupported; bucket
+                    # count via the two-direction dense_rank identity:
+                    # dr_fwd + dr_bwd − 1 = #buckets on every row. 'keep'
+                    # pins the missing bucket LAST in both directions so
+                    # only present buckets count; 'top'/'bottom' use the
+                    # EXACT reverse so the missing bucket counts too.
+                    if na_option == "keep":
+                        rev = [present.desc(), val.desc() if ascending else val.asc()]
+                    else:
+                        rev = [
+                            present.desc() if na_option == "top" else present.asc(),
+                            val.desc() if ascending else val.asc(),
+                        ]
                     denom = (
                         F.dense_rank().over(Window.orderBy(*order))
                         + F.dense_rank().over(Window.orderBy(*rev))
                         - 1
                     )
+                    if na_option != "keep":
+                        # present rows see the true bucket count already;
+                        # missing rows also do (exact reversal) — nothing
+                        # extra needed
+                        pass
                 else:
-                    denom = F.sum(present.cast("long")).over(Window.partitionBy())
+                    n_cnt = F.sum(present.cast("long")).over(Window.partitionBy())
+                    denom = n_cnt if na_option == "keep" else n_cnt + m_cnt
                 r = r / denom
-            cols[c] = F.when(present, r)
+            cols[c] = r if na_option != "keep" else F.when(present, r)
         internal = InternalFrame(
             sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
         )
@@ -1526,23 +1554,76 @@ class DataFrame:
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
-    def nlargest(self, n: int, columns: str | list[str]) -> "DataFrame":
+    def nlargest(self, n: int, columns: str | list[str], keep: str = "first") -> "DataFrame":
         """Top-n by column(s): a lazy descending order spec + limit, so the
         plan is TakeOrderedAndProject (per-partition heaps + driver merge),
         never a global sort."""
-        return self._n_extreme_frame(n, columns, largest=True)
+        return self._n_extreme_frame(n, columns, largest=True, keep=keep)
 
-    def nsmallest(self, n: int, columns: str | list[str]) -> "DataFrame":
-        return self._n_extreme_frame(n, columns, largest=False)
+    def nsmallest(self, n: int, columns: str | list[str], keep: str = "first") -> "DataFrame":
+        return self._n_extreme_frame(n, columns, largest=False, keep=keep)
 
-    def _n_extreme_frame(self, n: int, columns, largest: bool) -> "DataFrame":
+    def _n_extreme_frame(self, n: int, columns, largest: bool, keep: str = "first") -> "DataFrame":
+        """``keep``: 'first'/'last' break boundary ties by lowest/highest
+        index (pandas: position — the documented index-order deviation);
+        'all' keeps every row tying the n-th key, so the result can exceed
+        n rows (one extra broadcast 1-row boundary join, no global sort).
+        Rows missing in a sort column order AFTER every valid value in
+        that column (pandas na_position contract; Spark's asc-nulls-first
+        / NaN-is-largest defaults would otherwise lead nsmallest/nlargest
+        with the missing rows — r10 probe)."""
+        if keep not in ("first", "last", "all"):
+            raise ValueError(
+                f"nlargest/nsmallest: keep must be 'first', 'last' or 'all', got {keep!r}"
+            )
         by = [columns] if isinstance(columns, str) else list(columns)
         sdf = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
         # dedicated sort-key helpers — same derived-rebind fix as
-        # sort_values (r10 probe)
+        # sort_values (r10 probe); plus a per-column missing flag so the
+        # missing block always sorts LAST regardless of direction
         for c in by:
-            sdf = sdf.withColumn(f"__sv_{c}__", F.col(c))
-        spec = tuple((f"__sv_{c}__", not largest) for c in by) + ((INDEX_COL, True),)
+            miss = F.col(c).isNull()
+            if schema.get(c) in ("double", "float"):
+                miss = miss | F.isnan(F.col(c))
+            sdf = sdf.withColumn(f"__svm_{c}__", miss).withColumn(
+                f"__sv_{c}__", F.when(~miss, F.col(c))
+            )
+        pair_spec: list[tuple[str, bool]] = []
+        for c in by:
+            pair_spec += [(f"__svm_{c}__", True), (f"__sv_{c}__", not largest)]
+        if keep == "all":
+            spec = tuple(pair_spec) + ((INDEX_COL, True),)
+            # boundary = the WORST kept key: order the (≤ n)-row top frame
+            # by the REVERSED spec and take one row
+            top = sdf.orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in spec]
+            ).limit(n)
+            rev = top.orderBy(
+                *[F.col(c).desc() if asc else F.col(c).asc() for c, asc in spec[:-1]]
+            ).limit(1)
+            bcols = [x for c in by for x in (f"__svm_{c}__", f"__sv_{c}__")]
+            boundary = rev.select(*[F.col(x).alias(f"__b_{x}") for x in bcols])
+            # lexicographic ties-or-beats the boundary key: a row is kept
+            # unless some leading-tie column leaves it strictly worse
+            worse = F.lit(False)
+            tie = F.lit(True)
+            for c in by:
+                mc, bm = F.col(f"__svm_{c}__"), F.col(f"__b___svm_{c}__")
+                vc, bv = F.col(f"__sv_{c}__"), F.col(f"__b___sv_{c}__")
+                beaten = (vc < bv) if largest else (vc > bv)
+                col_worse = (mc & ~bm) | (~mc & ~bm & F.coalesce(beaten, F.lit(False)))
+                col_tie = (mc & bm) | (~mc & ~bm & F.coalesce(vc == bv, F.lit(False)))
+                worse = worse | (tie & col_worse)
+                tie = tie & col_tie
+            kept = sdf.crossJoin(F.broadcast(boundary)).filter(~worse)
+            sdf = kept.drop(*[f"__b_{x}" for x in bcols])
+            internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
+            return DataFrame._from_internal(
+                internal, {c: sdf[c] for c in self._columns}
+            )
+        tie_asc = keep == "first"
+        spec = tuple(pair_spec) + ((INDEX_COL, tie_asc),)
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         out = DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
         return out.head(n)
@@ -1731,9 +1812,10 @@ class DataFrame:
     def median(self):
         return self.quantile(0.5)
 
-    def quantile(self, q: float = 0.5):
-        """Exact percentile per numeric column → pandas Series, ONE
-        aggregation pass (the k percentile buffers run side by side)."""
+    def quantile(self, q: "float | list" = 0.5):
+        """Exact percentile per numeric column → pandas Series (scalar q)
+        or pandas DataFrame indexed by q (list q), ONE aggregation pass
+        either way (the k percentile buffers run side by side)."""
         import pandas as pd
 
         schema = {
@@ -1741,6 +1823,24 @@ class DataFrame:
             for f in self._materialized().schema.fields
         }
         cols = self._numeric_cols()
+        if not isinstance(q, (int, float)):
+            qs = [float(x) for x in q]
+            exprs = [
+                F.percentile(
+                    self._valid_col(c, schema), F.array(*[F.lit(x) for x in qs])
+                ).alias(c)
+                for c in cols
+            ]
+            row = self._internal.sdf.select(*exprs).first()
+            return pd.DataFrame(
+                {
+                    c: [float("nan")] * len(qs) if row[c] is None else
+                       [float("nan") if v is None else float(v) for v in row[c]]
+                    for c in cols
+                },
+                index=qs,
+                dtype="float64",
+            )
         exprs = [
             F.percentile(self._valid_col(c, schema), F.lit(q)).alias(c) for c in cols
         ]

@@ -488,6 +488,29 @@ class Series:
         percentile aggregate; the order-statistic methods (lower/higher/
         nearest/midpoint) select exact elements via TakeOrdered
         offset+limit — no interpolation arithmetic to diverge by an ulp."""
+        if not isinstance(q, (int, float)):
+            # list-like q → pandas Series indexed by q (like describe,
+            # aggregate results come back as pandas objects)
+            import pandas as pd
+
+            qs = [float(x) for x in q]
+            if interpolation == "linear":
+                row = self._internal.sdf.select(
+                    F.percentile(
+                        self._valid_col, F.array(*[F.lit(x) for x in qs])
+                    ).alias("__q")
+                ).first()
+                vals = row["__q"] if row["__q"] is not None else [float("nan")] * len(qs)
+                return pd.Series(
+                    [float("nan") if v is None else float(v) for v in vals],
+                    index=qs,
+                    dtype="float64",
+                )
+            return pd.Series(
+                [float(self.quantile(x, interpolation=interpolation)) for x in qs],
+                index=qs,
+                dtype="float64",
+            )
         if interpolation == "linear":
             return self._nan_if_none(self._agg(F.percentile(self._valid_col, F.lit(q))))
         if interpolation not in ("lower", "higher", "nearest", "midpoint"):
@@ -593,17 +616,24 @@ class Series:
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((INDEX_COL, ascending),))
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
-    def nlargest(self, n: int = 5) -> "Series":
+    def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
         # TakeOrderedAndProject: k rows per partition move, no global sort.
         # pandas ranks only VALID values (Spark's NaN-is-largest would put
         # NaN at rank 1 of nlargest); missing rows fill the tail when n
         # exceeds the valid count, which is also what pandas does.
-        return self._n_extreme(n, largest=True)
+        return self._n_extreme(n, largest=True, keep=keep)
 
-    def nsmallest(self, n: int = 5) -> "Series":
-        return self._n_extreme(n, largest=False)
+    def nsmallest(self, n: int = 5, keep: str = "first") -> "Series":
+        return self._n_extreme(n, largest=False, keep=keep)
 
-    def _n_extreme(self, n: int, largest: bool) -> "Series":
+    def _n_extreme(self, n: int, largest: bool, keep: str = "first") -> "Series":
+        """``keep``: 'first'/'last' break boundary ties by lowest/highest
+        index (pandas: first/last POSITION — the documented index-order
+        deviation); 'all' keeps every row tying the n-th value, so the
+        result can exceed n rows (ONE extra broadcast 1-row threshold
+        join, still no global sort)."""
+        if keep not in ("first", "last", "all"):
+            raise ValueError(f"nlargest/nsmallest: keep must be 'first', 'last' or 'all', got {keep!r}")
         mat = self._materialized()
         miss = self._missing_mask(F.col(_VALUE), mat)
         # dedicated sort-key helper — same derived-rebind fix as
@@ -612,12 +642,42 @@ class Series:
             "__sv_ord__", F.col(_VALUE)
         )
         val_order = F.col(_VALUE).desc() if largest else F.col(_VALUE).asc()
-        sdf = sdf.orderBy(F.col("__miss__").asc(), val_order, F.col(INDEX_COL)).limit(n)
+        if keep == "all":
+            # boundary value among the valid top-n; every valid row tying
+            # or beating it survives (missing rows only fill the tail when
+            # n exceeds the valid count, same as pandas)
+            top = (
+                sdf.filter(~F.col("__miss__"))
+                .orderBy(val_order)
+                .limit(n)
+                .agg(
+                    (F.min if largest else F.max)(_VALUE).alias("__thr__"),
+                    F.count(F.lit(1)).alias("__nv__"),
+                )
+            )
+            boundary = (
+                F.col(_VALUE) >= F.col("__thr__")
+                if largest
+                else F.col(_VALUE) <= F.col("__thr__")
+            )
+            kept = sdf.crossJoin(F.broadcast(top)).filter(
+                (~F.col("__miss__") & (F.col("__nv__") > 0) & boundary)
+                # when n exceeds the valid count pandas appends the WHOLE
+                # missing block (the NaN tail is one boundary tie group —
+                # keep='all' never truncates a tie group)
+                | (F.col("__miss__") & (F.col("__nv__") < n))
+            )
+            sdf = kept.drop("__thr__", "__nv__")
+            tie_asc = True
+        else:
+            tie_asc = keep == "first"
+            idx_order = F.col(INDEX_COL).asc() if tie_asc else F.col(INDEX_COL).desc()
+            sdf = sdf.orderBy(F.col("__miss__").asc(), val_order, idx_order).limit(n)
         internal = InternalFrame(
             sdf,
             INDEX_COL,
             self._internal.index_name,
-            (("__miss__", True), ("__sv_ord__", not largest), (INDEX_COL, True)),
+            (("__miss__", True), ("__sv_ord__", not largest), (INDEX_COL, tie_asc)),
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
@@ -978,8 +1038,26 @@ class Series:
             )
         return [r[0] for r in distinct.collect()]
 
-    def drop_duplicates(self) -> "Series":
-        sdf = self._materialized().groupBy(_VALUE).agg(F.min(INDEX_COL).alias(INDEX_COL))
+    def drop_duplicates(self, keep: "str | bool" = "first") -> "Series":
+        """pandas ``keep``: 'first' keeps the lowest-index occurrence,
+        'last' the highest, ``False`` drops every duplicated value. One
+        groupBy shuffle at distinct-value cardinality either way."""
+        if keep not in ("first", "last", False):
+            raise ValueError(
+                f"drop_duplicates: keep must be 'first', 'last' or False, got {keep!r}"
+            )
+        grouped = self._materialized().groupBy(_VALUE)
+        if keep is False:
+            sdf = (
+                grouped.agg(
+                    F.min(INDEX_COL).alias(INDEX_COL), F.count(F.lit(1)).alias("__n__")
+                )
+                .filter(F.col("__n__") == 1)
+                .drop("__n__")
+            )
+        else:
+            pick = F.min if keep == "first" else F.max
+            sdf = grouped.agg(pick(INDEX_COL).alias(INDEX_COL))
         return Series._from_internal(
             InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
         )
@@ -987,6 +1065,7 @@ class Series:
     def value_counts(
         self,
         normalize: bool = False,
+        sort: bool = True,
         ascending: bool = False,
         dropna: bool = True,
     ) -> "Series":
@@ -1017,13 +1096,16 @@ class Series:
         # expression instead of the counts (r10 ADVICE fix).
         name = "proportion" if normalize else "count"
         sdf = sdf.withColumn("__vc_ord__", F.col(_VALUE))
+        # sort=False: pandas keeps first-appearance order (positional, not
+        # reproducible distributed) — deliberate deviation: value-label
+        # order, same contract as the other positional-order deviations
+        spec = (
+            (("__vc_ord__", ascending), (INDEX_COL, True))
+            if sort
+            else ((INDEX_COL, True),)
+        )
         return Series._from_internal(
-            InternalFrame(
-                sdf,
-                INDEX_COL,
-                self._name,
-                order_spec=(("__vc_ord__", ascending), (INDEX_COL, True)),
-            ),
+            InternalFrame(sdf, INDEX_COL, self._name, order_spec=spec),
             sdf[_VALUE],
             name,
         )
@@ -1388,23 +1470,37 @@ class Series:
         row = sdf.agg(F.corr(v, lagged)).first()
         return row[0] if row and row[0] is not None else float("nan")
 
-    def rank(self, method: str = "average", ascending: bool = True, pct: bool = False) -> "Series":
+    def rank(
+        self,
+        method: str = "average",
+        ascending: bool = True,
+        pct: bool = False,
+        na_option: str = "keep",
+    ) -> "Series":
         """pandas rank: 'average' (the pandas default), 'min', 'max',
-        'dense', or 'first'; na_option='keep' semantics — null/NaN values
-        rank as null (float64 result, like pandas). ``pct=True`` rescales
-        to (0, 1]: by the non-missing row count, except 'dense' which
-        pandas rescales by the DISTINCT value count.
+        'dense', or 'first'. ``na_option``: 'keep' ranks missing as
+        missing; 'top'/'bottom' rank the whole missing block as one tie
+        group before/after every valid value (float64 result, like
+        pandas). ``pct=True`` rescales to (0, 1]: by the non-missing row
+        count under 'keep' ('dense': by the DISTINCT value count), by the
+        TOTAL row count under 'top'/'bottom' ('dense': distinct values
+        plus one bucket for the missing block).
 
         Scale shape: average/min/max/dense are derived on the
         DISTINCT-VALUE frame — one groupBy shuffle at value_counts
         cardinality, a single unpartitioned window over the K distinct
         values (K rows, never the raw data), then an equi-join back on the
-        value. No full-row global sort anywhere. 'first' (appearance-order
+        value; 'top'/'bottom'/pct add one broadcast 1-row stats frame. No
+        full-row global sort anywhere. 'first' (appearance-order
         tie-break) genuinely needs per-row positions, so it keeps the
         on-demand global window (same scale caveat as _positional_slice).
         """
         from pyspark.sql import Window
 
+        if na_option not in ("keep", "top", "bottom"):
+            raise ValueError(
+                f"rank: na_option must be 'keep', 'top' or 'bottom', got {na_option!r}"
+            )
         sdf = self._materialized()
         # pandas treats NaN as missing; Spark distinguishes NULL from NaN
         # (a float Series built from None may carry either), so exclude both
@@ -1412,14 +1508,24 @@ class Series:
 
         if method == "first":
             val_order = F.col(_VALUE).asc() if ascending else F.col(_VALUE).desc()
-            # present rows sort first so excluded null/NaN rows cannot
-            # inflate the row_number of ranked rows
-            w = Window.orderBy(F.col("__p").desc(), val_order, F.col(INDEX_COL).asc())
+            # the missing block sorts at the chosen end ('keep' excludes it,
+            # so it must not inflate ranked rows — it sorts last)
+            lead = (
+                F.col("__p").asc() if na_option == "top" else F.col("__p").desc()
+            )
+            w = Window.orderBy(lead, val_order, F.col(INDEX_COL).asc())
             sdf2 = sdf.withColumn("__p", present)
-            col = F.when(F.col("__p"), F.row_number().over(w)).cast("double")
+            rn = F.row_number().over(w)
+            col = (
+                rn if na_option != "keep" else F.when(F.col("__p"), rn)
+            ).cast("double")
             if pct:
-                n_valid = F.sum(F.col("__p").cast("long")).over(Window.partitionBy())
-                col = col / n_valid
+                denom = (
+                    F.sum(F.col("__p").cast("long")).over(Window.partitionBy())
+                    if na_option == "keep"
+                    else F.count(F.lit(1)).over(Window.partitionBy())
+                )
+                col = col / denom
             return Series._from_internal(
                 InternalFrame(sdf2, INDEX_COL, self._internal.index_name),
                 col,
@@ -1448,17 +1554,55 @@ class Series:
             r = cum
         else:  # dense
             r = F.row_number().over(Window.orderBy(order))
-        if pct:
-            denom = (
-                F.count(F.lit(1)).over(Window.partitionBy())  # distinct values
-                if method == "dense"
-                else F.sum("__c").over(Window.partitionBy())  # valid rows
-            )
-            r = r.cast("double") / denom
         ranked = per_val.select("__v", r.cast("double").alias("__r"))
-        joined = sdf.join(ranked, sdf[_VALUE] == ranked["__v"], "left").select(
-            INDEX_COL, F.col("__r")
-        )
+        joined = sdf.join(ranked, sdf[_VALUE] == ranked["__v"], "left")
+
+        need_stats = pct or na_option != "keep"
+        if need_stats:
+            # one broadcast 1-row stats frame: missing rows, valid rows,
+            # distinct valid values — partial-agg combinable, no window
+            # over the raw data
+            stats = sdf.agg(
+                F.coalesce(F.sum((~present).cast("long")), F.lit(0)).alias("__m"),
+                F.coalesce(F.sum(present.cast("long")), F.lit(0)).alias("__n"),
+                F.count_distinct(F.when(present, sdf[_VALUE])).alias("__k"),
+            )
+            joined = joined.crossJoin(F.broadcast(stats))
+            m, nv, k = F.col("__m"), F.col("__n"), F.col("__k")
+            if na_option == "top":
+                shift = F.when(m > 0, F.lit(1)).otherwise(F.lit(0)) if method == "dense" else m
+                valid_r = F.col("__r") + shift
+                fill = {
+                    "average": (m + 1) / 2.0,
+                    "min": F.lit(1.0),
+                    "max": m.cast("double"),
+                    "dense": F.lit(1.0),
+                }[method]
+            elif na_option == "bottom":
+                valid_r = F.col("__r")
+                fill = {
+                    "average": nv + (m + 1) / 2.0,
+                    "min": (nv + 1).cast("double"),
+                    "max": (nv + m).cast("double"),
+                    "dense": (k + 1).cast("double"),
+                }[method]
+            else:
+                valid_r = F.col("__r")
+                fill = F.lit(None)
+            final = F.when(F.col("__r").isNotNull(), valid_r.cast("double")).otherwise(fill)
+            if pct:
+                if na_option == "keep":
+                    denom = k if method == "dense" else nv
+                else:
+                    denom = (
+                        k + F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
+                        if method == "dense"
+                        else nv + m
+                    )
+                final = final / denom
+        else:
+            final = F.col("__r")
+        joined = joined.select(INDEX_COL, final.cast("double").alias("__r"))
         return Series._from_internal(
             InternalFrame(joined, INDEX_COL, self._internal.index_name),
             joined["__r"],
