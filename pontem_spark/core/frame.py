@@ -2828,6 +2828,106 @@ class DataFrame:
         column (observed buckets only — the grid is gap_fill's job)."""
         return _FrameResampler(self, rule)
 
+    def asfreq(self, freq: str, method: str | None = None, fill_value=None) -> "DataFrame":
+        """pandas asfreq over a timestamp index — every column taken at
+        the EXACT grid timestamps (grid anchored at the first
+        observation; see Series.asfreq for the grid/guard/fill shape).
+        One bounds agg + grid explode + exact left join; ffill/bfill add
+        one time-ordered window carrying a struct of ALL columns (one
+        pass regardless of width)."""
+        import re
+
+        from pyspark.sql import Window
+        from pyspark.sql.types import TimestampType
+
+        from pontem_spark.core.series import _Resampler
+
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        unit = m.group(2).lower() if m else None
+        if not m or unit not in _Resampler._UNITS:
+            raise ValueError(
+                f"unsupported asfreq rule {freq!r}; fixed-width units only "
+                f"({sorted(_Resampler._UNITS)})"
+            )
+        if method not in (None, "ffill", "pad", "bfill", "backfill"):
+            raise ValueError(f"asfreq: unsupported method {method!r}")
+        sec = int(m.group(1) or 1) * _Resampler._UNITS[unit]
+        sdf = self._materialized()
+        if not isinstance(sdf.schema[INDEX_COL].dataType, TimestampType):
+            raise TypeError("asfreq requires a timestamp index")
+        bounds = sdf.agg(
+            F.unix_timestamp(F.min(F.col(INDEX_COL))).alias("__mn"),
+            F.unix_timestamp(F.max(F.col(INDEX_COL))).alias("__mx"),
+        )
+        n = ((F.col("__mx") - F.col("__mn")) / F.lit(sec)).cast("long") + 1
+        seq = F.sequence(
+            F.timestamp_seconds(F.col("__mn")),
+            F.timestamp_seconds(F.col("__mx")),
+            F.expr(f"INTERVAL {sec} SECONDS"),
+        )
+        guarded = F.when(
+            n > _Resampler._MAX_GRID,
+            F.raise_error(
+                F.concat(
+                    F.lit("asfreq: the grid has "),
+                    n.cast("string"),
+                    F.lit(
+                        f" slots (time-range/freq) — past the "
+                        f"{_Resampler._MAX_GRID} guard. Coarsen the rule."
+                    ),
+                )
+            ),
+        ).otherwise(seq)
+        grid = bounds.select(F.explode(guarded).alias("__g"))
+        obs = F.struct(*[sdf[c].alias(c) for c in self._columns])
+        data = sdf.select(F.col(INDEX_COL).alias("__g"), obs.alias("__obs"))
+        if method is None:
+            joined = grid.join(data, "__g", "left")
+            cols = {}
+            for c in self._columns:
+                v = F.col("__obs").getField(c)
+                if fill_value is not None:
+                    v = F.when(F.col("__obs").isNotNull(), v).otherwise(
+                        F.lit(fill_value)
+                    )
+                cols[c] = v
+            out = joined.select(
+                F.col("__g").alias(INDEX_COL),
+                *[v.alias(c) for c, v in cols.items()],
+            )
+        else:
+            forward = method in ("ffill", "pad")
+            u = data.select("__g", "__obs", F.lit(1).alias("__src")).unionByName(
+                grid.select(
+                    "__g",
+                    F.lit(None).cast(data.schema["__obs"].dataType).alias("__obs"),
+                    F.lit(0).alias("__src"),
+                )
+            )
+            if forward:
+                w = Window.orderBy(
+                    F.col("__g").asc(), F.col("__src").desc()
+                ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                picked = F.last(F.col("__obs"), ignorenulls=True).over(w)
+            else:
+                w = Window.orderBy(
+                    F.col("__g").asc(), F.col("__src").asc()
+                ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                picked = F.first(F.col("__obs"), ignorenulls=True).over(w)
+            out = (
+                u.withColumn("__pick", picked)
+                .filter(F.col("__src") == 0)
+                .select(
+                    F.col("__g").alias(INDEX_COL),
+                    *[
+                        F.col("__pick").getField(c).alias(c)
+                        for c in self._columns
+                    ],
+                )
+            )
+        internal = InternalFrame(out, INDEX_COL, self._internal.index_name)
+        return DataFrame._from_internal(internal, {c: out[c] for c in self._columns})
+
     def at_time(self, time_str: str) -> "DataFrame":
         from pontem_spark.core.series import Series as _S
 

@@ -2299,6 +2299,115 @@ class Series:
         calendar arithmetic, use the operators module)."""
         return _Resampler(self, rule)
 
+    def asfreq(self, freq: str, method: str | None = None, fill_value=None) -> "Series":
+        """pandas asfreq over a timestamp index: the new index is the
+        ``freq`` grid anchored at the FIRST observation (asfreq anchors
+        at index[0], unlike resample's start_day), values taken at EXACT
+        grid timestamps. Unmatched grid points get NaN / ``fill_value``,
+        or the positionally previous/next observation with
+        method='ffill'/'bfill' (pandas reindex semantics: fill by
+        POSITION — an observed NaN propagates; pre-existing NaN at a
+        matched timestamp is never replaced by fill_value).
+
+        Plan shape: one broadcast 1-row bounds agg + a sequence-explode
+        grid (size time-range/freq, same loud guard as resample) + an
+        exact-match left join; ffill/bfill add one time-ordered window
+        over grid+data (a single time-ordered pass — inherent to
+        positional filling, same scale caveat as rank 'first')."""
+        import re
+
+        from pyspark.sql import Window
+
+        m = re.fullmatch(r"(\d*)\s*([a-zA-Z]+)", freq.strip())
+        unit = m.group(2).lower() if m else None
+        if not m or unit not in _Resampler._UNITS:
+            raise ValueError(
+                f"unsupported asfreq rule {freq!r}; fixed-width units only "
+                f"({sorted(_Resampler._UNITS)})"
+            )
+        if method not in (None, "ffill", "pad", "bfill", "backfill"):
+            raise ValueError(f"asfreq: unsupported method {method!r}")
+        sec = int(m.group(1) or 1) * _Resampler._UNITS[unit]
+        from pyspark.sql.types import TimestampType
+
+        sdf = self._materialized()
+        if not isinstance(sdf.schema[INDEX_COL].dataType, TimestampType):
+            raise TypeError("asfreq requires a timestamp index")
+        bounds = sdf.agg(
+            F.unix_timestamp(F.min(F.col(INDEX_COL))).alias("__mn"),
+            F.unix_timestamp(F.max(F.col(INDEX_COL))).alias("__mx"),
+        )
+        n = ((F.col("__mx") - F.col("__mn")) / F.lit(sec)).cast("long") + 1
+        seq = F.sequence(
+            F.timestamp_seconds(F.col("__mn")),
+            F.timestamp_seconds(F.col("__mx")),
+            F.expr(f"INTERVAL {sec} SECONDS"),
+        )
+        guarded = F.when(
+            n > _Resampler._MAX_GRID,
+            F.raise_error(
+                F.concat(
+                    F.lit("asfreq: the grid has "),
+                    n.cast("string"),
+                    F.lit(
+                        f" slots (time-range/freq) — past the "
+                        f"{_Resampler._MAX_GRID} guard. Coarsen the rule."
+                    ),
+                )
+            ),
+        ).otherwise(seq)
+        grid = bounds.select(F.explode(guarded).alias("__g"))
+        data = sdf.select(
+            F.col(INDEX_COL).alias("__g"),
+            F.struct(F.col(_VALUE).alias("v")).alias("__obs"),
+        )
+        if method is None:
+            joined = grid.join(data, "__g", "left")
+            col = F.col("__obs").getField("v")
+            if fill_value is not None:
+                # fill only grid-introduced gaps — a matched row keeps its
+                # value even when that value is missing (pandas contract)
+                col = F.when(F.col("__obs").isNotNull(), col).otherwise(
+                    F.lit(fill_value)
+                )
+            out = joined.select(F.col("__g").alias(INDEX_COL), col.alias("__v"))
+        else:
+            forward = method in ("ffill", "pad")
+            # union data and grid rows on one timeline; at an equal
+            # timestamp the DATA row sits on the fill side of the grid row
+            # so an exact match always wins
+            u = data.select("__g", "__obs", F.lit(1).alias("__src")).unionByName(
+                grid.select(
+                    "__g", F.lit(None).cast(data.schema["__obs"].dataType).alias("__obs"),
+                    F.lit(0).alias("__src"),
+                )
+            )
+            if forward:
+                w = (
+                    Window.orderBy(F.col("__g").asc(), F.col("__src").desc())
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                picked = F.last(F.col("__obs"), ignorenulls=True).over(w)
+            else:
+                w = (
+                    Window.orderBy(F.col("__g").asc(), F.col("__src").asc())
+                    .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+                )
+                picked = F.first(F.col("__obs"), ignorenulls=True).over(w)
+            out = (
+                u.withColumn("__pick", picked)
+                .filter(F.col("__src") == 0)
+                .select(
+                    F.col("__g").alias(INDEX_COL),
+                    F.col("__pick").getField("v").alias("__v"),
+                )
+            )
+        return Series._from_internal(
+            InternalFrame(out, INDEX_COL, self._internal.index_name),
+            out["__v"],
+            self._name,
+        )
+
     # alignment family (r7 batch 2) -------------------------------------------
 
     def reindex(self, labels) -> "Series":

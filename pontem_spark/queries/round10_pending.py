@@ -15,10 +15,14 @@ registration sorts never-green FIRST and evicts a stale re-check from the
 2. q_dedup_simhash_collapsed_pairs — driver evidence for the r10 scale
    path (simhash_band_candidates collapse_identical, flat 1.0x at 30x
    exact-duplicate pressure vs 83.7x uncollapsed; SCALE.md r10).
+3. q_ts_asfreq — driver evidence for the r10 Series.asfreq surface
+   (grid anchored at the FIRST observation, exact-match values +
+   positional ffill; the oracle replays the grid as generate_series and
+   the fill as a DuckDB ASOF join).
 
 Exercised by tests/test_pending_queries.py at sf0.001 and sf0.01 now, so
-both arrive green. Flip module: queries/round10.py (one import line in
-registry.all_queries() in r11).
+all three arrive green. Flip module: queries/round10.py (one import line
+in registry.all_queries() in r11).
 """
 
 from __future__ import annotations
@@ -108,6 +112,61 @@ def q_ts_series_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@_pending(
+    "q_ts_asfreq",
+    oracle="""
+    WITH ev AS MATERIALIZED (
+        SELECT date_trunc('second', ts) AS ts, AVG(value) AS v
+        FROM events GROUP BY 1
+    ), b AS MATERIALIZED (
+        SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS mn,
+               CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx
+        FROM ev
+    ), grid AS MATERIALIZED (
+        SELECT UNNEST(generate_series(b.mn, b.mx, 5400)) AS g FROM b
+    ), evs AS MATERIALIZED (
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, v FROM ev
+    ), fwd AS (
+        SELECT g.g, e.v FROM grid g ASOF LEFT JOIN evs e ON g.g >= e.es
+    )
+    SELECT strftime(make_timestamp(x.g * 1000000), '%Y-%m-%d %H:%M:%S')
+               AS bucket,
+           ROUND(e.v, 2) AS v_exact,
+           ROUND(f.v, 2) AS v_ffill
+    FROM grid x
+    LEFT JOIN evs e ON x.g = e.es
+    LEFT JOIN fwd f ON x.g = f.g
+    """,
+)
+def q_ts_asfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series.asfreq through the wrapper — driver evidence for the r10
+    asfreq surface (core/series.py::asfreq): the grid anchors at the
+    FIRST observation (index[0], NOT start_day — the anchor that
+    distinguishes asfreq from resample cross-engine), v_exact takes
+    values at exact grid timestamps only, v_ffill fills positionally
+    (the oracle replays it as a DuckDB ASOF join). '90min' doesn't
+    divide the first-observation offset, so an epoch- or
+    midnight-anchored grid on either side hash-mismatches. Events are
+    second-truncated first: sub-second timestamps never land on a
+    whole-second grid."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("second", F.col("ts")).alias("ts"), "value"
+    )
+    per_ts = ev.groupBy("ts").agg(F.avg("value").alias("v"))
+    s = from_spark(per_ts).set_index("ts")["v"]
+    exact = s.asfreq("90min").to_spark(value_name="v_exact")
+    fwd = s.asfreq("90min", method="ffill").to_spark(value_name="v_ffill")
+    j = exact.join(fwd, "ts")
+    return j.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        rnd(F.col("v_exact"), 2).alias("v_exact"),
+        rnd(F.col("v_ffill"), 2).alias("v_ffill"),
+    )
 
 
 from pontem_spark.queries.oracle_fragments import (
