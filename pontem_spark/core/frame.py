@@ -177,11 +177,17 @@ class DataFrame:
         if isinstance(key, Series):  # boolean mask
             if key._internal.sdf is self._internal.sdf:
                 sdf = self._internal.sdf.filter(key._col)
-                internal = InternalFrame(sdf, self._internal.index_spark_col, self._internal.index_name)
+                # a filter preserves the visible order (r10 composition probe)
+                internal = InternalFrame(
+                    sdf, self._internal.index_spark_col, self._internal.index_name,
+                    self._internal.order_spec,
+                )
                 return DataFrame._from_internal(internal, self._columns)
-            mask = key._materialized("__m__")
+            mask = key._materialized("__m__").select(INDEX_COL, "__m__")
             sdf = self._materialized().join(mask, INDEX_COL, "inner").filter(F.col("__m__")).drop("__m__")
-            internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+            internal = InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            )
             return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
         raise TypeError(f"unsupported key: {type(key)}")
 
@@ -191,9 +197,12 @@ class DataFrame:
                 self._columns[key] = value._col
                 return
             # align on index (left join to THIS frame's index, pandas-style)
-            right = value._materialized("__new__")
+            right = value._materialized("__new__").select(INDEX_COL, "__new__")
             sdf = self._materialized().join(right, INDEX_COL, "left")
-            internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+            # adding a column preserves the visible order (r10 probe)
+            internal = InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            )
             cols = {c: sdf[c] for c in self._columns}
             cols[key] = sdf["__new__"]
             self._internal, self._columns = internal, cols
@@ -826,14 +835,22 @@ class DataFrame:
         if keep is False:
             dup = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(k) for k in keys])) > 1
         elif keep in ("first", "last"):
-            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-                F.col(INDEX_COL).asc() if keep == "first" else F.col(INDEX_COL).desc()
-            )
+            # 'first' = first in the VISIBLE order (a sorted frame keeps
+            # the sorted-first row, like pandas — r10 composition probe);
+            # 'last' reverses every direction of the spec
+            ospec = self._internal.order_spec or ((INDEX_COL, True),)
+            order = [
+                F.col(n).asc() if (asc == (keep == "first")) else F.col(n).desc()
+                for n, asc in ospec
+            ]
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
             dup = F.row_number().over(w) > 1
         else:
             raise ValueError(f"drop_duplicates: keep must be 'first', 'last' or False, got {keep!r}")
         sdf = mat.withColumn("__dup__", dup).filter(~F.col("__dup__")).drop("__dup__")
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def astype(self, dtype) -> "DataFrame":
@@ -883,7 +900,9 @@ class DataFrame:
 
         combined = _reduce((lambda a, b: a | b) if how == "any" else (lambda a, b: a & b), miss)
         sdf = self._materialized().filter(~combined)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def fillna(self, value) -> "DataFrame":
@@ -1298,12 +1317,25 @@ class DataFrame:
         index) repeated — ``explode_outer`` so empty/NULL arrays keep their
         row with a NULL element, exactly pandas' semantics."""
         others = [c for c in self._columns if c != column]
-        sdf = self._materialized().select(
+        mat = self._materialized()
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n != INDEX_COL and n not in self._columns and n in mat.columns
+        ]
+        sdf = mat.select(
             INDEX_COL,
             *others,
-            F.explode_outer(F.col(column)).alias(column),
+            *dict.fromkeys(extras),
+            F.posexplode_outer(F.col(column)).alias("__epos__", column),
         )
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        # exploded rows repeat their index: the parent's visible order
+        # carries through, and the ARRAY position breaks the within-row
+        # tie (an index-only sort leaves element order nondeterministic)
+        spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
+            ("__epos__", True),
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def nunique(self):
@@ -1335,6 +1367,14 @@ class DataFrame:
         if spec is None:
             mat = mat.withColumn("__sidxord__", F.col(INDEX_COL))
             spec = (("__sidxord__", True),)
+        elif any(n == INDEX_COL for n, _ in spec):
+            # a spec entry naming INDEX_COL (positional slices key the
+            # index) would REBIND to the new index — snapshot the OLD
+            # index under the helper first (r10 composition probe)
+            mat = mat.withColumn("__sidxord__", F.col(INDEX_COL))
+            spec = tuple(
+                ("__sidxord__" if n == INDEX_COL else n, asc) for n, asc in spec
+            )
         if isinstance(column, list):
             missing = [c for c in column if c not in self._columns]
             if missing:
@@ -1543,7 +1583,9 @@ class DataFrame:
             ).drop(*[f"__q_{c}" for c in floats])
         else:
             sdf = sdf.filter(F.expr(expr))
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def sample(self, frac: float, seed: int | None = None) -> "DataFrame":
@@ -1551,7 +1593,9 @@ class DataFrame:
         engine-reproducible variant use ``operators/sampling.py`` (md5-hash
         buckets); ``sample`` matches pandas' RNG contract instead."""
         sdf = self._materialized().sample(fraction=frac, seed=seed)
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def nlargest(self, n: int, columns: str | list[str], keep: str = "first") -> "DataFrame":
@@ -3161,18 +3205,22 @@ class DataFrame:
 
     def sort_index(self, ascending: bool = True) -> "DataFrame":
         """Reorder the VISIBLE order back to the index — zero-job metadata
-        (order_spec rewrite), the inverse of sort_values. Keyed on the
-        anchor's ACTUAL index column: merge/reindex/value_counts anchors
-        index under __rowid__/__idx/__vidx__, not __index__, and the
-        hardcoded name crashed on all of them (r10 probe)."""
-        idx = self._internal.index_spark_col
+        (order_spec rewrite + one lazy projection), the inverse of
+        sort_values. The sort key lives in a DEDICATED helper column
+        (__si_ord__), not the index name: a later set_index re-points the
+        index and a spec naming it would follow the NEW index (r10
+        composition probe — the derived-rebind class, same fix as
+        sort_values). _materialized() also normalizes merge/reindex
+        anchors' __rowid__/__idx/__vidx__ index names (r10 probe crash)."""
+        mat = self._materialized()
+        sdf = mat.withColumn("__si_ord__", F.col(INDEX_COL))
         internal = InternalFrame(
-            self._internal.sdf,
-            idx,
+            sdf,
+            INDEX_COL,
             self._internal.index_name,
-            ((idx, ascending),),
+            (("__si_ord__", ascending),),
         )
-        return DataFrame._from_internal(internal, dict(self._columns))
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)

@@ -331,9 +331,12 @@ class GroupBy:
 
         from pontem_spark.core.series import Series
 
+        idx_name = self._df._internal.index_spark_col
+        spec = self._df._internal.order_spec or ((idx_name, True),)
+        order = [F.col(n).asc() if asc else F.col(n).desc() for n, asc in spec]
         w = Window.partitionBy(
             *[self._df._columns[k] for k in self._keys]
-        ).orderBy(F.col(self._df._internal.index_spark_col).asc())
+        ).orderBy(*order)
         col = F.when(
             _keys_valid(self._df, self._keys),
             (F.row_number().over(w) - 1).cast("long"),
@@ -349,8 +352,13 @@ class GroupBy:
 
         idx = INDEX_COL  # _materialized() travels the index under INDEX_COL
         sdf = self._df._materialized()
-        fwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).asc())
-        bwd = Window.partitionBy(*self._keys).orderBy(F.col(idx).desc())
+        spec = self._df._internal.order_spec or ((idx, True),)
+        fwd = Window.partitionBy(*self._keys).orderBy(
+            *[F.col(n).asc() if asc else F.col(n).desc() for n, asc in spec]
+        )
+        bwd = Window.partitionBy(*self._keys).orderBy(
+            *[F.col(n).desc() if asc else F.col(n).asc() for n, asc in spec]
+        )
         out = (
             sdf.filter(_keys_valid_sdf(sdf, self._keys))
             .withColumn("__rn", F.row_number().over(fwd))
@@ -358,7 +366,9 @@ class GroupBy:
             .filter(pred(F.col("__rn"), F.col("__rb")))
             .drop("__rn", "__rb")
         )
-        internal = InternalFrame(out, idx, self._df._internal.index_name)
+        internal = InternalFrame(
+            out, idx, self._df._internal.index_name, self._df._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
 
     def head(self, n: int = 5) -> "DataFrame":
@@ -401,7 +411,9 @@ class GroupBy:
         sdf = sdf.filter(_keys_valid_sdf(sdf, keys))
         kept = sdf.groupBy(*keys).applyInPandas(_keep, schema)
         out = sdf.join(F.broadcast(kept), on=keys, how="left_semi")
-        internal = InternalFrame(out, idx, self._df._internal.index_name)
+        internal = InternalFrame(
+            out, idx, self._df._internal.index_name, self._df._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
 
     def transform(self, spec: Mapping[str, str]) -> "DataFrame":
@@ -487,9 +499,14 @@ class SeriesGroupBy:
     def _wins(self):
         from pyspark.sql import Window
 
-        idx = F.col(self._df._internal.index_spark_col)
+        # within-group ROW order = the frame's VISIBLE order (a sorted
+        # frame's grouped cumsum/shift accumulate in sorted order, like
+        # pandas — r10 composition probe)
+        idx_name = self._df._internal.index_spark_col
+        spec = self._df._internal.order_spec or ((idx_name, True),)
+        order = [F.col(n).asc() if asc else F.col(n).desc() for n, asc in spec]
         part = [self._df._columns[k] for k in self._keys]
-        w = Window.partitionBy(*part).orderBy(idx.asc())
+        w = Window.partitionBy(*part).orderBy(*order)
         wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return w, wcum
 

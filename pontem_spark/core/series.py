@@ -612,8 +612,13 @@ class Series:
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def sort_index(self, ascending: bool = True) -> "Series":
-        sdf = self._materialized()
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, ((INDEX_COL, ascending),))
+        # the sort key lives in a DEDICATED helper column, not INDEX_COL:
+        # a later set_index/index rebind would re-sort by the NEW index
+        # (r10 composition probe — the derived-rebind class)
+        sdf = self._materialized().withColumn("__si_ord__", F.col(INDEX_COL))
+        internal = InternalFrame(
+            sdf, INDEX_COL, self._internal.index_name, (("__si_ord__", ascending),)
+        )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
@@ -682,9 +687,14 @@ class Series:
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def _filter(self, cond: Column) -> "Series":
+        # a filter preserves the visible order (r10 composition probe)
         sdf = self._materialized().filter(cond)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
+            sdf[_VALUE],
+            self._name,
         )
 
     def __getitem__(self, key):
@@ -698,10 +708,14 @@ class Series:
                     self._name,
                 )
             # mask from another anchor: align on index first
-            mask = key._materialized("__m__")
+            mask = key._materialized("__m__").select(INDEX_COL, "__m__")
             sdf = self._materialized().join(mask, INDEX_COL, "inner").filter(F.col("__m__")).drop("__m__")
             return Series._from_internal(
-                InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+                InternalFrame(
+                    sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                ),
+                sdf[_VALUE],
+                self._name,
             )
         if isinstance(key, slice):
             return self._positional_slice(key)
@@ -895,10 +909,14 @@ class Series:
             w = Window.partitionBy(self._col)
             col = F.count(F.lit(1)).over(w) > 1
         elif keep in ("first", "last"):
-            idx = self._internal.index_col
-            w = Window.partitionBy(self._col).orderBy(
-                idx.asc() if keep == "first" else idx.desc()
-            )
+            # 'first' = first in the VISIBLE order (r10 composition probe)
+            idx_name = self._internal.index_spark_col
+            ospec = self._internal.order_spec or ((idx_name, True),)
+            order = [
+                F.col(n).asc() if (asc == (keep == "first")) else F.col(n).desc()
+                for n, asc in ospec
+            ]
+            w = Window.partitionBy(self._col).orderBy(*order)
             col = F.row_number().over(w) > 1
         else:
             raise ValueError(f"duplicated: keep must be 'first', 'last' or False, got {keep!r}")
@@ -1046,20 +1064,58 @@ class Series:
             raise ValueError(
                 f"drop_duplicates: keep must be 'first', 'last' or False, got {keep!r}"
             )
-        grouped = self._materialized().groupBy(_VALUE)
-        if keep is False:
-            sdf = (
-                grouped.agg(
-                    F.min(INDEX_COL).alias(INDEX_COL), F.count(F.lit(1)).alias("__n__")
-                )
-                .filter(F.col("__n__") == 1)
-                .drop("__n__")
+        mat = self._materialized()
+        out_spec = None
+        if self._internal.order_spec is not None:
+            # survivors are picked and DISPLAYED in the VISIBLE order
+            # (sorted().drop_duplicates() keeps the sorted-first row and
+            # sorted output order, like pandas — r10 composition probe).
+            # One global row_number over the spec, same on-demand scale
+            # caveat as rank 'first'.
+            from pyspark.sql import Window
+
+            rn = F.row_number().over(
+                Window.orderBy(*self._internal.order_columns(INDEX_COL))
             )
+            # window first, THEN project: the spec helper columns it
+            # references live on the materialized frame
+            mat = mat.withColumn("__rn__", rn).select(INDEX_COL, _VALUE, "__rn__")
+            grouped = mat.groupBy(_VALUE)
+            if keep is False:
+                sdf = (
+                    grouped.agg(
+                        F.min(INDEX_COL).alias(INDEX_COL),
+                        F.min("__rn__").alias("__dd_ord__"),
+                        F.count(F.lit(1)).alias("__n__"),
+                    )
+                    .filter(F.col("__n__") == 1)
+                    .drop("__n__")
+                )
+            else:
+                pick, pord = (F.min_by, F.min) if keep == "first" else (F.max_by, F.max)
+                sdf = grouped.agg(
+                    pick(INDEX_COL, F.col("__rn__")).alias(INDEX_COL),
+                    pord("__rn__").alias("__dd_ord__"),
+                )
+            out_spec = (("__dd_ord__", True),)
         else:
-            pick = F.min if keep == "first" else F.max
-            sdf = grouped.agg(pick(INDEX_COL).alias(INDEX_COL))
+            grouped = mat.groupBy(_VALUE)
+            if keep is False:
+                sdf = (
+                    grouped.agg(
+                        F.min(INDEX_COL).alias(INDEX_COL),
+                        F.count(F.lit(1)).alias("__n__"),
+                    )
+                    .filter(F.col("__n__") == 1)
+                    .drop("__n__")
+                )
+            else:
+                pick = F.min if keep == "first" else F.max
+                sdf = grouped.agg(pick(INDEX_COL).alias(INDEX_COL))
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+            InternalFrame(sdf, INDEX_COL, self._internal.index_name, out_spec),
+            sdf[_VALUE],
+            self._name,
         )
 
     def value_counts(
@@ -1120,14 +1176,20 @@ class Series:
         the column's dtype then instead of upcasting to float)."""
         from pyspark.sql import Window
 
-        w = Window.orderBy(INDEX_COL)
         sdf = self._materialized()
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
         col = (
             F.lag(sdf[_VALUE], periods, fill_value).over(w)
             if periods >= 0
             else F.lead(sdf[_VALUE], -periods, fill_value).over(w)
         )
-        return Series._from_internal(InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name)
+        return Series._from_internal(
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
+            col,
+            self._name,
+        )
 
     def where(self, cond: "Series", other=None) -> "Series":
         """Keep values where cond holds, else ``other`` (pandas.where).
@@ -1159,16 +1221,24 @@ class Series:
             )
         # foreign anchor(s): align on index; self's index drives the result
         sdf = self._materialized("__v__")
-        sdf = sdf.join(cond._materialized("__c__"), INDEX_COL, "left")
+        sdf = sdf.join(
+            cond._materialized("__c__").select(INDEX_COL, "__c__"), INDEX_COL, "left"
+        )
         if other_is_series:
-            sdf = sdf.join(other._materialized("__o__"), INDEX_COL, "left")
+            sdf = sdf.join(
+                other._materialized("__o__").select(INDEX_COL, "__o__"),
+                INDEX_COL,
+                "left",
+            )
             repl = sdf["__o__"]
         else:
             repl = F.lit(other)
         keep = F.coalesce(sdf["__c__"], cond_fill)
         keep = ~keep if invert else keep
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
             F.when(keep, sdf["__v__"]).otherwise(repl),
             self._name,
         )
@@ -1197,16 +1267,21 @@ class Series:
         sdf = self._materialized()
         missing = self._missing_mask(sdf[_VALUE], sdf)
         clean = F.when(missing, F.lit(None)).otherwise(sdf[_VALUE])
-        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, 0)
+        _ord = self._internal.order_columns(INDEX_COL)
+        w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
         filled = F.last(clean, ignorenulls=True).over(w)
-        prev = F.lag(filled, periods).over(Window.orderBy(INDEX_COL))
+        prev = F.lag(filled, periods).over(Window.orderBy(*_ord))
         # guarded division: a zero previous value must yield pandas' ±inf/
         # NaN, not Spark 4's ANSI DIVIDE_BY_ZERO throw (fuzz: [0.0, 0.0]).
         # pandas computes v/prev - 1, not (v-prev)/prev — same algebra but
         # different last-ulp floats, so mirror its operation order
         col = self._truediv_cols(filled, prev) - 1
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
+            col,
+            self._name,
         )
 
     def _cum(self, aggfn) -> "Series":
@@ -1217,13 +1292,17 @@ class Series:
         slot NaN)."""
         from pyspark.sql import Window
 
-        w = Window.orderBy(INDEX_COL).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         sdf = self._materialized()
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
         col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name),
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
             col,
             self._name,
         )
@@ -1365,20 +1444,44 @@ class Series:
         array_repeat), zero shuffles."""
         if repeats < 0:
             raise ValueError("repeats must be non-negative")
-        sdf = self._materialized().select(
-            INDEX_COL, F.explode(F.array_repeat(F.col(_VALUE), repeats)).alias(_VALUE)
+        mat = self._materialized()
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n not in (INDEX_COL, _VALUE) and n in mat.columns
+        ]
+        sdf = mat.select(
+            INDEX_COL,
+            *dict.fromkeys(extras),
+            F.posexplode(F.array_repeat(F.col(_VALUE), repeats)).alias(
+                "__epos__", _VALUE
+            ),
         )
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
+            ("__epos__", True),
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def explode(self) -> "Series":
         """Array-valued Series → one row per element with the index label
         duplicated; empty/NULL arrays keep one missing row
         (explode_outer — pandas' rule)."""
-        sdf = self._materialized().select(
-            INDEX_COL, F.explode_outer(F.col(_VALUE)).alias(_VALUE)
+        mat = self._materialized()
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n not in (INDEX_COL, _VALUE) and n in mat.columns
+        ]
+        sdf = mat.select(
+            INDEX_COL,
+            *dict.fromkeys(extras),
+            F.posexplode_outer(F.col(_VALUE)).alias("__epos__", _VALUE),
         )
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name)
+        spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
+            ("__epos__", True),
+        )
+        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
     def _pairwise(self, other: "Series"):
@@ -1602,9 +1705,20 @@ class Series:
                 final = final / denom
         else:
             final = F.col("__r")
-        joined = joined.select(INDEX_COL, final.cast("double").alias("__r"))
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n not in (INDEX_COL, _VALUE) and n in joined.columns
+        ]
+        joined = joined.select(
+            INDEX_COL,
+            *dict.fromkeys(extras),
+            final.cast("double").alias("__r"),
+        )
         return Series._from_internal(
-            InternalFrame(joined, INDEX_COL, self._internal.index_name),
+            InternalFrame(
+                joined, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
             joined["__r"],
             self._name,
         )
@@ -1662,7 +1776,11 @@ class Series:
                 ).cast("double") / float(16 ** 15)
                 sdf = mat.filter(u < F.lit(float(frac)))
             return Series._from_internal(
-                InternalFrame(sdf, INDEX_COL, self._internal.index_name), sdf[_VALUE], self._name
+                InternalFrame(
+                    sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                ),
+                sdf[_VALUE],
+                self._name,
             )
         mat = self._materialized()
         key = F.md5(F.concat_ws("\x1f", F.col(INDEX_COL).cast("string"), F.lit(str(seed))))
@@ -1726,18 +1844,23 @@ class Series:
         sdf = self._materialized()
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
+        _ord = self._internal.order_columns(INDEX_COL)
         if forward:
-            w = Window.orderBy(INDEX_COL).rowsBetween(
+            w = Window.orderBy(*_ord).rowsBetween(
                 Window.unboundedPreceding, Window.currentRow
             )
             col = F.last(F.when(~missing, v), ignorenulls=True).over(w)
         else:
-            w = Window.orderBy(INDEX_COL).rowsBetween(
+            w = Window.orderBy(*_ord).rowsBetween(
                 Window.currentRow, Window.unboundedFollowing
             )
             col = F.first(F.when(~missing, v), ignorenulls=True).over(w)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+            ),
+            col,
+            self._name,
         )
 
     def interpolate(self, method: str = "linear", limit: "int | None" = None) -> "Series":
@@ -1762,7 +1885,9 @@ class Series:
         sdf = mat.select(
             INDEX_COL,
             _VALUE,
-            F.row_number().over(Window.orderBy(INDEX_COL)).alias("__pos"),
+            F.row_number().over(
+                Window.orderBy(*self._internal.order_columns(INDEX_COL))
+            ).alias("__pos"),
         )
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
@@ -1786,7 +1911,12 @@ class Series:
             # leading run: stays null → NaN in pandas
         )
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, self._internal.index_name), col, self._name
+            # __pos IS the visible order — carry it as the output spec
+            InternalFrame(
+                sdf, INDEX_COL, self._internal.index_name, (("__pos", True),)
+            ),
+            col,
+            self._name,
         )
 
     # everyday pandas conveniences (r7 batch) ---------------------------------
@@ -2104,8 +2234,10 @@ class Series:
 
         sdf = self._materialized()
         missing = self._missing_mask(sdf[_VALUE], sdf)
-        valid = sdf.filter(~missing).select(INDEX_COL, _VALUE)
-        wv = Window.orderBy(INDEX_COL)
+        # no projection: wv orders by the visible order, whose spec helper
+        # columns must stay referenceable
+        valid = sdf.filter(~missing)
+        wv = Window.orderBy(*self._internal.order_columns(INDEX_COL))
         valid = valid.withColumn("__sub", F.row_number().over(wv) - 1)
         wr = Window.orderBy(F.col(_VALUE).asc(), F.col("__sub").asc())
         valid = valid.withColumn("__rank", F.row_number().over(wr) - 1)
@@ -2672,7 +2804,7 @@ class _SeriesExpanding:
 
         s = self._s
         sdf = s._materialized()
-        w = Window.orderBy(INDEX_COL).rowsBetween(
+        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         v = sdf[_VALUE]
@@ -2681,7 +2813,11 @@ class _SeriesExpanding:
         cnt = F.count(v).over(w)
         col = F.when(cnt >= self._minp, aggfn(v).over(w))
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+            InternalFrame(
+                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
+            ),
+            col,
+            s._name,
         )
 
     def sum(self): return self._apply(F.sum)

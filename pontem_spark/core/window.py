@@ -30,7 +30,9 @@ class Rolling:
 
         s = self._s
         sdf = s._materialized()
-        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
+            -(self._n - 1), Window.currentRow
+        )
         valid = self._valid(sdf)
         cnt = F.count(valid).over(w)
         val = aggfn(valid).over(w)
@@ -38,7 +40,11 @@ class Rolling:
         # the full window)
         col = F.when(cnt >= self._minp, val)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+            InternalFrame(
+                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
+            ),
+            col,
+            s._name,
         )
 
     def sum(self): return self._apply(F.sum)
@@ -57,7 +63,9 @@ class Rolling:
 
         s = self._s
         sdf = s._materialized()
-        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
+            -(self._n - 1), Window.currentRow
+        )
         arr = F.sort_array(F.collect_list(self._valid(sdf)).over(w))
         cnt = F.size(arr)
         mid = (cnt / 2).cast("int")
@@ -72,7 +80,11 @@ class Rolling:
         )
         col = F.when(cnt >= self._minp, med)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+            InternalFrame(
+                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
+            ),
+            col,
+            s._name,
         )
 
     def count(self):
@@ -83,12 +95,18 @@ class Rolling:
 
         s = self._s
         sdf = s._materialized()
-        w = Window.orderBy(INDEX_COL).rowsBetween(-(self._n - 1), Window.currentRow)
+        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
+            -(self._n - 1), Window.currentRow
+        )
         rows = F.count(F.lit(1)).over(w)
         val = F.count(self._valid(sdf)).over(w)
         col = F.when(rows >= self._minp, val)
         return Series._from_internal(
-            InternalFrame(sdf, INDEX_COL, s._internal.index_name), col, s._name
+            InternalFrame(
+                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
+            ),
+            col,
+            s._name,
         )
 
 
@@ -124,10 +142,12 @@ class GroupedRolling:
         return v
 
     def _win(self, sdf, lo):
-        # _materialized() travels the index under INDEX_COL
+        # _materialized() travels the index under INDEX_COL; within-group
+        # row order = the frame's VISIBLE order (r10 composition probe)
+        spec = self._df._internal.order_spec or ((INDEX_COL, True),)
         return (
             Window.partitionBy(*self._keys)
-            .orderBy(F.col(INDEX_COL).asc())
+            .orderBy(*[F.col(n).asc() if asc else F.col(n).desc() for n, asc in spec])
             .rowsBetween(lo, Window.currentRow)
         )
 
@@ -234,20 +254,46 @@ class Ewm:
             )
         idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
         params = self._params
+        # the recurrence runs in the VISIBLE order (order_spec), not raw
+        # index order — ewm after sort_values must accumulate in sorted
+        # order like pandas (r10 composition probe class)
+        spec = s._internal.order_spec or ((INDEX_COL, True),)
+        ord_names = [n for n, _ in spec]
+        ord_asc = [a for _, a in spec]
+        extras = [
+            n for n in dict.fromkeys(ord_names)
+            if n not in (INDEX_COL, "__value__") and n in sdf.columns
+        ]
 
         def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(INDEX_COL)
+            pdf = pdf.sort_values(ord_names, ascending=ord_asc)
             vals = pd.to_numeric(pdf["__value__"], errors="coerce").astype("float64")
             out = getattr(vals.ewm(**params), op)()
-            return pd.DataFrame({INDEX_COL: pdf[INDEX_COL], "__value__": out})
+            cols = {INDEX_COL: pdf[INDEX_COL], "__value__": out}
+            for n in extras:
+                cols[n] = pdf[n]
+            return pd.DataFrame(cols)
 
+        extra_schema = "".join(
+            f", {n} {sdf.schema[n].dataType.simpleString()}" for n in extras
+        )
         res = (
-            sdf.select(INDEX_COL, F.col("__value__").cast("double").alias("__value__"))
+            sdf.select(
+                INDEX_COL,
+                F.col("__value__").cast("double").alias("__value__"),
+                *[F.col(n) for n in extras],
+            )
             .groupBy(F.lit(0).alias("__g"))
-            .applyInPandas(fn, schema=f"{INDEX_COL} {idx_type}, __value__ double")
+            .applyInPandas(
+                fn, schema=f"{INDEX_COL} {idx_type}, __value__ double{extra_schema}"
+            )
         )
         return Series._from_internal(
-            InternalFrame(res, INDEX_COL, s._internal.index_name),
+            # the extras pass through the Arrow fn so the display order
+            # (spec) can carry to the result
+            InternalFrame(
+                res, INDEX_COL, s._internal.index_name, s._internal.order_spec
+            ),
             res["__value__"],
             s._name,
         )
@@ -280,10 +326,22 @@ class GroupedEwm:
 
         df = self._df
         key_aliases = [f"__k{i}" for i in range(len(self._keys))]
+        # within-group row order = the frame's VISIBLE order (r10
+        # composition probe); spec helper columns ride through the
+        # projection so the Arrow fn can sort by them
+        spec = df._internal.order_spec or ((INDEX_COL, True),)
+        ord_names = [n for n, _ in spec]
+        ord_asc = [a for _, a in spec]
+        extras = [
+            n for n in dict.fromkeys(ord_names)
+            if n != INDEX_COL and n in df._internal.sdf.columns
+        ]
+        sort_names = [n for n in ord_names if n == INDEX_COL or n in extras]
         sdf = df._internal.sdf.select(
             df._internal.index_col.alias(INDEX_COL),
             *[df._columns[k].alias(a) for k, a in zip(self._keys, key_aliases)],
             df._columns[self._col].cast("double").alias("__v"),
+            *[F.col(n) for n in extras],
         )
         from pontem_spark.core.groupby import _keys_valid_sdf
 
@@ -297,7 +355,8 @@ class GroupedEwm:
         params = self._params
 
         def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(INDEX_COL)
+            pdf = pdf.sort_values(sort_names or [INDEX_COL],
+                                  ascending=ord_asc[: len(sort_names)] or True)
             out = getattr(pdf["__v"].ewm(**params), op)()
             return pd.DataFrame({INDEX_COL: pdf[INDEX_COL], "__value__": out})
 
@@ -340,14 +399,17 @@ class GroupedExpanding:
         expr = sdf[self._col]
         if dict(sdf.dtypes).get(self._col) in ("double", "float"):
             expr = F.when(~F.isnan(expr), expr)
+        spec = df._internal.order_spec or ((INDEX_COL, True),)
         w = (
             Window.partitionBy(*self._keys)
-            .orderBy(F.col(INDEX_COL).asc())
+            .orderBy(*[F.col(n).asc() if asc else F.col(n).desc() for n, asc in spec])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         cnt = F.count(expr).over(w)
         col = F.when(cnt >= self._minp, aggfn(expr).over(w))
-        internal = InternalFrame(sdf, INDEX_COL, df._internal.index_name)
+        internal = InternalFrame(
+            sdf, INDEX_COL, df._internal.index_name, df._internal.order_spec
+        )
         return Series._from_internal(internal, col, self._col)
 
     def sum(self): return self._apply(F.sum)
@@ -445,22 +507,43 @@ class FrameEwm:
         sdf = df._materialized()
         idx_type = sdf.schema[INDEX_COL].dataType.simpleString()
         params = self._params
+        # the recurrence runs in the frame's VISIBLE order (r10
+        # composition probe); _materialized() already carries the spec
+        # helper columns
+        spec = df._internal.order_spec or ((INDEX_COL, True),)
+        ord_names = [n for n, _ in spec if n in sdf.columns]
+        ord_asc = [a for n, a in spec if n in sdf.columns]
 
         def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            pdf = pdf.sort_values(INDEX_COL)
+            pdf = pdf.sort_values(ord_names or [INDEX_COL], ascending=ord_asc or True)
             out = {INDEX_COL: pdf[INDEX_COL]}
             for c in cols:
                 vals = pd.to_numeric(pdf[c], errors="coerce").astype("float64")
                 out[c] = getattr(vals.ewm(**params), op)()
+            for n in ord_names:
+                if n != INDEX_COL and n not in cols:
+                    out[n] = pdf[n]
             return pd.DataFrame(out)
 
-        schema = ", ".join([f"{INDEX_COL} {idx_type}"] + [f"{c} double" for c in cols])
+        extras = [n for n in dict.fromkeys(ord_names) if n != INDEX_COL and n not in cols]
+        extra_schema = "".join(
+            f", {n} {sdf.schema[n].dataType.simpleString()}" for n in extras
+        )
+        schema = ", ".join(
+            [f"{INDEX_COL} {idx_type}"] + [f"{c} double" for c in cols]
+        ) + extra_schema
         res = (
-            sdf.select(INDEX_COL, *[sdf[c].cast("double").alias(c) for c in cols])
+            sdf.select(
+                INDEX_COL,
+                *[sdf[c].cast("double").alias(c) for c in cols],
+                *[F.col(n) for n in extras],
+            )
             .groupBy(F.lit(0).alias("__g"))
             .applyInPandas(fn, schema=schema)
         )
-        internal = InternalFrame(res, INDEX_COL, df._internal.index_name)
+        internal = InternalFrame(
+            res, INDEX_COL, df._internal.index_name, df._internal.order_spec
+        )
         return DataFrame._from_internal(internal, {c: res[c] for c in cols})
 
     def mean(self): return self._apply("mean")
