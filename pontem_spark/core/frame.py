@@ -176,13 +176,36 @@ class DataFrame:
             return DataFrame._from_internal(self._internal, {k: self._columns[k] for k in key})
         if isinstance(key, Series):  # boolean mask
             if key._internal.sdf is self._internal.sdf:
-                sdf = self._internal.sdf.filter(key._col)
-                # a filter preserves the visible order (r10 composition probe)
+                # project the columns + mask FIRST, then filter: a
+                # window-derived column (df.assign(dd=df.duplicated())[mask])
+                # must keep its PRE-filter values (r10 composition probe);
+                # Catalyst substitutes the mask alias, so plain predicates
+                # still push to the scan. The filter itself preserves the
+                # visible order.
+                extras = [
+                    n
+                    for n, _ in (self._internal.order_spec or ())
+                    if n != INDEX_COL
+                    and n not in self._columns
+                    and n in self._internal.sdf.columns
+                ]
+                sdf = (
+                    self._internal.sdf.select(
+                        self._internal.index_col.alias(INDEX_COL),
+                        *[expr.alias(name) for name, expr in self._columns.items()],
+                        *dict.fromkeys(extras),
+                        key._col.alias("__mask__"),
+                    )
+                    .filter(F.col("__mask__"))
+                    .drop("__mask__")
+                )
                 internal = InternalFrame(
-                    sdf, self._internal.index_spark_col, self._internal.index_name,
+                    sdf, INDEX_COL, self._internal.index_name,
                     self._internal.order_spec,
                 )
-                return DataFrame._from_internal(internal, self._columns)
+                return DataFrame._from_internal(
+                    internal, {c: sdf[c] for c in self._columns}
+                )
             mask = key._materialized("__m__").select(INDEX_COL, "__m__")
             sdf = self._materialized().join(mask, INDEX_COL, "inner").filter(F.col("__m__")).drop("__m__")
             internal = InternalFrame(
@@ -890,16 +913,25 @@ class DataFrame:
         checked columns, 'all' only when every one is missing."""
         if how not in ("any", "all"):
             raise ValueError(f"dropna: how must be 'any' or 'all', got {how!r}")
-        schema = {
-            f.name: f.dataType.simpleString()
-            for f in self._materialized().schema.fields
-        }
+        mat = self._materialized()
+        schema = {f.name: f.dataType.simpleString() for f in mat.schema.fields}
         keys = subset or list(self._columns)
-        miss = [self._valid_col(k, schema).isNull() for k in keys]
+
+        def _miss(k):
+            # reference the MATERIALIZED projection's column, not the raw
+            # expression: a window-expression column (grouped cumsum
+            # assigned back) inside WHERE is illegal in Spark (r10 probe)
+            v = mat[k]
+            m = v.isNull()
+            if schema.get(k) in ("double", "float"):
+                m = m | F.isnan(v)
+            return m
+
+        miss = [_miss(k) for k in keys]
         from functools import reduce as _reduce
 
         combined = _reduce((lambda a, b: a | b) if how == "any" else (lambda a, b: a & b), miss)
-        sdf = self._materialized().filter(~combined)
+        sdf = mat.filter(~combined)
         internal = InternalFrame(
             sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
         )
@@ -1684,10 +1716,16 @@ class DataFrame:
         if keep is False:
             col = F.count(F.lit(1)).over(Window.partitionBy(*part)) > 1
         elif keep in ("first", "last"):
-            idx = self._internal.index_col
-            w = Window.partitionBy(*part).orderBy(
-                idx.asc() if keep == "first" else idx.desc()
-            )
+            # 'first' = first in the VISIBLE order (r10 composition probe);
+            # spec entries resolve against the anchor sdf, where the helper
+            # columns live
+            idx_name = self._internal.index_spark_col
+            ospec = self._internal.order_spec or ((idx_name, True),)
+            order = [
+                F.col(n).asc() if (asc == (keep == "first")) else F.col(n).desc()
+                for n, asc in ospec
+            ]
+            w = Window.partitionBy(*part).orderBy(*order)
             col = F.row_number().over(w) > 1
         else:
             raise ValueError(f"duplicated: keep must be 'first', 'last' or False, got {keep!r}")

@@ -700,11 +700,34 @@ class Series:
     def __getitem__(self, key):
         if isinstance(key, Series):  # boolean mask — the s[s > 0] idiom
             if key._internal.sdf is self._internal.sdf:
-                sdf = self._internal.sdf.filter(key._col)
+                # project value + mask FIRST, then filter: a window-derived
+                # value (s.cumsum()[mask]) must keep its PRE-filter values
+                # (r10 composition probe). Catalyst substitutes the mask
+                # alias, so plain predicates still push to the scan.
+                extras = [
+                    n
+                    for n, _ in (self._internal.order_spec or ())
+                    if n not in (INDEX_COL, _VALUE)
+                    and n in self._internal.sdf.columns
+                ]
+                sdf = (
+                    self._internal.sdf.select(
+                        self._internal.index_col.alias(INDEX_COL),
+                        self._col.alias(_VALUE),
+                        *dict.fromkeys(extras),
+                        key._col.alias("__mask__"),
+                    )
+                    .filter(F.col("__mask__"))
+                    .drop("__mask__")
+                )
                 return Series._from_internal(
-                    InternalFrame(sdf, self._internal.index_spark_col, self._internal.index_name),
-                    # re-anchor the value expression onto the filtered frame
-                    self._col,
+                    InternalFrame(
+                        sdf,
+                        INDEX_COL,
+                        self._internal.index_name,
+                        self._internal.order_spec,
+                    ),
+                    sdf[_VALUE],
                     self._name,
                 )
             # mask from another anchor: align on index first

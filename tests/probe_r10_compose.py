@@ -123,6 +123,41 @@ OPS = [
         lambda d: d.iloc[::-1].head(4),
         lambda p: p.iloc[::-1].head(4),
     ),
+    (
+        "rank_u",
+        lambda d: d.assign(r=d["u"].rank()),
+        lambda p: p.assign(r=p["u"].rank()),
+    ),
+    (
+        "g_cumsum",
+        lambda d: d.assign(gc=d.groupby("k")["u"].cumsum()) if "k" in d.columns else d,
+        lambda p: p.assign(gc=p.groupby("k")["u"].cumsum()) if "k" in p.columns else p,
+    ),
+    (
+        "g_shift",
+        lambda d: d.assign(gs=d.groupby("k")["u"].shift(1)) if "k" in d.columns else d,
+        lambda p: p.assign(gs=p.groupby("k")["u"].shift(1)) if "k" in p.columns else p,
+    ),
+    (
+        "drop_col",
+        lambda d: d[[c for c in d.columns if c != "k"]],
+        lambda p: p[[c for c in p.columns if c != "k"]],
+    ),
+    (
+        "ffill_v",
+        lambda d: d.ffill(),
+        lambda p: p.ffill(),
+    ),
+    (
+        "dup_mask",
+        lambda d: d.assign(dd=d.duplicated(subset=["k"])) if "k" in d.columns else d,
+        lambda p: p.assign(dd=p.duplicated(subset=["k"])) if "k" in p.columns else p,
+    ),
+    (
+        "interp",
+        lambda d: d.assign(iv=d[[c for c in d.columns if c in ("v", "val")][0]].interpolate()) if any(c in d.columns for c in ("v", "val")) else d,
+        lambda p: p.assign(iv=p[[c for c in p.columns if c in ("v", "val")][0]].interpolate()) if any(c in p.columns for c in ("v", "val")) else p,
+    ),
 ]
 
 
@@ -156,7 +191,7 @@ def main() -> None:
         rng = random.Random(seed)
         for trial in range(30):
             df, pdf = make_frame(rng)
-            chain = [rng.randrange(len(OPS)) for _ in range(3)]
+            chain = [rng.randrange(len(OPS)) for _ in range(rng.choice((3, 4)))]
             label = f"[{seed}:{trial}] " + ">".join(OPS[i][0] for i in chain)
             try:
                 for i in chain:

@@ -197,3 +197,54 @@ def test_frame_ewm_follows_visible_order(spark):
     want = pdf.sort_values("u")[["v"]].ewm(alpha=0.5).mean()
     assert list(got.index) == list(want.index)
     assert [round(x, 9) for x in got["v"]] == [round(float(x), 9) for x in want["v"]]
+
+
+def test_window_columns_fixed_before_filter(spark):
+    """A window-derived column assigned back then FILTERED keeps its
+    pre-filter values (pandas evaluates eagerly; a lazy window expression
+    would recompute over the filtered rows — r10 probe batch 7b)."""
+    data = {
+        "u": [-40.5, 8.5, 43.5, 1.5, 4.5, 18.5, 45.5, -14.5, 19.5, -46.5],
+        "k": list("xxyyzyzzyy"),
+    }
+    df, pdf = DataFrame(data), pd.DataFrame(data)
+    a = df.assign(dd=lambda d: d.duplicated(subset=["k"]))
+    a = a[a["u"] > -20.0]
+    b = pdf.assign(dd=lambda p: p.duplicated(subset=["k"]))
+    b = b[b["u"] > -20.0]
+    got, want = a.to_pandas(), b
+    assert list(got.index) == list(want.index)
+    assert list(got["dd"]) == list(want["dd"])
+    # Series flavor: cumsum then mask
+    s = Series([1.0, 2.0, 3.0, 4.0], name="v")
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0])
+    cs, pcs = s.cumsum(), ps.cumsum()
+    got_s = cs[cs > 2.0].to_pandas()
+    want_s = pcs[pcs > 2.0]
+    assert list(got_s.index) == list(want_s.index)
+    assert list(got_s.values) == list(want_s.values)
+
+
+def test_dropna_after_window_assign(spark):
+    """dropna filters on the materialized projection — a grouped-cumsum
+    column inside WHERE is illegal in Spark (r10 probe batch 7b)."""
+    data = {"u": [5.5, None, 3.5, 2.5], "k": list("xyxy"), "v": [1.0, 2.0, None, 4.0]}
+    df, pdf = DataFrame(data), pd.DataFrame(data)
+    g = df.ffill().assign(gc=lambda d: d.groupby("k")["u"].cumsum()).dropna().to_pandas()
+    w = pdf.ffill().assign(gc=lambda p: p.groupby("k")["u"].cumsum()).dropna()
+    assert list(g.index) == list(w.index)
+    assert list(g["gc"]) == list(w["gc"])
+
+
+def test_frame_duplicated_visible_order(spark):
+    data = {"u": [5.5, 1.5, 3.5, 2.5, 4.5], "k": list("xyxyx")}
+    df, pdf = DataFrame(data), pd.DataFrame(data)
+    for keep in ("first", "last"):
+        a = df.iloc[::-1].sort_values("u", ascending=False).duplicated(
+            subset=["k"], keep=keep
+        ).to_pandas()
+        b = pdf.iloc[::-1].sort_values("u", ascending=False).duplicated(
+            subset=["k"], keep=keep
+        )
+        assert list(a.index) == list(b.index), keep
+        assert list(a.values) == list(b.values), keep
