@@ -205,7 +205,15 @@ class Series:
         """pandas index alignment: full outer equi-join on index, null-fill
         non-matches. One shuffle; same-anchor operands never reach here."""
         a = self._materialized("__a__")
-        b = other._materialized("__b__")
+        b = other._materialized("__b__").select(INDEX_COL, "__b__")
+        # the LEFT operand's visible order carries to the result (pandas:
+        # a sorted series stays sorted through s - s.shift() — r10 probe);
+        # its spec helper columns ride the join
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n not in (INDEX_COL, "__a__") and n in a.columns
+        ]
         joined = a.alias("l").join(
             b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
         )
@@ -213,13 +221,14 @@ class Series:
             F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
             F.col("l.__a__").alias("__a__"),
             F.col("r.__b__").alias("__b__"),
+            *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
         )
         index_name = (
             self._internal.index_name
             if self._internal.index_name == other._internal.index_name
             else None
         )
-        internal = InternalFrame(sdf, INDEX_COL, index_name)
+        internal = InternalFrame(sdf, INDEX_COL, index_name, self._internal.order_spec)
         l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
         name = self._name if self._name == other._name else None
         return Series._from_internal(internal, op(l, r), name)
@@ -329,7 +338,12 @@ class Series:
                 name = self._name if self._name == other._name else None
                 return Series._from_internal(self._internal, fn(l, r, lm, rm), name)
             a = self._materialized("__a__")
-            b = other._materialized("__b__")
+            b = other._materialized("__b__").select(INDEX_COL, "__b__")
+            extras = [
+                n
+                for n, _ in (self._internal.order_spec or ())
+                if n not in (INDEX_COL, "__a__") and n in a.columns
+            ]
             joined = a.alias("l").join(
                 b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
             )
@@ -337,13 +351,16 @@ class Series:
                 F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
                 F.col("l.__a__").alias("__a__"),
                 F.col("r.__b__").alias("__b__"),
+                *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
             )
             index_name = (
                 self._internal.index_name
                 if self._internal.index_name == other._internal.index_name
                 else None
             )
-            internal = InternalFrame(sdf, INDEX_COL, index_name)
+            internal = InternalFrame(
+                sdf, INDEX_COL, index_name, self._internal.order_spec
+            )
             am = self._missing_mask(sdf["__a__"], sdf)
             bm = other._missing_mask(sdf["__b__"], sdf)
             l, r, lm, rm = (

@@ -248,3 +248,19 @@ def test_frame_duplicated_visible_order(spark):
         )
         assert list(a.index) == list(b.index), keep
         assert list(a.values) == list(b.values), keep
+
+
+def test_series_binop_keeps_left_order(spark):
+    """The LEFT operand's visible order carries through an aligned binop
+    (diff = self - self.shift() on a sorted series stays sorted — r10
+    probe batch 8)."""
+    s = Series([7.25, -12.75, -3.75, 10.25, 26.25], name="v")
+    ps = pd.Series([7.25, -12.75, -3.75, 10.25, 26.25])
+    got = s.sort_values(ascending=False).diff().to_pandas()
+    want = ps.sort_values(ascending=False).diff()
+    assert list(got.index) == list(want.index)
+    for a, b in zip(got.values, want.values):
+        if pd.isna(a) or pd.isna(b):
+            assert bool(pd.isna(a)) == bool(pd.isna(b))
+        else:
+            assert abs(float(a) - float(b)) < 1e-9
