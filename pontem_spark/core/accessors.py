@@ -25,6 +25,17 @@ _FOLD_TABLE: tuple[tuple[str, str], list[tuple[str, str]]] | None = None
 _TITLE_MAP: str | None = None
 
 
+def _java_named_groups(pat: str) -> str:
+    """Rewrite Python regex named-group syntax to Java's: ``(?P<name>`` →
+    ``(?<name>`` and the backreference ``(?P=name)`` → ``\\k<name>``.
+    pandas users write the Python spelling; Spark's JVM regex engine
+    rejects it with INVALID_PARAMETER_VALUE.PATTERN (r11 probe)."""
+    import re as _re
+
+    pat = pat.replace("(?P<", "(?<")
+    return _re.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", pat)
+
+
 def _title_map() -> str:
     """str_to_map literal ('ß:Ss,ǆ:ǅ,…') of every BMP char whose Python
     TITLECASE mapping differs from its uppercase mapping (ß→Ss, the Lt
@@ -132,7 +143,11 @@ class StringAccessor:
         return self._wrap(F.when(col.isNull(), F.lit(None)).otherwise(out))
 
     def contains(self, pat: str, regex: bool = True):
-        col = self._s._col.rlike(pat) if regex else self._s._col.contains(pat)
+        col = (
+            self._s._col.rlike(_java_named_groups(pat))
+            if regex
+            else self._s._col.contains(pat)
+        )
         return self._wrap(col)
 
     def startswith(self, pat: str): return self._wrap(self._s._col.startswith(pat))
@@ -140,7 +155,9 @@ class StringAccessor:
 
     def replace(self, pat: str, repl: str, regex: bool = True):
         if regex:
-            return self._wrap(F.regexp_replace(self._s._col, pat, repl))
+            return self._wrap(
+                F.regexp_replace(self._s._col, _java_named_groups(pat), repl)
+            )
         return self._wrap(F.replace(self._s._col, F.lit(pat), F.lit(repl)))
 
     def slice(self, start: "int | None" = 0, stop: int | None = None):
@@ -178,7 +195,7 @@ class StringAccessor:
                 stripped == "", F.array().cast("array<string>")
             ).otherwise(F.split(stripped, f"{_PY_SPACE}+"))
             return self._wrap(out)
-        return self._wrap(F.split(col, pat))
+        return self._wrap(F.split(col, _java_named_groups(pat)))
 
     def cat(self, others=None, sep: str = ""):
         """With ``others``: elementwise concat (Series result). Without:
@@ -227,7 +244,9 @@ class StringAccessor:
     def count(self, pat: str):
         """Occurrences of regex ``pat`` per string (pandas counts
         non-overlapping regex matches)."""
-        return self._wrap(F.regexp_count(self._s._col, F.lit(pat)))
+        return self._wrap(
+            F.regexp_count(self._s._col, F.lit(_java_named_groups(pat)))
+        )
 
     def find(self, sub: str):
         """Lowest 0-based index of ``sub``, -1 when absent (instr is
@@ -289,15 +308,19 @@ class StringAccessor:
         where Spark's regexp_extract would give ''); several groups → a
         DataFrame with one column per group (named groups keep their
         names, else '0','1',...), all from the SAME anchor — pure
-        projections, zero jobs."""
+        projections, zero jobs. Python named-group syntax ``(?P<name>``
+        is rewritten to Java's ``(?<name>`` before reaching the JVM
+        (r11 probe: pandas patterns use the Python spelling and Spark's
+        rlike rejects it outright)."""
         import re
 
         compiled = re.compile(pat)
+        jpat = _java_named_groups(pat)
         col = self._s._col
-        matched = col.rlike(pat)
+        matched = col.rlike(jpat)
 
         def grp(i: int):
-            return F.when(matched, F.regexp_extract(col, pat, i))
+            return F.when(matched, F.regexp_extract(col, jpat, i))
 
         if compiled.groups <= 1 and not expand:
             return self._wrap(grp(1 if compiled.groups else 0))
@@ -321,7 +344,11 @@ class StringAccessor:
                 "findall with multiple groups returns tuples — use extract"
             )
         return self._wrap(
-            F.regexp_extract_all(self._s._col, F.lit(pat), F.lit(1 if groups else 0))
+            F.regexp_extract_all(
+                self._s._col,
+                F.lit(_java_named_groups(pat)),
+                F.lit(1 if groups else 0),
+            )
         )
 
     def casefold(self):

@@ -12,8 +12,9 @@ from __future__ import annotations
 from typing import Any, Iterable, Mapping
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType
 
-from pontem_spark.core.internal import INDEX_COL, InternalFrame, default_session
+from pontem_spark.core.internal import INDEX_COL, InternalFrame, default_session, next_epos_name
 from pontem_spark.core.series import _VALUE, Series
 
 _ROWID = "__rowid__"
@@ -446,7 +447,34 @@ class DataFrame:
     def groupby(self, by: str | list[str], as_index: bool = True):
         from pontem_spark.core.groupby import GroupBy
 
-        return GroupBy(self, [by] if isinstance(by, str) else list(by), as_index)
+        keys = [by] if isinstance(by, str) else list(by)
+        # pandas accepts INDEX LEVEL names as group keys; expose each as a
+        # shadow column (pure projection off the anchor, zero jobs) and
+        # mark it hidden so row-aligned grouped outputs don't leak it
+        # (r11 probe: set_index(['a','b']).groupby('a') raised KeyError)
+        iname = self._internal.index_name
+        levels = (
+            tuple(str(l) for l in iname)
+            if isinstance(iname, tuple)
+            else ((str(iname),) if iname is not None else ())
+        )
+        hidden = [
+            k for k in keys if k not in self._columns and str(k) in levels
+        ]
+        if not hidden:
+            return GroupBy(self, keys, as_index)
+        missing = [k for k in keys if k not in self._columns and k not in hidden]
+        if missing:
+            raise KeyError(missing[0])
+        cols = dict(self._columns)
+        for k in hidden:
+            cols[k] = (
+                self._internal.index_col[str(k)]
+                if isinstance(iname, tuple)
+                else self._internal.index_col
+            )
+        shadow = DataFrame._from_internal(self._internal, cols)
+        return GroupBy(shadow, keys, as_index, hidden=tuple(hidden))
 
     def pivot_table(
         self,
@@ -1350,22 +1378,28 @@ class DataFrame:
         row with a NULL element, exactly pandas' semantics."""
         others = [c for c in self._columns if c != column]
         mat = self._materialized()
+        if not isinstance(mat.schema[column].dataType, ArrayType):
+            # pandas explodes per-ELEMENT: scalars pass through untouched,
+            # so a column with no array values (e.g. the result of a prior
+            # explode that flattened everything) is an identity op
+            return self.copy()
         extras = [
             n
             for n, _ in (self._internal.order_spec or ())
             if n != INDEX_COL and n not in self._columns and n in mat.columns
         ]
+        epos = next_epos_name(self._internal.order_spec)
         sdf = mat.select(
             INDEX_COL,
             *others,
             *dict.fromkeys(extras),
-            F.posexplode_outer(F.col(column)).alias("__epos__", column),
+            F.posexplode_outer(F.col(column)).alias(epos, column),
         )
         # exploded rows repeat their index: the parent's visible order
         # carries through, and the ARRAY position breaks the within-row
         # tie (an index-only sort leaves element order nondeterministic)
         spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
-            ("__epos__", True),
+            (epos, True),
         )
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
@@ -2937,16 +2971,15 @@ class DataFrame:
         sdf = self._materialized()
         if not isinstance(sdf.schema[INDEX_COL].dataType, TimestampType):
             raise TypeError("asfreq requires a timestamp index")
+        # MICROSECOND grid — see Series.asfreq: unix_timestamp's whole-
+        # second truncation silently NaN'd every sub-second-anchored index
+        step = sec * 1_000_000
         bounds = sdf.agg(
-            F.unix_timestamp(F.min(F.col(INDEX_COL))).alias("__mn"),
-            F.unix_timestamp(F.max(F.col(INDEX_COL))).alias("__mx"),
+            F.unix_micros(F.min(F.col(INDEX_COL))).alias("__mn"),
+            F.unix_micros(F.max(F.col(INDEX_COL))).alias("__mx"),
         )
-        n = ((F.col("__mx") - F.col("__mn")) / F.lit(sec)).cast("long") + 1
-        seq = F.sequence(
-            F.timestamp_seconds(F.col("__mn")),
-            F.timestamp_seconds(F.col("__mx")),
-            F.expr(f"INTERVAL {sec} SECONDS"),
-        )
+        n = ((F.col("__mx") - F.col("__mn")) / F.lit(step)).cast("long") + 1
+        seq = F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
         guarded = F.when(
             n > _Resampler._MAX_GRID,
             F.raise_error(
@@ -2960,7 +2993,9 @@ class DataFrame:
                 )
             ),
         ).otherwise(seq)
-        grid = bounds.select(F.explode(guarded).alias("__g"))
+        grid = bounds.select(F.explode(guarded).alias("__gus")).select(
+            F.timestamp_micros(F.col("__gus")).alias("__g")
+        )
         obs = F.struct(*[sdf[c].alias(c) for c in self._columns])
         data = sdf.select(F.col(INDEX_COL).alias("__g"), obs.alias("__obs"))
         if method is None:
@@ -3007,6 +3042,10 @@ class DataFrame:
                     ],
                 )
             )
+        # duplicate index timestamps fan out the grid join — pandas raises
+        from pontem_spark.core.internal import guard_unique_labels
+
+        out = guard_unique_labels(data, "__g", out, INDEX_COL)
         internal = InternalFrame(out, INDEX_COL, self._internal.index_name)
         return DataFrame._from_internal(internal, {c: out[c] for c in self._columns})
 

@@ -136,10 +136,25 @@ def _keys_valid(df, keys: list[str]):
 
 
 class GroupBy:
-    def __init__(self, df, keys: list[str], as_index: bool = True):
+    def __init__(
+        self,
+        df,
+        keys: list[str],
+        as_index: bool = True,
+        hidden: "tuple[str, ...]" = (),
+    ):
+        # ``hidden``: keys that name INDEX LEVELS, not frame columns —
+        # DataFrame.groupby exposes them as shadow columns so every
+        # grouped op can treat them uniformly, but row-aligned outputs
+        # (transform/filter/head) must not leak them as user columns
+        # (r11 probe: set_index(['a','b']).groupby('a') raised KeyError)
         self._df = df
         self._keys = keys
         self._as_index = as_index
+        self._hidden = set(hidden)
+
+    def _user_columns(self) -> "list[str]":
+        return [c for c in self._df._columns if c not in self._hidden]
 
     def agg(self, spec: Mapping[str, str | list[str]]) -> "DataFrame":
         """{'col': 'sum'} or {'col': ['sum', 'mean']} → one aggregation pass."""
@@ -369,7 +384,9 @@ class GroupBy:
         internal = InternalFrame(
             out, idx, self._df._internal.index_name, self._df._internal.order_spec
         )
-        return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
+        return DataFrame._from_internal(
+            internal, {c: out[c] for c in self._user_columns()}
+        )
 
     def head(self, n: int = 5) -> "DataFrame":
         return self._positional(lambda rn, rb: rn <= n)
@@ -402,7 +419,7 @@ class GroupBy:
             for f in sdf.schema.fields
             if f.name in keys
         )
-        user_cols = [c for c in self._df._columns]
+        user_cols = self._user_columns()
 
         def _keep(pdf):
             sub = pdf[user_cols]
@@ -414,7 +431,9 @@ class GroupBy:
         internal = InternalFrame(
             out, idx, self._df._internal.index_name, self._df._internal.order_spec
         )
-        return DataFrame._from_internal(internal, {c: out[c] for c in self._df._columns})
+        return DataFrame._from_internal(
+            internal, {c: out[c] for c in self._user_columns()}
+        )
 
     def transform(self, spec: Mapping[str, str]) -> "DataFrame":
         """pandas groupby().transform: per-group statistics broadcast back to
@@ -427,7 +446,7 @@ class GroupBy:
         from pontem_spark.core.frame import DataFrame
 
         w = Window.partitionBy(*[self._df._columns[k] for k in self._keys])
-        cols = dict(self._df._columns)
+        cols = {c: self._df._columns[c] for c in self._user_columns()}
         for col, how in spec.items():
             fn = _AGGS.get(how)
             if fn is None:

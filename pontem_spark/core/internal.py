@@ -91,6 +91,22 @@ def guard_unique_labels(
     ).drop("__dup__")
 
 
+def next_epos_name(order_spec) -> str:
+    """A position-helper column name not already used by ``order_spec``.
+
+    Chained explode/repeat each append a posexplode position to the spec;
+    reusing one fixed name would both carry the OLD helper as a spec extra
+    and alias the NEW posexplode to it — a duplicate column that fails
+    materialization with AMBIGUOUS_REFERENCE (ADVICE r10)."""
+    names = {n for n, _ in (order_spec or ())}
+    if "__epos__" not in names:
+        return "__epos__"
+    k = 2
+    while f"__epos{k}__" in names:
+        k += 1
+    return f"__epos{k}__"
+
+
 def default_session() -> SparkSession:
     active = SparkSession.getActiveSession()
     if active is not None:

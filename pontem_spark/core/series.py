@@ -27,8 +27,9 @@ import operator
 from typing import Any, Callable, Iterable
 
 from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
+from pyspark.sql.types import ArrayType
 
-from pontem_spark.core.internal import INDEX_COL, InternalFrame, to_spark_type
+from pontem_spark.core.internal import INDEX_COL, InternalFrame, next_epos_name, to_spark_type
 
 _VALUE = "__value__"
 
@@ -207,8 +208,13 @@ class Series:
         a = self._materialized("__a__")
         b = other._materialized("__b__").select(INDEX_COL, "__b__")
         # the LEFT operand's visible order carries to the result (pandas:
-        # a sorted series stays sorted through s - s.shift() — r10 probe);
-        # its spec helper columns ride the join
+        # a sorted series stays sorted through s - s.shift() — r10 probe)
+        # — but ONLY while the indexes fully match. Any unmatched row
+        # means pandas rebuilds the index as the SORTED union (new labels
+        # land in position, not nulls-first at the front — ADVICE r10), so
+        # the sort key is made conditional on a lazy 1-row matched stat:
+        # a leading helper that is constant NULL when fully matched (left
+        # spec decides) and the index when not (sorted union decides).
         extras = [
             n
             for n, _ in (self._internal.order_spec or ())
@@ -217,18 +223,38 @@ class Series:
         joined = a.alias("l").join(
             b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
         )
-        sdf = joined.select(
+        spec = self._internal.order_spec
+        cols = [
             F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
             F.col("l.__a__").alias("__a__"),
             F.col("r.__b__").alias("__b__"),
             *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
-        )
+        ]
+        if spec is None:
+            # no visible order to defend — materialization's index sort IS
+            # the sorted union already
+            sdf = joined.select(*cols)
+        else:
+            mism = joined.agg(
+                F.max(
+                    F.col(f"l.{INDEX_COL}").isNull()
+                    | F.col(f"r.{INDEX_COL}").isNull()
+                ).alias("__mism__")
+            )
+            sdf = joined.crossJoin(F.broadcast(mism)).select(
+                *cols,
+                F.when(
+                    F.col("__mism__"),
+                    F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")),
+                ).alias("__alunion__"),
+            )
+            spec = (("__alunion__", True),) + spec
         index_name = (
             self._internal.index_name
             if self._internal.index_name == other._internal.index_name
             else None
         )
-        internal = InternalFrame(sdf, INDEX_COL, index_name, self._internal.order_spec)
+        internal = InternalFrame(sdf, INDEX_COL, index_name, spec)
         l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
         name = self._name if self._name == other._name else None
         return Series._from_internal(internal, op(l, r), name)
@@ -1490,15 +1516,16 @@ class Series:
             for n, _ in (self._internal.order_spec or ())
             if n not in (INDEX_COL, _VALUE) and n in mat.columns
         ]
+        epos = next_epos_name(self._internal.order_spec)
         sdf = mat.select(
             INDEX_COL,
             *dict.fromkeys(extras),
             F.posexplode(F.array_repeat(F.col(_VALUE), repeats)).alias(
-                "__epos__", _VALUE
+                epos, _VALUE
             ),
         )
         spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
-            ("__epos__", True),
+            (epos, True),
         )
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return Series._from_internal(internal, sdf[_VALUE], self._name)
@@ -1508,18 +1535,23 @@ class Series:
         duplicated; empty/NULL arrays keep one missing row
         (explode_outer — pandas' rule)."""
         mat = self._materialized()
+        if not isinstance(mat.schema[_VALUE].dataType, ArrayType):
+            # pandas explodes per-ELEMENT: a series with no array values
+            # (e.g. a prior explode flattened everything) passes through
+            return self.copy()
         extras = [
             n
             for n, _ in (self._internal.order_spec or ())
             if n not in (INDEX_COL, _VALUE) and n in mat.columns
         ]
+        epos = next_epos_name(self._internal.order_spec)
         sdf = mat.select(
             INDEX_COL,
             *dict.fromkeys(extras),
-            F.posexplode_outer(F.col(_VALUE)).alias("__epos__", _VALUE),
+            F.posexplode_outer(F.col(_VALUE)).alias(epos, _VALUE),
         )
         spec = (self._internal.order_spec or ((INDEX_COL, True),)) + (
-            ("__epos__", True),
+            (epos, True),
         )
         internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, spec)
         return Series._from_internal(internal, sdf[_VALUE], self._name)
@@ -2479,7 +2511,12 @@ class Series:
         or the positionally previous/next observation with
         method='ffill'/'bfill' (pandas reindex semantics: fill by
         POSITION — an observed NaN propagates; pre-existing NaN at a
-        matched timestamp is never replaced by fill_value).
+        matched timestamp is never replaced by fill_value). When BOTH
+        method and fill_value are given, method wins and fill_value is
+        ignored — pinned against pandas 2.2 (asfreq does not raise; the
+        in-range grid leaves method no gap for fill_value to touch).
+        Duplicate index timestamps raise like pandas ('cannot reindex on
+        an axis with duplicate labels') via the lazy in-plan guard.
 
         Plan shape: one broadcast 1-row bounds agg + a sequence-explode
         grid (size time-range/freq, same loud guard as resample) + an
@@ -2505,16 +2542,17 @@ class Series:
         sdf = self._materialized()
         if not isinstance(sdf.schema[INDEX_COL].dataType, TimestampType):
             raise TypeError("asfreq requires a timestamp index")
+        # grid in MICROSECONDS: unix_timestamp truncates to whole seconds,
+        # which made a sub-second-anchored index never exact-match the grid
+        # (every value came back NaN — ADVICE r10); unix_micros keeps the
+        # anchor's full precision so the grid lands on the observations
+        step = sec * 1_000_000
         bounds = sdf.agg(
-            F.unix_timestamp(F.min(F.col(INDEX_COL))).alias("__mn"),
-            F.unix_timestamp(F.max(F.col(INDEX_COL))).alias("__mx"),
+            F.unix_micros(F.min(F.col(INDEX_COL))).alias("__mn"),
+            F.unix_micros(F.max(F.col(INDEX_COL))).alias("__mx"),
         )
-        n = ((F.col("__mx") - F.col("__mn")) / F.lit(sec)).cast("long") + 1
-        seq = F.sequence(
-            F.timestamp_seconds(F.col("__mn")),
-            F.timestamp_seconds(F.col("__mx")),
-            F.expr(f"INTERVAL {sec} SECONDS"),
-        )
+        n = ((F.col("__mx") - F.col("__mn")) / F.lit(step)).cast("long") + 1
+        seq = F.sequence(F.col("__mn"), F.col("__mx"), F.lit(step))
         guarded = F.when(
             n > _Resampler._MAX_GRID,
             F.raise_error(
@@ -2528,7 +2566,9 @@ class Series:
                 )
             ),
         ).otherwise(seq)
-        grid = bounds.select(F.explode(guarded).alias("__g"))
+        grid = bounds.select(F.explode(guarded).alias("__gus")).select(
+            F.timestamp_micros(F.col("__gus")).alias("__g")
+        )
         data = sdf.select(
             F.col(INDEX_COL).alias("__g"),
             F.struct(F.col(_VALUE).alias("v")).alias("__obs"),
@@ -2574,6 +2614,11 @@ class Series:
                     F.col("__pick").getField("v").alias("__v"),
                 )
             )
+        # duplicate index timestamps would silently fan out the grid join
+        # (and make the window pick nondeterministic) — pandas raises
+        from pontem_spark.core.internal import guard_unique_labels
+
+        out = guard_unique_labels(data, "__g", out, INDEX_COL)
         return Series._from_internal(
             InternalFrame(out, INDEX_COL, self._internal.index_name),
             out["__v"],

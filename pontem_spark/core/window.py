@@ -330,13 +330,17 @@ class GroupedEwm:
         # composition probe); spec helper columns ride through the
         # projection so the Arrow fn can sort by them
         spec = df._internal.order_spec or ((INDEX_COL, True),)
-        ord_names = [n for n, _ in spec]
-        ord_asc = [a for _, a in spec]
         extras = [
-            n for n in dict.fromkeys(ord_names)
+            n for n in dict.fromkeys(n for n, _ in spec)
             if n != INDEX_COL and n in df._internal.sdf.columns
         ]
-        sort_names = [n for n in ord_names if n == INDEX_COL or n in extras]
+        # filter (name, asc) PAIRS together — filtering names and flags
+        # separately shifted each surviving column onto the PRECEDING
+        # column's direction whenever a spec column was dropped, reversing
+        # the ewm recurrence order (ADVICE r10)
+        pairs = [(n, a) for n, a in spec if n == INDEX_COL or n in extras]
+        sort_names = [n for n, _ in pairs]
+        sort_asc = [a for _, a in pairs]
         sdf = df._internal.sdf.select(
             df._internal.index_col.alias(INDEX_COL),
             *[df._columns[k].alias(a) for k, a in zip(self._keys, key_aliases)],
@@ -356,7 +360,7 @@ class GroupedEwm:
 
         def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.sort_values(sort_names or [INDEX_COL],
-                                  ascending=ord_asc[: len(sort_names)] or True)
+                                  ascending=sort_asc or True)
             out = getattr(pdf["__v"].ewm(**params), op)()
             return pd.DataFrame({INDEX_COL: pdf[INDEX_COL], "__value__": out})
 

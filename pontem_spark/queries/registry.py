@@ -156,6 +156,7 @@ def all_queries() -> dict[str, Query]:
         text,
         round8,
         round9,
+        round10,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
