@@ -114,6 +114,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("PONTEM_DRIVER_MEM", "16g"))
+        # Iterative operators (pagerank/k-core/LPA/CC) localCheckpoint every
+        # round; superseded rounds' blocks are only freed after a DRIVER GC
+        # lets ContextCleaner see the dead RDD reference, and the default
+        # periodicGC.interval of 30min means a long session leaks them.
+        # (Hygiene, not the 100x-pagerank fix — that footprint is ONE live
+        # |E| checkpoint, addressed by heap sizing in tools/scale_step.py.)
+        .config("spark.cleaner.periodicGC.interval", "45s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

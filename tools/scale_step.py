@@ -61,6 +61,15 @@ QUERIES = [
 
 
 def get_session():
+    import os
+
+    # The ruler runs cluster-scale data in ONE JVM: at 100x the pagerank
+    # edge checkpoint alone is ~110M symmetrized string-id rows (~10+ GB
+    # deserialized), and 32 concurrent cache-unroll tasks cannot fit that
+    # in the default 16g heap (measured OOM on a fresh session; a real
+    # cluster spreads the same blocks over N executors). Size the heap for
+    # the concentration artifact, not the algorithm.
+    os.environ.setdefault("PONTEM_DRIVER_MEM", "48g")
     from pontem_spark.session import get_spark
 
     return get_spark()
