@@ -230,11 +230,27 @@ class Series:
             F.col("r.__b__").alias("__b__"),
             *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
         ]
-        if spec is None:
-            # no visible order to defend — materialization's index sort IS
-            # the sorted union already
+        if spec is None or other._internal.order_spec is None:
+            # No left visible order to defend — or the RIGHT side is in
+            # index order (spec None), where pandas preserves the left
+            # order only when the sequences are IDENTICAL, which forces
+            # the left to be index-ordered too: either way the sorted
+            # union (materialization's index sort) is pandas-correct,
+            # and no matched-stat machinery is needed (r11 probe 3:
+            # sort_values-left ⊕ fresh-right kept left order where
+            # pandas sorts).
             sdf = joined.select(*cols)
+            spec = None
         else:
+            # unique helper per alignment: chained binops ((s1+s2)+s3)
+            # would otherwise carry the previous '__alunion__' as a spec
+            # extra AND alias a new one — AMBIGUOUS_REFERENCE (the same
+            # collision class as chained explode's '__epos__')
+            names = {n for n, _ in spec}
+            k = 0
+            while f"__alunion{k}__" in names:
+                k += 1
+            alunion = f"__alunion{k}__"
             mism = joined.agg(
                 F.max(
                     F.col(f"l.{INDEX_COL}").isNull()
@@ -246,9 +262,9 @@ class Series:
                 F.when(
                     F.col("__mism__"),
                     F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")),
-                ).alias("__alunion__"),
+                ).alias(alunion),
             )
-            spec = (("__alunion__", True),) + spec
+            spec = ((alunion, True),) + spec
         index_name = (
             self._internal.index_name
             if self._internal.index_name == other._internal.index_name

@@ -1,11 +1,6 @@
 """Round-11 registration flip for the staged pending candidate(s).
 
-NOT imported by ``registry.all_queries()`` yet — round 10 registers
-NOTHING (r9 verdict task 1): the r10 window is fully spent on the 7
-stale spills + 43 r6-evidence re-checks, all self-assembled by the
-evidence-age sort.
-
-ROUND-11 FLIP (one line): add ``round10`` to the import list inside
+FLIPPED in round 11: ``round10`` is in the import list inside
 ``registry.all_queries()``. That registers q_ts_series_resample (the r9
 Series.resample API's first driver row — pandas complete grid +
 start_day anchoring pinned cross-engine via a day-dividing '6h' and a

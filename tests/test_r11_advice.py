@@ -166,11 +166,28 @@ def test_aligned_binop_left_only_labels_resort(spark):
 
 
 def test_aligned_binop_identical_index_keeps_left_order(spark):
+    # both sides carry a REAL visible order ([20,30,10] via sort_values);
+    # identical sequences → pandas preserves that order. (A fresh right
+    # operand has index order under the documented construction
+    # deviation, so that shape takes the sorted-union path instead —
+    # pinned in test_aligned_binop_fresh_right_resorts.)
     pl = pd.Series([5.0, 1.0, 3.0], index=[10, 20, 30]).sort_values()  # [20,30,10]
-    pr = pd.Series([9.0, 9.0, 9.0], index=[20, 30, 10])
+    pr = pd.Series([9.0, 1.0, 5.0], index=[10, 20, 30]).sort_values()  # [20,30,10]
     gl = Series([5.0, 1.0, 3.0], index=[10, 20, 30], spark=spark).sort_values()
-    gr = Series([9.0, 9.0, 9.0], index=[20, 30, 10], spark=spark)
+    gr = Series([9.0, 1.0, 5.0], index=[10, 20, 30], spark=spark).sort_values()
     _chk_add(spark, pl, pr, gl, gr, "identical index sequence → left order")
+
+
+def test_aligned_binop_fresh_right_resorts(spark):
+    # right side with NO visible order (fresh = index order): pandas
+    # preserves left order only for identical sequences, which would force
+    # the left to be index-ordered too — so the sorted union is always
+    # correct here (r11 probe 3)
+    pl = pd.Series([5.0, 1.0, 3.0, 7.0], index=[10, 20, 30, 40]).sort_values()
+    pr = pd.Series([9.0, 9.0, 9.0, 9.0], index=[10, 20, 30, 40])
+    gl = Series([5.0, 1.0, 3.0, 7.0], index=[10, 20, 30, 40], spark=spark).sort_values()
+    gr = Series([9.0, 9.0, 9.0, 9.0], index=[10, 20, 30, 40], spark=spark)
+    _chk_add(spark, pl, pr, gl, gr, "fresh right → sorted union")
 
 
 def test_aligned_binop_desc_left_overlap_resorts(spark):
@@ -215,3 +232,18 @@ def test_grouped_ewm_respects_sorted_frame_order(spark, ascending):
     g = dict(zip(got.index.tolist(), got.tolist()))
     assert set(w) == set(g)
     assert all(abs(w[i] - g[i]) < 1e-12 for i in w), (w, g)
+
+
+def test_aligned_binop_chains(spark):
+    # chained alignments must not collide on the order-helper column
+    # (the '__epos__' collision class; found by self-review in r11)
+    pl = pd.Series([5.0, 1.0, 3.0], index=[10, 20, 30]).sort_values()
+    pr = pd.Series([1.0] * 4, index=[10, 20, 30, 40])
+    p3 = pd.Series([2.0] * 5, index=[10, 20, 30, 40, 50])
+    gl = Series([5.0, 1.0, 3.0], index=[10, 20, 30], spark=spark).sort_values()
+    gr = Series([1.0] * 4, index=[10, 20, 30, 40], spark=spark)
+    g3 = Series([2.0] * 5, index=[10, 20, 30, 40, 50], spark=spark)
+    want = ((pl + pr) + p3) - pr
+    got = (((gl + gr) + g3) - gr).to_pandas()
+    assert got.index.tolist() == want.index.tolist()
+    assert [str(x) for x in got.tolist()] == [str(x) for x in want.tolist()]
