@@ -57,8 +57,24 @@ class DataFrame:
         cols = [str(c) for c in pdf.columns]
         upload = pdf.reset_index().rename(columns={"index": INDEX_COL})
         upload.columns = [INDEX_COL] + cols
+        # pandas preserves CONSTRUCTION order; with a non-monotonic explicit
+        # index, "sort by index at materialization" (spec None) would both
+        # display differently AND feed positional ops (shift/cumsum/head)
+        # the wrong row order (r11 probe 5). Record the pandas order in a
+        # helper column — only when it differs from index order, so the
+        # common RangeIndex path stays column-free.
+        try:
+            mono = bool(pdf.index.is_monotonic_increasing)
+        except TypeError:
+            mono = False
+        spec = None
+        if not mono:
+            import numpy as np
+
+            upload["__ctor__"] = np.arange(len(upload), dtype="int64")
+            spec = (("__ctor__", True),)
         sdf = spark.createDataFrame(upload)
-        self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name)
+        self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name, spec)
         self._columns: dict[str, Column] = {c: sdf[c] for c in cols}
 
     @classmethod

@@ -187,5 +187,16 @@ class InternalFrame:
                 )
 
         pdf = pd.DataFrame({INDEX_COL: index_values, data_name: data})
+        # pandas preserves CONSTRUCTION order; a non-monotonic explicit
+        # index would otherwise display index-sorted AND feed positional
+        # ops the wrong row order (r11 probe 5 — see DataFrame.__init__).
+        try:
+            mono = bool(pd.Index(index_values).is_monotonic_increasing)
+        except TypeError:
+            mono = False
+        spec = None
+        if not mono:
+            pdf["__ctor__"] = np.arange(len(pdf), dtype="int64")
+            spec = (("__ctor__", True),)
         sdf = spark.createDataFrame(pdf)
-        return InternalFrame(sdf, INDEX_COL), data_name
+        return InternalFrame(sdf, INDEX_COL, order_spec=spec), data_name
