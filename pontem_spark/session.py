@@ -118,9 +118,13 @@ def get_spark(
         # round; superseded rounds' blocks are only freed after a DRIVER GC
         # lets ContextCleaner see the dead RDD reference, and the default
         # periodicGC.interval of 30min means a long session leaks them.
-        # (Hygiene, not the 100x-pagerank fix — that footprint is ONE live
-        # |E| checkpoint, addressed by heap sizing in tools/scale_step.py.)
-        .config("spark.cleaner.periodicGC.interval", "45s")
+        # 10min, NOT shorter: a 45s interval measured +11% on the bench
+        # suite (System.gc stalls all cores; the +1s spread hit even pure
+        # SQL queries), while 10min still reclaims within any long session
+        # and fires zero times inside a ~200s suite. (Hygiene, not the
+        # 100x-pagerank fix — that footprint is ONE live |E| checkpoint,
+        # addressed by heap sizing in tools/scale_step.py.)
+        .config("spark.cleaner.periodicGC.interval", "10min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
