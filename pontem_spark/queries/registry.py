@@ -157,6 +157,7 @@ def all_queries() -> dict[str, Query]:
         round8,
         round9,
         round10,
+        round11,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
