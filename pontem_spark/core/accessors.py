@@ -29,11 +29,46 @@ def _java_named_groups(pat: str) -> str:
     """Rewrite Python regex named-group syntax to Java's: ``(?P<name>`` →
     ``(?<name>`` and the backreference ``(?P=name)`` → ``\\k<name>``.
     pandas users write the Python spelling; Spark's JVM regex engine
-    rejects it with INVALID_PARAMETER_VALUE.PATTERN (r11 probe)."""
-    import re as _re
+    rejects it with INVALID_PARAMETER_VALUE.PATTERN (r11 probe).
 
-    pat = pat.replace("(?P<", "(?<")
-    return _re.sub(r"\(\?P=(\w+)\)", r"\\k<\1>", pat)
+    Not a blind text replace (ADVICE r11): the scanner skips escaped
+    characters and the inside of character classes, so a pattern whose
+    LITERAL text happens to contain ``(?P<`` (e.g. ``[(?P<]`` or
+    ``\\(\\?P<``) keeps its meaning."""
+    out: list[str] = []
+    i, n = 0, len(pat)
+    in_class = False
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:  # escaped char: copy verbatim
+            out.append(pat[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if pat.startswith("(?P<", i):
+            out.append("(?<")
+            i += 4
+            continue
+        if pat.startswith("(?P=", i):
+            j = pat.find(")", i + 4)
+            name = pat[i + 4 : j] if j != -1 else ""
+            if name and all(ch.isalnum() or ch == "_" for ch in name):
+                out.append(f"\\k<{name}>")
+                i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _title_map() -> str:

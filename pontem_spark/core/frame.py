@@ -60,19 +60,29 @@ class DataFrame:
         # pandas preserves CONSTRUCTION order; with a non-monotonic explicit
         # index, "sort by index at materialization" (spec None) would both
         # display differently AND feed positional ops (shift/cumsum/head)
-        # the wrong row order (r11 probe 5). Record the pandas order in a
-        # helper column — only when it differs from index order, so the
-        # common RangeIndex path stays column-free.
+        # the wrong row order (r11 probe 5). A monotonic index with
+        # DUPLICATE labels needs the helper too: Spark's sort is unstable,
+        # so intra-duplicate order would be nondeterministic (ADVICE r11).
+        # Record the pandas order in a helper column — only when index
+        # order alone can't reproduce it, so the common RangeIndex path
+        # stays column-free.
         try:
-            mono = bool(pdf.index.is_monotonic_increasing)
+            ordered = bool(pdf.index.is_monotonic_increasing and pdf.index.is_unique)
         except TypeError:
-            mono = False
+            ordered = False
         spec = None
-        if not mono:
+        if not ordered:
             import numpy as np
 
-            upload["__ctor__"] = np.arange(len(upload), dtype="int64")
-            spec = (("__ctor__", True),)
+            # a user column literally named like the helper must not be
+            # silently overwritten (ADVICE r11) — mint a fresh name
+            ctor = "__ctor__"
+            k = 2
+            while ctor in cols:
+                ctor = f"__ctor{k}__"
+                k += 1
+            upload[ctor] = np.arange(len(upload), dtype="int64")
+            spec = ((ctor, True),)
         sdf = spark.createDataFrame(upload)
         self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name, spec)
         self._columns: dict[str, Column] = {c: sdf[c] for c in cols}
@@ -236,9 +246,28 @@ class DataFrame:
             if value._internal.sdf is self._internal.sdf:
                 self._columns[key] = value._col
                 return
-            # align on index (left join to THIS frame's index, pandas-style)
-            right = value._materialized("__new__").select(INDEX_COL, "__new__")
-            sdf = self._materialized().join(right, INDEX_COL, "left")
+            # align on index (left join to THIS frame's index, pandas-style).
+            # When the value carries the SAME order spec as this frame (a
+            # row-aligned derivation like df['u'].shift() — materialization
+            # rewrapped the anchor but each row still corresponds 1:1), the
+            # spec's helper columns (e.g. the __ctor__ position) join along
+            # with the label: under duplicate index labels a label-only
+            # join fans out k² per label where pandas stays positional
+            # (r12 probe: assign(shift) doubled a dup-labeled frame).
+            lmat = self._materialized()
+            right = value._materialized("__new__")
+            shared: list[str] = []
+            if (
+                self._internal.order_spec
+                and value._internal.order_spec == self._internal.order_spec
+            ):
+                shared = [
+                    n
+                    for n, _ in self._internal.order_spec
+                    if n != INDEX_COL and n in lmat.columns and n in right.columns
+                ]
+            right = right.select(INDEX_COL, *shared, "__new__")
+            sdf = lmat.join(right, [INDEX_COL, *shared], "left")
             # adding a column preserves the visible order (r10 probe)
             internal = InternalFrame(
                 sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
@@ -359,8 +388,32 @@ class DataFrame:
             on = [c for c in self.columns if c in right.columns]
         keys = [on] if isinstance(on, str) else list(on)
 
-        l = self._materialized_user().withColumnRenamed(INDEX_COL, "__lidx__")
-        r = right._materialized_user().withColumnRenamed(INDEX_COL, "__ridx__")
+        # pandas merge row order follows each side's ROW order, which is
+        # the VISIBLE order (order_spec), not the index value: under
+        # duplicate index labels, ordering matches by __lidx__ alone ties
+        # and Spark breaks ties arbitrarily (r12 probe). Copy each side's
+        # spec columns into reserved names that ride through the join and
+        # feed the result's order spec.
+        def _order_copies(frame: "DataFrame", prefix: str):
+            mat = frame._materialized()
+            pairs: list[tuple[str, bool]] = []
+            for i, (n, asc) in enumerate(frame._internal.order_spec or ()):
+                if n == INDEX_COL or n not in mat.columns:
+                    continue
+                cn = f"__{prefix}o{i}__"
+                # a chained merge's spec already holds __lo*__ names —
+                # never clobber an existing column before it is copied
+                while cn in mat.columns:
+                    cn += "_"
+                mat = mat.withColumn(cn, F.col(n))
+                pairs.append((cn, asc))
+            sel = mat.select(INDEX_COL, *frame._columns, *[c for c, _ in pairs])
+            return sel, pairs
+
+        lsel, lorder = _order_copies(self, "l")
+        rsel, rorder = _order_copies(right, "r")
+        l = lsel.withColumnRenamed(INDEX_COL, "__lidx__")
+        r = rsel.withColumnRenamed(INDEX_COL, "__ridx__")
         overlap = (set(l.columns) & set(r.columns)) - set(keys)
         for c in overlap:
             l = l.withColumnRenamed(c, f"{c}{suffixes[0]}")
@@ -382,9 +435,19 @@ class DataFrame:
             joined = joined.withColumn(
                 k, F.coalesce(F.col(f"__lk_{k}__"), F.col(f"__rk_{k}__"))
             ).drop(f"__lk_{k}__", f"__rk_{k}__")
-        user_cols = keys + [
-            c for c in joined.columns
-            if c not in ("__lidx__", "__ridx__") and c not in keys
+        # pandas column order: the LEFT frame's columns in their original
+        # positions (keys stay where they were on the left, suffixes
+        # applied to overlaps), then the right frame's non-key columns in
+        # right order — NOT keys-first (r12 probe: merge(on='k') floated
+        # 'k' to the front)
+        ov = (set(self.columns) & set(right.columns)) - set(keys)
+        user_cols = [
+            c if c in keys else (f"{c}{suffixes[0]}" if c in ov else c)
+            for c in self.columns
+        ] + [
+            f"{c}{suffixes[1]}" if c in ov else c
+            for c in right.columns
+            if c not in keys
         ]
         # pandas row order: left/inner/outer follow the LEFT frame's row
         # order (matches in right-row order within a left row, unmatched
@@ -397,12 +460,19 @@ class DataFrame:
             .withColumn("__lmiss__", F.col("__lidx__").isNull())
             .withColumn("__rmiss__", F.col("__ridx__").isNull())
         )
-        first, second = ("__r", "__l") if how == "right" else ("__l", "__r")
+        lo = tuple(lorder) + (("__lidx__", True),)
+        ro = tuple(rorder) + (("__ridx__", True),)
+        if how == "right":
+            first, second = "__r", "__l"
+            first_ord, second_ord = ro, lo
+        else:
+            first, second = "__l", "__r"
+            first_ord, second_ord = lo, ro
         spec = (
-            (f"{first}miss__", True),
-            (f"{first}idx__", True),
-            (f"{second}miss__", True),
-            (f"{second}idx__", True),
+            ((f"{first}miss__", True),)
+            + first_ord
+            + ((f"{second}miss__", True),)
+            + second_ord
         )
         if how in ("outer", "full"):
             # pandas sorts an outer merge by the union of keys first
@@ -474,6 +544,15 @@ class DataFrame:
             if isinstance(iname, tuple)
             else ((str(iname),) if iname is not None else ())
         )
+        # pandas raises for a key naming BOTH a column and an index level
+        # (ADVICE r11) — resolving silently to the column loses the user's
+        # intent either way
+        for k in keys:
+            if k in self._columns and str(k) in levels:
+                raise ValueError(
+                    f"'{k}' is both an index level and a column label, "
+                    "which is ambiguous."
+                )
         hidden = [
             k for k in keys if k not in self._columns and str(k) in levels
         ]
@@ -3306,12 +3385,40 @@ class DataFrame:
         sort_values). _materialized() also normalizes merge/reindex
         anchors' __rowid__/__idx/__vidx__ index names (r10 probe crash)."""
         mat = self._materialized()
-        sdf = mat.withColumn("__si_ord__", F.col(INDEX_COL))
+        names = {n for n, _ in (self._internal.order_spec or ())}
+        si, sm = "__si_ord__", "__si_miss__"
+        k = 2
+        while si in names or sm in names:
+            si, sm = f"__si_ord{k}__", f"__si_miss{k}__"
+            k += 1
+        # pandas sort_index puts missing labels LAST for both directions
+        # (na_position='last'); Spark's ascending default is NULLS FIRST
+        # (r12 probe: extract().set_index() floated the no-match rows to
+        # the top), so a leading missing flag steers them
+        miss = F.col(INDEX_COL).isNull()
+        try:
+            if mat.schema[INDEX_COL].dataType.simpleString() in ("double", "float"):
+                miss = miss | F.isnan(F.col(INDEX_COL))
+        except Exception:  # non-resolvable index dtype: null-only
+            pass
+        sdf = mat.withColumn(sm, miss).withColumn(si, F.col(INDEX_COL))
+        # rows tied on the index keep their previous visible order: the
+        # old spec rides along as the tie-break — its helper columns
+        # survive _materialized() by design (r12 probe). Documented
+        # deviation: pandas' default sort_index kind is QUICKSORT, whose
+        # intra-duplicate order is a partitioning artifact, not a
+        # contract; this engine is deterministically stable instead
+        # (pandas' own kind='stable' order).
+        prior = tuple(
+            (n, asc)
+            for n, asc in (self._internal.order_spec or ())
+            if n in sdf.columns
+        )
         internal = InternalFrame(
             sdf,
             INDEX_COL,
             self._internal.index_name,
-            (("__si_ord__", ascending),),
+            ((sm, True), (si, ascending)) + prior,
         )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 

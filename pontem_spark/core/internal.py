@@ -190,8 +190,11 @@ class InternalFrame:
         # pandas preserves CONSTRUCTION order; a non-monotonic explicit
         # index would otherwise display index-sorted AND feed positional
         # ops the wrong row order (r11 probe 5 — see DataFrame.__init__).
+        # Monotonic-with-duplicates also needs the helper: Spark's sort
+        # is unstable within equal labels (ADVICE r11).
         try:
-            mono = bool(pd.Index(index_values).is_monotonic_increasing)
+            idx = pd.Index(index_values)
+            mono = bool(idx.is_monotonic_increasing and idx.is_unique)
         except TypeError:
             mono = False
         spec = None

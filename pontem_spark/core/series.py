@@ -206,7 +206,8 @@ class Series:
         """pandas index alignment: full outer equi-join on index, null-fill
         non-matches. One shuffle; same-anchor operands never reach here."""
         a = self._materialized("__a__")
-        b = other._materialized("__b__").select(INDEX_COL, "__b__")
+        b_full = other._materialized("__b__")
+        b = b_full.select(INDEX_COL, "__b__")
         # the LEFT operand's visible order carries to the result (pandas:
         # a sorted series stays sorted through s - s.shift() — r10 probe)
         # — but ONLY while the indexes fully match. Any unmatched row
@@ -251,11 +252,53 @@ class Series:
             while f"__alunion{k}__" in names:
                 k += 1
             alunion = f"__alunion{k}__"
-            mism = joined.agg(
-                F.max(
-                    F.col(f"l.{INDEX_COL}").isNull()
-                    | F.col(f"r.{INDEX_COL}").isNull()
-                ).alias("__mism__")
+            # pandas keeps the existing order only when the two visible
+            # SEQUENCES are identical (Index.equals is element-wise), so a
+            # set test is not enough: s.sort_values() + s.sort_values(
+            # ascending=False) has fully-matched labels but must re-sort
+            # to the union index (ADVICE r12). Both sides are custom-
+            # ordered in this branch, so enumerate each side's visible
+            # position (row_number over its order spec, index tie-break)
+            # and fold "any unmatched label OR any position disagreement"
+            # into the one lazy 1-row stat. Two global windows — but only
+            # on this rare both-sides-custom-ordered path, never on the
+            # spec-None fast paths.
+            from pyspark.sql.window import Window
+
+            rspec = other._internal.order_spec
+            lw = Window.orderBy(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in spec
+                    if n in a.columns
+                ],
+                F.col(INDEX_COL).asc(),
+            )
+            rw = Window.orderBy(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in rspec
+                    if n in b_full.columns
+                ],
+                F.col(INDEX_COL).asc(),
+            )
+            lpos = a.select(
+                F.col(INDEX_COL).alias("__li__"),
+                F.row_number().over(lw).alias("__lp__"),
+            )
+            rpos = b_full.select(
+                F.col(INDEX_COL).alias("__ri__"),
+                F.row_number().over(rw).alias("__rp__"),
+            )
+            mism = (
+                lpos.join(rpos, F.col("__li__") == F.col("__ri__"), "full_outer")
+                .agg(
+                    F.max(
+                        F.col("__li__").isNull()
+                        | F.col("__ri__").isNull()
+                        | (F.col("__lp__") != F.col("__rp__"))
+                    ).alias("__mism__")
+                )
             )
             sdf = joined.crossJoin(F.broadcast(mism)).select(
                 *cols,
@@ -673,10 +716,35 @@ class Series:
     def sort_index(self, ascending: bool = True) -> "Series":
         # the sort key lives in a DEDICATED helper column, not INDEX_COL:
         # a later set_index/index rebind would re-sort by the NEW index
-        # (r10 composition probe — the derived-rebind class)
-        sdf = self._materialized().withColumn("__si_ord__", F.col(INDEX_COL))
+        # (r10 composition probe — the derived-rebind class). Missing
+        # labels sort LAST both directions (pandas na_position='last');
+        # ties keep the previous visible order (pandas kind='stable' —
+        # the quicksort default's intra-tie order is an artifact, see
+        # DataFrame.sort_index).
+        mat = self._materialized()
+        names = {n for n, _ in (self._internal.order_spec or ())}
+        si, sm = "__si_ord__", "__si_miss__"
+        k = 2
+        while si in names or sm in names:
+            si, sm = f"__si_ord{k}__", f"__si_miss{k}__"
+            k += 1
+        miss = F.col(INDEX_COL).isNull()
+        try:
+            if mat.schema[INDEX_COL].dataType.simpleString() in ("double", "float"):
+                miss = miss | F.isnan(F.col(INDEX_COL))
+        except Exception:  # non-resolvable index dtype: null-only
+            pass
+        sdf = mat.withColumn(sm, miss).withColumn(si, F.col(INDEX_COL))
+        prior = tuple(
+            (n, asc)
+            for n, asc in (self._internal.order_spec or ())
+            if n in sdf.columns
+        )
         internal = InternalFrame(
-            sdf, INDEX_COL, self._internal.index_name, (("__si_ord__", ascending),)
+            sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            ((sm, True), (si, ascending)) + prior,
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
@@ -2498,7 +2566,12 @@ class Series:
                 InternalFrame(sdf, INDEX_COL, self._internal.index_name),
                 {lvl: key_col, str(self._name or "value"): sdf[_VALUE]},
             )
-            return f.groupby(lvl)[str(self._name or "value")]
+            # direct GroupBy: the exposed key column IS the index level
+            # here by construction, so the user-facing column/level
+            # ambiguity guard (DataFrame.groupby) must not fire
+            from pontem_spark.core.groupby import GroupBy
+
+            return GroupBy(f, [lvl], True)[str(self._name or "value")]
         if not isinstance(by, Series) or by._internal is not self._internal:
             raise ValueError(
                 "groupby needs a same-anchor key Series (df-derived) or level="
@@ -2508,7 +2581,12 @@ class Series:
         f = PFrame._from_internal(
             self._internal, {key_name: by._col, val_name: self._col}
         )
-        return f.groupby(key_name)[val_name]
+        # direct GroupBy: the key column is engine-exposed, so a key Series
+        # that happens to SHARE the index's name must not trip the
+        # user-facing column/level ambiguity guard
+        from pontem_spark.core.groupby import GroupBy
+
+        return GroupBy(f, [key_name], True)[val_name]
 
     def resample(self, rule: str):
         """pandas ``s.resample('6H').mean()`` for a timestamp-indexed
