@@ -109,16 +109,34 @@ def build(out: Path = OUT, replicas: int = REPLICAS) -> None:
         print(f"built {name}: {replicas}x", flush=True)
 
 
-def run(out: Path = OUT, label: str = "sf1~", queries: "list[str] | None" = None) -> None:
+def run(
+    out: Path = OUT,
+    label: str = "sf1~",
+    queries: "list[str] | None" = None,
+    factor: int | None = None,
+) -> None:
     import __spark_entry__ as e
 
     spark = get_session()
     qs = e.queries()
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # A cluster holding Nx the data has ~Nx the cores, so per-partition
+    # shuffle bytes stay constant; a ruler that pins 32 partitions under
+    # 30x data measures partition-count pressure, not the algorithm
+    # (r11: triangles 41.3x at 32 partitions -> 20.3x at 256). Scale the
+    # partition count with the step factor, capped so task-launch
+    # overhead doesn't dominate the single-JVM run; AQE coalesces the
+    # small stages back down.
+    big_parts = min(base_parts * (factor or REPLICAS), 1024)
     rows = []
     for name in queries or QUERIES:
         fn = qs[name]
         rec = {"query": name}
-        for label_, d in (("sf0.1", str(SRC)), (label, str(out))):
+        for label_, d, parts in (
+            ("sf0.1", str(SRC), base_parts),
+            (label, str(out), big_parts),
+        ):
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
             try:
                 # discard one warm-up run per (query, dir): codegen compile
                 # and scan-cache effects otherwise dominate the small side
@@ -128,6 +146,8 @@ def run(out: Path = OUT, label: str = "sf1~", queries: "list[str] | None" = None
                 rec[label_] = round(time.time() - t0, 2)
             except Exception as exc:  # noqa: BLE001
                 rec[label_] = f"FAIL {type(exc).__name__}: {exc}"[:120]
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
         if isinstance(rec.get("sf0.1"), float) and isinstance(rec.get(label), float):
             rec["ratio"] = round(rec[label] / max(rec["sf0.1"], 1e-9), 1)
         rows.append(rec)
@@ -146,9 +166,13 @@ if __name__ == "__main__":
     ap.add_argument("--label", default="sf1~")
     ap.add_argument("--queries", default=None,
                     help="comma-separated query names (default: QUERIES)")
+    ap.add_argument("--factor", type=int, default=None,
+                    help="scale factor of --out vs sf0.1 (drives the "
+                         "shuffle-partition scaling; default: --replicas)")
     args = ap.parse_args()
     if args.mode == "build":
         build(Path(args.out), args.replicas)
     else:
         run(Path(args.out), args.label,
-            args.queries.split(",") if args.queries else None)
+            args.queries.split(",") if args.queries else None,
+            factor=args.factor)
