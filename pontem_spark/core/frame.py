@@ -937,13 +937,48 @@ class DataFrame:
             for f in self._materialized().schema.fields
         }
         mat = self._materialized()
+        # pandas accepts INDEX LEVEL names in ``by`` (r12 probe batch 3:
+        # set_index('u').sort_values('u') raised UNRESOLVED_COLUMN); a
+        # name matching BOTH a column and a level is the same ambiguity
+        # error as groupby
+        iname = self._internal.index_name
+        levels = (
+            tuple(str(l) for l in iname)
+            if isinstance(iname, tuple)
+            else ((str(iname),) if iname is not None else ())
+        )
+        exprs: dict[str, Column] = {}
+        for c in by:
+            if c in self._columns and str(c) in levels:
+                raise ValueError(
+                    f"'{c}' is both an index level and a column label, "
+                    "which is ambiguous."
+                )
+            if c in self._columns:
+                exprs[c] = F.col(c)
+            elif str(c) in levels:
+                exprs[c] = (
+                    F.col(INDEX_COL)[str(c)]
+                    if isinstance(iname, tuple)
+                    else F.col(INDEX_COL)
+                )
+            else:
+                raise KeyError(c)
         spec = []
         miss_cols = {}
         for c in by:
-            if schema.get(c) in ("double", "float"):
-                miss_cols[f"__miss_{c}__"] = F.col(c).isNull() | F.isnan(F.col(c))
+            try:
+                dt = (
+                    schema.get(c)
+                    if c in self._columns
+                    else mat.select(exprs[c]).schema[0].dataType.simpleString()
+                )
+            except Exception:
+                dt = None
+            if dt in ("double", "float"):
+                miss_cols[f"__miss_{c}__"] = exprs[c].isNull() | F.isnan(exprs[c])
             else:
-                miss_cols[f"__miss_{c}__"] = F.col(c).isNull()
+                miss_cols[f"__miss_{c}__"] = exprs[c].isNull()
         sdf = mat
         for name, expr in miss_cols.items():
             sdf = sdf.withColumn(name, expr)
@@ -953,7 +988,7 @@ class DataFrame:
         # (df['a'] = df['a'] > 0) would re-sort rows by the derived
         # values (r10 probe — value_counts' ADVICE bug class).
         for c in by:
-            sdf = sdf.withColumn(f"__sv_{c}__", F.col(c))
+            sdf = sdf.withColumn(f"__sv_{c}__", exprs[c])
         for c, a in zip(by, asc):
             spec.append((f"__miss_{c}__", na_position == "last"))
             spec.append((f"__sv_{c}__", a))

@@ -147,6 +147,29 @@ def test_series_sort_index_nan_last(spark):
     ]
 
 
+def test_sort_values_by_index_level(spark):
+    # pandas accepts an index-level name in by= (probe batch 3)
+    pdf = pd.DataFrame({"u": [3.0, 1.0, 2.0], "v": [9.0, 8.0, 7.0]})
+    want = pdf.set_index("u").sort_values("u")
+    got = DataFrame(pdf, spark=spark).set_index("u").sort_values("u").to_pandas()
+    assert got.index.tolist() == want.index.tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_sort_values_ambiguous_key_raises(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "v": [3.0, 4.0]})
+    df = DataFrame(pdf, spark=spark).set_index("a")
+    df["a"] = df["v"]
+    with pytest.raises(ValueError, match="both an index level and a column label"):
+        df.sort_values("a")
+
+
+def test_sort_values_unknown_key_raises(spark):
+    df = DataFrame({"a": [1, 2]}, spark=spark)
+    with pytest.raises(KeyError):
+        df.sort_values("nope")
+
+
 def test_series_sort_index_stable_descending(spark):
     s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3], spark=spark)
     want = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3]).sort_index(
