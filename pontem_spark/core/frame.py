@@ -260,6 +260,9 @@ class DataFrame:
             if (
                 self._internal.order_spec
                 and value._internal.order_spec == self._internal.order_spec
+                # lineage proof — equal helper NAMES alone are not enough
+                # (two independent sorts share names, not values)
+                and (self._internal.row_tokens & value._internal.row_tokens)
             ):
                 shared = [
                     n
@@ -267,10 +270,20 @@ class DataFrame:
                     if n != INDEX_COL and n in lmat.columns and n in right.columns
                 ]
             right = right.select(INDEX_COL, *shared, "__new__")
-            sdf = lmat.join(right, [INDEX_COL, *shared], "left")
+            # NULL-SAFE on the helper keys: a helper can be all-NULL
+            # (the aligned-binop __alunion__ marker), and a name-list
+            # join's plain equality would drop every match (r12)
+            from pontem_spark.core.internal import rowalign_left_join
+
+            sdf = rowalign_left_join(lmat, right, shared, "__new__")
             # adding a column preserves the visible order (r10 probe)
+            # AND row identity (tokens carry)
             internal = InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             )
             cols = {c: sdf[c] for c in self._columns}
             cols[key] = sdf["__new__"]
@@ -3454,6 +3467,7 @@ class DataFrame:
             INDEX_COL,
             self._internal.index_name,
             ((sm, True), (si, ascending)) + prior,
+            row_tokens=self._internal.row_tokens,
         )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 

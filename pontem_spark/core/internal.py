@@ -91,6 +91,29 @@ def guard_unique_labels(
     ).drop("__dup__")
 
 
+def rowalign_left_join(
+    left: SparkDataFrame,
+    right: SparkDataFrame,
+    helper_keys: "list[str]",
+    payload: str,
+) -> SparkDataFrame:
+    """LEFT join ``right``'s single ``payload`` column onto ``left`` by
+    index label plus the shared order-spec helper columns. Helper keys
+    compare NULL-SAFE: an alignment helper can legitimately hold NULL
+    in every row (e.g. the aligned-binop ``__alunion__`` marker when
+    fully matched), and a name-list join's plain equality would then
+    silently drop every match (r12 probe batch 4). The index label
+    itself keeps plain equality — the pre-existing missing-label rule."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
+    for n in helper_keys:
+        cond = cond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
+    return l.join(r, cond, "left").select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        F.col(f"r.{payload}").alias(payload),
+    )
+
+
 def next_epos_name(order_spec) -> str:
     """A position-helper column name not already used by ``order_spec``.
 
@@ -125,7 +148,7 @@ class InternalFrame:
     (head/to_pandas/repr) sort by this spec — and ONLY there (SURVEY §4:
     'ordering guarantees ... sort at materialization points only')."""
 
-    __slots__ = ("sdf", "index_spark_col", "index_name", "order_spec")
+    __slots__ = ("sdf", "index_spark_col", "index_name", "order_spec", "row_tokens")
 
     def __init__(
         self,
@@ -133,11 +156,20 @@ class InternalFrame:
         index_spark_col: str,
         index_name: Any = None,
         order_spec: tuple[tuple[str, bool], ...] | None = None,
+        row_tokens: "frozenset | None" = None,
     ):
         self.sdf = sdf
         self.index_spark_col = index_spark_col
         self.index_name = index_name
         self.order_spec = order_spec
+        # row-identity lineage: a row-preserving derivation (shift/cumsum/
+        # where/... — 1 row in, 1 row out, helper columns copied through)
+        # passes its source's tokens, so aligners can recognize "these two
+        # operands are the SAME rows" and join on the order-spec helper
+        # columns under duplicate index labels (r12 probe batch 4). Equal
+        # spec NAMES alone are not a lineage proof: two independent
+        # sort_values results share helper names but not values.
+        self.row_tokens = row_tokens if row_tokens is not None else frozenset((object(),))
 
     @property
     def index_col(self) -> Column:

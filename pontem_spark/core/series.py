@@ -29,7 +29,13 @@ from typing import Any, Callable, Iterable
 from pyspark.sql import Column, DataFrame as SparkDataFrame, SparkSession, functions as F
 from pyspark.sql.types import ArrayType
 
-from pontem_spark.core.internal import INDEX_COL, InternalFrame, next_epos_name, to_spark_type
+from pontem_spark.core.internal import (
+    INDEX_COL,
+    InternalFrame,
+    next_epos_name,
+    rowalign_left_join as _rowalign_left_join,
+    to_spark_type,
+)
 
 _VALUE = "__value__"
 
@@ -202,12 +208,36 @@ class Series:
         l, r = (lit, self._col) if reflected else (self._col, lit)
         return Series._from_internal(self._internal, op(l, r), self._name)
 
+    def _rowalign_keys(self, other: "Series", a, b) -> list[str]:
+        """Extra join-key helper names when ``other`` is a row-aligned
+        derivation of the same visible order (EQUAL order specs — e.g.
+        s ⊕ s.shift()): the spec's helper columns (__ctor__ position,
+        sort keys) pair rows positionally, so duplicate index labels
+        don't fan the label join out k² per label where pandas stays
+        positional (r12 probe batch 4). Different specs → label-only
+        join, as before."""
+        spec = self._internal.order_spec
+        if not spec or other._internal.order_spec != spec:
+            return []
+        # lineage proof required: equal spec NAMES alone are not enough —
+        # two INDEPENDENT sort_values results share helper names but not
+        # values, and joining on them would drop genuinely matched labels
+        # (r12: the suite's identical-index sort_values pin doubled)
+        if not (self._internal.row_tokens & other._internal.row_tokens):
+            return []
+        return [
+            n
+            for n, _ in spec
+            if n != INDEX_COL and n in a.columns and n in b.columns
+        ]
+
     def _aligned_binop(self, other: "Series", op, reflected: bool) -> "Series":
         """pandas index alignment: full outer equi-join on index, null-fill
         non-matches. One shuffle; same-anchor operands never reach here."""
         a = self._materialized("__a__")
         b_full = other._materialized("__b__")
-        b = b_full.select(INDEX_COL, "__b__")
+        rkeys = self._rowalign_keys(other, a, b_full)
+        b = b_full.select(INDEX_COL, *rkeys, "__b__")
         # the LEFT operand's visible order carries to the result (pandas:
         # a sorted series stays sorted through s - s.shift() — r10 probe)
         # — but ONLY while the indexes fully match. Any unmatched row
@@ -221,9 +251,10 @@ class Series:
             for n, _ in (self._internal.order_spec or ())
             if n not in (INDEX_COL, "__a__") and n in a.columns
         ]
-        joined = a.alias("l").join(
-            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
-        )
+        jcond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
+        for n in rkeys:
+            jcond = jcond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
+        joined = a.alias("l").join(b.alias("r"), jcond, "full_outer")
         spec = self._internal.order_spec
         cols = [
             F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
@@ -290,13 +321,16 @@ class Series:
                 F.col(INDEX_COL).alias("__ri__"),
                 F.row_number().over(rw).alias("__rp__"),
             )
+            # joined ON POSITION, compared BY LABEL — pandas Index.equals
+            # exactly, and duplicate labels can't fan the stat out like a
+            # label join would (r12 probe batch 4)
             mism = (
-                lpos.join(rpos, F.col("__li__") == F.col("__ri__"), "full_outer")
+                lpos.join(rpos, F.col("__lp__") == F.col("__rp__"), "full_outer")
                 .agg(
                     F.max(
-                        F.col("__li__").isNull()
-                        | F.col("__ri__").isNull()
-                        | (F.col("__lp__") != F.col("__rp__"))
+                        F.col("__lp__").isNull()
+                        | F.col("__rp__").isNull()
+                        | ~F.col("__li__").eqNullSafe(F.col("__ri__"))
                     ).alias("__mism__")
                 )
             )
@@ -423,15 +457,18 @@ class Series:
                 name = self._name if self._name == other._name else None
                 return Series._from_internal(self._internal, fn(l, r, lm, rm), name)
             a = self._materialized("__a__")
-            b = other._materialized("__b__").select(INDEX_COL, "__b__")
+            b_full = other._materialized("__b__")
+            rkeys = self._rowalign_keys(other, a, b_full)
+            b = b_full.select(INDEX_COL, *rkeys, "__b__")
             extras = [
                 n
                 for n, _ in (self._internal.order_spec or ())
                 if n not in (INDEX_COL, "__a__") and n in a.columns
             ]
-            joined = a.alias("l").join(
-                b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
-            )
+            jcond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
+            for n in rkeys:
+                jcond = jcond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
+            joined = a.alias("l").join(b.alias("r"), jcond, "full_outer")
             sdf = joined.select(
                 F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
                 F.col("l.__a__").alias("__a__"),
@@ -745,6 +782,7 @@ class Series:
             INDEX_COL,
             self._internal.index_name,
             ((sm, True), (si, ascending)) + prior,
+            row_tokens=self._internal.row_tokens,
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
@@ -818,7 +856,11 @@ class Series:
         sdf = self._materialized().filter(cond)
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             sdf[_VALUE],
             self._name,
@@ -1335,7 +1377,11 @@ class Series:
         )
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             col,
             self._name,
@@ -1369,16 +1415,21 @@ class Series:
             return Series._from_internal(
                 self._internal, F.when(keep, self._col).otherwise(repl), self._name
             )
-        # foreign anchor(s): align on index; self's index drives the result
+        # foreign anchor(s): align on index; self's index drives the
+        # result. Row-aligned derivations (s.where(s.shift() > x)) join
+        # on the shared order-spec helpers too, so duplicate index labels
+        # stay positional (r12 probe batch 4).
         sdf = self._materialized("__v__")
-        sdf = sdf.join(
-            cond._materialized("__c__").select(INDEX_COL, "__c__"), INDEX_COL, "left"
+        cmat = cond._materialized("__c__")
+        ckeys = self._rowalign_keys(cond, sdf, cmat)
+        sdf = _rowalign_left_join(
+            sdf, cmat.select(INDEX_COL, *ckeys, "__c__"), ckeys, "__c__"
         )
         if other_is_series:
-            sdf = sdf.join(
-                other._materialized("__o__").select(INDEX_COL, "__o__"),
-                INDEX_COL,
-                "left",
+            omat = other._materialized("__o__")
+            okeys = self._rowalign_keys(other, sdf, omat)
+            sdf = _rowalign_left_join(
+                sdf, omat.select(INDEX_COL, *okeys, "__o__"), okeys, "__o__"
             )
             repl = sdf["__o__"]
         else:
@@ -1387,7 +1438,11 @@ class Series:
         keep = ~keep if invert else keep
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             F.when(keep, sdf["__v__"]).otherwise(repl),
             self._name,
@@ -1428,7 +1483,11 @@ class Series:
         col = self._truediv_cols(filled, prev) - 1
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             col,
             self._name,
@@ -1451,7 +1510,11 @@ class Series:
         col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             col,
             self._name,
@@ -1521,28 +1584,25 @@ class Series:
 
     def combine_first(self, other: "Series") -> "Series":
         """self's non-missing values, holes filled from ``other``; index =
-        union of both (the _aligned_binop outer join, one shuffle)."""
-        a = self._materialized("__a__")
-        b = other._materialized("__b__")
-        joined = a.alias("l").join(
-            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
-        )
-        sdf = joined.select(
-            F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
-            F.col("l.__a__").alias("__a__"),
-            F.col("r.__b__").alias("__b__"),
-        )
-        va = sdf["__a__"]
-        blanked = F.when(~self._missing_mask(va, sdf), va)
-        index_name = (
-            self._internal.index_name
-            if self._internal.index_name == other._internal.index_name
-            else None
-        )
-        internal = InternalFrame(sdf, INDEX_COL, index_name)
-        return Series._from_internal(
-            internal, F.coalesce(blanked, sdf["__b__"]), self._name
-        )
+        union of both. Routed through _aligned_binop so the result ORDER
+        follows the same pandas rule as arithmetic alignment: identical
+        visible sequences keep their order, anything else re-sorts to the
+        union index (r12 probe batch 4 — the old direct join dropped the
+        order spec and always displayed index-sorted)."""
+        try:
+            adt = self._internal.sdf.select(self._col).schema[0].dataType.simpleString()
+        except Exception:
+            adt = None
+
+        def op(l: Column, r: Column) -> Column:
+            lm = l.isNull()
+            if adt in ("double", "float"):
+                lm = lm | F.isnan(l)
+            return F.coalesce(F.when(~lm, l), r)
+
+        out = self._aligned_binop(other, op, reflected=False)
+        out._name = self._name  # combine_first keeps self's name
+        return out
 
     def unstack(self):
         """2-level MultiIndexed Series (struct index, e.g. from a
@@ -1646,9 +1706,10 @@ class Series:
         the pairwise-complete base for corr/cov/dot."""
         a = self._materialized("__a__")
         b = other._materialized("__b__")
-        joined = a.alias("l").join(
-            b.alias("r"), F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
-        )
+        jcond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
+        for n in self._rowalign_keys(other, a, b):
+            jcond = jcond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
+        joined = a.alias("l").join(b.alias("r"), jcond, "full_outer")
         sdf = joined.select(
             F.col("l.__a__").alias("__a__"), F.col("r.__b__").alias("__b__")
         )
@@ -2013,7 +2074,11 @@ class Series:
             col = F.first(F.when(~missing, v), ignorenulls=True).over(w)
         return Series._from_internal(
             InternalFrame(
-                sdf, INDEX_COL, self._internal.index_name, self._internal.order_spec
+                sdf,
+                INDEX_COL,
+                self._internal.index_name,
+                self._internal.order_spec,
+                row_tokens=self._internal.row_tokens,
             ),
             col,
             self._name,
@@ -2400,12 +2465,33 @@ class Series:
         inv = valid.select(
             F.col("__rank").alias("__sub2"), F.col("__sub").alias("__orig")
         )
+        # join the placements back on (index + order-spec helpers): both
+        # sides derive from the SAME materialized frame, so the helpers
+        # pair rows 1:1 even under duplicate index labels (r12)
+        extras = [
+            n
+            for n, _ in (self._internal.order_spec or ())
+            if n != INDEX_COL and n in sdf.columns
+        ]
         placed = valid.join(inv, valid["__sub"] == inv["__sub2"]).select(
-            INDEX_COL, "__orig"
+            INDEX_COL, *extras, "__orig"
         )
-        j = sdf.select(INDEX_COL).join(placed, INDEX_COL, "left")
+        j = _rowalign_left_join(
+            sdf.select(INDEX_COL, *extras), placed, extras, "__orig"
+        )
+        spec = tuple(
+            (n, asc)
+            for n, asc in (self._internal.order_spec or ())
+            if n in j.columns
+        ) or None
         return Series._from_internal(
-            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            InternalFrame(
+                j,
+                INDEX_COL,
+                self._internal.index_name,
+                spec,
+                row_tokens=self._internal.row_tokens,
+            ),
             F.coalesce(F.col("__orig"), F.lit(-1)).cast("bigint"),
             self._name,
         )
@@ -2766,13 +2852,28 @@ class Series:
         the hybrid return-self made value-style call sites silent aliases
         of self — see the frame twin)."""
         a = self._materialized()
-        b = other._materialized("__u__").select(INDEX_COL, "__u__")
-        j = a.join(b, INDEX_COL, "left")
+        b_full = other._materialized("__u__")
+        ukeys = self._rowalign_keys(other, a, b_full)
+        b = b_full.select(INDEX_COL, *ukeys, "__u__")
+        j = _rowalign_left_join(a, b, ukeys, "__u__")
         u = F.col("__u__")
         if j.schema["__u__"].dataType.simpleString() in ("double", "float"):
             u = F.when(F.isnan(u), F.lit(None)).otherwise(u)
+        # self's visible order survives the update (pandas keeps row
+        # order; the helper columns are carried by the left side)
+        uspec = tuple(
+            (n, asc)
+            for n, asc in (self._internal.order_spec or ())
+            if n in j.columns
+        ) or None
         updated = Series._from_internal(
-            InternalFrame(j, INDEX_COL, self._internal.index_name),
+            InternalFrame(
+                j,
+                INDEX_COL,
+                self._internal.index_name,
+                uspec,
+                row_tokens=self._internal.row_tokens,
+            ),
             F.coalesce(u, F.col(_VALUE)),
             self._name,
         )

@@ -170,6 +170,60 @@ def test_sort_values_unknown_key_raises(spark):
         df.sort_values("nope")
 
 
+# -- 5. Series dup-label row-aligned derivations (probe batch 4) -------------
+
+
+def test_series_binop_shift_duplicate_labels(spark):
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7])
+    s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7], spark=spark)
+    want = ps + ps.shift(1)
+    got = (s + s.shift(1)).to_pandas()
+    assert len(got) == len(want)
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+    assert got.index.tolist() == want.index.tolist()
+
+
+def test_series_where_derived_duplicate_labels(spark):
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7])
+    s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7], spark=spark)
+    want = ps.where(ps.shift(1) > 1.0, -1.0)
+    got = s.where(s.shift(1) > 1.0, -1.0).to_pandas()
+    assert got.tolist() == want.tolist()
+
+
+def test_series_update_derived_duplicate_labels(spark):
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7])
+    ps2 = ps.copy()
+    ps2.update(ps.shift(2))
+    s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7], spark=spark)
+    s.update(s.shift(2))
+    assert s.to_pandas().tolist() == ps2.tolist()
+
+
+def test_series_combine_first_keeps_order(spark):
+    # identical visible sequences keep their (non-index) order — the old
+    # direct join displayed index-sorted
+    ps = pd.Series([3.0, None, 2.0], index=[9, 7, 8])
+    want = ps.combine_first(ps.shift(1))
+    s = Series([3.0, None, 2.0], index=[9, 7, 8], spark=spark)
+    got = s.combine_first(s.shift(1)).to_pandas()
+    assert got.index.tolist() == want.index.tolist()
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist()
+
+
+def test_series_where_after_aligned_binop(spark):
+    # the aligned-binop result carries an all-NULL __alunion__ helper;
+    # the where join must be NULL-SAFE on helper keys or every row
+    # loses its cond match (probe batch 4, case 3:23)
+    ps = pd.Series([1.0, 2.0, 3.0, 4.0], index=[7, 7, 5, 5])
+    p2 = ps - ps.cumsum()
+    want = p2.where(p2.shift(1) > 0.0, -1.0)
+    s = Series([1.0, 2.0, 3.0, 4.0], index=[7, 7, 5, 5], spark=spark)
+    s2 = s - s.cumsum()
+    got = s2.where(s2.shift(1) > 0.0, -1.0).to_pandas()
+    assert got.tolist() == want.tolist()
+
+
 def test_series_sort_index_stable_descending(spark):
     s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3], spark=spark)
     want = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3]).sort_index(
