@@ -2847,13 +2847,31 @@ class DataFrame:
         the r8 hybrid return-self made ``df2 = df.update(o)`` a silent
         alias of ``df`` — returning None forces value-style call sites to
         surface at flip time instead of masking the mutation)."""
-        a = self.to_spark(index_col="__idx")
+        from pontem_spark.core.internal import rowalign_left_join
+
+        a = self._materialized()
         shared = [c for c in self._columns if c in other._columns]
-        b = other.to_spark(index_col="__idx").select(
-            "__idx", *[F.col(c).alias(f"__u_{c}") for c in shared]
+        b_full = other._materialized()
+        # row-aligned derivation (df.update(df.shift())): join on the
+        # shared order-spec helpers too, so duplicate index labels stay
+        # positional instead of fanning the left join out (r12); lineage
+        # tokens gate it — equal helper NAMES alone are not proof
+        keys: list[str] = []
+        if (
+            self._internal.order_spec
+            and other._internal.order_spec == self._internal.order_spec
+            and (self._internal.row_tokens & other._internal.row_tokens)
+        ):
+            keys = [
+                n
+                for n, _ in self._internal.order_spec
+                if n != INDEX_COL and n in a.columns and n in b_full.columns
+            ]
+        b = b_full.select(
+            INDEX_COL, *keys, *[F.col(c).alias(f"__u_{c}") for c in shared]
         )
         sb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
-        j = a.join(b, "__idx", "left")
+        j = rowalign_left_join(a, b, keys, [f"__u_{c}" for c in shared])
         cols: dict[str, Column] = {}
         for c in self._columns:
             if c in shared:
@@ -2863,7 +2881,19 @@ class DataFrame:
                 cols[c] = F.coalesce(u, j[c])
             else:
                 cols[c] = j[c]
-        internal = InternalFrame(j, "__idx", self._internal.index_name)
+        # self's visible order and row identity survive the update
+        uspec = tuple(
+            (n, asc)
+            for n, asc in (self._internal.order_spec or ())
+            if n in j.columns
+        ) or None
+        internal = InternalFrame(
+            j,
+            INDEX_COL,
+            self._internal.index_name,
+            uspec,
+            row_tokens=self._internal.row_tokens,
+        )
         self._internal = internal
         self._columns = cols
         return None

@@ -95,7 +95,7 @@ def rowalign_left_join(
     left: SparkDataFrame,
     right: SparkDataFrame,
     helper_keys: "list[str]",
-    payload: str,
+    payload: "str | list[str]",
 ) -> SparkDataFrame:
     """LEFT join ``right``'s single ``payload`` column onto ``left`` by
     index label plus the shared order-spec helper columns. Helper keys
@@ -104,13 +104,14 @@ def rowalign_left_join(
     fully matched), and a name-list join's plain equality would then
     silently drop every match (r12 probe batch 4). The index label
     itself keeps plain equality — the pre-existing missing-label rule."""
+    payloads = [payload] if isinstance(payload, str) else list(payload)
     l, r = left.alias("l"), right.alias("r")
     cond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
     for n in helper_keys:
         cond = cond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
     return l.join(r, cond, "left").select(
         *[F.col(f"l.{c}").alias(c) for c in left.columns],
-        F.col(f"r.{payload}").alias(payload),
+        *[F.col(f"r.{p}").alias(p) for p in payloads],
     )
 
 

@@ -224,6 +224,22 @@ def test_series_where_after_aligned_binop(spark):
     assert got.tolist() == want.tolist()
 
 
+def test_frame_update_derived_duplicate_labels(spark):
+    # frame.update(df-derived) is positional under duplicate labels
+    pdf = pd.DataFrame(
+        {"u": [1.0, 2.0, 3.0, 4.0], "v": [9.0, 8.0, 7.0, 6.0]}, index=[5, 5, 7, 7]
+    )
+    want = pdf.copy()
+    want.update(pdf[["u"]].shift(2))
+    df = DataFrame(pdf, spark=spark)
+    shifted = df[["u"]].assign(u=df["u"].shift(2))[["u"]]
+    df.update(shifted)
+    got = df.to_pandas()
+    assert len(got) == len(want)
+    assert got["u"].tolist() == want["u"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
 def test_series_sort_index_stable_descending(spark):
     s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3], spark=spark)
     want = pd.Series([1.0, 2.0, 3.0, 4.0], index=[5, 3, 5, 3]).sort_index(
