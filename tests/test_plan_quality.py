@@ -705,3 +705,26 @@ def test_concat_rows_no_shuffle(spark):
     b = DataFrame({"v": [3.0], "w": [4.0]}, spark=spark)
     out = concat([a, b])
     assert count_exchanges(out.to_spark()) == 0
+
+
+def test_dup_label_rowalign_joins_stay_equi(spark):
+    """The r12 duplicate-label alignment fix joins on (index + order-spec
+    helper columns) with NULL-SAFE helper equality. eqNullSafe keys are
+    still extracted as hash-join keys by Catalyst — the plan must stay
+    an equi join (SortMerge/Hash), never a nested-loop over data. The
+    ONE BroadcastNestedLoopJoin allowed is the 1-row broadcast order
+    stat (the crossJoin(F.broadcast(mism)) idiom)."""
+    from pontem_spark.core import DataFrame, Series
+    from pontem_spark.plans import physical_plan
+
+    s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7], spark=spark)
+    plan = physical_plan((s + s.shift(1)).to_spark())
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+    df = DataFrame({"u": [1.0, 2.0, 3.0, 4.0]}, index=[5, 5, 7, 7], spark=spark)
+    plan2 = physical_plan(df.assign(su=df["u"].shift(1)).to_spark())
+    assert "HashJoin" in plan2 or "SortMergeJoin" in plan2, plan2
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    assert "CartesianProduct" not in plan2, plan2
