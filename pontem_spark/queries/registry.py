@@ -158,6 +158,7 @@ def all_queries() -> dict[str, Query]:
         round9,
         round10,
         round11,
+        round12,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
