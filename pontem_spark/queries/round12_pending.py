@@ -142,15 +142,24 @@ def q_api_ctor_order_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = Series(li["v"].tolist(), index=li["l_orderkey"].tolist(), spark=spark)
     csum = s.cumsum().to_pandas()  # construction order, per the ctor spec
     prev = s.shift(1).to_pandas()
-    out = pd.DataFrame(
-        {
-            "idx": li["l_orderkey"].astype("int64"),
-            "v": li["v"],
-            "csum": csum.values,
-            "prev": [None if pd.isna(x) else float(x) for x in prev.values],
-        }
-    )
-    sb = spark.createDataFrame(out).select(
+    # Tuples + explicit schema, NOT a pandas frame: pandas coerces the
+    # leading shift-NULL to float NaN, and a non-Arrow createDataFrame
+    # (the driver's vanilla session) keeps NaN as a double NaN instead of
+    # SQL NULL — the portable round then floors NaN to 0.0.
+    rows = [
+        (
+            int(k),
+            float(v),
+            float(c),
+            None if pd.isna(p) else float(p),
+        )
+        for k, v, c, p in zip(
+            li["l_orderkey"], li["v"], csum.values, prev.values
+        )
+    ]
+    sb = spark.createDataFrame(
+        rows, "idx bigint, v double, csum double, prev double"
+    ).select(
         F.lit("dup_monotonic").alias("variant"),
         F.col("idx"),
         rnd(F.col("v"), 2).alias("v"),
