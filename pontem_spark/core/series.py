@@ -40,6 +40,25 @@ from pontem_spark.core.internal import (
 _VALUE = "__value__"
 
 
+def _window_free(col: Column) -> bool:
+    """True when ``col`` provably contains no window expression, so a
+    positional op (shift/cumsum/pct_change) can wrap it in its OWN window
+    directly on the anchor DataFrame instead of materializing first. The
+    direct anchoring keeps the result on the SAME anchor as its source, so
+    ``s - s.shift(1)`` and ``f[c] = s.diff()`` compose column-wise with
+    ZERO joins — exact positional pairing even when the order spec has
+    ties between duplicate index labels (where a label+helper join would
+    fan out, r13 probe). Detection is the rendered expression: every
+    window expression prints ``... OVER (...)``; a false positive (a
+    string literal containing " OVER ") just takes the safe materialize
+    path. Spark 4 accepts nested windows, but materializing windowed
+    inputs also bounds expression growth in chains like s.diff().diff()."""
+    try:
+        return " OVER " not in str(col)
+    except Exception:
+        return False
+
+
 class Series:
     """1-D labeled array over a Spark anchor DataFrame."""
 
@@ -203,10 +222,44 @@ class Series:
                 l, r = (other._col, self._col) if reflected else (self._col, other._col)
                 name = self._name if self._name == other._name else None
                 return Series._from_internal(self._internal, op(l, r), name)
+            pair = self._mat_pair(other)
+            if pair is not None:
+                lcol, rcol, internal = pair
+                l, r = (rcol, lcol) if reflected else (lcol, rcol)
+                name = self._name if self._name == other._name else None
+                return Series._from_internal(internal, op(l, r), name)
             return self._aligned_binop(other, op, reflected)
         lit = F.lit(other)
         l, r = (lit, self._col) if reflected else (self._col, lit)
         return Series._from_internal(self._internal, op(l, r), self._name)
+
+    def _mat_pair(self, other: "Series"):
+        """Same-anchor composition across one materialization hop.
+
+        A positional op on a WINDOWED column (shift/_cum/pct_change
+        fallback) re-anchors its result on ``self._materialized()`` and
+        tags it with ``_mat_source`` = the source series. When that result
+        later meets its own source in a binop (``s.diff().diff()`` →
+        ``m - m.shift()`` where the shift re-anchored), the source's value
+        still lives on the derived anchor as the ``_VALUE`` column — so
+        compose there, row-for-row exact, instead of falling into the
+        label+helper alignment join (which fans out when duplicate index
+        labels tie on every order-spec column, r13 probe). Returns
+        (self_col, other_col, internal) on the shared anchor, else None."""
+        for a, b, swap in ((self, other, False), (other, self, True)):
+            src = getattr(b, "_mat_source", None)
+            if src is None:
+                continue
+            if src is a or (
+                src._internal.sdf is a._internal.sdf and str(src._col) == str(a._col)
+            ):
+                a_col = b._internal.sdf[_VALUE]
+                return (
+                    (b._col, a_col, b._internal)
+                    if swap
+                    else (a_col, b._col, b._internal)
+                )
+        return None
 
     def _rowalign_keys(self, other: "Series", a, b) -> list[str]:
         """Extra join-key helper names when ``other`` is a row-aligned
@@ -1365,9 +1418,24 @@ class Series:
 
     def shift(self, periods: int = 1, fill_value=None) -> "Series":
         """``fill_value`` fills the vacated edge positions (pandas keeps
-        the column's dtype then instead of upcasting to float)."""
+        the column's dtype then instead of upcasting to float).
+
+        A window-free value column shifts ON ITS OWN ANCHOR (no
+        materialization), so the result stays same-anchor with its source
+        and ``s - s.shift(1)`` / ``f[c] = s.shift(1)`` compose without a
+        join — the only pairing that is exact when duplicate index labels
+        tie on every order-spec column (r13 probe: the label+helper join
+        fanned 1540 rows to 2294 on a non-total sort key)."""
         from pyspark.sql import Window
 
+        if _window_free(self._col):
+            w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+            col = (
+                F.lag(self._col, periods, fill_value).over(w)
+                if periods >= 0
+                else F.lead(self._col, -periods, fill_value).over(w)
+            )
+            return Series._from_internal(self._internal, col, self._name)
         sdf = self._materialized()
         w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
         col = (
@@ -1375,7 +1443,7 @@ class Series:
             if periods >= 0
             else F.lead(sdf[_VALUE], -periods, fill_value).over(w)
         )
-        return Series._from_internal(
+        res = Series._from_internal(
             InternalFrame(
                 sdf,
                 INDEX_COL,
@@ -1386,6 +1454,8 @@ class Series:
             col,
             self._name,
         )
+        res._mat_source = self  # _mat_pair: source value is _VALUE here
+        return res
 
     def where(self, cond: "Series", other=None) -> "Series":
         """Keep values where cond holds, else ``other`` (pandas.where).
@@ -1469,11 +1539,20 @@ class Series:
             return (self - prev) / prev
         from pyspark.sql import Window
 
+        _ord = self._internal.order_columns(INDEX_COL)
+        w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
+        if _window_free(self._col):
+            # same-anchor composition — see shift(); Spark 4 extracts the
+            # lag-of-last nesting into stacked Window nodes
+            missing = self._missing_mask(self._col)
+            clean = F.when(missing, F.lit(None)).otherwise(self._col)
+            filled = F.last(clean, ignorenulls=True).over(w)
+            prev = F.lag(filled, periods).over(Window.orderBy(*_ord))
+            col = self._truediv_cols(filled, prev) - 1
+            return Series._from_internal(self._internal, col, self._name)
         sdf = self._materialized()
         missing = self._missing_mask(sdf[_VALUE], sdf)
         clean = F.when(missing, F.lit(None)).otherwise(sdf[_VALUE])
-        _ord = self._internal.order_columns(INDEX_COL)
-        w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
         filled = F.last(clean, ignorenulls=True).over(w)
         prev = F.lag(filled, periods).over(Window.orderBy(*_ord))
         # guarded division: a zero previous value must yield pandas' ±inf/
@@ -1481,7 +1560,7 @@ class Series:
         # pandas computes v/prev - 1, not (v-prev)/prev — same algebra but
         # different last-ulp floats, so mirror its operation order
         col = self._truediv_cols(filled, prev) - 1
-        return Series._from_internal(
+        res = Series._from_internal(
             InternalFrame(
                 sdf,
                 INDEX_COL,
@@ -1492,6 +1571,8 @@ class Series:
             col,
             self._name,
         )
+        res._mat_source = self  # _mat_pair: source value is _VALUE here
+        return res
 
     def _cum(self, aggfn) -> "Series":
         """Cumulative agg with pandas skipna semantics: missing positions
@@ -1504,11 +1585,18 @@ class Series:
         w = Window.orderBy(*self._internal.order_columns(INDEX_COL)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
+        if _window_free(self._col):
+            # same-anchor composition — see shift(): exact positional
+            # pairing for downstream binops/setitem, zero joins
+            v = self._col
+            missing = self._missing_mask(v)
+            col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
+            return Series._from_internal(self._internal, col, self._name)
         sdf = self._materialized()
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
         col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
-        return Series._from_internal(
+        res = Series._from_internal(
             InternalFrame(
                 sdf,
                 INDEX_COL,
@@ -1519,6 +1607,8 @@ class Series:
             col,
             self._name,
         )
+        res._mat_source = self  # _mat_pair: source value is _VALUE here
+        return res
 
     def cummax(self) -> "Series":
         return self._cum(F.max)

@@ -14,8 +14,11 @@ from pontem_spark.queries.round9_pending import PENDING as PENDING_C
 from pontem_spark.queries.round10_pending import PENDING as PENDING_D
 from pontem_spark.queries.round11_pending import PENDING as PENDING_E
 from pontem_spark.queries.round12_pending import PENDING as PENDING_F
+from pontem_spark.queries.round13_pending import PENDING as PENDING_G
 
-PENDING = PENDING_A + PENDING_B + PENDING_C + PENDING_D + PENDING_E + PENDING_F
+PENDING = (
+    PENDING_A + PENDING_B + PENDING_C + PENDING_D + PENDING_E + PENDING_F + PENDING_G
+)
 
 
 @pytest.mark.parametrize("name", [n for n, _, _ in PENDING])
