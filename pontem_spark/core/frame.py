@@ -992,21 +992,54 @@ class DataFrame:
                 miss_cols[f"__miss_{c}__"] = exprs[c].isNull() | F.isnan(exprs[c])
             else:
                 miss_cols[f"__miss_{c}__"] = exprs[c].isNull()
+        # helper names are minted PAST any the prior spec already uses:
+        # re-sorting by the same column must not overwrite the recorded
+        # old sort values the prior spec (the tie-break below) points at
+        taken = {n for n, _ in (self._internal.order_spec or ())}
+
+        def _mint(base: str) -> str:
+            if base not in taken:
+                return base
+            k = 2
+            while f"{base[:-2]}{k}__" in taken:
+                k += 1
+            return f"{base[:-2]}{k}__"
+
+        miss_names = {c: _mint(f"__miss_{c}__") for c in by}
+        sv_names = {c: _mint(f"__sv_{c}__") for c in by}
         sdf = mat
-        for name, expr in miss_cols.items():
-            sdf = sdf.withColumn(name, expr)
+        for c in by:
+            sdf = sdf.withColumn(miss_names[c], miss_cols[f"__miss_{c}__"])
         # sort keys live in DEDICATED helper columns, not the user column
         # names: _materialized() re-aliases the CURRENT column exprs under
         # those names, so replacing a sort column after the sort
         # (df['a'] = df['a'] > 0) would re-sort rows by the derived
         # values (r10 probe — value_counts' ADVICE bug class).
         for c in by:
-            sdf = sdf.withColumn(f"__sv_{c}__", exprs[c])
+            sdf = sdf.withColumn(sv_names[c], exprs[c])
         for c, a in zip(by, asc):
-            spec.append((f"__miss_{c}__", na_position == "last"))
-            spec.append((f"__sv_{c}__", a))
-        spec.append((INDEX_COL, True))
-        internal = InternalFrame(sdf, INDEX_COL, self._internal.index_name, tuple(spec))
+            spec.append((miss_names[c], na_position == "last"))
+            spec.append((sv_names[c], a))
+        # rows tied on the sort keys keep their previous VISIBLE order:
+        # the old spec rides along as the tie-break, exactly like
+        # sort_index (r13 probe: a post-merge sort broke the documented
+        # kind='stable' contract by tie-breaking on the rowid index,
+        # which is scan order, not the merge's pandas row order). The
+        # index stays the tie-break of last resort.
+        seen = {n for n, _ in spec}
+        for n, a in (self._internal.order_spec or ()):
+            if n not in seen and n in sdf.columns:
+                spec.append((n, a))
+                seen.add(n)
+        if INDEX_COL not in seen:
+            spec.append((INDEX_COL, True))
+        internal = InternalFrame(
+            sdf,
+            INDEX_COL,
+            self._internal.index_name,
+            tuple(spec),
+            row_tokens=self._internal.row_tokens,
+        )
         return DataFrame._from_internal(internal, {c: sdf[c] for c in self._columns})
 
     def head(self, n: int = 5) -> "DataFrame":

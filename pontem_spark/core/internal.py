@@ -109,9 +109,37 @@ def rowalign_left_join(
     cond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
     for n in helper_keys:
         cond = cond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
-    return l.join(r, cond, "left").select(
-        *[F.col(f"l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"r.{p}").alias(p) for p in payloads],
+    # the payload contract is ≤1 right row per left row; a RIGHT side whose
+    # join key repeats would silently fan the left out k per repeated key
+    # instead — pandas raises. Lazy 1-row broadcast stat (guard_unique_labels
+    # idiom): key-column-pruned agg, no eager job, raises at first
+    # materialization of any payload column. Lineage-shared helper keys are
+    # unique per row, so the guard stays silent on every rowalign path.
+    stat = right.agg(
+        (
+            F.count(F.lit(1))
+            > F.count_distinct(
+                F.struct(F.col(INDEX_COL), *[F.col(n) for n in helper_keys])
+            )
+        ).alias("__dup_rjk__")
+    )
+    return (
+        l.join(r, cond, "left")
+        .crossJoin(F.broadcast(stat))
+        .select(
+            *[F.col(f"l.{c}").alias(c) for c in left.columns],
+            *[
+                F.when(
+                    F.col("__dup_rjk__"),
+                    F.raise_error(
+                        F.lit("cannot reindex on an axis with duplicate labels")
+                    ),
+                )
+                .otherwise(F.col(f"r.{p}"))
+                .alias(p)
+                for p in payloads
+            ],
+        )
     )
 
 

@@ -291,6 +291,35 @@ class Series:
         b_full = other._materialized("__b__")
         rkeys = self._rowalign_keys(other, a, b_full)
         b = b_full.select(INDEX_COL, *rkeys, "__b__")
+        # pandas raises 'cannot reindex on an axis with duplicate labels'
+        # whenever alignment needs a reindex and labels repeat; the engine's
+        # equivalent pairing unit is the JOIN KEY (label + any rowalign
+        # helpers), so a side whose join key repeats would silently fan the
+        # result out k² per repeated key instead. Guard with the lazy 1-row
+        # broadcast-stat idiom (guard_unique_labels): two key-column-pruned
+        # aggs, no eager job, raises at first materialization. The one
+        # pandas divergence is ledgered: identical duplicate-label
+        # SEQUENCES without a shared recorded order (spec-None operands)
+        # raise here where pandas pairs positionally — a distributed frame
+        # with no order spec has no positional order to pair by, and a
+        # loud raise beats silently wrong k² rows (SCALE.md r13).
+        gkeys = [INDEX_COL, *rkeys]
+        _gstruct = F.struct(*[F.col(k) for k in gkeys])
+        pairstat = (
+            a.agg((F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupl__"))
+            .crossJoin(
+                b.agg(
+                    (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupr__")
+                )
+            )
+            .select((F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__"))
+        )
+        pair_msg = (
+            "cannot pair rows positionally: duplicate index labels tie on "
+            "every order-spec column; sort by a unique key or reset_index first"
+            if rkeys
+            else "cannot reindex on an axis with duplicate labels"
+        )
         # the LEFT operand's visible order carries to the result (pandas:
         # a sorted series stays sorted through s - s.shift() — r10 probe)
         # — but ONLY while the indexes fully match. Any unmatched row
@@ -400,10 +429,14 @@ class Series:
             if self._internal.index_name == other._internal.index_name
             else None
         )
+        sdf = sdf.crossJoin(F.broadcast(pairstat))
         internal = InternalFrame(sdf, INDEX_COL, index_name, spec)
         l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
         name = self._name if self._name == other._name else None
-        return Series._from_internal(internal, op(l, r), name)
+        col = F.when(
+            F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
+        ).otherwise(op(l, r))
+        return Series._from_internal(internal, col, name)
 
     @staticmethod
     def _zero_div_value(a: Column, b: Column) -> Column:
@@ -509,10 +542,44 @@ class Series:
                 )
                 name = self._name if self._name == other._name else None
                 return Series._from_internal(self._internal, fn(l, r, lm, rm), name)
+            pair = self._mat_pair(other)
+            if pair is not None:
+                scol, ocol, internal = pair
+                sm0 = self._missing_mask(scol, internal.sdf)
+                om0 = other._missing_mask(ocol, internal.sdf)
+                l, r, lm, rm = (
+                    (ocol, scol, om0, sm0) if reflected else (scol, ocol, sm0, om0)
+                )
+                name = self._name if self._name == other._name else None
+                return Series._from_internal(internal, fn(l, r, lm, rm), name)
             a = self._materialized("__a__")
             b_full = other._materialized("__b__")
             rkeys = self._rowalign_keys(other, a, b_full)
             b = b_full.select(INDEX_COL, *rkeys, "__b__")
+            gkeys = [INDEX_COL, *rkeys]
+            _gstruct = F.struct(*[F.col(k) for k in gkeys])
+            pairstat = (
+                a.agg(
+                    (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupl__")
+                )
+                .crossJoin(
+                    b.agg(
+                        (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
+                            "__dupr__"
+                        )
+                    )
+                )
+                .select(
+                    (F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__")
+                )
+            )
+            pair_msg = (
+                "cannot pair rows positionally: duplicate index labels tie on "
+                "every order-spec column; sort by a unique key or reset_index "
+                "first"
+                if rkeys
+                else "cannot reindex on an axis with duplicate labels"
+            )
             extras = [
                 n
                 for n, _ in (self._internal.order_spec or ())
@@ -527,7 +594,7 @@ class Series:
                 F.col("l.__a__").alias("__a__"),
                 F.col("r.__b__").alias("__b__"),
                 *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
-            )
+            ).crossJoin(F.broadcast(pairstat))
             index_name = (
                 self._internal.index_name
                 if self._internal.index_name == other._internal.index_name
@@ -544,7 +611,10 @@ class Series:
                 else (sdf["__a__"], sdf["__b__"], am, bm)
             )
             name = self._name if self._name == other._name else None
-            return Series._from_internal(internal, fn(l, r, lm, rm), name)
+            guarded = F.when(
+                F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
+            ).otherwise(fn(l, r, lm, rm))
+            return Series._from_internal(internal, guarded, name)
         lit = F.lit(other)
         om = F.lit(
             other is None or (isinstance(other, float) and _math.isnan(other))
@@ -786,20 +856,36 @@ class Series:
         # the sort keys live in DEDICATED helper columns, not the
         # rebindable _VALUE alias: a derived series (s2 = sorted > 0)
         # would otherwise re-materialize sorted by the DERIVED expression
-        # (r10 probe — value_counts' ADVICE bug class, same fix).
-        # Deliberate deviation (documented): rows tying on the sort key —
-        # including the whole missing block — order by INDEX, not by
-        # pandas' original position (positional order is not reproducible
-        # distributed).
-        sdf = sdf.withColumn("__miss__", miss).withColumn(
-            "__sv_ord__", F.col(_VALUE)
-        )
+        # (r10 probe — value_counts' ADVICE bug class, same fix). Helper
+        # names are minted past any the prior spec uses (re-sorting must
+        # not overwrite the recorded old sort values the tie-break below
+        # points at).
+        taken = {n for n, _ in (self._internal.order_spec or ())}
+        sm, sv = "__miss__", "__sv_ord__"
+        k = 2
+        while sm in taken or sv in taken:
+            sm, sv = f"__miss{k}__", f"__sv_ord{k}__"
+            k += 1
+        sdf = sdf.withColumn(sm, miss).withColumn(sv, F.col(_VALUE))
+        # rows tied on the sort key — including the whole missing block —
+        # keep their previous VISIBLE order (the prior spec rides along as
+        # the tie-break, like sort_index; pandas kind='stable'), with the
+        # index as the tie-break of last resort.
+        spec = [(sm, na_position == "last"), (sv, ascending)]
+        seen = {sm, sv}
+        for n, a in (self._internal.order_spec or ()):
+            if n not in seen and n in sdf.columns:
+                spec.append((n, a))
+                seen.add(n)
+        if INDEX_COL not in seen:
+            spec.append((INDEX_COL, True))
         internal = InternalFrame(
             sdf,
             INDEX_COL,
             self._internal.index_name,
             # ascending=True sorts False(valid) before True(missing) → "last"
-            (("__miss__", na_position == "last"), ("__sv_ord__", ascending), (INDEX_COL, True)),
+            tuple(spec),
+            row_tokens=self._internal.row_tokens,
         )
         return Series._from_internal(internal, sdf[_VALUE], self._name)
 
