@@ -109,6 +109,13 @@ def rowalign_left_join(
     cond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
     for n in helper_keys:
         cond = cond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
+    if "__ctor__" in helper_keys:
+        # arange helper — unique per row by construction, so the join key
+        # is provably total: skip the duplicate-key guard below
+        return l.join(r, cond, "left").select(
+            *[F.col(f"l.{c}").alias(c) for c in left.columns],
+            *[F.col(f"r.{p}").alias(p) for p in payloads],
+        )
     # the payload contract is ≤1 right row per left row; a RIGHT side whose
     # join key repeats would silently fan the left out k per repeated key
     # instead — pandas raises. Lazy 1-row broadcast stat (guard_unique_labels

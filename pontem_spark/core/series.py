@@ -303,23 +303,35 @@ class Series:
         # raise here where pandas pairs positionally — a distributed frame
         # with no order spec has no positional order to pair by, and a
         # loud raise beats silently wrong k² rows (SCALE.md r13).
-        gkeys = [INDEX_COL, *rkeys]
-        _gstruct = F.struct(*[F.col(k) for k in gkeys])
-        pairstat = (
-            a.agg((F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupl__"))
-            .crossJoin(
-                b.agg(
-                    (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupr__")
+        # a '__ctor__' rowalign key is an arange — unique PER ROW by
+        # construction — so the join key is provably total and the
+        # pandas-parity hot path skips the guard's two aggs entirely
+        if "__ctor__" in rkeys:
+            pairstat = None
+            pair_msg = ""
+        else:
+            gkeys = [INDEX_COL, *rkeys]
+            _gstruct = F.struct(*[F.col(k) for k in gkeys])
+            pairstat = (
+                a.agg(
+                    (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupl__")
                 )
+                .crossJoin(
+                    b.agg(
+                        (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
+                            "__dupr__"
+                        )
+                    )
+                )
+                .select((F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__"))
             )
-            .select((F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__"))
-        )
-        pair_msg = (
-            "cannot pair rows positionally: duplicate index labels tie on "
-            "every order-spec column; sort by a unique key or reset_index first"
-            if rkeys
-            else "cannot reindex on an axis with duplicate labels"
-        )
+            pair_msg = (
+                "cannot pair rows positionally: duplicate index labels tie on "
+                "every order-spec column; sort by a unique key or reset_index "
+                "first"
+                if rkeys
+                else "cannot reindex on an axis with duplicate labels"
+            )
         # the LEFT operand's visible order carries to the result (pandas:
         # a sorted series stays sorted through s - s.shift() — r10 probe)
         # — but ONLY while the indexes fully match. Any unmatched row
@@ -429,13 +441,16 @@ class Series:
             if self._internal.index_name == other._internal.index_name
             else None
         )
-        sdf = sdf.crossJoin(F.broadcast(pairstat))
+        if pairstat is not None:
+            sdf = sdf.crossJoin(F.broadcast(pairstat))
         internal = InternalFrame(sdf, INDEX_COL, index_name, spec)
         l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
         name = self._name if self._name == other._name else None
-        col = F.when(
-            F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
-        ).otherwise(op(l, r))
+        col = op(l, r)
+        if pairstat is not None:
+            col = F.when(
+                F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
+            ).otherwise(col)
         return Series._from_internal(internal, col, name)
 
     @staticmethod
@@ -556,30 +571,37 @@ class Series:
             b_full = other._materialized("__b__")
             rkeys = self._rowalign_keys(other, a, b_full)
             b = b_full.select(INDEX_COL, *rkeys, "__b__")
-            gkeys = [INDEX_COL, *rkeys]
-            _gstruct = F.struct(*[F.col(k) for k in gkeys])
-            pairstat = (
-                a.agg(
-                    (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias("__dupl__")
-                )
-                .crossJoin(
-                    b.agg(
+            # '__ctor__' rowalign key → provably total join key, skip guard
+            if "__ctor__" in rkeys:
+                pairstat = None
+                pair_msg = ""
+            else:
+                gkeys = [INDEX_COL, *rkeys]
+                _gstruct = F.struct(*[F.col(k) for k in gkeys])
+                pairstat = (
+                    a.agg(
                         (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
-                            "__dupr__"
+                            "__dupl__"
                         )
                     )
+                    .crossJoin(
+                        b.agg(
+                            (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
+                                "__dupr__"
+                            )
+                        )
+                    )
+                    .select(
+                        (F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__")
+                    )
                 )
-                .select(
-                    (F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__")
+                pair_msg = (
+                    "cannot pair rows positionally: duplicate index labels tie "
+                    "on every order-spec column; sort by a unique key or "
+                    "reset_index first"
+                    if rkeys
+                    else "cannot reindex on an axis with duplicate labels"
                 )
-            )
-            pair_msg = (
-                "cannot pair rows positionally: duplicate index labels tie on "
-                "every order-spec column; sort by a unique key or reset_index "
-                "first"
-                if rkeys
-                else "cannot reindex on an axis with duplicate labels"
-            )
             extras = [
                 n
                 for n, _ in (self._internal.order_spec or ())
@@ -594,7 +616,9 @@ class Series:
                 F.col("l.__a__").alias("__a__"),
                 F.col("r.__b__").alias("__b__"),
                 *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
-            ).crossJoin(F.broadcast(pairstat))
+            )
+            if pairstat is not None:
+                sdf = sdf.crossJoin(F.broadcast(pairstat))
             index_name = (
                 self._internal.index_name
                 if self._internal.index_name == other._internal.index_name
@@ -611,9 +635,11 @@ class Series:
                 else (sdf["__a__"], sdf["__b__"], am, bm)
             )
             name = self._name if self._name == other._name else None
-            guarded = F.when(
-                F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
-            ).otherwise(fn(l, r, lm, rm))
+            guarded = fn(l, r, lm, rm)
+            if pairstat is not None:
+                guarded = F.when(
+                    F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
+                ).otherwise(guarded)
             return Series._from_internal(internal, guarded, name)
         lit = F.lit(other)
         om = F.lit(
