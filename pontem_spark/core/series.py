@@ -2260,6 +2260,23 @@ class Series:
     def _directional_fill(self, forward: bool) -> "Series":
         from pyspark.sql import Window
 
+        if _window_free(self._col):
+            # same-anchor composition — the r13 positional-op rule:
+            # v - v.ffill() / setitem compose column-wise, zero joins
+            v = self._col
+            missing = self._missing_mask(v)
+            _ord = self._internal.order_columns(INDEX_COL)
+            if forward:
+                w = Window.orderBy(*_ord).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                col = F.last(F.when(~missing, v), ignorenulls=True).over(w)
+            else:
+                w = Window.orderBy(*_ord).rowsBetween(
+                    Window.currentRow, Window.unboundedFollowing
+                )
+                col = F.first(F.when(~missing, v), ignorenulls=True).over(w)
+            return Series._from_internal(self._internal, col, self._name)
         sdf = self._materialized()
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
@@ -2274,7 +2291,7 @@ class Series:
                 Window.currentRow, Window.unboundedFollowing
             )
             col = F.first(F.when(~missing, v), ignorenulls=True).over(w)
-        return Series._from_internal(
+        res = Series._from_internal(
             InternalFrame(
                 sdf,
                 INDEX_COL,
@@ -2285,6 +2302,8 @@ class Series:
             col,
             self._name,
         )
+        res._mat_source = self  # _mat_pair: source value is _VALUE here
+        return res
 
     def interpolate(self, method: str = "linear", limit: "int | None" = None) -> "Series":
         """pandas-default linear interpolation by POSITION (values treated
@@ -3285,22 +3304,30 @@ class _SeriesExpanding:
         from pyspark.sql import Window
 
         s = self._s
-        sdf = s._materialized()
+        if _window_free(s._col):
+            # same-anchor composition — the r13 positional-op rule
+            sdf, col0, internal, src = s._internal.sdf, s._col, s._internal, None
+        else:
+            sdf = s._materialized()
+            col0 = sdf[_VALUE]
+            internal = InternalFrame(
+                sdf,
+                INDEX_COL,
+                s._internal.index_name,
+                s._internal.order_spec,
+                row_tokens=s._internal.row_tokens,
+            )
+            src = s
         w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        v = sdf[_VALUE]
-        if dict(sdf.dtypes).get(_VALUE) in ("double", "float"):
-            v = F.when(~F.isnan(v), v)
+        v = F.when(~s._missing_mask(col0, sdf), col0)
         cnt = F.count(v).over(w)
         col = F.when(cnt >= self._minp, aggfn(v).over(w))
-        return Series._from_internal(
-            InternalFrame(
-                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
-            ),
-            col,
-            s._name,
-        )
+        res = Series._from_internal(internal, col, s._name)
+        if src is not None:
+            res._mat_source = src  # _mat_pair: source value is _VALUE here
+        return res
 
     def sum(self): return self._apply(F.sum)
     def mean(self): return self._apply(F.mean)

@@ -15,37 +15,54 @@ class Rolling:
         # pandas default: a full window is required
         self._minp = window if min_periods is None else min_periods
 
-    def _valid(self, sdf):
-        """__value__ with pandas-missing (NULL or float NaN) blanked to
-        NULL, so window counts see NaN as missing — pandas' rule, and the
-        opposite of Spark's count() (which counts NaN) (r7 probe:
-        min_periods over a NaN-bearing series diverged)."""
-        v = sdf["__value__"]
-        if dict(sdf.dtypes).get("__value__") in ("double", "float"):
-            return F.when(~F.isnan(v), v)
-        return v
+    def _ctx(self):
+        """(sdf, internal, window, valid_value, mat_source).
 
-    def _apply(self, aggfn):
-        from pontem_spark.core.series import Series
+        Window-free source columns build the rolling window DIRECTLY on
+        the source anchor (same-anchor result: s - s.rolling(n).mean()
+        composes column-wise, zero joins — the r13 positional-op rule);
+        windowed sources materialize first, carry the row lineage through,
+        and tag the source for _mat_pair. ``valid_value`` blanks pandas-
+        missing (NULL or float NaN) to NULL so window counts see NaN as
+        missing — pandas' rule, the opposite of Spark's count() (r7
+        probe: min_periods over a NaN-bearing series diverged)."""
+        from pontem_spark.core.series import _window_free
 
         s = self._s
-        sdf = s._materialized()
+        if _window_free(s._col):
+            sdf, col, internal, src = s._internal.sdf, s._col, s._internal, None
+        else:
+            sdf = s._materialized()
+            col = sdf["__value__"]
+            internal = InternalFrame(
+                sdf,
+                INDEX_COL,
+                s._internal.index_name,
+                s._internal.order_spec,
+                row_tokens=s._internal.row_tokens,
+            )
+            src = s
         w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
             -(self._n - 1), Window.currentRow
         )
-        valid = self._valid(sdf)
+        valid = F.when(~s._missing_mask(col, sdf), col)
+        return sdf, internal, w, valid, src
+
+    def _wrap(self, internal, col, src):
+        from pontem_spark.core.series import Series
+
+        res = Series._from_internal(internal, col, self._s._name)
+        if src is not None:
+            res._mat_source = src  # _mat_pair: source value is _VALUE here
+        return res
+
+    def _apply(self, aggfn):
+        sdf, internal, w, valid, src = self._ctx()
         cnt = F.count(valid).over(w)
         val = aggfn(valid).over(w)
         # NaN until the window holds min_periods observations (default:
         # the full window)
-        col = F.when(cnt >= self._minp, val)
-        return Series._from_internal(
-            InternalFrame(
-                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
-            ),
-            col,
-            s._name,
-        )
+        return self._wrap(internal, F.when(cnt >= self._minp, val), src)
 
     def sum(self): return self._apply(F.sum)
     def mean(self): return self._apply(F.mean)
@@ -59,14 +76,8 @@ class Rolling:
         a window FRAME, so: collect_list over the frame (bounded by the
         window size — never the series), sort, midpoint. collect_list
         drops NULLs, which is exactly pandas' skipna."""
-        from pontem_spark.core.series import Series
-
-        s = self._s
-        sdf = s._materialized()
-        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
-            -(self._n - 1), Window.currentRow
-        )
-        arr = F.sort_array(F.collect_list(self._valid(sdf)).over(w))
+        sdf, internal, w, valid, src = self._ctx()
+        arr = F.sort_array(F.collect_list(valid).over(w))
         cnt = F.size(arr)
         mid = (cnt / 2).cast("int")
         med = F.when(
@@ -79,35 +90,16 @@ class Rolling:
             / 2.0
         )
         col = F.when(cnt >= self._minp, med)
-        return Series._from_internal(
-            InternalFrame(
-                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
-            ),
-            col,
-            s._name,
-        )
+        return self._wrap(internal, col, src)
 
     def count(self):
         """Unlike every other rolling agg, pandas gates count on the ROW
         count in the window reaching min_periods, not the non-missing
         count (a 3-row window with 2 NaNs still counts 1) — r7 probe."""
-        from pontem_spark.core.series import Series
-
-        s = self._s
-        sdf = s._materialized()
-        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
-            -(self._n - 1), Window.currentRow
-        )
+        sdf, internal, w, valid, src = self._ctx()
         rows = F.count(F.lit(1)).over(w)
-        val = F.count(self._valid(sdf)).over(w)
-        col = F.when(rows >= self._minp, val)
-        return Series._from_internal(
-            InternalFrame(
-                sdf, INDEX_COL, s._internal.index_name, s._internal.order_spec
-            ),
-            col,
-            s._name,
-        )
+        val = F.count(valid).over(w)
+        return self._wrap(internal, F.when(rows >= self._minp, val), src)
 
 
 class GroupedRolling:

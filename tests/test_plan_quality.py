@@ -708,23 +708,29 @@ def test_concat_rows_no_shuffle(spark):
 
 
 def test_dup_label_rowalign_joins_stay_equi(spark):
-    """The r12 duplicate-label alignment fix joins on (index + order-spec
-    helper columns) with NULL-SAFE helper equality. eqNullSafe keys are
-    still extracted as hash-join keys by Catalyst — the plan must stay
-    an equi join (SortMerge/Hash), never a nested-loop over data. The
-    ONE BroadcastNestedLoopJoin allowed is the 1-row broadcast order
-    stat (the crossJoin(F.broadcast(mism)) idiom)."""
+    """r13 tightened the r12 pin: window-free positional ops compose on
+    their SOURCE anchor, so s + s.shift(1) and assign(shift) have NO join
+    at all. A genuinely cross-anchor rowalign (two independent
+    materializations of the same lineage — sort_values twice) still
+    joins, and that join must stay an equi join (SortMerge/Hash) with
+    NULL-SAFE helper keys, never a nested loop over data. The ONE
+    BroadcastNestedLoopJoin allowed is the 1-row broadcast order stat
+    (the crossJoin(F.broadcast(mism)) idiom)."""
     from pontem_spark.core import DataFrame, Series
     from pontem_spark.plans import physical_plan
 
     s = Series([1.0, 2.0, 3.0, 4.0], index=[5, 5, 7, 7], spark=spark)
     plan = physical_plan((s + s.shift(1)).to_spark())
-    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
-    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan  # same-anchor composition, zero joins
+
+    a = s.sort_values()
+    b = s.sort_values().shift(1)
+    plan1 = physical_plan((a + b).to_spark())
+    assert "SortMergeJoin" in plan1 or "HashJoin" in plan1, plan1
+    assert plan1.count("BroadcastNestedLoopJoin") <= 1, plan1
+    assert "CartesianProduct" not in plan1, plan1
 
     df = DataFrame({"u": [1.0, 2.0, 3.0, 4.0]}, index=[5, 5, 7, 7], spark=spark)
     plan2 = physical_plan(df.assign(su=df["u"].shift(1)).to_spark())
-    assert "HashJoin" in plan2 or "SortMergeJoin" in plan2, plan2
-    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    assert "Join" not in plan2, plan2  # same-anchor composition
     assert "CartesianProduct" not in plan2, plan2
