@@ -284,32 +284,31 @@ class Series:
             if n != INDEX_COL and n in a.columns and n in b.columns
         ]
 
-    def _aligned_binop(self, other: "Series", op, reflected: bool) -> "Series":
+    def _aligned_binop(
+        self, other: "Series", op, reflected: bool, masked_fn=None
+    ) -> "Series":
         """pandas index alignment: full outer equi-join on index, null-fill
-        non-matches. One shuffle; same-anchor operands never reach here."""
+        non-matches. One shuffle; same-anchor operands never reach here.
+        ``masked_fn(l, r, lm, rm)`` (from _masked_binop) replaces ``op``
+        when the operation also needs both operands' missing masks."""
         a = self._materialized("__a__")
         b_full = other._materialized("__b__")
         rkeys = self._rowalign_keys(other, a, b_full)
         b = b_full.select(INDEX_COL, *rkeys, "__b__")
-        # pandas raises 'cannot reindex on an axis with duplicate labels'
-        # whenever alignment needs a reindex and labels repeat; the engine's
-        # equivalent pairing unit is the JOIN KEY (label + any rowalign
-        # helpers), so a side whose join key repeats would silently fan the
-        # result out k² per repeated key instead. Guard with the lazy 1-row
-        # broadcast-stat idiom (guard_unique_labels): two key-column-pruned
-        # aggs, no eager job, raises at first materialization. The one
-        # pandas divergence is ledgered: identical duplicate-label
-        # SEQUENCES without a shared recorded order (spec-None operands)
-        # raise here where pandas pairs positionally — a distributed frame
-        # with no order spec has no positional order to pair by, and a
-        # loud raise beats silently wrong k² rows (SCALE.md r13).
-        # a '__ctor__' rowalign key is an arange — unique PER ROW by
-        # construction — so the join key is provably total and the
-        # pandas-parity hot path skips the guard's two aggs entirely
-        if "__ctor__" in rkeys:
-            pairstat = None
-            pair_msg = ""
-        else:
+        # pandas 2.x ARITHMETIC alignment with duplicate labels and
+        # non-identical sequences is the per-label cartesian (k_l × k_r
+        # rows per label, union of labels) — measured, NOT a raise (the
+        # r12 ledger's claim that pandas raises here was wrong; only the
+        # reindex-class ops — where/update/reindex — raise). A plain
+        # label join IS that semantic, so the label-only path needs no
+        # guard. The one case that must raise is the ROWALIGN path with a
+        # NON-TOTAL key: lineage says the sequences are identical (pandas
+        # would pair positionally) but the helper columns tie, so the
+        # join can neither pair rows nor produce pandas' cartesian — a
+        # lazy 1-row stat raises instead of returning k²-wrong rows. A
+        # '__ctor__' rowalign key is an arange — unique per row by
+        # construction — so the ctor hot path skips the stat's two aggs.
+        if rkeys and "__ctor__" not in rkeys:
             gkeys = [INDEX_COL, *rkeys]
             _gstruct = F.struct(*[F.col(k) for k in gkeys])
             pairstat = (
@@ -329,9 +328,10 @@ class Series:
                 "cannot pair rows positionally: duplicate index labels tie on "
                 "every order-spec column; sort by a unique key or reset_index "
                 "first"
-                if rkeys
-                else "cannot reindex on an axis with duplicate labels"
             )
+        else:
+            pairstat = None
+            pair_msg = ""
         # the LEFT operand's visible order carries to the result (pandas:
         # a sorted series stays sorted through s - s.shift() — r10 probe)
         # — but ONLY while the indexes fully match. Any unmatched row
@@ -407,19 +407,20 @@ class Series:
                 ],
                 F.col(INDEX_COL).asc(),
             )
-            lpos = a.select(
-                F.col(INDEX_COL).alias("__li__"),
-                F.row_number().over(lw).alias("__lp__"),
-            )
-            rpos = b_full.select(
-                F.col(INDEX_COL).alias("__ri__"),
-                F.row_number().over(rw).alias("__rp__"),
+            a_pos = a.withColumn("__lp__", F.row_number().over(lw))
+            b_pos = b_full.withColumn("__rp__", F.row_number().over(rw)).select(
+                F.col(INDEX_COL).alias("__ri__"), F.col("__rp__"), F.col("__b__")
             )
             # joined ON POSITION, compared BY LABEL — pandas Index.equals
             # exactly, and duplicate labels can't fan the stat out like a
             # label join would (r12 probe batch 4)
             mism = (
-                lpos.join(rpos, F.col("__lp__") == F.col("__rp__"), "full_outer")
+                a_pos.select(F.col(INDEX_COL).alias("__li__"), "__lp__")
+                .join(
+                    b_pos.select("__ri__", "__rp__"),
+                    F.col("__lp__") == F.col("__rp__"),
+                    "full_outer",
+                )
                 .agg(
                     F.max(
                         F.col("__lp__").isNull()
@@ -428,13 +429,45 @@ class Series:
                     ).alias("__mism__")
                 )
             )
-            sdf = joined.crossJoin(F.broadcast(mism)).select(
-                *cols,
-                F.when(
-                    F.col("__mism__"),
-                    F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")),
-                ).alias(alunion),
+            # pandas pairs POSITIONALLY when the sequences are identical
+            # (Index.equals short-circuits alignment); under duplicate
+            # labels the label join would instead produce the per-label
+            # cartesian — pandas' answer only for DIFFERING sequences
+            # (r13 probe: abs ⊕ sort_index on an already-sorted ctor
+            # series fanned 5 rows to 17). Build BOTH pairings, each
+            # filtered by the 1-row broadcast flag, and union: exactly
+            # one side is non-empty at runtime. Only on this rare
+            # both-sides-custom-ordered path, never on the spec-None
+            # big-data paths.
+            cart = (
+                joined.crossJoin(F.broadcast(mism))
+                .filter(F.col("__mism__"))
+                .select(
+                    *cols,
+                    F.coalesce(
+                        F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")
+                    ).alias(alunion),
+                )
             )
+            idx_t = a.schema[INDEX_COL].dataType
+            pos = (
+                a_pos.alias("l")
+                .join(
+                    b_pos.alias("r"),
+                    F.col("l.__lp__") == F.col("r.__rp__"),
+                    "inner",
+                )
+                .crossJoin(F.broadcast(mism))
+                .filter(~F.col("__mism__"))
+                .select(
+                    F.col(f"l.{INDEX_COL}").alias(INDEX_COL),
+                    F.col("l.__a__").alias("__a__"),
+                    F.col("r.__b__").alias("__b__"),
+                    *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
+                    F.lit(None).cast(idx_t).alias(alunion),
+                )
+            )
+            sdf = cart.unionByName(pos)
             spec = ((alunion, True),) + spec
         index_name = (
             self._internal.index_name
@@ -446,7 +479,13 @@ class Series:
         internal = InternalFrame(sdf, INDEX_COL, index_name, spec)
         l, r = (sdf["__b__"], sdf["__a__"]) if reflected else (sdf["__a__"], sdf["__b__"])
         name = self._name if self._name == other._name else None
-        col = op(l, r)
+        if masked_fn is not None:
+            am = self._missing_mask(sdf["__a__"], sdf)
+            bm = other._missing_mask(sdf["__b__"], sdf)
+            lm, rm = (bm, am) if reflected else (am, bm)
+            col = masked_fn(l, r, lm, rm)
+        else:
+            col = op(l, r)
         if pairstat is not None:
             col = F.when(
                 F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
@@ -567,80 +606,14 @@ class Series:
                 )
                 name = self._name if self._name == other._name else None
                 return Series._from_internal(internal, fn(l, r, lm, rm), name)
-            a = self._materialized("__a__")
-            b_full = other._materialized("__b__")
-            rkeys = self._rowalign_keys(other, a, b_full)
-            b = b_full.select(INDEX_COL, *rkeys, "__b__")
-            # '__ctor__' rowalign key → provably total join key, skip guard
-            if "__ctor__" in rkeys:
-                pairstat = None
-                pair_msg = ""
-            else:
-                gkeys = [INDEX_COL, *rkeys]
-                _gstruct = F.struct(*[F.col(k) for k in gkeys])
-                pairstat = (
-                    a.agg(
-                        (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
-                            "__dupl__"
-                        )
-                    )
-                    .crossJoin(
-                        b.agg(
-                            (F.count(F.lit(1)) > F.count_distinct(_gstruct)).alias(
-                                "__dupr__"
-                            )
-                        )
-                    )
-                    .select(
-                        (F.col("__dupl__") | F.col("__dupr__")).alias("__dup_pair__")
-                    )
-                )
-                pair_msg = (
-                    "cannot pair rows positionally: duplicate index labels tie "
-                    "on every order-spec column; sort by a unique key or "
-                    "reset_index first"
-                    if rkeys
-                    else "cannot reindex on an axis with duplicate labels"
-                )
-            extras = [
-                n
-                for n, _ in (self._internal.order_spec or ())
-                if n not in (INDEX_COL, "__a__") and n in a.columns
-            ]
-            jcond = F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}")
-            for n in rkeys:
-                jcond = jcond & F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}"))
-            joined = a.alias("l").join(b.alias("r"), jcond, "full_outer")
-            sdf = joined.select(
-                F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(INDEX_COL),
-                F.col("l.__a__").alias("__a__"),
-                F.col("r.__b__").alias("__b__"),
-                *[F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras)],
-            )
-            if pairstat is not None:
-                sdf = sdf.crossJoin(F.broadcast(pairstat))
-            index_name = (
-                self._internal.index_name
-                if self._internal.index_name == other._internal.index_name
-                else None
-            )
-            internal = InternalFrame(
-                sdf, INDEX_COL, index_name, self._internal.order_spec
-            )
-            am = self._missing_mask(sdf["__a__"], sdf)
-            bm = other._missing_mask(sdf["__b__"], sdf)
-            l, r, lm, rm = (
-                (sdf["__b__"], sdf["__a__"], bm, am)
-                if reflected
-                else (sdf["__a__"], sdf["__b__"], am, bm)
-            )
-            name = self._name if self._name == other._name else None
-            guarded = fn(l, r, lm, rm)
-            if pairstat is not None:
-                guarded = F.when(
-                    F.col("__dup_pair__"), F.raise_error(F.lit(pair_msg))
-                ).otherwise(guarded)
-            return Series._from_internal(internal, guarded, name)
+            # cross-anchor: delegate to the one aligner — same join,
+            # same per-label-cartesian/positional pairing, same order
+            # machinery and non-total-rowalign guard as arithmetic (r13:
+            # _masked_binop previously had its own label join that kept
+            # the LEFT spec unconditionally, so a mismatched named op
+            # floated unmatched rows nulls-first instead of pandas'
+            # sorted union)
+            return self._aligned_binop(other, None, reflected, masked_fn=fn)
         lit = F.lit(other)
         om = F.lit(
             other is None or (isinstance(other, float) and _math.isnan(other))
@@ -1541,7 +1514,9 @@ class Series:
         from pyspark.sql import Window
 
         if _window_free(self._col):
-            w = Window.orderBy(*self._internal.order_columns(INDEX_COL))
+            w = Window.orderBy(
+                *self._internal.order_columns(self._internal.index_spark_col)
+            )
             col = (
                 F.lag(self._col, periods, fill_value).over(w)
                 if periods >= 0
@@ -1651,17 +1626,19 @@ class Series:
             return (self - prev) / prev
         from pyspark.sql import Window
 
-        _ord = self._internal.order_columns(INDEX_COL)
-        w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
         if _window_free(self._col):
             # same-anchor composition — see shift(); Spark 4 extracts the
             # lag-of-last nesting into stacked Window nodes
+            _ord = self._internal.order_columns(self._internal.index_spark_col)
+            w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
             missing = self._missing_mask(self._col)
             clean = F.when(missing, F.lit(None)).otherwise(self._col)
             filled = F.last(clean, ignorenulls=True).over(w)
             prev = F.lag(filled, periods).over(Window.orderBy(*_ord))
             col = self._truediv_cols(filled, prev) - 1
             return Series._from_internal(self._internal, col, self._name)
+        _ord = self._internal.order_columns(INDEX_COL)
+        w = Window.orderBy(*_ord).rowsBetween(Window.unboundedPreceding, 0)
         sdf = self._materialized()
         missing = self._missing_mask(sdf[_VALUE], sdf)
         clean = F.when(missing, F.lit(None)).otherwise(sdf[_VALUE])
@@ -1694,16 +1671,19 @@ class Series:
         slot NaN)."""
         from pyspark.sql import Window
 
-        w = Window.orderBy(*self._internal.order_columns(INDEX_COL)).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
         if _window_free(self._col):
             # same-anchor composition — see shift(): exact positional
             # pairing for downstream binops/setitem, zero joins
+            w = Window.orderBy(
+                *self._internal.order_columns(self._internal.index_spark_col)
+            ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
             v = self._col
             missing = self._missing_mask(v)
             col = F.when(~missing, aggfn(F.when(~missing, v)).over(w))
             return Series._from_internal(self._internal, col, self._name)
+        w = Window.orderBy(*self._internal.order_columns(INDEX_COL)).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
         sdf = self._materialized()
         v = sdf[_VALUE]
         missing = self._missing_mask(v, sdf)
@@ -2265,7 +2245,7 @@ class Series:
             # v - v.ffill() / setitem compose column-wise, zero joins
             v = self._col
             missing = self._missing_mask(v)
-            _ord = self._internal.order_columns(INDEX_COL)
+            _ord = self._internal.order_columns(self._internal.index_spark_col)
             if forward:
                 w = Window.orderBy(*_ord).rowsBetween(
                     Window.unboundedPreceding, Window.currentRow
@@ -3318,7 +3298,10 @@ class _SeriesExpanding:
                 row_tokens=s._internal.row_tokens,
             )
             src = s
-        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
+        wdefault = (
+            s._internal.index_spark_col if src is None else INDEX_COL
+        )
+        w = Window.orderBy(*s._internal.order_columns(wdefault)).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
         v = F.when(~s._missing_mask(col0, sdf), col0)

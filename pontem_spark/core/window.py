@@ -42,7 +42,12 @@ class Rolling:
                 row_tokens=s._internal.row_tokens,
             )
             src = s
-        w = Window.orderBy(*s._internal.order_columns(INDEX_COL)).rowsBetween(
+        # the fast path orders on the RAW anchor, where the index keeps
+        # its original column name; only the materialized fallback
+        # renames it to INDEX_COL (r13: from_spark(index_col=...) anchors
+        # crashed UNRESOLVED_COLUMN on the fast path)
+        wdefault = s._internal.index_spark_col if src is None else INDEX_COL
+        w = Window.orderBy(*s._internal.order_columns(wdefault)).rowsBetween(
             -(self._n - 1), Window.currentRow
         )
         valid = F.when(~s._missing_mask(col, sdf), col)

@@ -14,15 +14,19 @@ sort of a slice where that pair repeats). Three fixes, pinned here:
    derivation (diff chains, windowed sources) pairs through the recorded
    _VALUE column (_mat_pair) instead of a label join.
 
-2. UNPAIRABLE ALIGNMENT RAISES LIKE PANDAS. A cross-anchor aligned binop
-   (or masked binop, or any rowalign_left_join payload pull) whose join
-   key repeats on a side raises pandas' 'cannot reindex on an axis with
-   duplicate labels' via the lazy 1-row broadcast-stat idiom
-   (guard_unique_labels), instead of silently multiplying rows k² per
-   repeated key. Ledgered divergence (SCALE.md r13): identical
-   duplicate-label SEQUENCES with no shared lineage raise here where
-   pandas pairs positionally — a spec-None distributed frame has no
-   positional order to pair by.
+2. ALIGNMENT SEMANTICS MEASURED AGAINST pandas 2.x, NOT ASSUMED. The
+   probe MEASURED pandas' duplicate-label rules (the r12 ledger's "pandas
+   raises on duplicate-label arithmetic" was wrong): ARITHMETIC between
+   non-identical duplicate-label sequences is the PER-LABEL CARTESIAN
+   (k_l × k_r rows per label, union of labels) — exactly what the
+   engine's label join produces, so that path stays guard-free. The
+   REINDEX-class ops (where/mask/update/frame setitem) DO raise 'cannot
+   reindex on an axis with duplicate labels' — every rowalign_left_join
+   payload pull guards its right side with the lazy 1-row broadcast-stat
+   idiom. The one engine-only raise: a lineage-proven rowalign whose
+   helper key is NOT total (duplicate labels tying on every order-spec
+   column) — pandas would pair positionally there, the engine cannot,
+   and a loud raise beats k²-wrong rows (ledgered, SCALE.md r13).
 
 3. sort_values IS STABLE WRT THE PRIOR VISIBLE ORDER. Both Series and
    DataFrame sort_values now append the prior order spec as the
@@ -115,33 +119,73 @@ def test_setitem_positional_derivations_no_fanout(spark):
     pd.testing.assert_frame_equal(g, pf, check_dtype=False)
 
 
-# -- 2. unpairable alignment raises --------------------------------------
+# -- 2. measured pandas duplicate-label semantics --------------------------
 
 
-def test_dup_label_differing_sequences_raise(spark):
+def _fanout_same(eres, pres) -> bool:
+    """Compare per-label value MULTISETS: pandas orders the cartesian
+    left-major within a label; the engine's distributed join leaves the
+    intra-label order unspecified (ledgered)."""
+    g = eres.to_pandas()
+    if len(g) != len(pres):
+        return False
+    ek = sorted(zip(g.index, g.fillna(-9e18).values.round(9)))
+    pk = sorted(zip(pres.index, pres.fillna(-9e18).values.round(9)))
+    return ek == pk
+
+
+def test_dup_label_arithmetic_fans_out_like_pandas(spark):
+    # pandas 2.x: per-label cartesian, measured — NOT a raise
     s1 = Series([1.0, 2.0, 3.0], index=[1, 1, 2], spark=spark)
     s2 = Series([10.0, 20.0], index=[1, 2], spark=spark)
-    with pytest.raises(Exception, match="cannot reindex on an axis with duplicate labels"):
-        (s1 + s2).to_pandas()
+    p1 = pd.Series([1.0, 2.0, 3.0], index=[1, 1, 2])
+    p2 = pd.Series([10.0, 20.0], index=[1, 2])
+    assert _fanout_same(s1 + s2, p1 + p2)
+    assert _fanout_same(s1.add(s2, fill_value=0), p1.add(p2, fill_value=0))
 
 
-def test_dup_label_masked_binop_raise(spark):
-    s1 = Series([1.0, 2.0, 3.0], index=[1, 1, 2], spark=spark)
-    s2 = Series([10.0, 20.0], index=[1, 2], spark=spark)
+def test_dup_label_both_sides_cartesian(spark):
+    s1 = Series([0.0, 1.0, 2.0], index=[1, 1, 2], spark=spark)
+    s2 = Series([10.0, 11.0, 12.0], index=[1, 1, 1], spark=spark)
+    p1 = pd.Series([0.0, 1.0, 2.0], index=[1, 1, 2])
+    p2 = pd.Series([10.0, 11.0, 12.0], index=[1, 1, 1])
+    assert _fanout_same(s1 + s2, p1 + p2)  # 2x3 + 1 unmatched = 7 rows
+
+
+def test_dup_label_combine_first_fans_out(spark):
+    s = Series([1.0, 2.0, 3.0], index=[1, 2, 3], spark=spark)
+    o = Series([10.0, 20.0], index=[1, 1], spark=spark)
+    ps = pd.Series([1.0, 2.0, 3.0], index=[1, 2, 3])
+    po = pd.Series([10.0, 20.0], index=[1, 1])
+    assert _fanout_same(s.combine_first(o), ps.combine_first(po))
+
+
+def test_dup_label_rowalign_tie_raises(spark):
+    # lineage-proven rowalign with a NON-total helper key: pandas would
+    # pair positionally (identical sequences); the engine cannot and
+    # raises instead of returning k²-wrong rows (ledgered)
+    from pontem_spark.core import from_spark
+
+    sdf = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (2, 7.0), (2, 7.0)], "i bigint, v double"
+    )
+    f0 = from_spark(sdf, index_col="i")
+    # two independent sorts OF THE SAME ROOT mint identical helper names
+    # from f0's (empty) taken set: equal specs + shared tokens -> the
+    # rowalign path; (i, v) ties on every helper -> unpairable
+    a = f0.sort_values("v")["v"]
+    b = f0.sort_values("v")["v"]
+    with pytest.raises(Exception, match="cannot pair rows positionally"):
+        (a + b).to_pandas()
+
+
+def test_update_dup_label_other_raises(spark):
+    # reindex-class ops DO raise in pandas — the rowalign guard pins it
+    s = Series([1.0, 2.0, 3.0], index=[1, 2, 3], spark=spark)
+    o = Series([10.0, 20.0], index=[1, 1], spark=spark)
+    s.update(o)
     with pytest.raises(Exception, match="cannot reindex"):
-        s1.add(s2, fill_value=0).to_pandas()
-    with pytest.raises(Exception, match="cannot reindex"):
-        (s1 > s2).to_pandas()
-
-
-def test_dup_label_no_shared_lineage_raise_ledgered(spark):
-    # identical sequences but independent anchors: pandas pairs
-    # positionally; the engine has no recorded order to pair by and
-    # raises instead of silently fanning out k² (SCALE.md r13 ledger row)
-    s1 = Series([1.0, 2.0, 3.0], index=[1, 1, 2], spark=spark)
-    s1b = Series([5.0, 6.0, 7.0], index=[1, 1, 2], spark=spark)
-    with pytest.raises(Exception, match="cannot reindex"):
-        (s1 + s1b).to_pandas()
+        s.to_pandas()
 
 
 def test_unique_label_alignment_still_exact(spark):
