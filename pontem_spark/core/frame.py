@@ -3354,7 +3354,18 @@ class DataFrame:
         silently skipping strings would hide the error until an ANSI cast
         throw. Comparisons get the Series missing semantics (NaN/NULL
         compares False, ne True) via the same pushdown-preserving
-        conjunction form as Series._cmp_binop."""
+        conjunction form as Series._cmp_binop. Frame and Series operands
+        dispatch to the aligned forms (r13)."""
+        if isinstance(other, DataFrame):
+            return self._elementwise_frame(
+                op, other, comparison, missing_result, reflected
+            )
+        from pontem_spark.core.series import Series as _PSeries
+
+        if isinstance(other, _PSeries):
+            return self._elementwise_series_columns(
+                op, other, comparison, missing_result, reflected
+            )
         if not isinstance(other, (int, float, bool)):
             raise TypeError(f"frame scalar op needs a numeric scalar, got {type(other).__name__}")
         numeric = set(self._numeric_cols())
@@ -3373,6 +3384,199 @@ class DataFrame:
                 out[k] = (op(l, r) | m) if missing_result else (op(l, r) & ~m)
             else:
                 out[k] = op(l, r)
+        return DataFrame._from_internal(self._internal, out)
+
+    def _col_missing(self, col: Column, sdf) -> Column:
+        """pandas-missing (NULL or float NaN) for an arbitrary column."""
+        try:
+            if sdf.select(col).schema[0].dataType.simpleString() in (
+                "double",
+                "float",
+            ):
+                return col.isNull() | F.isnan(col)
+        except Exception:  # noqa: BLE001 — unresolvable dtype: null-only
+            pass
+        return col.isNull()
+
+    def _elementwise_frame(
+        self, op, other: "DataFrame", comparison: bool,
+        missing_result: bool, reflected: bool,
+    ) -> "DataFrame":
+        """Frame ⊕ frame: pandas aligns BOTH axes — columns by name
+        (sorted union when the sets differ; one-sided columns become NaN)
+        and rows by index. Same-anchor frames compose column-wise (zero
+        joins); cross-anchor frames take ONE full-outer index join with
+        the Series aligner's order rule (the lazy Index.equals stat picks
+        left-order vs sorted-union). Comparisons follow pandas: raise
+        'Can only compare identically-labeled DataFrame objects' unless
+        the column sets match; missing compares False (ne True)."""
+        cols_l, cols_r = dict(self._columns), dict(other._columns)
+        if set(cols_l) != set(cols_r):
+            if comparison:
+                raise ValueError(
+                    "Can only compare identically-labeled DataFrame objects"
+                )
+            union = sorted({*cols_l, *cols_r}, key=str)
+        else:
+            union = list(cols_l)
+
+        def combine(lcol, rcol, l_sdf, r_sdf):
+            ll, rr = (rcol, lcol) if reflected else (lcol, rcol)
+            if comparison:
+                lm = self._col_missing(ll, l_sdf)
+                rm = self._col_missing(rr, r_sdf)
+                raw = op(ll, rr)
+                return (raw | lm | rm) if missing_result else (raw & ~lm & ~rm)
+            return op(ll, rr)
+
+        if other._internal is self._internal:
+            out: dict[str, Column] = {}
+            sdf = self._internal.sdf
+            for c in union:
+                if c in cols_l and c in cols_r:
+                    out[c] = combine(cols_l[c], cols_r[c], sdf, sdf)
+                else:
+                    out[c] = F.lit(None).cast("double")
+            return DataFrame._from_internal(self._internal, out)
+
+        a = self._materialized()
+        b = other._materialized()
+        jl, jr = a.alias("l"), b.alias("r")
+        joined = jl.join(
+            jr, F.col(f"l.{INDEX_COL}") == F.col(f"r.{INDEX_COL}"), "full_outer"
+        )
+        spec = self._internal.order_spec
+        rspec = other._internal.order_spec
+        sel = [
+            F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")).alias(
+                INDEX_COL
+            )
+        ]
+        for c in union:
+            lcol = F.col(f"l.{c}") if c in cols_l else F.lit(None).cast("double")
+            rcol = F.col(f"r.{c}") if c in cols_r else F.lit(None).cast("double")
+            sel.append(combine(lcol, rcol, a, b).alias(c))
+        if spec is None or rspec is None:
+            # sorted union is the pandas-correct order (same argument as
+            # the Series aligner's spec-None branch)
+            sdf = joined.select(*sel)
+            new_spec = None
+        else:
+            # both-sides-custom-ordered: keep the left order while the
+            # visible sequences are identical, else re-sort to the union
+            # index — the Series aligner's lazy Index.equals stat, over
+            # the frame materializations. (Duplicate-label cross-anchor
+            # frames get the per-label cartesian here like pandas
+            # arithmetic; the identical-sequence positional case is
+            # ledgered with the Series spec-None rule.)
+            from pyspark.sql.window import Window
+
+            extras = [
+                n
+                for n, _ in spec
+                if n != INDEX_COL and n in a.columns and n not in union
+            ]
+            sel.extend(F.col(f"l.{n}").alias(n) for n in dict.fromkeys(extras))
+            lw = Window.orderBy(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in spec
+                    if n in a.columns
+                ],
+                F.col(INDEX_COL).asc(),
+            )
+            rw = Window.orderBy(
+                *[
+                    F.col(n).asc() if asc else F.col(n).desc()
+                    for n, asc in rspec
+                    if n in b.columns
+                ],
+                F.col(INDEX_COL).asc(),
+            )
+            mism = (
+                a.select(
+                    F.col(INDEX_COL).alias("__li__"),
+                    F.row_number().over(lw).alias("__lp__"),
+                )
+                .join(
+                    b.select(
+                        F.col(INDEX_COL).alias("__ri__"),
+                        F.row_number().over(rw).alias("__rp__"),
+                    ),
+                    F.col("__lp__") == F.col("__rp__"),
+                    "full_outer",
+                )
+                .agg(
+                    F.max(
+                        F.col("__lp__").isNull()
+                        | F.col("__rp__").isNull()
+                        | ~F.col("__li__").eqNullSafe(F.col("__ri__"))
+                    ).alias("__mism__")
+                )
+            )
+            names = {n for n, _ in spec}
+            k = 0
+            while f"__alunion{k}__" in names:
+                k += 1
+            alunion = f"__alunion{k}__"
+            sdf = joined.crossJoin(F.broadcast(mism)).select(
+                *sel,
+                F.when(
+                    F.col("__mism__"),
+                    F.coalesce(F.col(f"l.{INDEX_COL}"), F.col(f"r.{INDEX_COL}")),
+                ).alias(alunion),
+            )
+            new_spec = ((alunion, True),) + tuple(
+                p for p in spec if p[0] in sdf.columns or p[0] == INDEX_COL
+            )
+        index_name = (
+            self._internal.index_name
+            if self._internal.index_name == other._internal.index_name
+            else None
+        )
+        internal = InternalFrame(sdf, INDEX_COL, index_name, new_spec)
+        return DataFrame._from_internal(internal, {c: sdf[c] for c in union})
+
+    def _elementwise_series_columns(
+        self, op, s, comparison: bool, missing_result: bool, reflected: bool
+    ) -> "DataFrame":
+        """Frame ⊕ Series broadcasts along axis='columns' (the pandas
+        default): the series' labels align to the frame's COLUMN names —
+        the metadata axis, driver-scale by semantics, so collecting the
+        (typically #columns-sized) series is not a distributed-data pull.
+        Labels on one side only become NaN columns; the result's columns
+        are the sorted union when the sets differ, like frame ⊕ frame."""
+        svals = s.to_pandas()
+        if svals.index.has_duplicates:
+            raise ValueError("cannot reindex on an axis with duplicate labels")
+        mapping = dict(svals.items())
+        cols_l = dict(self._columns)
+        if set(cols_l) != set(mapping):
+            if comparison:
+                raise ValueError(
+                    "Can only compare identically-labeled DataFrame objects"
+                )
+            union = sorted({*cols_l, *mapping}, key=str)
+        else:
+            union = list(cols_l)
+        import pandas as pd
+
+        sdf = self._internal.sdf
+        out: dict[str, Column] = {}
+        for c in union:
+            if c in cols_l and c in mapping and not pd.isna(mapping[c]):
+                lcol, rcol = cols_l[c], F.lit(mapping[c])
+                ll, rr = (rcol, lcol) if reflected else (lcol, rcol)
+                if comparison:
+                    lm = self._col_missing(cols_l[c], sdf)
+                    raw = op(ll, rr)
+                    out[c] = (raw | lm) if missing_result else (raw & ~lm)
+                else:
+                    out[c] = op(ll, rr)
+            elif comparison:
+                out[c] = F.lit(missing_result)
+            else:
+                out[c] = F.lit(None).cast("double")
         return DataFrame._from_internal(self._internal, out)
 
     def __add__(self, o): import operator; return self._elementwise_scalar(operator.add, o)
