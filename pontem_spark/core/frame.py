@@ -3554,7 +3554,8 @@ class DataFrame:
         if set(cols_l) != set(mapping):
             if comparison:
                 raise ValueError(
-                    "Can only compare identically-labeled DataFrame objects"
+                    "Operands are not aligned. Do `left, right = left.align("
+                    "right, axis=1, copy=False)` before operating."
                 )
             union = sorted({*cols_l, *mapping}, key=str)
         else:

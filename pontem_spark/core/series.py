@@ -217,6 +217,12 @@ class Series:
     # -- arithmetic / comparison dunders -------------------------------------
 
     def _binop(self, other: Any, op: Callable[[Column, Column], Column], reflected: bool = False) -> "Series":
+        from pontem_spark.core.frame import DataFrame as _PFrame
+
+        if isinstance(other, _PFrame):
+            # Series ⊕ DataFrame → let Python dispatch to the frame's
+            # reflected dunder (column-axis broadcast, r13)
+            return NotImplemented
         if isinstance(other, Series):
             if other._internal.sdf is self._internal.sdf:
                 l, r = (other._col, self._col) if reflected else (self._col, other._col)
@@ -585,6 +591,11 @@ class Series:
         Spark defines NaN = NaN as TRUE, unlike IEEE; r7 probe)."""
         import math as _math
 
+        from pontem_spark.core.frame import DataFrame as _PFrame
+
+        if isinstance(other, _PFrame):
+            # Series ⊕ DataFrame → the frame's reflected dunder (r13)
+            return NotImplemented
         if isinstance(other, Series):
             if other._internal.sdf is self._internal.sdf:
                 lm0 = self._missing_mask(self._col)

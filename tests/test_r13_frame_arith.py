@@ -1,0 +1,95 @@
+"""Round-13 frame-vs-frame / frame-vs-series elementwise arithmetic.
+
+pandas aligns BOTH axes for df ⊕ df: columns by name (sorted union when
+the sets differ, one-sided columns become NaN) and rows by index. df ⊕
+series broadcasts along axis='columns' (the metadata axis). Same-anchor
+frames compose column-wise with zero joins; cross-anchor frames take ONE
+full-outer index join with the Series aligner's lazy Index.equals order
+stat. Comparisons follow pandas: identically-labeled columns required
+(frame-vs-frame raises 'Can only compare identically-labeled DataFrame
+objects', frame-vs-series raises pandas' 'Operands are not aligned'),
+missing compares False (ne True).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pontem_spark.core import DataFrame as PFrame, Series
+
+
+def _eq(eres, pres):
+    g = eres.to_pandas()
+    pd.testing.assert_frame_equal(g, pres, check_dtype=False, check_exact=False, rtol=1e-9)
+
+
+DATA = {"x": [1.0, 2.0, 3.0], "y": [4.0, None, 6.0]}
+IDX = [3, 1, 2]  # non-monotonic: exercises the order stat
+
+
+def test_frame_frame_same_anchor(spark):
+    pf = pd.DataFrame(DATA, index=IDX)
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    _eq(ef + ef, pf + pf)
+    _eq(ef * ef, pf * pf)
+    _eq(ef.eq(ef), pf.eq(pf))
+    _eq(ef.ne(ef), pf.ne(pf))
+
+
+def test_frame_frame_cross_anchor_identical_labels(spark):
+    pf = pd.DataFrame(DATA, index=IDX)
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    pf2 = pd.DataFrame({"x": [10.0, 20.0, 30.0], "y": [1.0, 2.0, 3.0]}, index=IDX)
+    ef2 = PFrame({"x": [10.0, 20.0, 30.0], "y": [1.0, 2.0, 3.0]}, index=IDX, spark=spark)
+    _eq(ef + ef2, pf + pf2)  # non-monotonic order survives (Index.equals stat)
+    _eq(ef / ef2, pf / pf2)
+
+
+def test_frame_frame_union_columns_and_labels(spark):
+    pf = pd.DataFrame(DATA, index=IDX)
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    pf3 = pd.DataFrame({"x": [10.0], "z": [5.0]}, index=[1])
+    ef3 = PFrame({"x": [10.0], "z": [5.0]}, index=[1], spark=spark)
+    _eq(ef + ef3, pf + pf3)  # sorted union columns, NaN one-siders
+
+
+def test_frame_frame_comparison_requires_identical_columns(spark):
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    ef3 = PFrame({"x": [10.0], "z": [5.0]}, index=[1], spark=spark)
+    with pytest.raises(ValueError, match="identically-labeled"):
+        ef.gt(ef3)
+
+
+def test_frame_series_broadcast(spark):
+    pf = pd.DataFrame(DATA, index=IDX)
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    ps = pd.Series({"x": 1.0, "y": 2.0})
+    es = Series([1.0, 2.0], index=["x", "y"], spark=spark)
+    _eq(ef + es, pf + ps)
+    _eq(ef - es, pf - ps)
+    _eq(ef > es, pf > ps)
+    # union when label sets differ
+    ps2 = pd.Series({"x": 1.0, "z": 3.0})
+    es2 = Series([1.0, 3.0], index=["x", "z"], spark=spark)
+    _eq(ef + es2, pf + ps2)
+    with pytest.raises(ValueError, match="not aligned"):
+        ef.gt(es2)
+
+
+def test_series_frame_reflected(spark):
+    pf = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    ef = PFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}, spark=spark)
+    ps = pd.Series({"x": 1.0, "y": 1.0})
+    es = Series([1.0, 1.0], index=["x", "y"], spark=spark)
+    _eq(es - ef, ps - pf)
+    _eq(es + ef, ps + pf)
+    _eq(es > ef, ps > pf)
+
+
+def test_scalar_frame_still_works(spark):
+    pf = pd.DataFrame(DATA, index=IDX)
+    ef = PFrame(DATA, index=IDX, spark=spark)
+    _eq(ef + 1, pf + 1)
+    _eq(10 - ef, 10 - pf)
+    _eq(ef > 2, pf > 2)
