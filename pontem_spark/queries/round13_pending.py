@@ -3,9 +3,12 @@
 NOT registered yet (the staging discipline of rounds 9-13: a new
 registration sorts never-green FIRST and evicts a stale re-check from the
 50-slot window — the r13 window is already budgeted, see round12.py).
-One candidate, turning the r12 duplicate-label alignment campaign PLUS the
-r13 same-anchor positional-op rebuild (both local differential evidence
-only) into a driver row:
+TWO candidates: the first turns the r12 duplicate-label alignment
+campaign PLUS the r13 same-anchor positional-op rebuild (both local
+differential evidence only) into a driver row; the second is first
+driver evidence for the r13 frame ⊕ frame / frame ⊕ Series two-axis
+alignment surface (q_api_frame_align_arith, worth evicting one r10-stale
+re-check per the round13.py window rule):
 
 q_api_rowalign_dup_labels — row-aligned derivation binops over a
 duplicate-label slice, entirely IN-ENGINE (from_spark -> sort_values by a
@@ -112,4 +115,66 @@ def q_api_rowalign_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("delta"), 2).alias("delta"),
         rnd(F.col("csum"), 2).alias("csum"),
         rnd(F.col("share"), 6).alias("share"),
+    )
+
+
+@_pending(
+    "q_api_frame_align_arith",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS k, CAST(SUM(l_quantity) AS DOUBLE) AS qty,
+             CAST(SUM(l_extendedprice) AS DOUBLE) AS revenue
+      FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey
+    ), b AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS revenue,
+             CAST(o_totalprice AS DOUBLE) * 0.1 AS tax
+      FROM orders WHERE o_orderkey <= 2500
+    )
+    SELECT COALESCE(a.k, b.k) AS idx,
+           CAST(NULL AS DOUBLE) AS qty,
+           ROUND((a.revenue + b.revenue) / 2.0, 2) AS revenue,
+           CAST(NULL AS DOUBLE) AS tax
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_api_frame_align_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame ⊕ frame two-axis alignment (r13 surface), in-engine end to
+    end: two from_spark frames with different column sets combine through
+    ``(f1 + f2) / 2`` — columns align by name (sorted union; one-sided
+    columns are all-NaN like pandas), rows align by a full-outer index
+    join, and the scalar divide composes on the result anchor.
+
+    Scale shape: both inputs are predicate-bounded aggregates; the
+    alignment is ONE full-outer hash equi-join on the index plus
+    column-wise Catalyst expressions — no per-column joins, no UDFs, no
+    driver materialization."""
+    from pontem_spark.core import from_spark
+    from pontem_spark.functions.compat import rnd
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.sum("l_quantity").cast("double").alias("qty"),
+            F.sum("l_extendedprice").cast("double").alias("revenue"),
+        )
+    )
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_totalprice").cast("double").alias("revenue"),
+            (F.col("o_totalprice").cast("double") * 0.1).alias("tax"),
+        )
+    )
+    f1 = from_spark(li, index_col="k")
+    f2 = from_spark(od, index_col="k")
+    g = (f1 + f2) / 2
+    return g.to_spark("idx").select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.col("qty").cast("double").alias("qty"),
+        rnd(F.col("revenue"), 2).alias("revenue"),
+        F.col("tax").cast("double").alias("tax"),
     )
