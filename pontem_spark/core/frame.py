@@ -3368,16 +3368,26 @@ class DataFrame:
             )
         if not isinstance(other, (int, float, bool)):
             raise TypeError(f"frame scalar op needs a numeric scalar, got {type(other).__name__}")
-        numeric = set(self._numeric_cols())
-        bad = [c for c in self._columns if c not in numeric]
-        if bad:
-            raise TypeError(f"non-numeric columns {bad}")
         schema = {
             f.name: f.dataType.simpleString()
             for f in self._materialized().schema.fields
         }
+        numeric = set(self._numeric_cols())
+        # pandas upcasts boolean columns to int for arithmetic
+        # ((df > 0) * 2 is an int frame), so booleans count as numeric
+        bad = [
+            c
+            for c in self._columns
+            if c not in numeric and schema.get(c) != "boolean"
+        ]
+        if bad:
+            raise TypeError(f"non-numeric columns {bad}")
         out: dict[str, Column] = {}
         for k, v in self._columns.items():
+            if schema.get(k) == "boolean":
+                # pandas treats booleans as 0/1 against a numeric scalar,
+                # for arithmetic AND comparisons ((df > 0) > 0 works)
+                v = v.cast("int")
             l, r = (F.lit(other), v) if reflected else (v, F.lit(other))
             if comparison:
                 m = self._missing_mask(k, schema)
@@ -3420,7 +3430,36 @@ class DataFrame:
         else:
             union = list(cols_l)
 
+        import operator as _operator
+
+        def _dtype_of(col, sdf):
+            try:
+                return sdf.select(col).schema[0].dataType.simpleString()
+            except Exception:  # noqa: BLE001
+                return None
+
         def combine(lcol, rcol, l_sdf, r_sdf):
+            if not comparison:
+                ldt, rdt = _dtype_of(lcol, l_sdf), _dtype_of(rcol, r_sdf)
+                if ldt == "boolean" and rdt == "boolean":
+                    # numpy/pandas bool-frame arithmetic: + is OR, * is
+                    # AND, - raises, / divides the int upcasts
+                    if op is _operator.add:
+                        return lcol | rcol
+                    if op is _operator.mul:
+                        return lcol & rcol
+                    if op is _operator.sub:
+                        raise TypeError(
+                            "numpy boolean subtract, the `-` operator, is "
+                            "not supported, use the bitwise_xor, the `^` "
+                            "operator, or the logical_xor function instead."
+                        )
+                    lcol, rcol = lcol.cast("int"), rcol.cast("int")
+                else:
+                    if ldt == "boolean":
+                        lcol = lcol.cast("int")
+                    if rdt == "boolean":
+                        rcol = rcol.cast("int")
             ll, rr = (rcol, lcol) if reflected else (lcol, rcol)
             if comparison:
                 lm = self._col_missing(ll, l_sdf)

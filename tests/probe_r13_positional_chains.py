@@ -109,6 +109,13 @@ UNARY = [
     ),
     ("sorti", lambda s: s.sort_index(kind="stable"), lambda s: s.sort_index()),
     ("abs", lambda s: s.abs(), lambda s: s.abs()),
+    ("interp", lambda s: s.interpolate(), lambda s: s.interpolate()),
+    ("fill0", lambda s: s.fillna(0.0), lambda s: s.fillna(0.0)),
+    (
+        "rankavg",
+        lambda s: s.rank(),
+        lambda s: s.rank(),
+    ),
 ]
 
 BINOP = [

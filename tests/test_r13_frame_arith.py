@@ -87,6 +87,18 @@ def test_series_frame_reflected(spark):
     _eq(es > ef, ps > pf)
 
 
+def test_bool_frame_arithmetic_numpy_semantics(spark):
+    pb = pd.DataFrame({"a": [True, False], "b": [False, True]})
+    eb = PFrame({"a": [True, False], "b": [False, True]}, spark=spark)
+    _eq(eb + eb, pb + pb)  # numpy bool add = OR
+    _eq(eb * eb, pb * pb)  # numpy bool mul = AND
+    with pytest.raises(TypeError, match="boolean subtract"):
+        eb - eb
+    _eq(eb * 2, pb * 2)  # scalar upcasts to int
+    _eq(eb + 1.5, pb + 1.5)
+    _eq(eb > 0, pb > 0)  # comparison upcasts too ((df>0)>0 chains)
+
+
 def test_scalar_frame_still_works(spark):
     pf = pd.DataFrame(DATA, index=IDX)
     ef = PFrame(DATA, index=IDX, spark=spark)
