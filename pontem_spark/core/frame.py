@@ -3348,6 +3348,7 @@ class DataFrame:
     def _elementwise_scalar(
         self, op, other, comparison: bool = False,
         missing_result: bool = False, reflected: bool = False,
+        fill_value=None,
     ) -> "DataFrame":
         """Frame ⊕ scalar per numeric column. pandas raises on non-numeric
         columns (mixed-frame arithmetic with a scalar), so we do too —
@@ -3358,7 +3359,8 @@ class DataFrame:
         dispatch to the aligned forms (r13)."""
         if isinstance(other, DataFrame):
             return self._elementwise_frame(
-                op, other, comparison, missing_result, reflected
+                op, other, comparison, missing_result, reflected,
+                fill_value=fill_value,
             )
         from pontem_spark.core.series import Series as _PSeries
 
@@ -3388,6 +3390,11 @@ class DataFrame:
                 # pandas treats booleans as 0/1 against a numeric scalar,
                 # for arithmetic AND comparisons ((df > 0) > 0 works)
                 v = v.cast("int")
+            if fill_value is not None and not comparison:
+                # named-op fill_value: missing cells take the fill before
+                # the scalar op (the scalar side is never missing)
+                m = self._missing_mask(k, schema)
+                v = F.when(m, F.lit(fill_value)).otherwise(v)
             l, r = (F.lit(other), v) if reflected else (v, F.lit(other))
             if comparison:
                 m = self._missing_mask(k, schema)
@@ -3410,7 +3417,7 @@ class DataFrame:
 
     def _elementwise_frame(
         self, op, other: "DataFrame", comparison: bool,
-        missing_result: bool, reflected: bool,
+        missing_result: bool, reflected: bool, fill_value=None,
     ) -> "DataFrame":
         """Frame ⊕ frame: pandas aligns BOTH axes — columns by name
         (sorted union when the sets differ; one-sided columns become NaN)
@@ -3460,6 +3467,13 @@ class DataFrame:
                         lcol = lcol.cast("int")
                     if rdt == "boolean":
                         rcol = rcol.cast("int")
+            if fill_value is not None and not comparison:
+                # pandas fill_value: a cell missing on exactly ONE side is
+                # replaced before the op; both-missing stays missing
+                lm = self._col_missing(lcol, l_sdf)
+                rm = self._col_missing(rcol, r_sdf)
+                lcol = F.when(lm & ~rm, F.lit(fill_value)).otherwise(lcol)
+                rcol = F.when(rm & ~lm, F.lit(fill_value)).otherwise(rcol)
             ll, rr = (rcol, lcol) if reflected else (lcol, rcol)
             if comparison:
                 lm = self._col_missing(ll, l_sdf)
@@ -3468,12 +3482,20 @@ class DataFrame:
                 return (raw | lm | rm) if missing_result else (raw & ~lm & ~rm)
             return op(ll, rr)
 
+        _absent = F.lit(None).cast("double")
         if other._internal is self._internal:
             out: dict[str, Column] = {}
             sdf = self._internal.sdf
             for c in union:
                 if c in cols_l and c in cols_r:
                     out[c] = combine(cols_l[c], cols_r[c], sdf, sdf)
+                elif fill_value is not None:
+                    # absent side = all-missing column; combine's
+                    # one-side-missing rule fills it with fill_value and
+                    # keeps both-missing cells NaN, exactly pandas
+                    out[c] = combine(
+                        cols_l.get(c, _absent), cols_r.get(c, _absent), sdf, sdf
+                    )
                 else:
                     out[c] = F.lit(None).cast("double")
             return DataFrame._from_internal(self._internal, out)
@@ -3492,9 +3514,12 @@ class DataFrame:
             )
         ]
         for c in union:
-            lcol = F.col(f"l.{c}") if c in cols_l else F.lit(None).cast("double")
-            rcol = F.col(f"r.{c}") if c in cols_r else F.lit(None).cast("double")
-            sel.append(combine(lcol, rcol, a, b).alias(c))
+            lcol = F.col(f"l.{c}") if c in cols_l else _absent
+            rcol = F.col(f"r.{c}") if c in cols_r else _absent
+            if c in cols_l and c in cols_r or fill_value is not None:
+                sel.append(combine(lcol, rcol, a, b).alias(c))
+            else:
+                sel.append(F.lit(None).cast("double").alias(c))
         if spec is None or rspec is None:
             # sorted union is the pandas-correct order (same argument as
             # the Series aligner's spec-None branch)
@@ -3628,14 +3653,23 @@ class DataFrame:
     def __truediv__(self, o): import operator; return self._elementwise_scalar(operator.truediv, o)
     def __rtruediv__(self, o): import operator; return self._elementwise_scalar(operator.truediv, o, reflected=True)
 
-    def add(self, other): return self + other
-    def radd(self, other): return other + self
-    def sub(self, other): return self - other
-    def rsub(self, other): return self.__rsub__(other)
-    def mul(self, other): return self * other
-    def rmul(self, other): return self.__rmul__(other)
-    def div(self, other): return self / other
-    def rdiv(self, other): return self.__rtruediv__(other)
+    def _named_op(self, opname, other, fill_value, reflected=False):
+        import operator
+
+        op = {"add": operator.add, "sub": operator.sub,
+              "mul": operator.mul, "div": operator.truediv}[opname]
+        return self._elementwise_scalar(
+            op, other, reflected=reflected, fill_value=fill_value
+        )
+
+    def add(self, other, fill_value=None): return self._named_op("add", other, fill_value)
+    def radd(self, other, fill_value=None): return self._named_op("add", other, fill_value, reflected=True)
+    def sub(self, other, fill_value=None): return self._named_op("sub", other, fill_value)
+    def rsub(self, other, fill_value=None): return self._named_op("sub", other, fill_value, reflected=True)
+    def mul(self, other, fill_value=None): return self._named_op("mul", other, fill_value)
+    def rmul(self, other, fill_value=None): return self._named_op("mul", other, fill_value, reflected=True)
+    def div(self, other, fill_value=None): return self._named_op("div", other, fill_value)
+    def rdiv(self, other, fill_value=None): return self._named_op("div", other, fill_value, reflected=True)
     truediv = div
     rtruediv = rdiv
     multiply = mul

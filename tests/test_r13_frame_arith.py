@@ -99,6 +99,18 @@ def test_bool_frame_arithmetic_numpy_semantics(spark):
     _eq(eb > 0, pb > 0)  # comparison upcasts too ((df>0)>0 chains)
 
 
+def test_named_methods_fill_value(spark):
+    pf = pd.DataFrame({"x": [1.0, None, 3.0], "y": [4.0, 5.0, None]}, index=[3, 1, 2])
+    ef = PFrame({"x": [1.0, None, 3.0], "y": [4.0, 5.0, None]}, index=[3, 1, 2], spark=spark)
+    pf3 = pd.DataFrame({"x": [10.0, None], "z": [5.0, 6.0]}, index=[1, 9])
+    ef3 = PFrame({"x": [10.0, None], "z": [5.0, 6.0]}, index=[1, 9], spark=spark)
+    _eq(ef.add(ef3, fill_value=0), pf.add(pf3, fill_value=0))
+    _eq(ef.sub(ef3, fill_value=1), pf.sub(pf3, fill_value=1))
+    _eq(ef.add(ef, fill_value=0), pf.add(pf, fill_value=0))  # same-anchor
+    _eq(ef.add(2, fill_value=0), pf.add(2, fill_value=0))  # scalar
+    _eq(ef.rdiv(ef3, fill_value=2), pf.rdiv(pf3, fill_value=2))
+
+
 def test_scalar_frame_still_works(spark):
     pf = pd.DataFrame(DATA, index=IDX)
     ef = PFrame(DATA, index=IDX, spark=spark)
