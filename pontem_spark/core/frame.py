@@ -83,7 +83,9 @@ class DataFrame:
                 k += 1
             upload[ctor] = np.arange(len(upload), dtype="int64")
             spec = ((ctor, True),)
-        sdf = spark.createDataFrame(upload)
+        from pontem_spark.core.internal import devoid
+
+        sdf = devoid(spark.createDataFrame(upload))
         self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name, spec)
         self._columns: dict[str, Column] = {c: sdf[c] for c in cols}
 

@@ -65,6 +65,19 @@ def to_spark_type(dtype: Any) -> str:
     raise TypeError(f"unsupported dtype for astype: {dtype!r}")
 
 
+def devoid(sdf: SparkDataFrame) -> SparkDataFrame:
+    """Cast NullType ('void') columns to double. An all-missing column in
+    a driver-local ctor arrives as Spark NullType, which no arithmetic,
+    comparison, or writer accepts — pandas treats such a column as float
+    NaN in any numeric context (r13 frame-chain probe, seed 104)."""
+    voids = [
+        f.name for f in sdf.schema.fields if f.dataType.simpleString() == "void"
+    ]
+    for n in voids:
+        sdf = sdf.withColumn(n, F.col(n).cast("double"))
+    return sdf
+
+
 def guard_unique_labels(
     source: SparkDataFrame, label_col: str, out: SparkDataFrame, out_label_col: str
 ) -> SparkDataFrame:
@@ -269,5 +282,5 @@ class InternalFrame:
         if not mono:
             pdf["__ctor__"] = np.arange(len(pdf), dtype="int64")
             spec = (("__ctor__", True),)
-        sdf = spark.createDataFrame(pdf)
+        sdf = devoid(spark.createDataFrame(pdf))
         return InternalFrame(sdf, INDEX_COL, order_spec=spec), data_name

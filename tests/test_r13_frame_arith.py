@@ -111,6 +111,19 @@ def test_named_methods_fill_value(spark):
     _eq(ef.rdiv(ef3, fill_value=2), pf.rdiv(pf3, fill_value=2))
 
 
+def test_all_missing_ctor_column_is_double(spark):
+    """An all-None ctor column must arrive as double (NaN), not Spark
+    NullType — 'void' breaks every downstream op (r13 probe seed 104)."""
+    ef = PFrame({"a": [1.0, None, 2.0], "b": [None, None, None]}, spark=spark)
+    assert dict(ef._materialized().dtypes)["b"] == "double"
+    pf = pd.DataFrame({"a": [1.0, None, 2.0], "b": [None, None, None]}, dtype="float64")
+    _eq((ef - (ef * 0 + 1)) > 0, (pf - (pf * 0 + 1)) > 0)
+    from pontem_spark.core import Series
+
+    es = Series([None, None], index=[1, 2], spark=spark)
+    assert str(es.fillna(0.0).to_pandas().dtype) == "float64"
+
+
 def test_scalar_frame_still_works(spark):
     pf = pd.DataFrame(DATA, index=IDX)
     ef = PFrame(DATA, index=IDX, spark=spark)
