@@ -91,6 +91,16 @@ CHANGED_IN_ROUND = {
     # lineitem shuffle instead of two); identical pair set, but the
     # changed plan must earn a fresh driver row
     "q_graph_triangles": 9,
+    # r13: the same-anchor positional-composition rebuild changed the
+    # executed plans (rowalign join -> single-scan Window) of every query
+    # routing through window-free shift/ffill/rolling/ewm/resample
+    # machinery; semantics verified unchanged at sf0.01, but plan-changed
+    # counts as changed — earn fresh driver rows early.
+    "q_api_where_ffill_rolling": 13,
+    "q_api_interpolate_ffill": 13,
+    "q_api_ewm_mean": 13,
+    "q_ts_series_resample": 13,
+    "q_ts_asfreq": 13,
 }
 
 
@@ -159,6 +169,7 @@ def all_queries() -> dict[str, Query]:
         round10,
         round11,
         round12,
+        round13,
     )
 
     order = {n: i for i, n in enumerate(_REGISTRY)}
