@@ -245,6 +245,17 @@ class InternalFrame:
 
         spark = spark or default_session()
 
+        from collections.abc import Mapping as _Mapping
+
+        if isinstance(data, _Mapping):
+            # pandas: dict keys become the index; an explicit index
+            # REINDEXES by label (missing labels -> NaN), it does not
+            # relabel positionally (r14 probe: the dict ctor previously
+            # took the keys as the VALUES)
+            data = pd.Series(data)
+            if index is not None:
+                data = data.reindex(list(index))
+                index = None
         if isinstance(data, pd.Series):
             if index is None:
                 index = data.index.to_numpy()

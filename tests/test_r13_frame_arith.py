@@ -5,10 +5,13 @@ the sets differ, one-sided columns become NaN) and rows by index. df ⊕
 series broadcasts along axis='columns' (the metadata axis). Same-anchor
 frames compose column-wise with zero joins; cross-anchor frames take ONE
 full-outer index join with the Series aligner's lazy Index.equals order
-stat. Comparisons follow pandas: identically-labeled columns required
-(frame-vs-frame raises 'Can only compare identically-labeled DataFrame
-objects', frame-vs-series raises pandas' 'Operands are not aligned'),
-missing compares False (ne True).
+stat. Comparisons follow pandas 2.2 as MEASURED in r14: the DUNDER
+comparisons require identically-labeled operands (frame-vs-frame raises
+'Can only compare identically-labeled (both index and columns) DataFrame
+objects' — eagerly for column labels, lazily in-plan for row labels —
+and frame-vs-series raises 'Operands are not aligned'); the NAMED
+comparisons (eq/ne/lt/le/gt/ge) ALIGN both axes like arithmetic.
+Missing compares False (ne True).
 """
 
 from __future__ import annotations
@@ -55,10 +58,17 @@ def test_frame_frame_union_columns_and_labels(spark):
 
 
 def test_frame_frame_comparison_requires_identical_columns(spark):
+    """r14 correction: pandas' NAMED comparisons ALIGN (outer union both
+    axes, missing -> False); only the DUNDER comparisons require
+    identically-labeled operands (measured, pandas 2.2.2)."""
+    pf = pd.DataFrame(DATA, index=IDX)
     ef = PFrame(DATA, index=IDX, spark=spark)
+    pf3 = pd.DataFrame({"x": [10.0], "z": [5.0]}, index=[1])
     ef3 = PFrame({"x": [10.0], "z": [5.0]}, index=[1], spark=spark)
     with pytest.raises(ValueError, match="identically-labeled"):
-        ef.gt(ef3)
+        ef > ef3
+    _eq(ef.gt(ef3), pf.gt(pf3))
+    _eq(ef.ne(ef3), pf.ne(pf3))
 
 
 def test_frame_series_broadcast(spark):
@@ -73,8 +83,11 @@ def test_frame_series_broadcast(spark):
     ps2 = pd.Series({"x": 1.0, "z": 3.0})
     es2 = Series([1.0, 3.0], index=["x", "z"], spark=spark)
     _eq(ef + es2, pf + ps2)
+    # r14 correction: only the DUNDER comparison raises on label
+    # mismatch; the named form aligns (measured, pandas 2.2.2)
     with pytest.raises(ValueError, match="not aligned"):
-        ef.gt(es2)
+        ef > es2
+    _eq(ef.gt(es2), pf.gt(ps2))
 
 
 def test_series_frame_reflected(spark):
