@@ -52,11 +52,37 @@ class DataFrame:
             raise ValueError("DataFrame requires data")
         pdf = data if isinstance(data, pd.DataFrame) else pd.DataFrame(data)
         if index is not None:
-            pdf = pdf.set_axis(list(index), axis=0)
+            # a real pd.MultiIndex stays multi-level; any other iterable
+            # (including a list of tuples) is a flat index, like pandas
+            pdf = pdf.set_axis(
+                index if isinstance(index, pd.MultiIndex) else list(index),
+                axis=0,
+            )
         spark = spark or default_session()
         cols = [str(c) for c in pdf.columns]
-        upload = pdf.reset_index().rename(columns={"index": INDEX_COL})
-        upload.columns = [INDEX_COL] + cols
+        if isinstance(pdf.index, pd.MultiIndex):
+            # struct-backed MultiIndex, same representation as
+            # set_index([k1, k2]) — one struct column whose field ORDER
+            # is the level order (struct sort == MultiIndex sort).
+            # index_name keeps the TRUE level names (None preserved, so
+            # to_pandas round-trips unnamed levels); struct fields fall
+            # back to level_{i} — _index_level_names/reset_index resolve
+            # display names against the schema (r14).
+            mi = pdf.index
+            upload = pdf.reset_index(drop=True)
+            upload.columns = cols
+            lvl_fields = [
+                str(n) if n is not None else f"level_{i}"
+                for i, n in enumerate(mi.names)
+            ]
+            for i, fld in enumerate(lvl_fields):
+                upload.insert(i, fld, mi.get_level_values(i).to_numpy())
+            mi_name: "tuple | None" = tuple(mi.names)
+        else:
+            upload = pdf.reset_index().rename(columns={"index": INDEX_COL})
+            upload.columns = [INDEX_COL] + cols
+            lvl_fields = None
+            mi_name = None
         # pandas preserves CONSTRUCTION order; with a non-monotonic explicit
         # index, "sort by index at materialization" (spec None) would both
         # display differently AND feed positional ops (shift/cumsum/head)
@@ -86,7 +112,13 @@ class DataFrame:
         from pontem_spark.core.internal import devoid
 
         sdf = devoid(spark.createDataFrame(upload))
-        self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name, spec)
+        if lvl_fields is not None:
+            sdf = sdf.withColumn(
+                INDEX_COL, F.struct(*[F.col(n) for n in lvl_fields])
+            ).drop(*lvl_fields)
+            self._internal = InternalFrame(sdf, INDEX_COL, mi_name, spec)
+        else:
+            self._internal = InternalFrame(sdf, INDEX_COL, pdf.index.name, spec)
         self._columns: dict[str, Column] = {c: sdf[c] for c in cols}
 
     @classmethod
@@ -180,6 +212,10 @@ class DataFrame:
                     names=list(name),
                 )
             return pdf.drop(columns=[INDEX_COL]).set_index(idx)
+        if len(pdf) and isinstance(pdf[INDEX_COL].iloc[0], dict):
+            # a FLAT index of python tuples uploads as a struct column;
+            # convert the Arrow dicts back to tuples (r14 probe C9)
+            pdf[INDEX_COL] = [tuple(r.values()) for r in pdf[INDEX_COL]]
         out = pdf.set_index(INDEX_COL)
         out.index.name = name
         return out
@@ -1792,8 +1828,13 @@ class DataFrame:
         cols: dict[str, Column] = {}
         if not drop:
             if isinstance(name, tuple):  # MultiIndex → one column per level
-                for level in name:
-                    cols[str(level)] = sdf[INDEX_COL][level]
+                # address struct fields via the SCHEMA (unnamed ctor
+                # levels store None in index_name but level_{i} in the
+                # struct — r14); pandas names the output columns
+                # level_{i} for unnamed levels too
+                fields = sdf.schema[INDEX_COL].dataType.names
+                for level, fld in zip(name, fields):
+                    cols[str(level) if level is not None else fld] = sdf[INDEX_COL][fld]
             else:
                 cols[str(name)] = sdf[INDEX_COL]
         collisions = sorted(set(cols) & set(self._columns))
@@ -2635,6 +2676,12 @@ class DataFrame:
         name = self._internal.index_name
         if not isinstance(name, tuple):
             raise TypeError("not a MultiIndex")
+        if any(n is None for n in name):
+            # ctor MultiIndexes keep pandas' unnamed levels (None) in
+            # index_name; the struct schema holds the level_{i} fallback
+            # field names the level machinery addresses (r14)
+            fields = self._materialized().schema[INDEX_COL].dataType.names
+            return [n if n is not None else f for n, f in zip(name, fields)]
         return list(name)
 
     def droplevel(self, level) -> "DataFrame":
@@ -3624,6 +3671,14 @@ class DataFrame:
             return DataFrame._from_internal(self._internal, out)
 
         # ---- cross-anchor ----------------------------------------------
+        # MultiIndex vs flat (or differing level counts) cannot align —
+        # pandas raises before any data moves, and the struct-vs-scalar
+        # join would be a DATATYPE_MISMATCH anyway (r14 probe M4)
+        lnm, rnm = self._internal.index_name, other._internal.index_name
+        lmi = isinstance(lnm, tuple)
+        rmi = isinstance(rnm, tuple)
+        if lmi != rmi or (lmi and rmi and len(lnm) != len(rnm)):
+            raise ValueError("cannot join with no overlapping index names")
         a = self._materialized()
         b = other._materialized("__frv__") if is_series else other._materialized()
         ldts = {c: a.schema[c].dataType.simpleString() for c in cols_l}

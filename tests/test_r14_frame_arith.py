@@ -283,3 +283,45 @@ def test_chained_cross_anchor_values(spark):
     e = (E(NANDATA, IDX, spark=spark) + E(NANDATA, IDX, spark=spark)) + E(NANDATA, IDX, spark=spark)
     p = (P(NANDATA, IDX) + P(NANDATA, IDX)) + P(NANDATA, IDX)
     _eq(e, p)
+
+
+# ---- MultiIndex alignment + ctor (r14) ----------------------------------
+
+
+def test_ctor_multiindex_roundtrip(spark):
+    mi = pd.MultiIndex.from_tuples([(1, "a"), (1, "b"), (2, "a")])
+    _eq(PFrame({"x": [1.0, 2.0, 3.0]}, index=mi, spark=spark),
+        pd.DataFrame({"x": [1.0, 2.0, 3.0]}, index=mi))
+    named = pd.MultiIndex.from_tuples(
+        [(2, "b"), (1, "a"), (2, "a")], names=["g", "k"]
+    )  # non-monotonic: ctor order helper engages
+    _eq(PFrame({"x": [1.0, 2.0, 3.0]}, index=named, spark=spark),
+        pd.DataFrame({"x": [1.0, 2.0, 3.0]}, index=named))
+
+
+def test_ctor_multiindex_reset_index_and_xs(spark):
+    mi = pd.MultiIndex.from_tuples([(1, "a"), (1, "b"), (2, "a")])
+    _eq(PFrame({"x": [1.0, 2.0, 3.0]}, index=mi, spark=spark).reset_index(),
+        pd.DataFrame({"x": [1.0, 2.0, 3.0]}, index=mi).reset_index())
+    named = pd.MultiIndex.from_tuples(
+        [(1, "a"), (1, "b"), (2, "a")], names=["g", "k"]
+    )
+    _eq(PFrame({"x": [1.0, 2.0, 3.0]}, index=named, spark=spark).xs(1, level="g"),
+        pd.DataFrame({"x": [1.0, 2.0, 3.0]}, index=named).xs(1, level="g"))
+
+
+def test_multiindex_cross_anchor_binops(spark):
+    mk = lambda d: PFrame(d, spark=spark).set_index(["g", "k"])
+    pk = lambda d: pd.DataFrame(d).set_index(["g", "k"])
+    D1 = {"g": [1, 1, 2], "k": ["a", "b", "a"], "x": [1.0, 2.0, 3.0]}
+    D2 = {"g": [1, 1, 2], "k": ["a", "b", "a"], "x": [10.0, 20.0, 30.0]}
+    D3 = {"g": [2, 1], "k": ["a", "b"], "x": [100.0, 200.0]}
+    _eq(mk(D1) + mk(D2), pk(D1) + pk(D2))
+    _eq(mk(D1) + mk(D3), pk(D1) + pk(D3))  # differing labels: union
+    _eq(mk(D1) == mk(D2), pk(D1) == pk(D2))
+
+
+def test_multiindex_vs_flat_raises(spark):
+    mi = pd.MultiIndex.from_tuples([(1, "a"), (2, "b")])
+    with pytest.raises(ValueError, match="no overlapping index names"):
+        PFrame({"x": [1.0, 2.0]}, index=mi, spark=spark) + PFrame({"x": [1.0, 2.0]}, spark=spark)
