@@ -15,9 +15,10 @@ from pontem_spark.queries.round10_pending import PENDING as PENDING_D
 from pontem_spark.queries.round11_pending import PENDING as PENDING_E
 from pontem_spark.queries.round12_pending import PENDING as PENDING_F
 from pontem_spark.queries.round13_pending import PENDING as PENDING_G
+from pontem_spark.queries.round14_pending import PENDING as PENDING_H
 
 PENDING = (
-    PENDING_A + PENDING_B + PENDING_C + PENDING_D + PENDING_E + PENDING_F + PENDING_G
+    PENDING_A + PENDING_B + PENDING_C + PENDING_D + PENDING_E + PENDING_F + PENDING_G + PENDING_H
 )
 
 
