@@ -109,9 +109,14 @@ class DataFrame:
                 k += 1
             upload[ctor] = np.arange(len(upload), dtype="int64")
             spec = ((ctor, True),)
-        from pontem_spark.core.internal import devoid
+        from pontem_spark.core.internal import devoid, empty_upload_schema
 
-        sdf = devoid(spark.createDataFrame(upload))
+        if len(upload) == 0:
+            sdf = devoid(
+                spark.createDataFrame(upload, schema=empty_upload_schema(upload))
+            )
+        else:
+            sdf = devoid(spark.createDataFrame(upload))
         if lvl_fields is not None:
             sdf = sdf.withColumn(
                 INDEX_COL, F.struct(*[F.col(n) for n in lvl_fields])

@@ -65,6 +65,32 @@ def to_spark_type(dtype: Any) -> str:
     raise TypeError(f"unsupported dtype for astype: {dtype!r}")
 
 
+def empty_upload_schema(pdf) -> str:
+    """Explicit DDL schema for a ZERO-ROW pandas upload — Spark refuses
+    to infer from an empty dataset (r14 probe R8: ``DataFrame({"x": []})``
+    crashed with CANNOT_INFER_EMPTY_SCHEMA). pandas dtypes map through;
+    object (the dtype of an empty python list / empty index) degrades to
+    string for the index and double for value columns, matching pandas'
+    float64 default for empty columns."""
+    parts = []
+    for c in pdf.columns:
+        s = str(pdf[c].dtype).lower()
+        if s.startswith("float"):
+            t = "double"
+        elif s.startswith(("int", "uint")):
+            t = "bigint"
+        elif s == "bool":
+            t = "boolean"
+        elif s.startswith("datetime"):
+            t = "timestamp"
+        elif c == INDEX_COL:
+            t = "string"
+        else:
+            t = "double"
+        parts.append(f"`{c}` {t}")
+    return ", ".join(parts)
+
+
 def devoid(sdf: SparkDataFrame) -> SparkDataFrame:
     """Cast NullType ('void') columns to double. An all-missing column in
     a driver-local ctor arrives as Spark NullType, which no arithmetic,
@@ -293,5 +319,10 @@ class InternalFrame:
         if not mono:
             pdf["__ctor__"] = np.arange(len(pdf), dtype="int64")
             spec = (("__ctor__", True),)
-        sdf = devoid(spark.createDataFrame(pdf))
+        if len(pdf) == 0:
+            sdf = devoid(
+                spark.createDataFrame(pdf, schema=empty_upload_schema(pdf))
+            )
+        else:
+            sdf = devoid(spark.createDataFrame(pdf))
         return InternalFrame(sdf, INDEX_COL, order_spec=spec), data_name

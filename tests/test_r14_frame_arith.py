@@ -325,3 +325,57 @@ def test_multiindex_vs_flat_raises(spark):
     mi = pd.MultiIndex.from_tuples([(1, "a"), (2, "b")])
     with pytest.raises(ValueError, match="no overlapping index names"):
         PFrame({"x": [1.0, 2.0]}, index=mi, spark=spark) + PFrame({"x": [1.0, 2.0]}, spark=spark)
+
+
+# ---- round-2 probe pins (reflected/ordered/empty seams) -----------------
+
+
+def test_reflected_named_ops(spark):
+    s = pd.Series([10.0, 20.0, 30.0], index=IDX)
+    es = Series([10.0, 20.0, 30.0], index=IDX, spark=spark)
+    _eq(E(NANDATA, IDX, spark=spark).rsub(es, axis=0), P(NANDATA, IDX).rsub(s, axis=0))
+    _eq(E({"x": [3.0, -4.0, 5.0]}, IDX, spark=spark).rmod(7),
+        P({"x": [3.0, -4.0, 5.0]}, IDX).rmod(7))
+    _eq(E(NANDATA, IDX, spark=spark).rpow(2), P(NANDATA, IDX).rpow(2))
+    _eq("q" + E({"s": ["a", "b"]}, spark=spark), "q" + P({"s": ["a", "b"]}))
+
+
+def test_axis0_cross_anchor_nonmonotonic_series(spark):
+    s2 = pd.Series([1.0, 2.0, 3.0], index=[2, 1, 3])
+    es2 = Series([1.0, 2.0, 3.0], index=[2, 1, 3], spark=spark)
+    _eq(E(NANDATA, IDX, spark=spark).add(es2, axis=0),
+        P(NANDATA, IDX).add(s2, axis=0))
+
+
+def test_named_comparison_dup_labels_aligns(spark):
+    _eq(E({"x": [1.0, 2.0, 3.0]}, [1, 1, 2], spark=spark).eq(
+        E({"x": [1.0, 20.0, 3.0]}, [1, 2, 2], spark=spark)),
+        P({"x": [1.0, 2.0, 3.0]}, [1, 1, 2]).eq(P({"x": [1.0, 20.0, 3.0]}, [1, 2, 2])))
+
+
+def test_empty_frame_ctor_and_align(spark):
+    """r14 probe R8: Spark refuses schema inference on empty uploads —
+    the ctor now passes an explicit DDL schema from the pandas dtypes."""
+    _eq(E({"x": []}, spark=spark) + E({"x": [1.0, 2.0]}, spark=spark),
+        P({"x": []}) + P({"x": [1.0, 2.0]}))
+    _eq(E({"x": [], "y": []}, spark=spark), P({"x": [], "y": []}))
+    assert Series([], spark=spark).sum() == 0
+
+
+def test_mixed_chain_same_then_cross_anchor(spark):
+    pf, pf2 = P(NANDATA, IDX), P(NANDATA, IDX)
+    ef, ef2 = E(NANDATA, IDX, spark=spark), E(NANDATA, IDX, spark=spark)
+    _eq(((ef * 2) - ef2).mod(5), ((pf * 2) - pf2).mod(5))
+
+
+def test_pow_frame_cross_anchor_special_cases(spark):
+    # NaN ** 0 == 1.0 survives the cross-anchor join (dtype-resolved mask)
+    _eq(E({"x": [2.0, 3.0, NAN]}, IDX, spark=spark) ** E({"x": [2.0, 0.0, 0.0]}, IDX, spark=spark),
+        P({"x": [2.0, 3.0, NAN]}, IDX) ** P({"x": [2.0, 0.0, 0.0]}, IDX))
+
+
+# Ledgered deviation (r14 probe R6): pandas columns holding None among
+# booleans are OBJECT dtype and arithmetic runs python-level (True+True=2);
+# the engine maps them to Spark boolean-with-NULL and applies the numpy
+# bool-frame rules (+ is OR). Nullable-bool object semantics are not
+# reproduced — cast explicitly for pandas-object behavior.
