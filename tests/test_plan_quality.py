@@ -737,3 +737,44 @@ def test_dup_label_rowalign_joins_stay_equi(spark):
     plan2 = physical_plan(df.assign(su=df["u"].shift(1)).to_spark())
     assert "Join" not in plan2, plan2  # same-anchor composition
     assert "CartesianProduct" not in plan2, plan2
+
+
+def test_r14_frame_alignment_plan_shapes(spark, sf_dir):
+    """r14 plan pins for the rebuilt frame elementwise layer:
+
+    - axis=0 Series broadcast from the SAME anchor is a pure projection
+      (zero joins — the normalize-rows idiom costs nothing extra);
+    - spec-None cross-anchor frame ⊕ frame (the from_spark big-data
+      path) compiles to exactly ONE equi join — no window machinery, no
+      cartesian, no one-row broadcast stats;
+    - the staged MultiIndex fill_value query keeps that single-join
+      shape end to end.
+    """
+    from pontem_spark.core import from_spark
+    from pontem_spark.plans import physical_plan
+    from pontem_spark.queries.round14_pending import PENDING
+    from pontem_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    agg = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum("l_quantity").cast("double").alias("qty"),
+        F.sum("l_extendedprice").cast("double").alias("rev"),
+    )
+    f = from_spark(agg, index_col="k")
+    plan = physical_plan(f.div(f["qty"] + f["rev"], axis=0).to_spark())
+    assert "Join" not in plan, plan
+
+    g = from_spark(agg, index_col="k")
+    plan2 = physical_plan((f + g).to_spark())
+    assert plan2.count("Join") >= 1, plan2
+    assert "SortMergeJoin" in plan2 or "HashJoin" in plan2, plan2
+    assert "BroadcastNestedLoopJoin" not in plan2, plan2
+    assert "CartesianProduct" not in plan2, plan2
+    assert "Window" not in plan2, plan2
+
+    mi_fn = next(fn for n, fn, _ in PENDING if n == "q_api_multiindex_align_fill")
+    plan3 = physical_plan(mi_fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan3, plan3
+    assert "CartesianProduct" not in plan3, plan3
+    assert "Window" not in plan3, plan3
