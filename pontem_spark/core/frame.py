@@ -3489,6 +3489,39 @@ class DataFrame:
             if guard is not None:
                 res = F.when(guard, F.raise_error(F.lit(guard_msg))).otherwise(res)
             return res
+        if opname in ("and_", "or_", "xor"):
+            # pandas logical/bitwise rules (r14 probe): bool ⊕ bool is
+            # elementwise logical with missing filled False BEFORE the op
+            # (one-sided ROWS become False; one-sided COLUMNS stay NaN via
+            # the caller's absent branch); int ⊕ int is bitwise; floats
+            # and strings raise
+            import operator as _op
+
+            if lc in ("str", "other") or rc in ("str", "other"):
+                raise TypeError(
+                    f"unsupported operand type(s) for {opname}: {ldt} and {rdt}"
+                )
+            if lc == "num" and rc == "num":
+                ints = ("tinyint", "smallint", "int", "bigint")
+                if ldt in ints and rdt in ints:
+                    meth = {
+                        "and_": "bitwiseAND",
+                        "or_": "bitwiseOR",
+                        "xor": "bitwiseXOR",
+                    }[opname]
+                    return getattr(lcol, meth)(rcol)
+                raise TypeError(
+                    f"unsupported operand type(s) for {opname}: {ldt} and {rdt}"
+                )
+            # pyspark Column has no __xor__; boolean xor ≡ !=
+            fn = {
+                "and_": _op.and_,
+                "or_": _op.or_,
+                "xor": lambda a, b: a != b,
+            }[opname]
+            lb = lcol if lc == "bool" else (lcol != 0)
+            rb = rcol if rc == "bool" else (rcol != 0)
+            return fn(F.coalesce(lb, F.lit(False)), F.coalesce(rb, F.lit(False)))
         if lc == "other" or rc == "other":
             raise TypeError(
                 f"unsupported operand type(s) for {opname}: {ldt} and {rdt}"
@@ -3978,6 +4011,50 @@ class DataFrame:
     def __rmod__(self, o): return self._elementwise_scalar("mod", o, reflected=True)
     def __pow__(self, o): return self._elementwise_scalar("pow", o)
     def __rpow__(self, o): return self._elementwise_scalar("pow", o, reflected=True)
+    # logical/bitwise — the (df > 0) & (df2 < 5) idiom; aligning, never
+    # strict (pandas & with mismatched labels unions, it does not raise)
+    def __and__(self, o): return self._elementwise_scalar("and_", o)
+    def __rand__(self, o): return self._elementwise_scalar("and_", o, reflected=True)
+    def __or__(self, o): return self._elementwise_scalar("or_", o)
+    def __ror__(self, o): return self._elementwise_scalar("or_", o, reflected=True)
+    def __xor__(self, o): return self._elementwise_scalar("xor", o)
+    def __rxor__(self, o): return self._elementwise_scalar("xor", o, reflected=True)
+
+    def _unary(self, kind: str) -> "DataFrame":
+        """Elementwise unary ops: neg (numeric negate, bool → -int, str
+        raises) and invert (bool logical NOT, int bitwise NOT, float/str
+        raise) — pandas rules, r14 probe."""
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in self._materialized().schema.fields
+        }
+        ints = ("tinyint", "smallint", "int", "bigint")
+        out: dict[str, Column] = {}
+        for k, v in self._columns.items():
+            dt = schema.get(k)
+            cls_ = self._dtype_class(dt)
+            if kind == "neg":
+                if cls_ == "bool":
+                    out[k] = -(v.cast("int"))
+                elif cls_ == "num":
+                    out[k] = -v
+                else:
+                    raise TypeError(f"bad operand type for unary -: '{dt}'")
+            else:
+                if cls_ == "bool":
+                    out[k] = ~v
+                elif dt in ints:
+                    out[k] = F.bitwise_not(v)
+                else:
+                    raise TypeError(
+                        f"ufunc 'invert' not supported for dtype {dt}"
+                    )
+        return DataFrame._from_internal(self._internal, out)
+
+    def __neg__(self): return self._unary("neg")
+    def __invert__(self): return self._unary("invert")
+    def __pos__(self): return DataFrame._from_internal(self._internal, dict(self._columns))
+    def __abs__(self): return self.abs()
 
     def _named_op(self, opname, other, fill_value=None, reflected=False,
                   axis="columns", level=None):

@@ -379,3 +379,40 @@ def test_pow_frame_cross_anchor_special_cases(spark):
 # the engine maps them to Spark boolean-with-NULL and applies the numpy
 # bool-frame rules (+ is OR). Nullable-bool object semantics are not
 # reproduced — cast explicitly for pandas-object behavior.
+
+
+# ---- logical / bitwise / unary dunders (r14) ----------------------------
+
+
+def test_logical_dunders(spark):
+    B1 = {"a": [True, False], "b": [True, True]}
+    B2 = {"a": [True, True], "c": [False, True]}
+    _eq(E(B1, spark=spark) & E(B2, spark=spark), P(B1) & P(B2))
+    _eq(E(B1, spark=spark) | E(B2, spark=spark), P(B1) | P(B2))
+    _eq(E(B1, spark=spark) ^ E(B1, spark=spark), P(B1) ^ P(B1))
+    # one-sided ROWS fill False before the op (pandas _logical_method)
+    _eq(E({"a": [True, False]}, [1, 2], spark=spark) & E({"a": [True, True]}, [2, 3], spark=spark),
+        P({"a": [True, False]}, [1, 2]) & P({"a": [True, True]}, [2, 3]))
+    _eq(E(B1, spark=spark) & True, P(B1) & True)
+    # int ⊕ int is bitwise; float raises
+    _eq(E({"a": [6, 3]}, spark=spark) & E({"a": [3, 1]}, spark=spark),
+        P({"a": [6, 3]}) & P({"a": [3, 1]}))
+    with pytest.raises(TypeError):
+        E({"a": [1.0, 0.0]}, spark=spark) & E({"a": [1.0, 1.0]}, spark=spark)
+
+
+def test_comparison_chain_idiom(spark):
+    d = {"x": [1.0, 5.0, 9.0]}
+    _eq((E(d, spark=spark) > 2) & (E(d, spark=spark) < 8),
+        (P(d) > 2) & (P(d) < 8))
+
+
+def test_unary_dunders(spark):
+    _eq(~E({"a": [True, False]}, spark=spark), ~P({"a": [True, False]}))
+    _eq(~E({"a": [1, 2]}, spark=spark), ~P({"a": [1, 2]}))
+    with pytest.raises(TypeError):
+        ~E({"a": [1.0]}, spark=spark)
+    _eq(-E({"a": [1.5, NAN]}, spark=spark), -P({"a": [1.5, NAN]}))
+    with pytest.raises(TypeError):
+        -E({"s": ["a"]}, spark=spark)
+    _eq(abs(E({"a": [-1.5, 2.0]}, spark=spark)), abs(P({"a": [-1.5, 2.0]})))
