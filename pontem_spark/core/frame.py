@@ -4035,7 +4035,8 @@ class DataFrame:
             cls_ = self._dtype_class(dt)
             if kind == "neg":
                 if cls_ == "bool":
-                    out[k] = -(v.cast("int"))
+                    # pandas maps unary - on bool dtype to logical NOT
+                    out[k] = ~v
                 elif cls_ == "num":
                     out[k] = -v
                 else:

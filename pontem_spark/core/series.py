@@ -574,10 +574,95 @@ class Series:
     def __gt__(self, o): return self._cmp_binop(o, operator.gt)
     def __ge__(self, o): return self._cmp_binop(o, operator.ge)
 
-    def __and__(self, o): return self._binop(o, operator.and_)
-    def __or__(self, o): return self._binop(o, operator.or_)
-    def __invert__(self): return Series._from_internal(self._internal, ~self._col, self._name)
-    def __neg__(self): return Series._from_internal(self._internal, -self._col, self._name)
+    def _dtype_str(self) -> "str | None":
+        try:
+            return (
+                self._internal.sdf.select(self._col)
+                .schema[0].dataType.simpleString()
+            )
+        except Exception:  # noqa: BLE001 — unresolvable: null-only
+            return None
+
+    _INT_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+    def _logical_binop(self, o, opname: str, reflected: bool = False) -> "Series":
+        """pandas & | ^ rules, dtype-aware (r14 probe: the raw
+        operator.and_ form crashed on ints and skipped the fill-False):
+        bool ⊕ bool is elementwise logical with missing filled False
+        BEFORE the op; int ⊕ int is bitwise; floats/strings raise
+        pandas' TypeError instead of Spark's DATATYPE_MISMATCH."""
+        ldt = self._dtype_str()
+        if isinstance(o, Series):
+            rdt = o._dtype_str()
+        elif isinstance(o, bool):
+            rdt = "boolean"
+        elif isinstance(o, int):
+            rdt = "bigint"
+        else:
+            rdt = None
+
+        def cls(dt):
+            if dt == "boolean":
+                return "bool"
+            if dt in self._INT_DTYPES:
+                return "int"
+            return "bad" if dt is not None else "bool"  # null-only ≈ missing bools
+
+        lc, rc = cls(ldt), cls(rdt)
+        sym = {"and_": "&", "or_": "|", "xor": "^"}[opname]
+        if lc == "bad" or rc == "bad":
+            raise TypeError(
+                f"unsupported operand type(s) for {sym}: {ldt} and {rdt}"
+            )
+        if lc == "int" and rc == "int":
+            meth = {
+                "and_": "bitwiseAND", "or_": "bitwiseOR", "xor": "bitwiseXOR",
+            }[opname]
+            fn = lambda a, b: getattr(a, meth)(b)  # noqa: E731
+        else:
+            raw = {
+                "and_": operator.and_,
+                "or_": operator.or_,
+                # pyspark Column has no __xor__; boolean xor ≡ !=
+                "xor": lambda a, b: a != b,
+            }[opname]
+
+            def fn(a, b, _raw=raw, _lc=lc, _rc=rc):
+                ab = a if _lc == "bool" else (a != 0)
+                bb = b if _rc == "bool" else (b != 0)
+                return _raw(
+                    F.coalesce(ab, F.lit(False)), F.coalesce(bb, F.lit(False))
+                )
+
+        return self._binop(o, fn, reflected=reflected)
+
+    def __and__(self, o): return self._logical_binop(o, "and_")
+    def __rand__(self, o): return self._logical_binop(o, "and_", reflected=True)
+    def __or__(self, o): return self._logical_binop(o, "or_")
+    def __ror__(self, o): return self._logical_binop(o, "or_", reflected=True)
+    def __xor__(self, o): return self._logical_binop(o, "xor")
+    def __rxor__(self, o): return self._logical_binop(o, "xor", reflected=True)
+
+    def __invert__(self):
+        dt = self._dtype_str()
+        if dt == "boolean" or dt is None:
+            col = ~self._col
+        elif dt in self._INT_DTYPES:
+            col = F.bitwise_not(self._col)
+        else:
+            raise TypeError(f"ufunc 'invert' not supported for dtype {dt}")
+        return Series._from_internal(self._internal, col, self._name)
+
+    def __neg__(self):
+        dt = self._dtype_str()
+        if dt == "boolean":
+            # pandas maps unary - on bool dtype to logical NOT
+            col = ~self._col
+        elif dt == "string":
+            raise TypeError("bad operand type for unary -: 'str'")
+        else:
+            col = -self._col
+        return Series._from_internal(self._internal, col, self._name)
 
     def __hash__(self):  # __eq__ returns Series; keep hashable by identity
         return id(self)

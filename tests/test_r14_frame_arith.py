@@ -416,3 +416,29 @@ def test_unary_dunders(spark):
     with pytest.raises(TypeError):
         -E({"s": ["a"]}, spark=spark)
     _eq(abs(E({"a": [-1.5, 2.0]}, spark=spark)), abs(P({"a": [-1.5, 2.0]})))
+
+
+def test_series_logical_bitwise_unary(spark):
+    """r14: Series & | ^ ~ - are dtype-aware like the frame forms —
+    bool logical (missing filled False), int bitwise, float raises;
+    -bool is logical NOT (pandas maps neg on bool to inv)."""
+    S = pd.Series
+    B, B2 = [True, False, True], [True, True, False]
+    def se(d, i=None):
+        return Series(d, index=i, spark=spark)
+    def eq(e, p):
+        pd.testing.assert_series_equal(
+            e.to_pandas(), p, check_dtype=False, rtol=1e-9, check_names=False
+        )
+    eq(se(B) ^ se(B2), S(B) ^ S(B2))
+    eq(se([6, 3]) & se([3, 1]), S([6, 3]) & S([3, 1]))
+    eq(~se([1, 2]), ~S([1, 2]))
+    eq(-se([True, False]), -S([True, False]))
+    eq(se([True, None, True]) & se([True, True, None]),
+       S([True, None, True]) & S([True, True, None]))
+    eq(True & se(B), True & S(B))
+    eq(se(B, [1, 2, 3]) & se(B2, [2, 3, 4]), S(B, [1, 2, 3]) & S(B2, [2, 3, 4]))
+    with pytest.raises(TypeError):
+        se([1.0, 0.0]) & se([1.0, 1.0])
+    with pytest.raises(TypeError):
+        ~se([1.5])
