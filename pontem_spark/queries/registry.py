@@ -101,6 +101,12 @@ CHANGED_IN_ROUND = {
     "q_api_ewm_mean": 13,
     "q_ts_series_resample": 13,
     "q_ts_asfreq": 13,
+    # r14: the dtype-aware Series logical rebuild wraps boolean masks in
+    # fill-False coalesce — q_api_merge_filter is the one registered
+    # query whose executed plan carries the new expression (semantics
+    # identical for its non-null comparison masks, verified 213/213 in
+    # the r14 vanilla-session sim, but plan-changed counts as changed)
+    "q_api_merge_filter": 14,
 }
 
 
