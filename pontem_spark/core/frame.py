@@ -4168,14 +4168,27 @@ class DataFrame:
         missing = set(self._columns) - set(cond._columns)
         if missing:
             raise ValueError(f"cond lacks columns {sorted(missing)}")
+        if isinstance(other, DataFrame):
+            # frame fallback (df.where(df > 0, -df)) — same-anchor like
+            # cond; replaced cells take other's cell, columns other lacks
+            # fall back to NaN (r14 probe)
+            if other._internal is not self._internal:
+                raise ValueError(
+                    "where/mask other must be derived from the same frame; "
+                    "align foreign frames with merge first"
+                )
+            fallback = {
+                k: other._columns.get(k, F.lit(None)) for k in self._columns
+            }
+        else:
+            fb = F.lit(other) if other is not None else F.lit(None)
+            fallback = {k: fb for k in self._columns}
         out: dict[str, Column] = {}
         for k, v in self._columns.items():
             c = cond._columns[k].cast("boolean")
             keep = ~c if invert else c
             # pandas: missing cond counts as False (replaced in where)
-            out[k] = F.when(keep.isNotNull() & keep, v).otherwise(
-                F.lit(other) if other is not None else F.lit(None)
-            )
+            out[k] = F.when(keep.isNotNull() & keep, v).otherwise(fallback[k])
         return DataFrame._from_internal(self._internal, out)
 
     def where(self, cond: "DataFrame", other=None) -> "DataFrame":

@@ -442,3 +442,14 @@ def test_series_logical_bitwise_unary(spark):
         se([1.0, 0.0]) & se([1.0, 1.0])
     with pytest.raises(TypeError):
         ~se([1.5])
+
+
+def test_where_mask_frame_other(spark):
+    """r14: where/mask accept a same-anchor FRAME fallback — the
+    df.where(df > 0, -df) idiom; columns the fallback lacks become NaN."""
+    d = {"x": [1.0, -2.0, 3.0], "y": [-4.0, 5.0, NAN]}
+    pf, ef = P(d), E(d, spark=spark)
+    _eq(ef.where(ef > 0, -ef), pf.where(pf > 0, -pf))
+    _eq(ef.mask(ef > 0, ef * 10), pf.mask(pf > 0, pf * 10))
+    _eq(ef.where(ef > 0, (ef * 0)[["x"]]), pf.where(pf > 0, (pf * 0)[["x"]]))
+    _eq(ef.where(ef > 0, 0.0), pf.where(pf > 0, 0.0))
