@@ -3460,6 +3460,7 @@ class DataFrame:
         ldt: "str | None", rdt: "str | None", *, comparison: bool,
         missing_result: bool, reflected: bool, fill_value,
         guard: "Column | None" = None, guard_msg: str = "",
+        same_anchor: bool = False,
     ) -> Column:
         """One output cell from left/right operand columns with KNOWN
         dtypes (resolved from the pre-join schemas by plain name).
@@ -3528,6 +3529,15 @@ class DataFrame:
             )
         if lc == "str" or rc == "str":
             if lc != rc:
+                ints_b = ("tinyint", "smallint", "int", "bigint", "boolean")
+                if opname == "mul" and (
+                    (lc == "str" and rdt in ints_b)
+                    or (rc == "str" and ldt in ints_b)
+                ):
+                    # pandas str * int is python string repetition
+                    # (r14 fuzz seed 614; bool counts as 0/1)
+                    scol, ncol = (lcol, rcol) if lc == "str" else (rcol, lcol)
+                    return F.repeat(scol, F.greatest(ncol.cast("int"), F.lit(0)))
                 bad = rdt if lc == "str" else ldt
                 raise TypeError(f'can only concatenate str (not "{bad}") to str')
             if opname != "add":
@@ -3557,6 +3567,12 @@ class DataFrame:
                 raise NotImplementedError(
                     f"operator '{opname}' not implemented for bool dtypes"
                 )
+            if opname == "mod":
+                # numpy int8 C semantics (r14 fuzz seed 18): bool % bool
+                # is x%1==0 or x%0==0 — always 0, never the float NaN mask
+                return F.when(
+                    lcol.isNull() | rcol.isNull(), F.lit(None).cast("int")
+                ).otherwise(F.lit(0))
             lcol, ldt = lcol.cast("int"), "int"
             rcol, rdt = rcol.cast("int"), "int"
         elif lc == "bool":
@@ -3570,6 +3586,32 @@ class DataFrame:
             rm = self._missing_dt(rcol, rdt)
             lcol = F.when(lm & ~rm, F.lit(fill_value)).otherwise(lcol)
             rcol = F.when(rm & ~lm, F.lit(fill_value)).otherwise(rcol)
+        # pandas int64-dtype rules apply only while the column stays int,
+        # which alignment holes silently break (they flip the column to
+        # float64, changing zero-division and pow semantics COLUMN-wide —
+        # action at a distance). The engine applies them exactly where
+        # hole-freedom is provable: the same-anchor path, where an int
+        # Spark dtype is int64 pandas dtype by construction (a ctor None
+        # would have made it float). Cross-anchor int quirks are ledgered
+        # in tests/test_r14_fuzz_frame_align.py.
+        ints = ("tinyint", "smallint", "int", "bigint")
+        if same_anchor and ldt in ints and rdt in ints:
+            if fill_value is not None and opname in ("mod", "floordiv"):
+                # int mod/floordiv WITH fill_value skip the zero-division
+                # masking: numpy C semantics, x % 0 == 0 and x // 0 == 0
+                # (r14 fuzz seed 41, measured on pandas 2.2.2)
+                return F.when(rcol == 0, F.lit(0)).otherwise(
+                    self._op_column_fn(opname)(lcol, rcol)
+                )
+            if opname == "pow" and lc == "num" and rc == "num":
+                # numpy: negative integer exponents raise at runtime —
+                # matched with a lazy in-plan raise (r14 fuzz seed 15)
+                return F.when(
+                    rcol < 0,
+                    F.raise_error(
+                        F.lit("Integers to negative integer powers are not allowed.")
+                    ),
+                ).otherwise(self._op_column_fn(opname)(lcol, rcol))
         return self._op_column_fn(opname)(lcol, rcol)
 
     def _elementwise_scalar(
@@ -3621,6 +3663,7 @@ class DataFrame:
                 opname, v, rcol, schema.get(k), rdt,
                 comparison=comparison, missing_result=missing_result,
                 reflected=reflected, fill_value=fill_value,
+                same_anchor=True,
             )
             for k, v in self._columns.items()
         }
@@ -3691,10 +3734,18 @@ class DataFrame:
                         opname, lcol, rcol, _dt(lcol), _dt(rcol),
                         comparison=comparison, missing_result=missing_result,
                         reflected=reflected, fill_value=fill_value,
+                        same_anchor=True,
                     )
                 elif comparison:
                     out[c] = F.lit(missing_result)
-                elif fill_value is not None:
+                elif fill_value is not None or (
+                    opname == "pow"
+                    and self._dtype_class(_dt(lcol if lcol is not None else rcol))
+                    in ("num", "bool")
+                ):
+                    # pow must combine with the absent side: pandas'
+                    # 1 ** NaN == 1 and NaN ** 0 == 1 leak through
+                    # one-sided columns (r14 fuzz seed 24)
                     out[c] = self._combine_cells(
                         opname,
                         lcol if lcol is not None else _absent,
@@ -3703,6 +3754,7 @@ class DataFrame:
                         _dt(rcol) if rcol is not None else None,
                         comparison=False, missing_result=False,
                         reflected=reflected, fill_value=fill_value,
+                        same_anchor=True,
                     )
                 else:
                     out[c] = F.lit(None).cast("double")
@@ -3920,7 +3972,16 @@ class DataFrame:
             has_l, has_r = c in lname, c in rout
             lcol = sdf[lname[c]] if has_l else _absent
             rcol = sdf[rout[c]] if has_r else _absent
-            if (has_l and has_r) or (fill_value is not None and not comparison):
+            present_dt = ldts.get(c) if has_l else rdts.get(c)
+            if (
+                (has_l and has_r)
+                or (fill_value is not None and not comparison)
+                or (
+                    opname == "pow"
+                    and not comparison
+                    and self._dtype_class(present_dt) in ("num", "bool")
+                )
+            ):
                 col = self._combine_cells(
                     opname, lcol, rcol,
                     ldts.get(c) if has_l else None,
@@ -3988,6 +4049,7 @@ class DataFrame:
                     opname, cols_l[c], F.lit(v), schema.get(c), _sdt(v),
                     comparison=comparison, missing_result=missing_result,
                     reflected=reflected, fill_value=None,
+                    same_anchor=True,
                 )
             elif comparison:
                 out[c] = F.lit(missing_result)

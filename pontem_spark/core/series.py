@@ -552,20 +552,85 @@ class Series:
         # Zero divisor → NaN (pandas float x % 0.0).
         return F.when(b == 0, F.lit(float("nan"))).otherwise(a - F.floor(a / b) * b)
 
-    def __add__(self, o): return self._binop(o, operator.add)
-    def __radd__(self, o): return self._binop(o, operator.add, reflected=True)
-    def __sub__(self, o): return self._binop(o, operator.sub)
-    def __rsub__(self, o): return self._binop(o, operator.sub, reflected=True)
-    def __mul__(self, o): return self._binop(o, operator.mul)
-    def __rmul__(self, o): return self._binop(o, operator.mul, reflected=True)
+    def _operand_dtype(self, o) -> "str | None":
+        if isinstance(o, Series):
+            return o._dtype_str()
+        if isinstance(o, str):
+            return "string"
+        if isinstance(o, bool):
+            return "boolean"
+        if isinstance(o, int):
+            return "bigint"
+        if isinstance(o, float):
+            return "double"
+        return None
+
+    def _arith_fn_for(self, opname: str, o, reflected: bool = False):
+        """String-aware column fn for + and * (r14 probe: str series
+        concat/repeat crashed with ANSI cast errors; other arithmetic on
+        strings now raises pandas' TypeError instead of Spark's
+        DATATYPE_MISMATCH). Returns None for the default numeric path."""
+        ldt = self._dtype_str()
+        rdt = self._operand_dtype(o)
+        if ldt != "string" and rdt != "string":
+            return None
+        # positional: fn(a, b) receives (other, self) when reflected
+        adt, bdt = (rdt, ldt) if reflected else (ldt, rdt)
+        ints_b = self._INT_DTYPES + ("boolean",)
+        if opname == "add":
+            if adt == "string" and bdt == "string":
+                return lambda a, b: F.concat(a, b)
+            bad = bdt if adt == "string" else adt
+            raise TypeError(f'can only concatenate str (not "{bad}") to str')
+        if opname == "mul":
+            if adt == "string" and bdt in ints_b:
+                return lambda a, b: F.repeat(a, F.greatest(b.cast("int"), F.lit(0)))
+            if bdt == "string" and adt in ints_b:
+                return lambda a, b: F.repeat(b, F.greatest(a.cast("int"), F.lit(0)))
+            raise TypeError("can't multiply sequence by non-int of type 'str'")
+        raise TypeError(
+            f"unsupported operand type(s) for {opname}: 'str' operands"
+        )
+
+    def __add__(self, o): return self._binop(o, self._arith_fn_for("add", o) or operator.add)
+    def __radd__(self, o): return self._binop(o, self._arith_fn_for("add", o, reflected=True) or operator.add, reflected=True)
+    def __sub__(self, o): return self._binop(o, self._arith_fn_for("sub", o) or operator.sub)
+    def __rsub__(self, o): return self._binop(o, self._arith_fn_for("sub", o, reflected=True) or operator.sub, reflected=True)
+    def __mul__(self, o): return self._binop(o, self._arith_fn_for("mul", o) or operator.mul)
+    def __rmul__(self, o): return self._binop(o, self._arith_fn_for("mul", o, reflected=True) or operator.mul, reflected=True)
     def __truediv__(self, o): return self._binop(o, self._truediv_cols)
     def __rtruediv__(self, o): return self._binop(o, self._truediv_cols, reflected=True)
     def __floordiv__(self, o): return self._binop(o, self._floordiv_cols)
     def __rfloordiv__(self, o): return self._binop(o, self._floordiv_cols, reflected=True)
     def __mod__(self, o): return self._binop(o, self._mod_cols)
     def __rmod__(self, o): return self._binop(o, self._mod_cols, reflected=True)
-    def __pow__(self, o): return self._binop(o, self._pow_cols)
-    def __rpow__(self, o): return self._binop(o, self._pow_cols, reflected=True)
+    def _pow_fn_for(self, o, reflected: bool = False):
+        """numpy/pandas integer-dtype rule (r14 fuzz): int ** negative-int
+        raises at runtime; matched with a lazy in-plan raise when BOTH
+        operands are genuine integer dtypes (bools excluded)."""
+        ldt = self._dtype_str()
+        if isinstance(o, Series):
+            rdt = o._dtype_str()
+        elif isinstance(o, bool):
+            rdt = None
+        elif isinstance(o, int):
+            rdt = "bigint"
+        else:
+            rdt = None
+        if ldt in self._INT_DTYPES and rdt in self._INT_DTYPES:
+            def fn(a, b):
+                # b is the exponent after any reflection swap in _binop
+                return F.when(
+                    b < 0,
+                    F.raise_error(F.lit(
+                        "Integers to negative integer powers are not allowed."
+                    )),
+                ).otherwise(Series._pow_cols(a, b))
+            return fn
+        return self._pow_cols
+
+    def __pow__(self, o): return self._binop(o, self._pow_fn_for(o))
+    def __rpow__(self, o): return self._binop(o, self._pow_fn_for(o, reflected=True), reflected=True)
 
     def __eq__(self, o): return self._cmp_binop(o, operator.eq)  # type: ignore[override]
     def __ne__(self, o): return self._cmp_binop(o, operator.ne, missing_result=True)  # type: ignore[override]
@@ -768,8 +833,8 @@ class Series:
     def rfloordiv(self, other, fill_value=None): return self._named_binop(other, self._floordiv_cols, fill_value, reflected=True)
     def mod(self, other, fill_value=None): return self._named_binop(other, self._mod_cols, fill_value)
     def rmod(self, other, fill_value=None): return self._named_binop(other, self._mod_cols, fill_value, reflected=True)
-    def pow(self, other, fill_value=None): return self._named_binop(other, self._pow_cols, fill_value)
-    def rpow(self, other, fill_value=None): return self._named_binop(other, self._pow_cols, fill_value, reflected=True)
+    def pow(self, other, fill_value=None): return self._named_binop(other, self._pow_fn_for(other), fill_value)
+    def rpow(self, other, fill_value=None): return self._named_binop(other, self._pow_fn_for(other, reflected=True), fill_value, reflected=True)
 
     def eq(self, other): return self._cmp_binop(other, operator.eq)
     def ne(self, other): return self._cmp_binop(other, operator.ne, missing_result=True)

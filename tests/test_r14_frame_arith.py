@@ -453,3 +453,26 @@ def test_where_mask_frame_other(spark):
     _eq(ef.mask(ef > 0, ef * 10), pf.mask(pf > 0, pf * 10))
     _eq(ef.where(ef > 0, (ef * 0)[["x"]]), pf.where(pf > 0, (pf * 0)[["x"]]))
     _eq(ef.where(ef > 0, 0.0), pf.where(pf > 0, 0.0))
+
+
+def test_series_string_arithmetic(spark):
+    """r14: Series string + is concat, * int is repetition; other
+    arithmetic raises pandas' TypeError (was Spark DATATYPE_MISMATCH)."""
+    S = pd.Series
+    def se(d):
+        return Series(d, spark=spark)
+    def eq(e, p):
+        pd.testing.assert_series_equal(
+            e.to_pandas(), p, check_dtype=False, check_names=False
+        )
+    eq(se(["a", "b"]) + se(["x", "y"]), S(["a", "b"]) + S(["x", "y"]))
+    eq(se(["a", "b"]) + "q", S(["a", "b"]) + "q")
+    eq("q" + se(["a", "b"]), "q" + S(["a", "b"]))
+    eq(se(["a", "b"]) * se([2, 3]), S(["a", "b"]) * S([2, 3]))
+    eq(3 * se(["a", "b"]), 3 * S(["a", "b"]))
+    with pytest.raises(TypeError, match="multiply sequence"):
+        se(["a", "b"]) * se(["x", "y"])
+    with pytest.raises(TypeError):
+        se(["a", "b"]) - se(["x", "y"])
+    with pytest.raises(TypeError, match="concatenate str"):
+        se(["a", "b"]) + 1
