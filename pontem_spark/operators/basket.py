@@ -61,24 +61,30 @@ def association_rules(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     )
 
-    # Item supports (distinct baskets per item) — also the confidence/lift
-    # denominators later. One partial-agg pass over the facts.
-    # localCheckpoint: this |items|-row frame is referenced three times
-    # (apriori prune + both metric denominators) and each un-checkpointed
-    # reference would RE-RUN the fact aggregation (Catalyst does not
-    # dedupe diamond subtrees — measured ~6 fact derivations without the
-    # two checkpoints here).
-    item_counts = (
-        bi.groupBy("item")
-        .agg(F.count_distinct("basket").alias("n_item"))
+    # Item supports (distinct baskets per item) AND the global basket
+    # count in ONE grouping-sets pass over the facts (r14: these were two
+    # separate count-distinct jobs, i.e. a third full fact scan for one
+    # extra number — guide §2.4, share the pass). GROUPING SETS ((item),
+    # ()) expands each fact row twice before the distinct aggregate; the
+    # grouping flag separates the per-item rows from the total row even
+    # when items are legitimately NULL.
+    # localCheckpoint: this (|items|+1)-row frame is referenced four times
+    # (apriori prune + both metric denominators + the threshold count) and
+    # each un-checkpointed reference would RE-RUN the fact aggregation
+    # (Catalyst does not dedupe diamond subtrees — measured ~6 fact
+    # derivations without the checkpoint here).
+    supports = (
+        bi.cube("item")
+        .agg(
+            F.count_distinct("basket").alias("n"),
+            F.grouping("item").alias("__g"),
+        )
         .localCheckpoint(eager=True)
     )
-
-    # 1-row basket count, broadcast into the threshold comparisons
-    # (checkpointed for the same three-reference reason).
-    n_b = bi.agg(F.count_distinct("basket").alias("n_baskets")).localCheckpoint(
-        eager=True
+    item_counts = supports.filter(F.col("__g") == 0).select(
+        "item", F.col("n").alias("n_item")
     )
+    n_b = supports.filter(F.col("__g") == 1).select(F.col("n").alias("n_baskets"))
 
     # Apriori prune: items that cannot participate in a frequent pair
     # never enter the basket shuffle. Lossless (see module docstring).

@@ -22,6 +22,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
+def _rebalanced(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Boundary-aggregate input: only the named columns, rebalanced.
+
+    A single-file scan arrives as ONE partition, and the exact
+    ``percentile`` aggregate buffers every value in its partial — so the
+    whole partial-aggregation pass would run on one core while the rest
+    idle (guide §2.5, input parallelism). Projecting first keeps the
+    rebalance shuffle narrow (just the value/group columns); percentile
+    partials merge order-insensitively, so the boundaries are
+    bit-identical to the single-partition evaluation. On healthy
+    multi-split input ensure_parallelism is a no-op."""
+    from pontem_spark.operators.util import ensure_parallelism
+
+    return ensure_parallelism(df.select(*[F.col(c) for c in cols]))
+
+
 def quantile_bins(
     df: DataFrame,
     col: str,
@@ -35,7 +52,7 @@ def quantile_bins(
     value, so the bins are right-inclusive like pandas ``qcut``."""
     probs = [i / q for i in range(1, q)]
     probs_sql = ", ".join(repr(p) for p in probs)
-    bnds = df.agg(
+    bnds = _rebalanced(df, [col]).agg(
         F.expr(
             f"transform(percentile(CAST({col} AS DOUBLE), array({probs_sql})), "
             f"b -> floor(b * {10.0 ** round_digits!r} + 0.5) / {10.0 ** round_digits!r})"
@@ -81,7 +98,7 @@ def winsorize(
     row; boundaries rounded so both engines clip from identical doubles."""
     out_name = out_name or f"{col}_winsorized"
     s = 10.0 ** round_digits
-    bnds = df.agg(
+    bnds = _rebalanced(df, [col]).agg(
         F.expr(
             f"transform(percentile(CAST({col} AS DOUBLE), array({lower!r}, {upper!r})), "
             f"b -> floor(b * {s!r} + 0.5) / {s!r})"
@@ -120,7 +137,7 @@ def grouped_quantile_bins(
     probs = [i / q for i in range(1, q)]
     probs_sql = ", ".join(repr(p) for p in probs)
     s = 10.0 ** round_digits
-    bnds = df.groupBy(group_col).agg(
+    bnds = _rebalanced(df, [group_col, col]).groupBy(group_col).agg(
         F.expr(
             f"transform(percentile(CAST({col} AS DOUBLE), array({probs_sql})), "
             f"b -> floor(b * {s!r} + 0.5) / {s!r})"

@@ -312,6 +312,11 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> Da
     vote signs. All codegen, no UDF.
     """
     assert bits <= 62, "fingerprint must stay positive in a signed 64-bit int"
+    # (r14 probe: a (doc, token)-count pre-aggregation before the vote
+    # aggregate measured SLOWER — the single groupBy(id) below already
+    # partial-aggregates map-side over the repartitioned explode, while
+    # the extra exchange let AQE coalesce the vote aggregate's input to
+    # one partition. Kept single-pass deliberately.)
     toks = (
         ensure_parallelism(df)
         .select(id_col, T.tokens(text_col).alias("__toks"))

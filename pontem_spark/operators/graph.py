@@ -48,7 +48,10 @@ def connected_components(
     for _ in range(max_iterations):
         # each node pulls the smallest label among itself and its neighbors
         neighbor_labels = (
-            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            # shuffle_hash (r14): hash the |V|-row label state instead of
+            # sorting the symmetrized edges every round (no-stats SMJ
+            # fallback on checkpointed RDD scans)
+            sym.join(labels.withColumnRenamed("u", "v").hint("shuffle_hash"), "v")
             .select("u", "label")
         )
         prev_labels = labels
@@ -104,11 +107,12 @@ def pagerank(
     Uniform 1/N init; ``r' = (1-d)/N + d · (Σ_in r/outdeg + S/N)`` per
     iteration, where ``S`` is the total rank sitting on DANGLING nodes
     (out-degree 0 — sinks that would otherwise leak their mass out of the
-    distribution every round; VERDICT r6 #5). ``S`` costs one scalar
-    aggregate per iteration — the same driver-probe shape as
-    :func:`connected_components`' convergence check — over a STATIC
-    dangling flag folded into the rank state once, so no per-iteration
-    join. With ``handle_dangling`` the rank vector sums to exactly 1 every
+    distribution every round; VERDICT r6 #5). ``S`` costs one 1-row
+    aggregate per iteration, broadcast INTO the rank projection (r14: an
+    in-plan broadcast stat, not a driver ``.first()`` probe) — over a
+    STATIC dangling flag folded into the rank state once, so no
+    per-iteration join. With ``handle_dangling`` the rank vector sums to
+    exactly 1 every
     iteration (mass conservation, the property a real web/citation graph
     user relies on); on a symmetrized graph every vertex has out-degree
     ≥ 1, S ≡ 0.0 and results are bit-identical to the flag being off —
@@ -121,10 +125,16 @@ def pagerank(
     static out-degrees folded in) is checkpointed ONCE and re-read, never
     recomputed.
     """
-    raw = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    # r14: checkpoint the deduped edge list FIRST — it feeds both the
+    # degree-annotated edge build and the node/dangling-flag build, which
+    # previously each re-ran the upstream scan + distinct shuffle.
+    raw = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # the out-degree is static — fold it into the edge table before the ONE
-    # |E|-sized checkpoint (a separate pre-join checkpoint would pin a
-    # second full copy of the edges for the job's lifetime); each iteration
+    # |E|-sized checkpoint; each iteration
     # is then a single ranks join + one destination aggregate
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
     e = raw.join(deg, "src").localCheckpoint(eager=True)
@@ -147,16 +157,39 @@ def pagerank(
         # from the 1/N literal below
         return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", "__has_out", F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
-        dangling_mass = 0.0
+    for i in range(iterations):
         if handle_dangling:
-            # Σ rank over sinks: one tiny scalar agg (None when no sinks)
-            dangling_mass = (
-                ranks.filter(~F.col("__has_out")).agg(F.sum("rank")).first()[0] or 0.0
+            # Σ rank over sinks — r14: folded INTO the plan as a 1-row
+            # aggregate broadcast into the next rank projection (the
+            # engine's standard broadcast-stat idiom) instead of a
+            # per-iteration driver .first() probe: one job per iteration,
+            # not two. Arithmetic is term-for-term the old python-literal
+            # base: (1-d)/n + (d*S)/n, IEEE-identical evaluation order.
+            dm = ranks.filter(~F.col("__has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
             )
-        base = F.lit((1.0 - damping) / n + damping * dangling_mass / n)
+            base = F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("__dm") / F.lit(
+                float(n)
+            )
+        else:
+            # python (1-d)/n + d*0.0/n == (1-d)/n exactly (t + +0.0 == t)
+            base = F.lit((1.0 - damping) / n)
+        # r14: |V| is known driver-side (the count above) — while the rank
+        # state is bounded (`pontem.graph.broadcastRanksNodes`, default 2M
+        # rows ≈ tens of MB), broadcast it into the edge join and broadcast
+        # the contribution sums into the node join: the |E| edge table is
+        # never shuffled per iteration and the contribution aggregate
+        # partial-aggregates map-side. Past the bound both joins fall back
+        # to the planner's shuffled strategies (scale-adaptive, same
+        # degradation AQE would pick with real stats).
+        bcast_state = n <= int(
+            e.sparkSession.conf.get("pontem.graph.broadcastRanksNodes", "2000000")
+        )
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if bcast_state:
+            rank_side = F.broadcast(rank_side)
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            e.join(rank_side, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("__outdeg")).alias("__c"),
@@ -164,17 +197,28 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                "__has_out",
-                (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        new_ranks = nodes.join(
+            F.broadcast(contribs) if bcast_state else contribs, "node", "left"
         )
+        if handle_dangling:
+            new_ranks = new_ranks.crossJoin(F.broadcast(dm))
+        ranks = new_ranks.select(
+            "node",
+            "__has_out",
+            (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        # Checkpoint policy (r14): with dangling handling, ranks_{i-1} is
+        # referenced TWICE per iteration (the mass aggregate + the contrib
+        # join) — an un-checkpointed diamond doubles work per level, so
+        # materialize every iteration (one job each). Without it the loop
+        # is a straight chain (each ranks referenced once): let the whole
+        # power iteration compile into ONE job, checkpointing only every
+        # 4th round so caller-supplied large iteration counts cannot grow
+        # an unbounded plan.
+        if handle_dangling or ((i + 1) % 4 == 0 and i + 1 < iterations):
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
 
 
@@ -191,14 +235,17 @@ def triangle_count(
     on the intermediate (a hub of degree d contributes d² wedge rows).
     Orienting every edge from the LOWER-degree endpoint to the higher
     (ties by id) first makes the oriented out-degree O(√|E|) for any
-    graph, so the wedge join is bounded — the standard trick that makes
+    graph, so the per-edge work is bounded — the standard trick that makes
     triangle counting feasible at scale.
 
-    Cost: one degree aggregate (shuffle ~|V|), one broadcast-free
-    orientation pass, then wedge join + closing semi-join (two shuffles on
-    edge keys). Returns a 1-row DataFrame ``(triangles bigint)``; each
-    triangle is counted exactly once (its vertices appear in one canonical
-    degree-order).
+    Cost: one degree aggregate (shuffle ~|V|), one orientation pass, one
+    out-adjacency aggregate, then one equi-join of the oriented edges
+    (each carrying its source's out-list) against the out-adjacency on the
+    TARGET — the Σdeg⁺² intersection work runs inside ``array_intersect``
+    per edge row instead of materializing each wedge as a shuffled row
+    (guide §2.3: shuffle packed arrays, not exploded rows). Returns a
+    1-row DataFrame ``(triangles bigint)``; each triangle is counted
+    exactly once (the unique apex with both out-edges inside it).
 
     Input may list each undirected edge in either or both directions;
     self-loops and duplicates are dropped.
@@ -209,12 +256,11 @@ def triangle_count(
     )
     # undirected canonical form + dedup. Checkpoint: the edge set is
     # referenced by the degree aggregate (twice), both degree joins, and
-    # every wedge-join branch — Catalyst re-derives an un-checkpointed
+    # the optional edge count — Catalyst re-derives an un-checkpointed
     # subtree once PER REFERENCE, so an expensive upstream edge
-    # derivation (e.g. a co-occurrence self-join) would run ~15 times
-    # (measured 16.6 s -> ~7 s warm at sf0.1 on the co-purchase graph;
-    # the remaining cost is the wedge join itself — ~70M wedges on that
-    # dense (avg degree ~120) graph, which is the algorithm, not waste).
+    # derivation (e.g. a co-occurrence self-join) would run ~5 times
+    # (measured 16.6 s -> ~7 s warm at sf0.1 on the co-purchase graph
+    # under the pre-r14 wedge-join formulation).
     und = (
         e.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
@@ -243,28 +289,66 @@ def triangle_count(
             .alias("e")
         )
         .select("e.s", "e.t")
-        # referenced three times below (both wedge sides + closing union)
+        # single reference below (the adj⁺ aggregate) — no checkpoint
+    )
+    # Adjacency-intersect (edge-iterator) counting: each triangle has
+    # exactly ONE apex x with both out-edges x→y1, x→y2 inside it, closed
+    # by one oriented edge between y1 and y2 — so
+    #   triangles = Σ over oriented edges (s, t) of |N+(s) ∩ N+(t)|
+    # (the common out-neighbor is the third vertex; counted once, on the
+    # closing edge). r14 rewrite: the former wedge-join formulation
+    # materialized and SHUFFLED every wedge as its own row (~70M narrow
+    # rows at sf0.1 on the co-purchase graph) into a semi-join probe; here
+    # the same Σdeg⁺² work stays INSIDE array_intersect on |E| rows that
+    # carry out-neighbor lists — orders of magnitude fewer shuffled rows,
+    # and the per-row lists are bounded by the O(√|E|) oriented out-degree,
+    # so no row can blow up on a hub. adj⁺ is checkpointed: it is
+    # referenced by both join sides and is small (|V| keys, Σ=|E| cells).
+    adjp = (
+        oriented.groupBy("s")
+        .agg(F.collect_list("t").alias("ns"))
         .localCheckpoint(eager=True)
     )
-    # wedges: two oriented edges out of the same vertex…
-    w1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y1"))
-    w2 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y2"))
-    wedges = w1.join(w2, "x").filter(F.col("y1") < F.col("y2"))
-    # …closed by an oriented edge between the two endpoints. The wedge
-    # pair is canonicalized by ID, but the closing edge is oriented by
-    # DEGREE — probe both directions (each unordered pair appears in
-    # exactly one)
-    closing = oriented.select(F.col("s").alias("y1"), F.col("t").alias("y2")).unionAll(
-        oriented.select(F.col("t").alias("y1"), F.col("s").alias("y2"))
-    )
-    tri = wedges.join(closing, ["y1", "y2"], "left_semi")
-    out = tri.agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    # The Σdeg⁺² intersection work EXPLODES downstream of byte-tiny inputs,
+    # so AQE's size-based coalescing would happily hand the whole thing to
+    # one task (the pre-r14 wedge stage ran effectively single-core at
+    # sf0.1 for exactly this reason). An explicit cores-based repartition
+    # of the narrow exploded rows — which AQE respects — spreads the
+    # per-edge intersections; scale-adaptive, not a tuned constant.
+    # (Repartition the COMPACT adjacency — |V| rows, Σ=|E| cells — before
+    # exploding, so the replicated per-edge array copies never cross a
+    # wire here; the explode and the intersections stay map-side when the
+    # build side is the compact adjacency.)
+    #
+    # Join-side control must be EXPLICIT: checkpointed RDD scans carry no
+    # size statistics, and left to itself the planner here broadcast the
+    # EXPLODED side (Σdeg⁺² array cells — the one thing that must never be
+    # collected) and streamed the compact one. The known |E| (a count on
+    # the checkpointed edge set) decides: broadcast the compact adjacency
+    # while its payload is bounded (≤ `pontem.graph.broadcastAdjEdges`
+    # cells ≈ tens of MB — the per-executor cost every broadcast join
+    # pays), else a shuffled-hash join with the compact side as the build
+    # (hash, no sort — the exploded side is shuffled exactly once either
+    # way at scale, and never sorted).
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_edges_known = und.count()
+    exploded = adjp.repartition(par).select("ns", F.explode("ns").alias("t"))
+    lookup = adjp.select(F.col("s").alias("t"), F.col("ns").alias("nt"))
+    max_bcast = int(spark.conf.get("pontem.graph.broadcastAdjEdges", "8000000"))
+    if n_edges_known <= max_bcast:
+        joined = exploded.join(F.broadcast(lookup), "t")
+    else:
+        joined = exploded.join(lookup.hint("shuffle_hash"), "t")
+    tri = joined.select(F.size(F.array_intersect("ns", "nt")).alias("__c"))
+    out = tri.agg(F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias("triangles"))
     if with_edge_count:
-        # From the CHECKPOINTED canonical edge set — callers who also
-        # want |E| must not re-derive a possibly expensive upstream edge
-        # construction a second time just to count it.
-        n_e = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
-        return n_e.crossJoin(out)
+        # |E| is already known driver-side (the join-side decision above
+        # counted the checkpointed canonical edge set) — attach it as a
+        # literal instead of an extra aggregate branch + cross join.
+        return out.select(
+            F.lit(n_edges_known).cast("bigint").alias("n_edges"), "triangles"
+        )
     return out
 
 
@@ -314,6 +398,14 @@ def k_core(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
+        # r14: no eager checkpoint on `keep` — its two references (the u-
+        # and v-side semi joins) canonicalize to the SAME exchange over the
+        # checkpointed previous edge set, so ReuseExchange computes the
+        # degree filter once; one job per peeling round instead of two.
+        # (r14 probe: dropping this eager checkpoint in favor of exchange
+        # reuse, and hinting the semi joins shuffle_hash, BOTH measured ~2x
+        # slower — the two keep references did not dedupe and AQE's runtime
+        # small-side broadcast beat the forced SHJ. Kept as-is, measured.)
         keep = deg.filter(F.col("d") >= k).select("n").localCheckpoint(eager=True)
         und = (
             und.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
@@ -359,8 +451,10 @@ def label_propagation(
 
     Per round: one |E| join (labels onto edge targets) + two hash
     aggregates ((node, label) counts, then per-node struct-max) — all
-    map-side combinable, lineage truncated per round. Rank state is |V|
-    rows. Returns (node, community).
+    map-side combinable. The rounds form a straight chain (no diamond),
+    so the fixed-round loop runs as ONE job; lineage is truncated every
+    4th round to bound plan depth (r14). Rank state is |V| rows.
+    Returns (node, community).
     """
     e = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -374,15 +468,23 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         nbr = sym.join(
-            labels.select(F.col("node").alias("v"), "label"), "v"
+            # shuffle_hash (r14): hash the |V|-row label state, don't sort
+            # the symmetrized edge list every round (no-stats SMJ fallback)
+            labels.select(F.col("node").alias("v"), "label").hint("shuffle_hash"),
+            "v",
         ).select("u", "label")
         counts = nbr.groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
         labels = (
             counts.groupBy("u")
             .agg(F.max(F.struct(F.col("c"), F.col("label"))).alias("m"))
             .select(F.col("u").alias("node"), F.col("m.label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # r14: each labels frame is referenced exactly ONCE by the next
+        # round (a straight chain, no diamond), so the fixed-round loop
+        # compiles into a single job; checkpoint only every 4th round to
+        # bound plan depth for large caller-supplied iteration counts.
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("label").alias("community"))

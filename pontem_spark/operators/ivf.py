@@ -163,10 +163,6 @@ def build_centroid_groups(
     return out
 
 
-def _vec_sql_literal(vec: "list[float]") -> str:
-    return "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
-
-
 def hierarchical_assign_cells(
     corpus: DataFrame,
     centroids: DataFrame | "list[Row]",
@@ -185,8 +181,10 @@ def hierarchical_assign_cells(
 
     Unlike the flat form (which expands one SQL term per centroid component
     and caps out near K≈512), both stages here fold with higher-order
-    functions over the centroid set embedded as an array LITERAL — the
-    expression tree is O(dim), the centroids are data, so K is bounded by
+    functions over the centroid set riding as DATA in a broadcast 1-row
+    frame (r14; previously an array literal whose K x dim CAST nodes made
+    parse/analysis cost scale with K) — the expression tree is O(dim), the
+    centroids are data, so K is bounded by
     broadcast size (K x dim doubles), not plan size. Same arithmetic
     contract as assign_cells: 0.0-seeded left-chained dot fold, floor-form
     rounding, (-sim, id) tie-break, zero-norm rows excluded via +Infinity.
@@ -208,26 +206,31 @@ def hierarchical_assign_cells(
     groups = build_centroid_groups(rows, round_digits)
     scale = float(10**round_digits)
 
-    # group-stage literal: array<struct<gid, gvec, gnorm>>
-    g_items = ", ".join(
-        f"struct({gid} AS gid, {_vec_sql_literal(gvec)} AS gvec, CAST({gnorm!r} AS DOUBLE) AS gnorm)"
-        for gid, gvec, gnorm, _ in groups
-    )
-    # member-stage literal: array over group_id of array<struct<cid, cvec, cnorm>>
-    def member_items(members: "list[Row]") -> str:
-        parts = []
+    # r14: the centroid set rides as DATA — a broadcast 1-row LocalRelation
+    # crossJoined in (the engine's broadcast-stat idiom) — instead of
+    # K x dim CAST literal nodes baked into the expression tree. Parse +
+    # analysis cost is now O(dim), independent of K (the pre-r14 string for
+    # the 160-cell hier index was ~10k expression nodes, parsed twice per
+    # query); the per-row fold arithmetic and the (ns, cid) tie-break are
+    # character-identical, so assignments are bit-identical.
+    gdata = [(int(gid), list(gvec), float(gnorm)) for gid, gvec, gnorm, _ in groups]
+
+    def member_rows(members: "list[Row]") -> "list[tuple]":
+        out = []
         for r in members:
             cvec = [float(x) for x in r["centroid"]]
             acc = 0.0
             for x in cvec:
                 acc = acc + x * x
-            parts.append(
-                f"struct({int(r['centroid_id'])} AS cid, {_vec_sql_literal(cvec)} AS cvec, "
-                f"CAST({math.sqrt(acc)!r} AS DOUBLE) AS cnorm)"
-            )
-        return "array(" + ", ".join(parts) + ")"
+            out.append((int(r["centroid_id"]), cvec, math.sqrt(acc)))
+        return out
 
-    members_lit = "array(" + ", ".join(member_items(m) for _, _, _, m in groups) + ")"
+    mdata = [member_rows(m) for _, _, _, m in groups]
+    consts = corpus.sparkSession.createDataFrame(
+        [(gdata, mdata)],
+        "__groups array<struct<gid:int,gvec:array<double>,gnorm:double>>, "
+        "__members array<array<struct<cid:int,cvec:array<double>,cnorm:double>>>",
+    )
 
     # 0.0-seeded left-chained dot fold — same result as the expanded
     # t1 + t2 + ... chain (IEEE: 0.0 + t1 == t1)
@@ -242,7 +245,7 @@ def hierarchical_assign_cells(
 
     gids_expr = (
         "transform(slice(array_sort(transform("
-        f"array({g_items}), g -> struct({neg_sim('g.gvec', 'g.gnorm')} AS ns, g.gid AS gid)"
+        f"__groups, g -> struct({neg_sim('g.gvec', 'g.gnorm')} AS ns, g.gid AS gid)"
         f")), 1, {n_probe_groups}), s -> s.gid)"
     )
     # candidate cells = union of the selected groups' members; the argmin
@@ -250,12 +253,13 @@ def hierarchical_assign_cells(
     # the single-group form
     cells_expr = (
         "transform(slice(array_sort(transform("
-        f"flatten(transform(__gids, gi -> element_at({members_lit}, gi + 1))), "
+        "flatten(transform(__gids, gi -> element_at(__members, gi + 1))), "
         f"c -> struct({neg_sim('c.cvec', 'c.cnorm')} AS ns, c.cid AS cid)"
         f")), 1, {n_probe}), s -> s.cid)"
     )
     return (
         corpus
+        .crossJoin(F.broadcast(consts))
         .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
         .withColumn("__gids", F.expr(gids_expr))
         .select(
@@ -266,27 +270,33 @@ def hierarchical_assign_cells(
     )
 
 
-def _argmin_cell_expr(
-    rows: "list[Row]", vec_col: str, round_digits: int = 6
-) -> str:
-    """SQL expression: id of the SINGLE nearest centroid (exact argmin over
-    all K, not the two-stage route) — rounded cosine desc, centroid_id asc
-    tie-break, zero-norm denominators excluded via +Infinity. Centroids ride
-    as an array literal folded with higher-order functions, so the
-    expression tree is O(dim) regardless of K. Requires a ``__vnorm``
-    column (see norm_fixed)."""
+def _attach_argmin_cell(
+    df: DataFrame,
+    rows: "list[Row]",
+    vec_col: str,
+    out_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """``withColumn(out_col, <id of the single nearest centroid>)`` —
+    exact argmin over all K candidates: rounded cosine desc, centroid_id
+    asc tie-break, zero-norm denominators excluded via +Infinity.
+
+    r14: the candidate set rides as DATA in a broadcast 1-row frame
+    instead of a K x dim literal array baked into the expression string,
+    so parse/analysis cost is O(dim) regardless of K; the fold arithmetic
+    is character-identical, so assignments are bit-identical. Requires a
+    ``__vnorm`` column (see norm_fixed)."""
     scale = float(10**round_digits)
-    parts = []
+    items = []
     for r in sorted(rows, key=lambda r: int(r["centroid_id"])):
         cvec = [float(x) for x in r["centroid"]]
         acc = 0.0
         for x in cvec:
             acc = acc + x * x
-        parts.append(
-            f"struct({int(r['centroid_id'])} AS cid, {_vec_sql_literal(cvec)} AS cvec, "
-            f"CAST({math.sqrt(acc)!r} AS DOUBLE) AS cnorm)"
-        )
-    items = "array(" + ", ".join(parts) + ")"
+        items.append((int(r["centroid_id"]), cvec, math.sqrt(acc)))
+    consts = df.sparkSession.createDataFrame(
+        [(items,)], "__cands array<struct<cid:int,cvec:array<double>,cnorm:double>>"
+    )
     dot = (
         f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), c.cvec, (x, y) -> x * y), "
         "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
@@ -294,10 +304,15 @@ def _argmin_cell_expr(
     denom = "(__vnorm * c.cnorm)"
     sim = f"floor((({dot}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
     neg = f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
-    return (
+    expr = (
         "element_at(transform(slice(array_sort(transform("
-        f"{items}, c -> struct({neg} AS ns, c.cid AS cid)"
+        f"__cands, c -> struct({neg} AS ns, c.cid AS cid)"
         ")), 1, 1), s -> s.cid), 1)"
+    )
+    return (
+        df.crossJoin(F.broadcast(consts))
+        .withColumn(out_col, F.expr(expr))
+        .drop("__cands")
     )
 
 
@@ -345,9 +360,12 @@ def train_centroids(
         for i, r in enumerate(init)
     ]
     for _ in range(iters):
-        assigned = (
-            sample.withColumn("__vnorm", V.norm_fixed(vec_col, dim))
-            .withColumn("cid", F.expr(_argmin_cell_expr(cents, vec_col, round_digits)))
+        assigned = _attach_argmin_cell(
+            sample.withColumn("__vnorm", V.norm_fixed(vec_col, dim)),
+            cents,
+            vec_col,
+            "cid",
+            round_digits,
         )
         new_rows = label_centroids(
             assigned, id_col, vec_col, "cid", dim, round_digits

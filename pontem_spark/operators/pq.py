@@ -31,30 +31,50 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Row, functions as F
 
 from pontem_spark.functions.compat import rnd
-from pontem_spark.operators.ivf import _portable_round_py, _vec_sql_literal, label_centroids
+from pontem_spark.operators.ivf import _portable_round_py
 
 
-def _argmin_l2_expr(rows: "list[Row]", vec_expr: str, round_digits: int = 6) -> str:
-    """SQL expression: centroid id minimizing the ROUNDED squared L2
-    distance to ``vec_expr`` (an array<double> expression), id asc on
-    ties. Codebook rides as an array literal; the fold is O(sub_dim) per
-    centroid."""
+def _attach_code_cols(
+    df: DataFrame,
+    books: "list[list[Row]]",
+    vec_exprs: "list[str]",
+    out_cols: "list[str]",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Append one argmin-code column per subspace: ``out_cols[j]`` = id of
+    the ``books[j]`` centroid minimizing the ROUNDED squared L2 distance
+    to ``vec_exprs[j]`` (an array<double> expression), id asc on ties.
+
+    r14: all m codebooks ride together as DATA in ONE broadcast 1-row
+    frame instead of m per-centroid literal arrays baked into expression
+    strings — parse/analysis cost is O(m·sub_dim) instead of
+    O(m·k·sub_dim); the fold arithmetic is character-identical, so codes
+    are bit-identical."""
     scale = float(10**round_digits)
-    parts = []
-    for r in sorted(rows, key=lambda r: int(r["centroid_id"])):
-        cvec = [float(x) for x in r["centroid"]]
-        parts.append(f"struct({int(r['centroid_id'])} AS cid, {_vec_sql_literal(cvec)} AS cvec)")
-    items = "array(" + ", ".join(parts) + ")"
-    d2 = (
-        f"aggregate(zip_with({vec_expr}, c.cvec, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    data = [
+        [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+            for r in sorted(b, key=lambda r: int(r["centroid_id"]))
+        ]
+        for b in books
+    ]
+    consts = df.sparkSession.createDataFrame(
+        [(data,)], "__books array<array<struct<cid:int,cvec:array<double>>>>"
     )
-    rd2 = f"floor(({d2}) * {scale!r} + 0.5) / {scale!r}"
-    return (
-        "element_at(transform(slice(array_sort(transform("
-        f"{items}, c -> struct({rd2} AS d, c.cid AS cid)"
-        ")), 1, 1), s -> s.cid), 1)"
-    )
+    df = df.crossJoin(F.broadcast(consts))
+    for j, (vec_expr, out_col) in enumerate(zip(vec_exprs, out_cols)):
+        d2 = (
+            f"aggregate(zip_with({vec_expr}, c.cvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        rd2 = f"floor(({d2}) * {scale!r} + 0.5) / {scale!r}"
+        expr = (
+            "element_at(transform(slice(array_sort(transform("
+            f"element_at(__books, {j + 1}), c -> struct({rd2} AS d, c.cid AS cid)"
+            ")), 1, 1), s -> s.cid), 1)"
+        )
+        df = df.withColumn(out_col, F.expr(expr))
+    return df.drop("__books")
 
 
 def _slice_expr(vec_col: str, j: int, sub: int) -> str:
@@ -78,41 +98,88 @@ def train_pq_codebooks(
     previous centroid. Returns ``m`` codebooks of ``k`` Rows each."""
     if dim % m:
         raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m {m}")
+    from functools import reduce
+
     from pontem_spark.operators.sampling import hash_bucket
 
     sub = dim // m
     sample_full = corpus.filter(hash_bucket(id_col, 100) < sample_pct)
-    books: "list[list[Row]]" = []
-    for j in range(m):
-        sample = sample_full.select(
-            F.col(id_col), F.expr(_slice_expr(vec_col, j, sub)).alias("__sv")
-        )
-        init = sample.orderBy(id_col).limit(k).collect()
-        cents = [
+
+    # r14: the m subspaces train on the SAME sampled rows and are mutually
+    # independent, so drive all of them per Lloyd step in ONE job instead
+    # of m sequential per-subspace jobs (guide §1.2/§2.6 — the driver loop
+    # was 3m tiny jobs; now it is 1 init + `iters` rebuild jobs total).
+    # Arithmetic is unchanged: the init rows are the identical k
+    # smallest-id sampled vectors (sliced driver-side instead of via m
+    # slice() scans), and the rebuild union replays label_centroids'
+    # posexplode → per-(cid, pos) rounded AVG per subspace, just tagged
+    # with the subspace index so one aggregate carries all m codebooks.
+    init = (
+        sample_full.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    books: "list[list[Row]]" = [
+        [
             Row(
                 centroid_id=i,
-                centroid=[_portable_round_py(float(x), round_digits) for x in r["__sv"]],
+                centroid=[
+                    _portable_round_py(float(x), round_digits)
+                    for x in r["__v"][j * sub : (j + 1) * sub]
+                ],
             )
             for i, r in enumerate(init)
         ]
-        for _ in range(iters):
-            assigned = sample.withColumn(
-                "cid", F.expr(_argmin_l2_expr(cents, "__sv", round_digits))
+        for j in range(m)
+    ]
+    for _ in range(iters):
+        assigned = sample_full.select(
+            F.col(id_col),
+            *[F.expr(_slice_expr(vec_col, j, sub)).alias(f"__sv{j}") for j in range(m)],
+        )
+        assigned = _attach_code_cols(
+            assigned,
+            books,
+            [f"__sv{j}" for j in range(m)],
+            [f"__cid{j}" for j in range(m)],
+            round_digits,
+        )
+        branches = [
+            assigned.select(
+                F.lit(j).alias("__j"),
+                F.col(f"__cid{j}").alias("cid"),
+                F.posexplode(F.col(f"__sv{j}").cast("array<double>")).alias("pos", "x"),
             )
-            new_rows = label_centroids(
-                assigned, id_col, "__sv", "cid", sub, round_digits
-            ).collect()
-            new = {
-                int(r["centroid_id"]): [float(x) for x in r["centroid"]] for r in new_rows
-            }
-            cents = [
+            for j in range(m)
+        ]
+        u = reduce(DataFrame.unionAll, branches)
+        means = u.groupBy("__j", "cid", "pos").agg(
+            rnd(F.avg("x"), round_digits).alias("m")
+        )
+        new_rows = (
+            means.groupBy("__j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "__j",
+                F.col("cid").alias("centroid_id"),
+                F.expr("transform(pm, s -> s.m)").alias("centroid"),
+            )
+            .collect()
+        )
+        new: "list[dict[int, list[float]]]" = [{} for _ in range(m)]
+        for r in new_rows:
+            new[int(r["__j"])][int(r["centroid_id"])] = [float(x) for x in r["centroid"]]
+        books = [
+            [
                 Row(
                     centroid_id=int(c["centroid_id"]),
-                    centroid=new.get(int(c["centroid_id"]), list(c["centroid"])),
+                    centroid=new[j].get(int(c["centroid_id"]), list(c["centroid"])),
                 )
-                for c in cents
+                for c in books[j]
             ]
-        books.append(cents)
+            for j in range(m)
+        ]
     return books
 
 
@@ -124,14 +191,21 @@ def pq_assign_codes(
     dim: int,
     round_digits: int = 6,
 ) -> DataFrame:
-    """(id, codes array<int>) — one map-side projection, zero shuffles."""
+    """(id, codes array<int>) — one map-side projection over a broadcast
+    codebook row, zero shuffles."""
     m = len(books)
     sub = dim // m
-    codes = [
-        F.expr(_argmin_l2_expr(books[j], _slice_expr(vec_col, j, sub), round_digits))
-        for j in range(m)
-    ]
-    return corpus.select(F.col(id_col), F.array(*codes).alias("codes"))
+    coded = _attach_code_cols(
+        corpus,
+        books,
+        [_slice_expr(vec_col, j, sub) for j in range(m)],
+        [f"__code{j}" for j in range(m)],
+        round_digits,
+    )
+    return coded.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("codes"),
+    )
 
 
 def pq_topk(

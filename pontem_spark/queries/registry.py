@@ -85,12 +85,10 @@ NO_ORACLE: frozenset[str] = frozenset()
 # extended to match), changing its schema and hash.
 CHANGED_IN_ROUND = {
     "q_dedup_jaccard_pairs": 5,
-    "q_ann_ivf_hier_topk": 5,
     "q_incremental_rollup": 6,
-    # r9: pair generation rewritten self-join -> basket explode (one
-    # lineitem shuffle instead of two); identical pair set, but the
-    # changed plan must earn a fresh driver row
-    "q_graph_triangles": 9,
+    # (q_ann_ivf_hier_topk was flagged 5, q_graph_triangles 9 — both
+    # re-flagged 14 below by the optimization round, which changed their
+    # plans again.)
     # r13: the same-anchor positional-composition rebuild changed the
     # executed plans (rowalign join -> single-scan Window) of every query
     # routing through window-free shift/ffill/rolling/ewm/resample
@@ -107,6 +105,34 @@ CHANGED_IN_ROUND = {
     # identical for its non-null comparison masks, verified 213/213 in
     # the r14 vanilla-session sim, but plan-changed counts as changed)
     "q_api_merge_filter": 14,
+    # r14 OPTIMIZATION round: executed plans changed (results proven
+    # identical vs the DuckDB oracle this round — see OPTIMIZATION_r14.md
+    # for the per-item before/after plan evidence). Plan-changed counts
+    # as changed: earn fresh driver rows early.
+    # triangle count: wedge join -> adjacency-intersect
+    "q_graph_triangles": 14,
+    # pagerank: in-plan dangling mass, broadcast rank state, shared edge
+    # checkpoint
+    "q_graph_pagerank": 14,
+    "q_graph_pagerank_dangling": 14,
+    # label propagation: lazy chain + shuffle_hash label join
+    "q_graph_communities": 14,
+    # connected_components gained a shuffle_hash hint on the label join
+    "q_dedup_clusters": 14,
+    "q_dedup_apply_removal": 14,
+    "q_pipeline_entity_resolution": 14,
+    # basket rules: grouping-sets shared support/total pass
+    "q_basket_association_rules": 14,
+    # quantile boundary aggregates: ensure_parallelism rebalance
+    "q_curation_winsorize": 14,
+    "q_api_qcut": 14,
+    "q_api_grouped_qcut": 14,
+    # IVF/PQ: centroid literals -> broadcast data row; PQ training fold
+    "q_ann_ivf_topk": 14,
+    "q_ann_ivf_trained_topk": 14,
+    "q_ann_ivf_hier_topk": 14,
+    "q_ann_ivf_hier_g2_topk": 14,
+    "q_ann_pq_adc_topk": 14,
 }
 
 

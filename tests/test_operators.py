@@ -574,9 +574,10 @@ def test_incremental_rollup_merge_equals_direct(spark, sf_dir):
 def test_train_centroids_k256_matches_python_replay(spark, sf_dir):
     """Large-K evidence for the 'K bounded by broadcast size, not plan
     size' claim (ivf.py): training at K=256 (vs the suite's usual k<=24)
-    completes, the argmin expression grows linearly in K, and one full
-    Lloyd step is replayed in pure Python double arithmetic — the same
-    left-chained folds and portable rounding — and must agree.
+    completes, the argmin EXPRESSION is K-independent (r14: centroids ride
+    as a broadcast data row, not literals), and one full Lloyd step is
+    replayed in pure Python double arithmetic — the same left-chained
+    folds and portable rounding — and must agree.
 
     The assignment arithmetic is replicated BIT-IDENTICALLY (sequential
     folds, driver-side rounded init on both sides); the per-cell means use
@@ -589,7 +590,8 @@ def test_train_centroids_k256_matches_python_replay(spark, sf_dir):
 
     import numpy as np
 
-    from pontem_spark.operators.ivf import _argmin_cell_expr, train_centroids
+    from pontem_spark.functions import vector as V
+    from pontem_spark.operators.ivf import _attach_argmin_cell, train_centroids
     from pontem_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -600,12 +602,14 @@ def test_train_centroids_k256_matches_python_replay(spark, sf_dir):
     t_k256 = time.perf_counter() - t0
     assert len(got) == 256
     assert [r.centroid_id for r in got] == list(range(256))
-    # plan-size evidence: the expression is a string literal array — linear
-    # in K, far from any codegen/analysis cliff
-    e256 = len(_argmin_cell_expr(got, "embedding"))
-    e24 = len(_argmin_cell_expr(got[:24], "embedding"))
-    assert e256 < 15 * e24, (e24, e256)
-    print(f"\n# K=256 train: {t_k256:.2f}s, argmin expr {e256} chars (K=24: {e24})")
+    # plan-size evidence (r14 form): the centroid set rides as DATA in a
+    # broadcast 1-row frame, so the analyzed argmin expression tree is the
+    # SAME size at K=256 as at K=24 — only the LocalRelation row grows.
+    base = emb.withColumn("__vnorm", V.norm_fixed("embedding", 64))
+    p256 = _attach_argmin_cell(base, got, "embedding", "cid")._jdf.queryExecution().analyzed().toString()
+    p24 = _attach_argmin_cell(base, got[:24], "embedding", "cid")._jdf.queryExecution().analyzed().toString()
+    assert len(p256) < 2 * len(p24), (len(p24), len(p256))
+    print(f"\n# K=256 train: {t_k256:.2f}s, analyzed plan {len(p256)} chars (K=24: {len(p24)})")
 
     def pr(x: float) -> float:
         return math.floor(x * 1e6 + 0.5) / 1e6
@@ -832,8 +836,11 @@ def test_round6_operator_plan_shapes(spark, sf_dir):
     assert has_node(q, "BroadcastNestedLoopJoin") or has_node(
         q, "BroadcastExchange"
     ), physical_plan(q)
-    # the only Exchange is the percentile aggregate's single-partition reduce
-    assert count_exchanges(q) <= 1, physical_plan(q)
+    # two Exchanges: the r14 ensure_parallelism rebalance of the projected
+    # value column (spreads the buffering percentile partials across cores
+    # when the scan is a single split — guide §2.5) + the aggregate's
+    # single-partition reduce. Still no Window, no sort of the data.
+    assert count_exchanges(q) <= 2, physical_plan(q)
 
     # temperature sampling: thresholds broadcast back, stream side never
     # sort-merge-joined
