@@ -51,14 +51,26 @@ def tfidf_top_terms(
     window never concentrates data no matter the corpus size.
     """
     tf = term_frequencies(df, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    # dfreq = postings count per term, as a WINDOW over the tf index
+    # (r14): the former separate groupBy("term") aggregate re-derived the
+    # whole tokenize + explode + (doc, term) aggregation subtree (Catalyst
+    # does not dedupe diamonds — the corpus was tokenized TWICE in the
+    # before-plan) and then hash-joined it back. The window computes the
+    # same integer on the single pass. Skew note: a corpus-wide stop word
+    # concentrates its postings in one window partition; acceptable
+    # because partitions carry only (id, term, tf) rows — the document
+    # bodies never enter the window — and the alternative was a full
+    # second corpus tokenization. (A localCheckpoint-the-index variant
+    # measured SLOWER at bench scale: materializing the index costs more
+    # than re-scanning a small corpus; see OPTIMIZATION_r14.md.)
+    dfreq_w = Window.partitionBy("term")
+    tf = tf.withColumn("dfreq", F.count(F.lit(1)).over(dfreq_w))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("tf").desc(), F.col("dfreq").asc(), F.col("term").asc()
     )
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(
@@ -183,24 +195,32 @@ def bm25_topk(
     DESC, id ASC) — rounding absorbs cross-engine last-ulp ln()/summation
     skew, the id tie-break makes equal rounded scores deterministic.
     """
-    lengths = ensure_parallelism(df).select(
-        F.col(id_col), T.n_tokens(text_col).alias("dl")
-    )
-    stats = lengths.agg(
+    stats = ensure_parallelism(df).agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        F.avg(F.col("dl").cast("double")).alias("__avgdl"),
+        F.avg(T.n_tokens(text_col).cast("double")).alias("__avgdl"),
     )
+    # r14: dl rides the postings rows (first(dl) in the same aggregate)
+    # and dfreq is a window count over the tf index — the former separate
+    # lengths frame and dfreq aggregate each re-derived a full tokenize
+    # chain (Catalyst does not dedupe diamonds: 4 tokenize passes in the
+    # before-plan, 2 now — the (N, avgdl) corpus stats are the one
+    # irreducible full pass). The window partitions by query term (only
+    # |terms| partitions, but the frame it shuffles is the already-
+    # filtered postings index — tiny by construction).
     tf = (
         ensure_parallelism(df)
-        .select(id_col, F.explode(T.tokens(text_col)).alias("term"))
+        .select(
+            F.col(id_col),
+            T.n_tokens(text_col).alias("dl"),
+            F.explode(T.tokens(text_col)).alias("term"),
+        )
         .filter(F.col("term").isin(list(terms)))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    dfreq_w = Window.partitionBy("term")
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(lengths, id_col)
+        tf.withColumn("dfreq", F.count(F.lit(1)).over(dfreq_w))
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
