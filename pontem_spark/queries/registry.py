@@ -133,6 +133,19 @@ CHANGED_IN_ROUND = {
     "q_ann_ivf_hier_topk": 14,
     "q_ann_ivf_hier_g2_topk": 14,
     "q_ann_pq_adc_topk": 14,
+    # textstats: dfreq/dl single-pass window rewrite (tfidf, bm25, rrf)
+    "q_tfidf_top_terms": 14,
+    "q_text_bm25_topk": 14,
+    "q_ann_rrf_fusion": 14,
+    # streaming drains: input-size-derived state partitions (the stream's
+    # executed partitioning changed; outputs proven identical both SFs)
+    "q_stream_stream_join": 14,
+    "q_stream_hourly_rollup": 14,
+    "q_stream_session_windows": 14,
+    "q_stream_sliding_rollup": 14,
+    "q_stream_stateful_user_stats": 14,
+    "q_stream_dedup_daily_users": 14,
+    "q_stream_static_enrich": 14,
 }
 
 

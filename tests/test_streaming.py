@@ -388,3 +388,44 @@ def test_stream_hll_distinct_rollup(spark, sf_dir):
         for r in estimate(hll_rollup(ev, ["event_type"], "user_id"), ["event_type"]).collect()
     }
     assert got == direct
+
+
+def test_suggest_state_partitions_sizing(spark, sf_dir):
+    """The input-size-derived state-partition rule (r14): floor for tiny
+    inputs, bytes/advisory in the middle, capped at the session's batch
+    shuffle setting for huge inputs — and the drain helper restores the
+    session conf afterwards."""
+    import os
+
+    from pontem_spark.streaming import read_event_stream, run_to_memory
+    from pontem_spark.streaming.events import hourly_rollup, suggest_state_partitions
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = os.path.join(sf_dir, "events.parquet")
+
+    # tiny real input -> the parallelism floor (default 4), never above cap
+    n = suggest_state_partitions(spark, path)
+    assert n == min(4, cur), n
+
+    # middle of the range: bytes/advisory partitions (advisory shrunk so
+    # the same small file spans ~6 advisory units, between floor and cap)
+    adv = max(-(-os.path.getsize(path) // 6), 1)
+    spark.conf.set("pontem.stream.advisoryStateBytes", str(adv))
+    n_mid = suggest_state_partitions(spark, path)
+    want_mid = max(min(-(-os.path.getsize(path) // adv), cur), min(4, cur))
+    assert n_mid == want_mid and n_mid > min(4, cur), (n_mid, want_mid)
+
+    # "100 TB" input: capped at the session's batch shuffle partitions
+    spark.conf.set("pontem.stream.advisoryStateBytes", "1")
+    n_big = suggest_state_partitions(spark, path)
+    assert n_big == cur, (n_big, cur)
+    spark.conf.unset("pontem.stream.advisoryStateBytes")
+
+    # the drain scopes the suggestion around query start and RESTORES the
+    # session's batch setting afterwards; the drained result is identical
+    # to the batch twin regardless of the partitioning
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_to_memory(hourly_rollup(read_event_stream(spark, sf_dir)), mode="complete")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert int(spark.conf.get("pontem.stream.suggestedPartitions")) == min(4, cur)
+    assert out.count() > 0
