@@ -146,6 +146,12 @@ CHANGED_IN_ROUND = {
     "q_stream_stateful_user_stats": 14,
     "q_stream_dedup_daily_users": 14,
     "q_stream_static_enrich": 14,
+    # foreachBatch monoid runners: lazy state chain, one post-drain pin
+    "q_stream_histogram_quantiles": 14,
+    "q_stream_incremental_rollup": 14,
+    "q_stream_time_decay": 14,
+    "q_stream_seasonal_anomaly": 14,
+    "q_stream_ks_drift": 14,
 }
 
 
