@@ -323,17 +323,22 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str, bits: int = 60) -> Da
         .select(id_col, F.explode("__toks").alias("tok"))
         .select(id_col, F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"))
     )
+    # The vote/assembly expressions ride ONE SQL string each (r14): built as
+    # per-bit Column objects they cost ~10 Py4J round trips per bit — ~1 s of
+    # driver time PER QUERY BUILD for 60 bits, re-paid on every run — while
+    # parsing the identical expression text JVM-side is ~2 calls total. The
+    # Catalyst trees (and therefore plans and fingerprints) are unchanged.
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN ((shiftright(h, {i}) & 1) = 1) THEN 1 ELSE -1 END)"
         ).alias(f"v{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return agg.select(F.col(id_col), fp.alias(f"simhash{bits}"))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(f"CAST(0 AS BIGINT) + {fp}").alias(f"simhash{bits}"))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -352,17 +357,29 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         .select(id_col, F.explode("__toks").alias("tok"))
         .select(id_col, F.xxhash64("tok").alias("h"))
     )
+    # single-SQL-string construction for the same reason as simhash_md5
+    # (~10 Py4J calls per bit otherwise; identical Catalyst trees)
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN ((shiftright(h, {i}) & 1) = 1) THEN 1 ELSE -1 END)"
         ).alias(f"v{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
-    fp = F.lit(0).cast("long")
-    for i in range(bits):
-        fp = fp + F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return agg.select(F.col(id_col), fp.alias("simhash64"))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(bits)
+    )
+    # bit 63 of a 64-bit fingerprint would need the sign bit: 1L<<63 overflows
+    # a SQL bigint literal, so keep the shiftleft form for that one bit
+    if bits >= 64:
+        fp = " + ".join(
+            [f"(CASE WHEN v{i} > 0 THEN {1 << i}L ELSE 0L END)" for i in range(63)]
+            + [
+                f"(CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+                for i in range(63, bits)
+            ]
+        )
+    return agg.select(F.col(id_col), F.expr(f"CAST(0 AS BIGINT) + {fp}").alias("simhash64"))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
