@@ -349,6 +349,13 @@ def remove_boilerplate(
     """
     if strategy not in ("broadcast", "antijoin", "auto"):
         raise ValueError(f"remove_boilerplate: unknown strategy {strategy!r}")
+    from pontem_spark.operators.util import ensure_parallelism
+
+    # rebalance the (narrow) documents before chunking (r14): a single-file
+    # corpus scans as ONE partition, so the chunk explode + document-frequency
+    # partial aggregation AND the map-side rebuild ran on one core while the
+    # rest idled (guide §2.5). No-op on healthy multi-split input.
+    df = ensure_parallelism(df.select(id_col, text_col))
     windows = _word_windows(text_col, window)
     chunks = df.select(F.col(id_col), F.explode(windows).alias("__chunk"))
     frequent_set = (

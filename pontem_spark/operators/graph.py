@@ -31,7 +31,12 @@ def connected_components(
     ``edges``: undirected pairs (``src_col``, ``dst_col``).
     Returns (node_col, component) — component = min reachable id.
     """
-    # symmetrize once; propagation then only needs one direction per step
+    # symmetrize once; propagation then only needs one direction per step.
+    # (r14 probe: an explode-of-2-structs symmetrize — one scan of the edge
+    # subtree instead of union's two branches — measured +12% (1.89->2.13 s
+    # on q_dedup_clusters, 7-run medians): ReuseExchange already dedupes the
+    # two identical union branches, so the single-scan form saved nothing
+    # and paid a Generate. Kept the union deliberately.)
     fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     sym = fwd.union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -55,6 +60,10 @@ def connected_components(
             .select("u", "label")
         )
         prev_labels = labels
+        # (r14 probe: a LAZY checkpoint here — letting the convergence probe
+        # materialize it, one job per iteration instead of two — measured
+        # noisier and no faster (clusters 1.89 eager vs 2.1-3.3 lazy,
+        # 7-run medians, wide bimodal spread). Kept eager deliberately.)
         labels = (
             labels.union(neighbor_labels)
             .groupBy("u")

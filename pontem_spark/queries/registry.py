@@ -152,6 +152,11 @@ CHANGED_IN_ROUND = {
     "q_stream_time_decay": 14,
     "q_stream_seasonal_anomaly": 14,
     "q_stream_ks_drift": 14,
+    # upsert_parquet: disk __upsert_tmp staging -> localCheckpoint pin
+    "q_cdc_upsert_readback": 14,
+    # remove_boilerplate: ensure_parallelism rebalance before chunking
+    "q_curation_boilerplate_removal": 14,
+    "q_pipeline_corpus_prep": 14,
 }
 
 

@@ -283,6 +283,12 @@ def q_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (The exact twins here are the proof harness; at 100 TB you run only
     the sketch side — the whole point is never shuffling every key.)"""
     li = load_table(spark, sf_dir, "lineitem")
+    # (r14 probes, both kept OUT: (a) an ensure_parallelism rebalance before
+    # the aggregates measured flat — unlike winsorize, the cost here is not
+    # the partial buffering, and the rebalance ships every value an extra
+    # time; (b) splitting the two count_distincts into single-distinct aggs
+    # to avoid the Expand measured 1.9->4.2 s — three scan subtrees beat the
+    # 2x Expand soundly. Original shape kept deliberately.)
     # TWO aggregation passes joined on the tiny group key instead of one:
     # mixing count_distinct with the percentile buffers in a single agg
     # makes Catalyst Expand every row once per distinct column, tripling

@@ -120,7 +120,6 @@ def upsert_parquet(
     would leave its old version alive in the untouched partition.
     """
     import os
-    import shutil
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     exists = os.path.isdir(path) and any(
@@ -160,18 +159,23 @@ def upsert_parquet(
         .select(*keys, *[F.col(f"__l.{c}").alias(c) for c in value_cols])
         .select(*df.columns)  # original column order
     )
-    tmp = path.rstrip("/") + "__upsert_tmp"
-    try:
-        merged.write.mode("overwrite").parquet(tmp)
-        staged = spark.read.parquet(tmp)
-        writer = staged.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        )
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    # The merged working set is pinned with localCheckpoint instead of the
+    # previous write-to-__upsert_tmp + read-back (r14): Spark refuses to
+    # overwrite a path it is READING, and a checkpoint severs that read
+    # dependency exactly like the staging copy did — minus one full parquet
+    # write + listing + re-read of the touched partitions per upsert. The
+    # failure window is unchanged: in both designs the table is only
+    # touched by the final dynamic overwrite (a mid-MERGE failure leaves it
+    # intact; a mid-overwrite failure was never covered by the tmp copy).
+    # (checkpoint blocks are reclaimed by the ContextCleaner once the frame
+    # is garbage-collected — the session pins periodicGC at 10min for this)
+    staged = merged.localCheckpoint(eager=True)
+    writer = staged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def write_training_shards(

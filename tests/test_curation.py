@@ -271,10 +271,16 @@ def test_boilerplate_removal_single_shuffle(spark):
 
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
     out = remove_boilerplate(df, window=3, max_doc_freq=3)
-    # 3 Exchanges: two for the count_distinct pair-dedup dance (both on
-    # chunk-sized rows, never documents) and one SinglePartition collect of
-    # the already-tiny frequent set. The docs themselves hit zero Exchange.
-    assert count_exchanges(out) <= 3
+    # 5 Exchange nodes in the printed (pre-AQE) plan: two for the
+    # count_distinct pair-dedup dance (both on chunk-sized rows), one
+    # SinglePartition collect of the already-tiny frequent set, and the
+    # deliberate ensure_parallelism rebalance of the narrow (id, text)
+    # input (r14: a single-file corpus scans as ONE partition, putting the
+    # chunk dfreq partials and the map-side rebuild on one core). The
+    # rebalance prints once per diamond branch but executes ONCE —
+    # spark.sql.exchange.reuse dedupes identical exchanges at runtime —
+    # and is a no-op on healthy multi-split input.
+    assert count_exchanges(out) <= 5
     assert has_node(out, "BroadcastNestedLoopJoin") or has_node(
         out, "BroadcastExchange"
     )

@@ -245,7 +245,11 @@ def test_pipeline_query_single_composed_plan(q):
     plan = physical_plan(df)
     assert "EvalPython" not in plan
     # chunk df-agg pair (2) + single-partition collect (1) + dedup agg (1)
-    assert count_exchanges(df) <= 5, plan[:800]
+    # + remove_boilerplate's deliberate ensure_parallelism rebalance (r14:
+    # the single-file corpus scans as ONE partition, so the chunk explode +
+    # dfreq partial agg and the map-side rebuild ran single-core; the narrow
+    # rebalance is a no-op on healthy multi-split input)
+    assert count_exchanges(df) <= 6, plan[:800]
 
 
 def test_filtered_ann_pushes_label_predicate(q):
