@@ -351,6 +351,26 @@ def train_centroids(
     sample = corpus.filter(hash_bucket(id_col, 100) < sample_pct).select(
         id_col, vec_col
     )
+    # Pin the training sample once while it is provably small (r14): every
+    # Lloyd job below otherwise re-analyzes and re-executes the scan+filter
+    # subtree — measured ~-6-9% sentinel-normalized on trained-IVF, neutral
+    # on semantic-dedup. Bounded by `pontem.ivf.pinSampleBytes` (default
+    # 1 GiB of ESTIMATED sample bytes = input size x sample_pct, metadata
+    # only): at 100 TB a 30% sample must NOT be spooled to executor
+    # storage — recomputing the narrow column-pruned scan per job is
+    # cheaper there, so past the bound the original lazy shape is kept.
+    try:
+        est_bytes = sum(
+            __import__("os").path.getsize(f[7:] if f.startswith("file://") else f)
+            for f in corpus.inputFiles()
+        ) * sample_pct / 100.0
+    except Exception:  # non-file sources: unknown size, stay lazy
+        est_bytes = float("inf")
+    pin_bound = int(
+        corpus.sparkSession.conf.get("pontem.ivf.pinSampleBytes", str(1 << 30))
+    )
+    if est_bytes <= pin_bound:
+        sample = sample.localCheckpoint(eager=True)
     init = sample.orderBy(id_col).limit(k).collect()
     cents = [
         Row(
