@@ -7,7 +7,10 @@ both identically, and Catalyst pushes filters + prunes columns into the scan.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 
 TABLES = [
     "region",
@@ -56,9 +59,50 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Parquet FOOTER-SCHEMA cache (metadata only — never data). Without an
+# explicit schema every spark.read.parquet() call re-runs schema inference
+# on the driver (~90 ms/table here), and the bench pays that on every
+# build of every query: profiled at ~2/3 of a typical TPC-H query's
+# construction time (OPTIMIZATION_r14.md item 18). The key carries the
+# path's stat signature so a rewritten file (new mtime/size) re-infers —
+# the cache can serve stale METADATA only if a writer mutates bytes
+# in-place without changing mtime or size, which no parquet writer does.
+# Unstatable paths (object stores) skip the cache entirely.
+_SCHEMA_CACHE: dict[tuple[str, int, int], StructType] = {}
+
+# Lazy-DataFrame cache, layered on the same stat signature and keyed
+# weakly by session (a DataFrame is session-bound; a stopped session's
+# entries vanish with it). This is PLAN-object reuse, not result caching:
+# the cached object is an unexecuted scan + the timestamp-normalization
+# projection — every action on it still reads the parquet bytes. It
+# removes the remaining ~25 ms of reader-construction py4j chatter per
+# load_table call (DataFrames are immutable, so sharing one across
+# queries is safe; Spark itself shares the session FileStatusCache the
+# same way).
+_DF_CACHE: "object" = None  # created lazily to keep import cost nil
+
+
+def _df_cache_for(spark: SparkSession) -> dict:
+    global _DF_CACHE
+    if _DF_CACHE is None:
+        import weakref
+
+        _DF_CACHE = weakref.WeakKeyDictionary()
+    return _DF_CACHE.setdefault(spark, {})
+
+
+def _stat_key(path: str) -> tuple[str, int, int] | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (path, st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Lazy — no job runs until an action (the schema
-    normalization reads only the parquet footer at plan time)."""
+    normalization reads only the parquet footer at plan time, and only
+    on the FIRST load of a given file signature — see _SCHEMA_CACHE)."""
     if name == "events":
         # Runtime-settable; required even when the caller (e.g. the driver)
         # built its own session without pontem_spark.session.get_spark().
@@ -68,7 +112,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session.py, so an externally-built non-UTC session cannot shift
         # epoch-derived values vs the DuckDB oracle.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    path = f"{sf_dir}/{name}.parquet"
+    key = _stat_key(path)
+    if key is None:  # unstatable path: no caching of any kind
+        return normalize_timestamps(spark.read.parquet(path))
+    per_session = _df_cache_for(spark)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    df = normalize_timestamps(df)
+    per_session[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

@@ -292,3 +292,32 @@ def test_atomic_overwrite_swaps_and_rolls_back(spark, tmp_path):
 
     # no staging/backup leftovers
     assert glob.glob(str(tmp_path / "live__*")) == []
+
+
+def test_load_table_cache_reuses_plan_and_invalidates_on_rewrite(spark, sf_dir, tmp_path):
+    """r14 item 18: load_table caches the inferred footer schema and the
+    normalized lazy DataFrame per (session, path-stat-signature). Repeat
+    loads of unchanged files must return the SAME plan object (the chatter
+    win), and a rewrite of the file — even with a different schema — must
+    invalidate both layers (the staleness guard): the cache may never
+    serve metadata for bytes that changed on disk."""
+    # 1. repeat load of static test data: plan-object reuse, same schema
+    df1 = load_table(spark, sf_dir, "lineitem")
+    df2 = load_table(spark, sf_dir, "lineitem")
+    assert df2 is df1
+    from pontem_spark.sources.tables import normalize_timestamps
+
+    fresh = normalize_timestamps(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+    assert df1.schema == fresh.schema
+
+    # 2. rewrite at the same path with a DIFFERENT schema -> re-inferred
+    p = str(tmp_path / "tbl.parquet")
+    spark.range(5).selectExpr("id", "cast(id as string) AS s").write.parquet(p)
+    a = load_table(spark, str(tmp_path), "tbl")
+    assert set(a.columns) == {"id", "s"} and a.count() == 5
+    assert load_table(spark, str(tmp_path), "tbl") is a
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.mode("overwrite").parquet(p)
+    b = load_table(spark, str(tmp_path), "tbl")
+    assert b is not a
+    assert set(b.columns) == {"id", "v"} and b.count() == 3
+    assert [r.v for r in b.orderBy("id").collect()] == [0, 2, 4]
