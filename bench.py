@@ -133,6 +133,45 @@ def _regressions_vs_baseline(timings: dict[str, float], sf_val) -> list[dict]:
     return sorted(out, key=lambda d: -d["sec"] / d["baseline_hi"])
 
 
+def _tail_safe_queries_line(timings: "dict[str, float]", sf_val) -> str:
+    """Compact per-query medians line sized to survive the driver's
+    ~2000-char stdout tail together with the final summary line (r15,
+    VERDICT r14 #2). Queries ride in DESCENDING median order so that when
+    the budget cuts the list, it drops the cheap sub-second tail, not the
+    queries that matter for speedup review. Leads with "metric" so
+    _load_bench_baselines' tail scan (anchored on '{"metric"') can harvest
+    these medians from a truncated driver artifact in future rounds."""
+    tail_budget = 1780  # 2000-char driver tail minus the summary line + margin
+    compact: dict[str, float] = {}
+    fixed = json.dumps(
+        {
+            "metric": "pontem_spark_query_seconds",
+            "queries": {},
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "n_reported": 10_000,
+        },
+        separators=(",", ":"),
+    )
+    used = len(fixed)
+    for name, med in sorted(timings.items(), key=lambda kv: -kv[1]):
+        cost = len(json.dumps({name: med}, separators=(",", ":"))) - 1  # net map chars
+        if used + cost > tail_budget:
+            break
+        compact[name] = med
+        used += cost
+    return json.dumps(
+        {
+            "metric": "pontem_spark_query_seconds",
+            "queries": compact,
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "n_reported": len(compact),
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -266,6 +305,16 @@ def main() -> None:
             }
         )
     )
+    # tail-safe PER-QUERY line (r15, VERDICT r14 #2): the driver keeps only
+    # the last ~2000 chars of stdout, so the full object's per-query map —
+    # which sits at the HEAD of its (long) line — never survives capture
+    # (PERF_r14 had per_query: {} for exactly this reason). Emit a second,
+    # COMPACT medians-only line right before the summary, sized to fit the
+    # tail budget together with the summary line: queries sorted by
+    # descending median so the truncation (if any) drops the cheap tail,
+    # not the queries that matter for speedup review. Additions-only: the
+    # full object above and the final summary line are unchanged.
+    print(_tail_safe_queries_line(timings, sf_val))
     # short tail-safe summary — the LAST stdout line always parses
     print(
         json.dumps(

@@ -128,11 +128,15 @@ def pagerank(
     which is why the q_graph_pagerank oracle needs no change. N comes from
     one O(1)-result count job (the same driver-scalar shape GraphX uses).
 
-    Scale shape per iteration: one shuffle joining ranks to the
-    degree-annotated edge table on the source and one aggregate shuffle on
-    the destination. Rank state is |V| rows; the edge table (with its
-    static out-degrees folded in) is checkpointed ONCE and re-read, never
-    recomputed.
+    Scale shape per iteration: while |V| is under the broadcast bound the
+    rank state broadcasts into the edge join and the destination aggregate
+    reuses the edge table's dst hash-partitioning (r15 — ZERO shuffles per
+    iteration; the one |E| shuffle moved into the edge checkpoint). Past
+    the bound the joins fall back to the planner's shuffled strategies:
+    one shuffle joining ranks to the edge table on the source plus the
+    destination aggregate exchange. Rank state is |V| rows; the edge table
+    (with its static out-degrees folded in) is checkpointed ONCE and
+    re-read, never recomputed.
     """
     # r14: checkpoint the deduped edge list FIRST — it feeds both the
     # degree-annotated edge build and the node/dangling-flag build, which
@@ -142,30 +146,104 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sess = raw.sparkSession
+    # |E| from the already-materialized checkpoint RDD — a metadata-cheap
+    # count that lets the edge build pick its join side without waiting for
+    # the node build (|distinct src| ≤ |E|, so |E| under the bound is a
+    # conservative-safe broadcast condition for the degree table)
+    m = raw.count()
+    bound = int(sess.conf.get("pontem.graph.broadcastRanksNodes", "2000000"))
+
+    # static dangling flag (node never appears as a src) folded into the
+    # node table once — each iteration reads it for free from the rank state.
+    # r15: built in a SINGLE pass — explode each edge row into two
+    # (node, voted-has-out) votes and OR them with one max() aggregate —
+    # instead of the former two-distinct + left-join shape (3 scans of raw,
+    # 2 aggregate shuffles and a join for the same 1-shuffle-of-2|E|-votes
+    # result; the votes partial-aggregate map-side to ≤|V| rows per task
+    # exactly like distinct did; micro-A/B 0.45 → 0.31 s at sf0.1). When
+    # the caller does not ask for dangling handling the flag is DEAD —
+    # every iteration would just copy it — so the node set is built
+    # without it and the rank state stays two columns.
+    def _build_nodes() -> DataFrame:
+        if handle_dangling:
+            return (
+                raw.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.col("src").alias("node"),
+                                F.lit(True).alias("__has_out"),
+                            ),
+                            F.struct(
+                                F.col("dst").alias("node"),
+                                F.lit(False).alias("__has_out"),
+                            ),
+                        )
+                    ).alias("__nv")
+                )
+                .select(
+                    F.col("__nv.node").alias("node"),
+                    F.col("__nv.__has_out").alias("__has_out"),
+                )
+                .groupBy("node")
+                .agg(F.max("__has_out").alias("__has_out"))
+                .localCheckpoint(eager=True)
+            )
+        return (
+            raw.select(F.col("src").alias("node"))
+            .union(raw.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
     # the out-degree is static — fold it into the edge table before the ONE
     # |E|-sized checkpoint; each iteration
-    # is then a single ranks join + one destination aggregate
-    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    e = raw.join(deg, "src").localCheckpoint(eager=True)
-    # static dangling flag (node never appears as a src) folded into the
-    # node table once — each iteration reads it for free from the rank state
-    srcs = raw.select(F.col("src").alias("node")).distinct().withColumn(
-        "__has_out", F.lit(True)
-    )
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .union(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .join(srcs, "node", "left")
-        .select("node", F.coalesce(F.col("__has_out"), F.lit(False)).alias("__has_out"))
-        .localCheckpoint(eager=True)
-    )
+    # is then a single ranks join + one destination aggregate.
+    # r15 (guide §2.4 — remove shuffles outright): the contribution
+    # aggregate groups by node == dst EVERY iteration, so hash-partition
+    # the static edge table by dst ONCE before its checkpoint; each
+    # iteration's aggregate then finds its required distribution already
+    # satisfied and elides its Exchange (one |E| shuffle paid at build,
+    # not one per iteration). localCheckpoint records the physical output
+    # partitioning on the LogicalRDD only while AQE is OFF (under AQE it
+    # degrades to UnknownPartitioning — probed, Spark 4.1), so AQE is
+    # scoped off around the two build jobs below; every consumer keeps
+    # AQE. The deg join keeps explicit side control under the |E| bound
+    # (with AQE off a no-stats checkpointed scan would otherwise fall to
+    # sort-merge even for a tiny degree table).
+    def _build_e() -> DataFrame:
+        deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("__outdeg"))
+        return (
+            raw.join(F.broadcast(deg) if m <= bound else deg, "src")
+            .repartition("dst")
+            .localCheckpoint(eager=True)
+        )
+
+    # overlap the two independent build jobs (guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially; the second
+    # job's tasks back-fill executor slots freed by the first one's tail)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    prev_aqe = sess.conf.get("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(inheritable_thread_target(_build_nodes))
+            f_e = pool.submit(inheritable_thread_target(_build_e))
+            nodes, e = f_nodes.result(), f_e.result()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     n = nodes.count()
     if n == 0:
         # empty graph: an empty (node, rank) frame, not a ZeroDivisionError
         # from the 1/N literal below
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    ranks = nodes.select("node", "__has_out", F.lit(1.0 / n).alias("rank"))
+    bcast_state = n <= bound
+    state_cols = ["node", "__has_out"] if handle_dangling else ["node"]
+    ranks = nodes.select(*state_cols, F.lit(1.0 / n).alias("rank"))
     for i in range(iterations):
         if handle_dangling:
             # Σ rank over sinks — r14: folded INTO the plan as a 1-row
@@ -185,15 +263,13 @@ def pagerank(
             base = F.lit((1.0 - damping) / n)
         # r14: |V| is known driver-side (the count above) — while the rank
         # state is bounded (`pontem.graph.broadcastRanksNodes`, default 2M
-        # rows ≈ tens of MB), broadcast it into the edge join and broadcast
+        # rows ≈ tens of MB; bcast_state computed once above), broadcast it
+        # into the edge join and broadcast
         # the contribution sums into the node join: the |E| edge table is
         # never shuffled per iteration and the contribution aggregate
         # partial-aggregates map-side. Past the bound both joins fall back
         # to the planner's shuffled strategies (scale-adaptive, same
         # degradation AQE would pick with real stats).
-        bcast_state = n <= int(
-            e.sparkSession.conf.get("pontem.graph.broadcastRanksNodes", "2000000")
-        )
         rank_side = ranks.withColumnRenamed("node", "src")
         if bcast_state:
             rank_side = F.broadcast(rank_side)
@@ -212,8 +288,7 @@ def pagerank(
         if handle_dangling:
             new_ranks = new_ranks.crossJoin(F.broadcast(dm))
         ranks = new_ranks.select(
-            "node",
-            "__has_out",
+            *state_cols,
             (base + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))).alias(
                 "rank"
             ),

