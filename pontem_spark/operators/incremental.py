@@ -22,7 +22,7 @@ LLM-pipeline extension.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from pontem_spark.functions.compat import rnd
 
@@ -128,16 +128,24 @@ def decayed_state(
     2^(-(ref'-ref)/h) — so streaming rollups of recency-weighted
     aggregates never rescan history (the histogram/HLL sketch property,
     for decay)."""
-    us = F.unix_micros(F.col(ts_col))
-    ref = df.groupBy(key_col).agg(F.max(us).alias("ref_us"))
+    # expressions ride parsed SQL strings (r15): built as Column objects
+    # this construction cost ~100 ms of Py4J chatter per call — re-paid on
+    # EVERY foreachBatch micro-batch by run_decayed_rollup. The strings
+    # spell out the identical trees (explicit DOUBLE casts — bare SQL
+    # float literals parse as DECIMAL), so weights are bit-identical.
+    h = float(halflife_s)
+    w = (
+        f"power(CAST(2.0 AS DOUBLE), (-(CAST((ref_us - unix_micros({ts_col})) AS DOUBLE) "
+        f"/ CAST(1000000.0 AS DOUBLE))) / CAST({h!r} AS DOUBLE))"
+    )
+    ref = df.groupBy(key_col).agg(
+        F.expr(f"max(unix_micros({ts_col}))").alias("ref_us")
+    )
     j = df.join(ref, key_col)
-    age_s = (F.col("ref_us") - F.unix_micros(F.col(ts_col))).cast("double") / F.lit(1e6)
-    w = F.pow(F.lit(2.0), -age_s / F.lit(float(halflife_s)))
-    v = F.col(val_col).cast("double")
     return j.groupBy(key_col, "ref_us").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(w).alias("sum_w"),
-        F.sum(w * v).alias("sum_wv"),
+        F.expr("CAST(count(1) AS BIGINT)").alias("n"),
+        F.expr(f"sum({w})").alias("sum_w"),
+        F.expr(f"sum(({w}) * CAST({val_col} AS DOUBLE))").alias("sum_wv"),
     )
 
 
@@ -152,30 +160,32 @@ def merge_decayed(
     aa = a.select(*an).alias("a")
     bb = b.select(*an).alias("b")
     j = aa.join(bb, getattr(aa, key_col) == getattr(bb, key_col), "full_outer")
-    key = F.coalesce(F.col(f"a.{key_col}"), F.col(f"b.{key_col}")).alias(key_col)
-    ar, br = F.col("a.ref_us"), F.col("b.ref_us")
-    new_ref = F.greatest(F.coalesce(ar, br), F.coalesce(br, ar))
+    # parsed SQL strings (r15, same rationale as decayed_state — this
+    # construction ran per micro-batch at ~200 ms of Py4J chatter); the
+    # strings spell the identical trees term for term, explicit DOUBLE
+    # casts everywhere a float literal appears, so the re-anchored weights
+    # are bit-identical
+    h = float(halflife_s)
+    new_ref = "greatest(coalesce(a.ref_us, b.ref_us), coalesce(b.ref_us, a.ref_us))"
 
-    def scaled(side: str, ref: Column) -> "tuple[Column, Column]":
-        scale = F.pow(
-            F.lit(2.0),
-            -((new_ref - ref).cast("double") / F.lit(1e6)) / F.lit(float(halflife_s)),
+    def scaled(side: str) -> "tuple[str, str]":
+        scale = (
+            f"power(CAST(2.0 AS DOUBLE), (-(CAST(({new_ref} - {side}.ref_us) AS DOUBLE) "
+            f"/ CAST(1000000.0 AS DOUBLE))) / CAST({h!r} AS DOUBLE))"
         )
         return (
-            F.coalesce(F.col(f"{side}.sum_w") * scale, F.lit(0.0)),
-            F.coalesce(F.col(f"{side}.sum_wv") * scale, F.lit(0.0)),
+            f"coalesce({side}.sum_w * ({scale}), CAST(0.0 AS DOUBLE))",
+            f"coalesce({side}.sum_wv * ({scale}), CAST(0.0 AS DOUBLE))",
         )
 
-    aw, awv = scaled("a", ar)
-    bw, bwv = scaled("b", br)
+    aw, awv = scaled("a")
+    bw, bwv = scaled("b")
     return j.select(
-        key,
-        new_ref.alias("ref_us"),
-        (F.coalesce(F.col("a.n"), F.lit(0)) + F.coalesce(F.col("b.n"), F.lit(0)))
-        .cast("bigint")
-        .alias("n"),
-        (aw + bw).alias("sum_w"),
-        (awv + bwv).alias("sum_wv"),
+        F.expr(f"coalesce(a.{key_col}, b.{key_col})").alias(key_col),
+        F.expr(new_ref).alias("ref_us"),
+        F.expr("CAST((coalesce(a.n, 0) + coalesce(b.n, 0)) AS BIGINT)").alias("n"),
+        F.expr(f"({aw}) + ({bw})").alias("sum_w"),
+        F.expr(f"({awv}) + ({bwv})").alias("sum_wv"),
     )
 
 

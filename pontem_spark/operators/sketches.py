@@ -92,18 +92,30 @@ def histogram_state(
     # Spark 4's default ANSI mode, abort the whole aggregation instead of
     # clamping to the edge bin as promised. For in-range values the result
     # is identical (x=hi lands on n_bins and the least() takes the edge).
-    xc = F.least(F.greatest(F.col(col).cast("double"), F.lit(float(lo))), F.lit(float(hi)))
-    b = F.least(F.lit(n_bins - 1), F.floor((xc - lo) / w).cast("int"))
-    counts = [
-        F.sum(F.when(b == i, 1).otherwise(0)).alias(f"__b{i}") for i in range(n_bins)
-    ]
+    #
+    # The whole n_bins-sum aggregate rides ONE parsed SQL string (r15):
+    # built as per-bin Column objects it cost ~8 Py4J round trips per bin —
+    # ~1 s of driver time PER CALL at 32 bins, re-paid on EVERY streaming
+    # micro-batch by run_histogram_rollup (the body of each foreachBatch is
+    # this construction) — while parsing the identical expression text
+    # JVM-side is 1 call. Same single-aggregation plan, same integer
+    # counts (all arithmetic stays DOUBLE via explicit CASTs).
+    lo_s = f"CAST({float(lo)!r} AS DOUBLE)"
+    hi_s = f"CAST({float(hi)!r} AS DOUBLE)"
+    w_s = f"CAST({float(w)!r} AS DOUBLE)"
+    xc = f"least(greatest(CAST({col} AS DOUBLE), {lo_s}), {hi_s})"
+    b = f"least({n_bins - 1}, CAST(floor(({xc} - {lo_s}) / {w_s}) AS INT))"
+    bins_arr = F.expr(
+        "array("
+        + ", ".join(
+            f"sum(CASE WHEN ({b}) = {i} THEN 1 ELSE 0 END)" for i in range(n_bins)
+        )
+        + ")"
+    ).alias(bins_name)
     present = F.col(col).isNotNull()
     if df.schema[col].dataType.simpleString() in ("double", "float"):
         present = present & ~F.isnan(F.col(col))  # NaN is missing, not a bin
-    agged = df.filter(present).groupBy(*keys).agg(*counts)
-    return agged.select(
-        *keys, F.array(*[F.col(f"__b{i}") for i in range(n_bins)]).alias(bins_name)
-    )
+    return df.filter(present).groupBy(*keys).agg(bins_arr)
 
 
 def merge_histograms(
@@ -112,15 +124,15 @@ def merge_histograms(
     """Key-wise exact merge of histogram states (element-wise count sums via
     an in-row fold over the collected blobs — the shuffle carries
     ~|keys| arrays, never raw rows)."""
-    zero = F.expr(f"array_repeat(0L, {n_bins})")
+    # one parsed string (r15, same rationale as histogram_state): the
+    # Python-lambda HOF form cost a few dozen Py4J calls per micro-batch
     return (
         a.unionByName(b)
         .groupBy(*keys)
         .agg(
-            F.aggregate(
-                F.collect_list(bins_name),
-                zero,
-                lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+            F.expr(
+                f"aggregate(collect_list({bins_name}), array_repeat(0L, {n_bins}), "
+                "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))"
             ).alias(bins_name)
         )
     )
