@@ -78,10 +78,10 @@ def main() -> None:
 
     if args.apply:
         base["note"] = base.get("note", "") + (
-            f" | r14: medians re-tightened from fresh isolated-warm captures "
+            f" | r15: medians re-tightened from fresh isolated-warm captures "
             f"(1 discarded warm-up + {args.runs} runs, idle box) for every "
             f"query whose committed median exceeded {args.ratio}x the fresh "
-            f"r14 suite median (min-merge: medians only lowered, spreads "
+            f"suite median (min-merge: medians only lowered, spreads "
             f"replaced by the witnessed isolated range)"
         )
         base["value"] = round(sum(v for v in q.values() if v), 3)
